@@ -1,0 +1,363 @@
+"""Deduplication operators for LLM training-data pipelines (SURVEY §2.10).
+
+Five strategies, each scale-conscious:
+
+- exact        — hash-groupBy on a content digest (never shuffles raw text)
+- ngram-jaccard— exact Jaccard over word shingles via inverted-index
+                 self-join (the classic "join on shingle, count common"
+                 plan; no O(n²) crossJoin)
+- minhash-LSH  — signature + banding; candidate pairs verified with
+                 exact Jaccard. The 100 TB path: cost is O(n·k) + the
+                 band-bucket join, never all-pairs.
+- simhash      — 64-bit fingerprints + banded hamming join
+- embedding    — cosine near-dup over `array<float>` (top-k pairs)
+
+All pure DataFrame ops — no Python in the row path.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_topic_dumper_spark.sources.tables import load_table
+
+# --- shared shingle/token helpers (JVM-side lambda expressions) -----------
+
+_TOKENS = "split(lower(text), '\\\\s+')"
+# word 3-gram shingles, distinct per doc; tokens[] is 0-based in Spark SQL
+_SHINGLES = (
+    "array_distinct(transform(sequence(0, size({t}) - 3), "
+    "i -> concat_ws(' ', {t}[i], {t}[i+1], {t}[i+2])))"
+).format(t="tokens")
+
+
+def shingled(docs: DataFrame) -> DataFrame:
+    """documents → exploded (doc_id, shingle), distinct per doc."""
+    return (
+        docs.select("doc_id", F.expr(_TOKENS).alias("tokens"))
+        .select("doc_id", F.explode(F.expr(_SHINGLES)).alias("shingle"))
+    )
+
+
+def exact_dedup(docs: DataFrame) -> DataFrame:
+    """Exact dedup by content digest. GroupBy on sha256(text) — at scale
+    the shuffle key is a 32-byte digest, not the document body, and the
+    aggregate is partial (map-side combine)."""
+    return (
+        docs.groupBy(F.sha2(F.col("text"), 256).alias("text_sha256"))
+        .agg(F.min("doc_id").alias("keep_doc_id"), F.count("*").alias("n_copies"))
+        .select("text_sha256", "keep_doc_id", "n_copies")
+    )
+
+
+def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
+    """Exact n-gram Jaccard for every co-shingled pair via inverted
+    index: explode shingles, self-join on shingle (shuffle keyed by
+    shingle — bounded by posting-list sizes, not n²), count common,
+    join per-doc shingle counts back (broadcast)."""
+    sh = shingled(docs)
+    counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    common = (
+        a.join(b, (F.col("a.shingle") == F.col("b.shingle")) & (F.col("a.doc_id") < F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .agg(F.count("*").alias("n_common"))
+    )
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        common.join(F.broadcast(ca), "doc_a")
+        .join(F.broadcast(cb), "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+    )
+
+
+# --- MinHash + LSH ---------------------------------------------------------
+
+_MERSENNE = (1 << 61) - 1
+# Shingle hashes and multipliers live in a 31-bit domain so
+# a*h + b < 2^62 + 2^61 never overflows int64 (Spark 4 is ANSI —
+# overflow throws rather than wrapping).
+_HASH_DOMAIN = (1 << 31) - 1
+
+
+def _minhash_params(k: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for k universal-hash permutations
+    h_i(x) = (a_i * x + b_i) mod p. Derived from a fixed LCG so runs are
+    reproducible without RNG state."""
+    params = []
+    seed = 0x9E3779B97F4A7C15
+    for _ in range(k):
+        seed = (seed * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        a = (seed % (_HASH_DOMAIN - 1)) + 1
+        seed = (seed * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+        b = seed % _MERSENNE
+        params.append((a, b))
+    return params
+
+
+def minhash_signatures(docs: DataFrame, k: int = 32) -> DataFrame:
+    """(doc_id, sig: array<bigint>[k]) MinHash signatures.
+
+    Shingles hash to 64-bit via xxhash64 (JVM, codegen'd); each of the k
+    permutations is min-aggregated in one groupBy — cost O(rows·k) with
+    map-side partial mins, one shuffle keyed by doc_id.
+    """
+    sh = shingled(docs).withColumn(
+        "h", F.abs(F.xxhash64("shingle")) % F.lit(_HASH_DOMAIN)
+    )
+    params = _minhash_params(k)
+    mins = [
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"m{i}")
+        for i, (a, b) in enumerate(params)
+    ]
+    sig = sh.groupBy("doc_id").agg(*mins)
+    return sig.select(
+        "doc_id", F.array(*[F.col(f"m{i}") for i in range(k)]).alias("sig")
+    )
+
+
+def minhash_lsh_candidates(
+    sig: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Band the signature and bucket-join: docs sharing any band land in
+    the same bucket. One explode (×bands) + one self-join keyed by
+    (band, band_key) — never all-pairs."""
+    k = bands * rows_per_band
+    band_cols = [
+        F.struct(
+            F.lit(bi).alias("band"),
+            F.xxhash64(
+                *[F.col("sig")[i] for i in range(bi * rows_per_band, (bi + 1) * rows_per_band)]
+            ).alias("band_key"),
+        )
+        for bi in range(bands)
+    ]
+    banded = sig.select(
+        "doc_id", F.explode(F.array(*band_cols)).alias("bk")
+    ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
+        .distinct()
+    )
+
+
+def minhash_lsh_dedup(docs: DataFrame, k: int = 32, bands: int = 8) -> DataFrame:
+    """Full near-dup pipeline: MinHash → LSH candidates → exact-Jaccard
+    verification of candidates only (semi-join of the inverted index
+    down to candidate pairs)."""
+    cand = minhash_lsh_candidates(minhash_signatures(docs, k), bands, k // bands)
+    exact = ngram_jaccard_pairs(docs).select("doc_a", "doc_b", "jaccard")
+    return (
+        cand.join(exact, ["doc_a", "doc_b"], "left")
+        .withColumn("jaccard", F.coalesce(F.col("jaccard"), F.lit(0.0)))
+        .withColumn("jaccard", F.round("jaccard", 4))
+    )
+
+
+# --- SimHash ---------------------------------------------------------------
+
+
+def simhash_fingerprints(docs: DataFrame) -> DataFrame:
+    """64-bit SimHash per doc: token → xxhash64, per-bit ±1 votes summed
+    across tokens, sign → bit. Two partial-aggregatable groupBys
+    ((doc, bit) votes → doc fingerprint); the ×64 row blowup stays
+    map-local until the first combine."""
+    toks = (
+        docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("tok"))
+        .withColumn("h", F.xxhash64("tok"))
+    )
+    bits = toks.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        F.col("h"),
+    ).withColumn(
+        "vote",
+        F.when(F.expr("(shiftright(h, bit) & 1) = 1"), 1).otherwise(-1),
+    )
+    votes = bits.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
+    return votes.groupBy("doc_id").agg(
+        F.expr("bit_or(CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE CAST(0 AS BIGINT) END)").alias(
+            "simhash"
+        )
+    )
+
+
+def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
+    """Near-dup pairs by SimHash: band the 64-bit fingerprint into 4×16
+    bits, bucket-join on any equal band (pigeonhole: hamming ≤ 3 ⇒ some
+    band equal; wider hamming caught probabilistically), verify with
+    bit_count(xor)."""
+    fp = simhash_fingerprints(docs)
+    banded = fp.select(
+        "doc_id",
+        "simhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col("simhash"), i * 16)
+                        .bitwiseAND(F.lit(0xFFFF))
+                        .alias("band_key"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("bk"),
+    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
+# --- embedding cosine near-dup ---------------------------------------------
+
+_DOT = "aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
+
+
+def embedding_neardup_topk(emb: DataFrame, k: int = 50) -> DataFrame:
+    """Top-k most-similar embedding pairs by cosine. Brute-force
+    all-pairs (correctness baseline; the ANN path for scale is
+    operators/similarity.py). Vectors normalized once, then a self-join
+    keyed only by the inequality — Spark plans BNL join; at 100 TB this
+    is replaced by the LSH variant."""
+    v = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(x AS DOUBLE))"
+        ).alias("v"),
+    ).withColumn(
+        "nrm",
+        F.sqrt(F.expr("aggregate(transform(v, x -> x * x), CAST(0.0 AS DOUBLE), (acc, x) -> acc + x)")),
+    )
+    a = v.select(F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("nrm").alias("na"))
+    b = v.select(F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("nrm").alias("nb"))
+    pairs = (
+        a.join(b, F.col("vec_a") < F.col("vec_b"))
+        .withColumn("cos", F.expr(_DOT) / (F.col("na") * F.col("nb")))
+    )
+    return (
+        pairs.orderBy(F.col("cos").desc(), "vec_a", "vec_b")
+        .limit(k)
+        .select("vec_a", "vec_b")
+    )
+
+
+# --- registry entries -------------------------------------------------------
+
+
+def register(reg) -> None:
+    @reg(
+        "dedup_exact",
+        """
+        SELECT sha256(text) AS text_sha256,
+               min(doc_id) AS keep_doc_id,
+               CAST(count(*) AS BIGINT) AS n_copies
+        FROM documents GROUP BY sha256(text)
+        """,
+    )
+    def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Exact dedup via content digest (hash-groupBy)."""
+        return exact_dedup(load_table(spark, sf_dir, "documents"))
+
+    @reg(
+        "dedup_ngram_jaccard",
+        """
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+            FROM toks
+        ), counts AS (
+            SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        ), common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM sh a JOIN sh b
+              ON a.shingle = b.shingle AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b
+        FROM common
+        JOIN counts ca ON ca.doc_id = doc_a
+        JOIN counts cb ON cb.doc_id = doc_b
+        ORDER BY n_common / (ca.n + cb.n - n_common) DESC, doc_a, doc_b
+        LIMIT 20
+        """,
+    )
+    def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Top-20 most-similar doc pairs by exact word-3-gram Jaccard
+        (inverted-index join; no crossJoin)."""
+        docs = load_table(spark, sf_dir, "documents")
+        return (
+            ngram_jaccard_pairs(docs)
+            .orderBy(F.col("jaccard").desc(), "doc_a", "doc_b")
+            .limit(20)
+            .select("doc_a", "doc_b")
+        )
+
+    @reg("dedup_minhash_lsh")  # non-SQL-expressible (xxhash64); rows-only check
+    def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """MinHash(32) + LSH(8 bands × 4 rows) candidates, verified with
+        exact Jaccard."""
+        return minhash_lsh_dedup(load_table(spark, sf_dir, "documents"))
+
+    @reg("dedup_simhash")  # non-SQL-expressible (xxhash64); rows-only check
+    def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """SimHash-64 banded near-dup pairs (hamming ≤ 8)."""
+        return simhash_near_pairs(load_table(spark, sf_dir, "documents"))
+
+    @reg(
+        "dedup_embedding_cosine",
+        """
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), n AS (
+            SELECT vec_id, v,
+                   sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+            FROM v
+        ), pairs AS (
+            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+                   list_sum(list_transform(range(1, 65),
+                       i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS cos
+            FROM n a JOIN n b ON a.vec_id < b.vec_id
+        )
+        SELECT vec_a, vec_b FROM pairs ORDER BY cos DESC, vec_a, vec_b LIMIT 50
+        """,
+    )
+    def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Top-50 near-dup embedding pairs by cosine (brute-force
+        baseline)."""
+        return embedding_neardup_topk(load_table(spark, sf_dir, "embeddings"))

@@ -1,0 +1,134 @@
+"""Multimodal (binary) column handling (SURVEY §2.10).
+
+Images/audio/video are opaque ``binary`` columns with typed metadata.
+The decode/feature-extraction step needs native libraries that are NOT
+in this container, so the decoder is stubbed behind a deterministic
+fake (clearly marked below) — but the Spark-side plumbing is real:
+schema declaration, Arrow-batched ``mapInPandas``, per-batch vectorized
+processing, and a metadata projection that never moves the payload
+through Python when only metadata is needed.
+
+At 100 TB the payload column dominates I/O; the key plan property is
+that metadata-only queries (multimodal_binary_meta) prune the payload
+at the parquet scan, and the decode path streams Arrow batches without
+ever collecting.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_topic_dumper_spark.sources.tables import load_table
+
+
+def binary_payloads(docs: DataFrame) -> DataFrame:
+    """documents → (doc_id, payload binary). Stands in for an
+    image/audio payload column; real datasets read this directly from
+    parquet `binary` columns."""
+    return docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    )
+
+
+def binary_meta(docs: DataFrame) -> DataFrame:
+    """Typed metadata over a binary column — JVM-side only (length,
+    digest, magic-bytes prefix); the payload never crosses into
+    Python."""
+    payload = F.encode(F.col("text"), "UTF-8")
+    return docs.select(
+        "doc_id",
+        F.length(payload).cast("bigint").alias("payload_bytes"),
+        F.sha2(payload, 256).alias("payload_sha256"),
+        F.lower(F.hex(F.encode(F.substring(F.col("text"), 1, 8), "UTF-8"))).alias(
+            "magic_hex"
+        ),
+    )
+
+
+_DECODE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("width", T.IntegerType()),
+        T.StructField("height", T.IntegerType()),
+        T.StructField("n_channels", T.IntegerType()),
+    ]
+)
+
+
+def decode_metadata(payloads: DataFrame) -> DataFrame:
+    """Arrow-batched decode: ``mapInPandas`` streams record batches of
+    (doc_id, payload) through the (stub) decoder — 0..n output rows per
+    input allowed, pandas-vectorized per batch, no driver collect.
+
+    The worker function is deliberately self-contained (no references
+    to this module's globals) so cloudpickle ships it BY VALUE — the
+    engine package does not need to be importable on executors for
+    this path.
+    """
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        # STUB DECODER. A real deployment replaces this body with e.g.
+        # PIL/imageio/librosa (not installed in this container). The
+        # fake is deterministic arithmetic on payload length so the
+        # full Spark plumbing (schema, Arrow batching, UDF signature)
+        # is testable end-to-end against a SQL oracle.
+        try:  # pragma: no cover - the real decoder is intentionally absent
+            import PIL.Image  # noqa: F401
+
+            raise NotImplementedError(
+                "real image decode not wired up; remove the fake when it is"
+            )
+        except ImportError:
+            pass
+        for pdf in batches:
+            n = pdf["payload"].map(len)
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "width": (n % 640 + 16).astype("int32"),
+                    "height": (n * 7 % 480 + 16).astype("int32"),
+                    "n_channels": 3,
+                }
+            )
+
+    return payloads.mapInPandas(run, schema=_DECODE_SCHEMA)
+
+
+def register(reg) -> None:
+    @reg(
+        "multimodal_binary_meta",
+        """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) AS BIGINT) AS payload_bytes,
+               sha256(text) AS payload_sha256,
+               lower(hex(encode(substring(text, 1, 8)))) AS magic_hex
+        FROM documents
+        """,
+    )
+    def multimodal_binary_meta(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Metadata projection over a binary payload column (payload
+        pruned at scan; no Python)."""
+        return binary_meta(load_table(spark, sf_dir, "documents"))
+
+    @reg(
+        "multimodal_decode_stub",
+        """
+        SELECT doc_id,
+               CAST(octet_length(encode(text)) % 640 + 16 AS INTEGER) AS width,
+               CAST((octet_length(encode(text)) * 7) % 480 + 16 AS INTEGER) AS height,
+               CAST(3 AS INTEGER) AS n_channels
+        FROM documents
+        """,
+    )
+    def multimodal_decode_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """mapInPandas decode plumbing with the deterministic stub
+        decoder (oracle replicates its arithmetic)."""
+        docs = load_table(spark, sf_dir, "documents")
+        return decode_metadata(binary_payloads(docs))

@@ -1,0 +1,92 @@
+"""Relational analogues of the reference's metadata-plane operators.
+
+The reference (Cobliteam/kafka-topic-dumper) computes these with Python
+loops over dicts; here each is a declarative DataFrame op so Catalyst
+plans it (partial aggregation, pushdown, AQE) and it scales to arbitrary
+partition counts. Reference citations are on each function.
+
+All helpers take and return DataFrames; none collect.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+
+def latest_per_key(
+    df: DataFrame, key_cols: list[str], order_cols: list[Column]
+) -> DataFrame:
+    """ARGMAX per key: the reference's latest-state-record pattern
+    (``kafka_client.py:343-344`` — ``max(messages, key=dump_date)``),
+    generalized per-key.
+
+    Implemented as a rank-1 window, which Spark executes as a single
+    shuffle on ``key_cols`` + in-partition sort — no driver-side
+    materialization. ``order_cols`` must be a total order (add a unique
+    id as tie-break) for deterministic output.
+    """
+    w = Window.partitionBy(*key_cols).orderBy(*order_cols)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .filter(F.col("__rn") == 1)
+        .drop("__rn")
+    )
+
+
+def tail_k_per_partition(
+    df: DataFrame, part_cols: list[str], order_cols: list[Column], k: int
+) -> DataFrame:
+    """Top-K-by-offset per partition — the relational form of the
+    reference's tail-N seek (``kafka_client.py:144-156``:
+    ``start = max(begin, end - ceil(N/P))``). Emits a ``tail_rank``
+    column (1 = newest)."""
+    w = Window.partitionBy(*part_cols).orderBy(*order_cols)
+    return df.withColumn("tail_rank", F.row_number().over(w)).filter(
+        F.col("tail_rank") <= k
+    )
+
+
+def clamped_start_offsets(
+    df: DataFrame, part_col: str, offset_col: str, displacement: int
+) -> DataFrame:
+    """Per-partition ``greatest(beginning, end - displacement)`` — the
+    reference's offset clamp (``kafka_client.py:152-153``) as one
+    partial-aggregatable groupBy."""
+    return df.groupBy(part_col).agg(
+        F.min(offset_col).alias("beginning_offset"),
+        F.max(offset_col).alias("end_offset"),
+        F.greatest(
+            F.min(offset_col), F.max(offset_col) - F.lit(displacement)
+        ).alias("start_offset"),
+        (
+            F.max(offset_col)
+            - F.greatest(F.min(offset_col), F.max(offset_col) - F.lit(displacement))
+        ).alias("available_messages"),
+    )
+
+
+def chunk_plan(df: DataFrame, order_col: Column, chunk_size: int) -> DataFrame:
+    """The reference's fixed-size file chunking (``kafka_client.py:238-255``)
+    as a plan: assign each row a ``chunk_id`` by global order and
+    summarize per chunk.
+
+    NOTE: the global ``row_number`` needs a single-partition window —
+    correct but serial. The production dump pipeline never does this; it
+    uses ``maxRecordsPerFile`` (see ``streaming/dump.py``) so chunking
+    is per-task and parallel. This operator exists as the *queryable*
+    form of the plan for catalog/debug use at small N.
+    """
+    w = Window.orderBy(order_col)
+    return (
+        df.withColumn("__rn", F.row_number().over(w))
+        .withColumn(
+            "chunk_id", ((F.col("__rn") - 1) / F.lit(chunk_size)).cast("bigint")
+        )
+        .groupBy("chunk_id")
+        .agg(
+            F.count("*").alias("n_rows"),
+            F.min(order_col).alias("start_key"),
+            F.max(order_col).alias("end_key"),
+        )
+    )

@@ -1,0 +1,161 @@
+"""Similarity search over embedding columns (SURVEY §2.10).
+
+- brute-force cosine top-k: the correctness baseline. Query set is tiny
+  → broadcast; the scan side streams. At 100 TB this is one pass over
+  the vectors per query batch — still the right plan when the query set
+  is small and recall must be exact.
+- LSH-bucketed ANN (sign of random-hyperplane dot products): the scale
+  path — vectors are bucketed once (persistable as a bucket column so a
+  probe touches ~1/2^nbits of the table), queries probe only their own
+  bucket. Recall < 1 by construction → rows-only correctness check.
+
+Dot products are JVM-side ``zip_with``/``aggregate`` lambda expressions
+in DOUBLE — no Python, no UDF, codegen-friendly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_topic_dumper_spark.sources.tables import load_table
+
+
+def _dsum(arr: Column) -> Column:
+    return F.aggregate(arr, F.lit(0.0).cast("double"), lambda acc, x: acc + x)
+
+
+def dot(a: Column, b: Column) -> Column:
+    """Dot product of two array<double> columns, sequential fold (stable
+    summation order — reproducible across engines)."""
+    return _dsum(F.zip_with(a, b, lambda x, y: x * y))
+
+
+def _as_double_vec(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    return df.select(
+        F.col("vec_id").alias(id_alias), v.alias(vec_alias)
+    ).withColumn(
+        f"{vec_alias}_nrm",
+        F.sqrt(_dsum(F.transform(F.col(vec_alias), lambda x: x * x))),
+    )
+
+
+def cosine_topk_bruteforce(
+    emb: DataFrame, query_ids: list[int], k: int = 10
+) -> DataFrame:
+    """Exact top-k cosine neighbors per query vector. Queries broadcast
+    into a map-side theta-join with the vector table — one scan; the
+    only shuffle is the per-query rank window (and row_number ≤ k is
+    limit-pushed into the sort)."""
+    base = _as_double_vec(emb, "neighbor_id", "vb")
+    q = _as_double_vec(emb.filter(F.col("vec_id").isin(query_ids)), "query_id", "va")
+    pairs = base.join(
+        F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
+    ).withColumn("cos", dot(F.col("va"), F.col("vb")) / (F.col("va_nrm") * F.col("vb_nrm")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("integer"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def _hyperplanes(dim: int, nbits: int) -> list[list[float]]:
+    """Deterministic pseudo-random ±1 hyperplanes from a fixed LCG —
+    reproducible with no RNG state; Rademacher entries are a standard
+    choice for sign-LSH."""
+    planes: list[list[float]] = []
+    seed = 0x853C49E6748FEA9B
+    for _ in range(nbits):
+        row = []
+        for _ in range(dim):
+            seed = (seed * 6364136223846793005 + 1442695040888963407) % (1 << 63)
+            row.append(1.0 if (seed >> 32) & 1 else -1.0)
+        planes.append(row)
+    return planes
+
+
+def lsh_bucket_expr(vec: Column, dim: int, nbits: int) -> Column:
+    """Sign-LSH bucket id for an array<double> column: bit i = sign of
+    the dot product with hyperplane i. A pure expression, so the same
+    code buckets the stored table and the probe side."""
+    bucket = F.lit(0)
+    for i, plane in enumerate(_hyperplanes(dim, nbits)):
+        lit_plane = F.array(*[F.lit(x) for x in plane])
+        bucket = bucket + F.when(dot(vec, lit_plane) > 0, F.lit(1 << i)).otherwise(
+            F.lit(0)
+        )
+    return bucket
+
+
+def cosine_topk_lsh(
+    emb: DataFrame, query_ids: list[int], k: int = 10, nbits: int = 4, dim: int = 64
+) -> DataFrame:
+    """ANN top-k probing only the query's LSH bucket. At scale the
+    bucket column is precomputed/persisted (partition or bucket key) so
+    the probe join prunes to one bucket instead of scanning all
+    vectors."""
+    base = _as_double_vec(emb, "neighbor_id", "vb").withColumn(
+        "bucket", lsh_bucket_expr(F.col("vb"), dim, nbits)
+    )
+    q = base.filter(F.col("neighbor_id").isin(query_ids)).select(
+        F.col("neighbor_id").alias("query_id"),
+        F.col("vb").alias("va"),
+        F.col("vb_nrm").alias("va_nrm"),
+        F.col("bucket").alias("qbucket"),
+    )
+    pairs = base.join(
+        F.broadcast(q),
+        (F.col("bucket") == F.col("qbucket"))
+        & (F.col("query_id") != F.col("neighbor_id")),
+    ).withColumn("cos", dot(F.col("va"), F.col("vb")) / (F.col("va_nrm") * F.col("vb_nrm")))
+    w = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("integer"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+QUERY_IDS = [0, 1, 2, 3, 4]
+
+
+def register(reg) -> None:
+    @reg(
+        "similarity_topk_bruteforce",
+        """
+        WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), n AS (
+            SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+            FROM v
+        ), pairs AS (
+            SELECT q.vec_id AS query_id, b.vec_id AS neighbor_id,
+                   list_sum(list_transform(range(1, 65), i -> q.v[i] * b.v[i]))
+                       / (q.nrm * b.nrm) AS cos
+            FROM n q JOIN n b ON q.vec_id != b.vec_id
+            WHERE q.vec_id IN (0, 1, 2, 3, 4)
+        )
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+        FROM pairs
+        QUALIFY rank <= 10
+        """,
+    )
+    def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Exact cosine top-10 for query vectors 0..4."""
+        return cosine_topk_bruteforce(
+            load_table(spark, sf_dir, "embeddings"), QUERY_IDS, 10
+        )
+
+    @reg("similarity_topk_lsh")  # approximate (recall<1) → rows-only check
+    def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Sign-LSH bucketed ANN top-10 for query vectors 0..4."""
+        return cosine_topk_lsh(load_table(spark, sf_dir, "embeddings"), QUERY_IDS, 10)

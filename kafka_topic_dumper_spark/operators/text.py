@@ -1,0 +1,214 @@
+"""Text-analysis operators for LLM training-data pipelines (SURVEY §2.10).
+
+Language ID (stopword/character heuristic), quality scoring, token
+statistics, and document fingerprinting — all pure JVM-side expressions
+(split / filter / regexp / md5), zero Python in the row path, so every
+one of them whole-stage-codegens and scales linearly with input splits.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_topic_dumper_spark.sources.tables import load_table
+
+# Marker stopwords per language. Tiny on purpose: the operator
+# demonstrates the (count markers per language → argmax) plan shape;
+# swapping in full lists is data, not code.
+STOPWORDS = {
+    "en": ["the", "a", "of", "and", "is", "to", "in", "that", "it", "for"],
+    "es": ["el", "la", "de", "que", "y", "en", "un", "los", "se", "no"],
+    "de": ["der", "die", "das", "und", "ist", "nicht", "ein", "zu", "mit", "den"],
+    "fr": ["le", "les", "des", "et", "une", "est", "pour", "dans", "sur", "pas"],
+}
+_CJK = "[一-鿿]"  # U+4E00..U+9FFF
+
+
+def _tokens() -> Column:
+    return F.split(F.lower(F.col("text")), r"\s+")
+
+
+def _count_in(tokens: Column, words: list[str]) -> Column:
+    lit = ", ".join(f"'{w}'" for w in words)
+    return F.size(F.filter(tokens, lambda t: t.isin(words))).cast("integer")
+
+
+def lang_id(docs: DataFrame) -> DataFrame:
+    """Heuristic language ID: CJK-character presence short-circuits to
+    zh; otherwise argmax of per-language marker-stopword counts with a
+    fixed preference order on ties (en > es > de > fr > und)."""
+    toks = docs.withColumn("toks", _tokens())
+    scores = {
+        lang: _count_in(F.col("toks"), words) for lang, words in STOPWORDS.items()
+    }
+    s_zh = F.length(F.regexp_replace(F.col("text"), f"[^{_CJK[1:-1]}]", "")).cast(
+        "integer"
+    )
+    pred = (
+        F.when(s_zh > 0, "zh")
+        .when(
+            (scores["en"] >= F.greatest(scores["es"], scores["de"], scores["fr"]))
+            & (scores["en"] > 0),
+            "en",
+        )
+        .when((scores["es"] >= F.greatest(scores["de"], scores["fr"])) & (scores["es"] > 0), "es")
+        .when((scores["de"] >= scores["fr"]) & (scores["de"] > 0), "de")
+        .when(scores["fr"] > 0, "fr")
+        .otherwise("und")
+    )
+    return toks.select(
+        "doc_id", pred.alias("pred_lang"), F.col("lang").alias("labeled_lang")
+    )
+
+
+def quality_score(docs: DataFrame) -> DataFrame:
+    """Length / punctuation / stopword-ratio quality heuristic. The
+    formula is arbitrary but fixed; what matters is the plan shape —
+    single projection pass, no shuffle."""
+    toks = _tokens()
+    n_tokens = F.size(toks).cast("bigint")
+    n_chars = F.length("text").cast("bigint")
+    punct = (
+        n_chars - F.length(F.regexp_replace(F.col("text"), r"[.,;:!?]", ""))
+    ).cast("bigint")
+    sw = _count_in(toks, STOPWORDS["en"]).cast("bigint")
+    punct_ratio = punct / n_chars
+    sw_ratio = sw / n_tokens
+    score = F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * (1 - punct_ratio) * (
+        F.lit(0.5) + F.lit(0.5) * sw_ratio
+    )
+    return docs.select(
+        "doc_id",
+        n_tokens.alias("n_tokens"),
+        F.round(punct_ratio, 4).alias("punct_ratio"),
+        F.round(sw_ratio, 4).alias("stopword_ratio"),
+        F.round(score, 4).alias("quality_score"),
+    )
+
+
+def token_stats(docs: DataFrame) -> DataFrame:
+    """Token counting: whitespace tokens, BPE-ish regex pieces
+    (letter-runs | digits | single punctuation), distinct tokens, and
+    mean token length."""
+    toks = _tokens()
+    pieces = F.regexp_extract_all(
+        F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"), F.lit(0)
+    )
+    tok_len_sum = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return docs.select(
+        "doc_id",
+        F.size(toks).cast("bigint").alias("n_ws_tokens"),
+        F.size(pieces).cast("bigint").alias("n_bpe_pieces"),
+        F.size(F.array_distinct(toks)).cast("bigint").alias("n_distinct_tokens"),
+        F.round(tok_len_sum / F.size(toks), 4).alias("mean_token_len"),
+    )
+
+
+def fingerprint(docs: DataFrame) -> DataFrame:
+    """Content fingerprint over whitespace-normalized text (md5 — stable
+    across engines; the dedup key used by exact_dedup's scale path)."""
+    normalized = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    return docs.select(
+        "doc_id",
+        F.md5(normalized).alias("fingerprint"),
+        F.length(normalized).cast("bigint").alias("norm_chars"),
+    )
+
+
+def register(reg) -> None:
+    sw = {k: ", ".join(f"'{w}'" for w in v) for k, v in STOPWORDS.items()}
+
+    @reg(
+        "text_lang_id",
+        f"""
+        WITH t AS (
+            SELECT doc_id, lang, text,
+                   string_split_regex(lower(text), '\\s+') AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id, lang,
+                   CAST(len(list_filter(toks, x -> x IN ({sw['en']}))) AS INTEGER) AS s_en,
+                   CAST(len(list_filter(toks, x -> x IN ({sw['es']}))) AS INTEGER) AS s_es,
+                   CAST(len(list_filter(toks, x -> x IN ({sw['de']}))) AS INTEGER) AS s_de,
+                   CAST(len(list_filter(toks, x -> x IN ({sw['fr']}))) AS INTEGER) AS s_fr,
+                   CAST(length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS INTEGER) AS s_zh
+            FROM t
+        )
+        SELECT doc_id,
+               CASE WHEN s_zh > 0 THEN 'zh'
+                    WHEN s_en >= greatest(s_es, s_de, s_fr) AND s_en > 0 THEN 'en'
+                    WHEN s_es >= greatest(s_de, s_fr) AND s_es > 0 THEN 'es'
+                    WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+                    WHEN s_fr > 0 THEN 'fr'
+                    ELSE 'und' END AS pred_lang,
+               lang AS labeled_lang
+        FROM s
+        """,
+    )
+    def text_lang_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Stopword/CJK-heuristic language ID per document."""
+        return lang_id(load_table(spark, sf_dir, "documents"))
+
+    @reg(
+        "text_quality_score",
+        f"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS punct,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
+                        x -> x IN ({sw['en']}))) AS BIGINT) AS swc
+            FROM documents
+        )
+        SELECT doc_id, n_tokens,
+               round(punct / n_chars, 4) AS punct_ratio,
+               round(swc / n_tokens, 4) AS stopword_ratio,
+               round(least(1.0, n_tokens / 100.0) * (1 - punct / n_chars)
+                     * (0.5 + 0.5 * (swc / n_tokens)), 4) AS quality_score
+        FROM t
+        """,
+    )
+    def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Length/punct/stopword quality heuristic per document."""
+        return quality_score(load_table(spark, sf_dir, "documents"))
+
+    @reg(
+        "text_token_stats",
+        r"""
+        WITH t AS (
+            SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks,
+                   regexp_extract_all(text, '[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]') AS pieces
+            FROM documents
+        )
+        SELECT doc_id,
+               CAST(len(toks) AS BIGINT) AS n_ws_tokens,
+               CAST(len(pieces) AS BIGINT) AS n_bpe_pieces,
+               CAST(len(list_distinct(toks)) AS BIGINT) AS n_distinct_tokens,
+               round(list_sum(list_transform(toks, x -> CAST(length(x) AS BIGINT)))
+                     / len(toks), 4) AS mean_token_len
+        FROM t
+        """,
+    )
+    def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Whitespace + BPE-ish-regex token statistics per document."""
+        return token_stats(load_table(spark, sf_dir, "documents"))
+
+    @reg(
+        "text_fingerprint",
+        r"""
+        SELECT doc_id,
+               md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fingerprint,
+               CAST(length(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS BIGINT)
+                   AS norm_chars
+        FROM documents
+        """,
+    )
+    def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """md5 fingerprint of whitespace-normalized text."""
+        return fingerprint(load_table(spark, sf_dir, "documents"))

@@ -1,0 +1,515 @@
+"""Declared query registry — the engine's public query surface.
+
+Every operator from SURVEY.md §2 (reference-parity) and §2.10 (LLM
+pipeline extensions) is declared here twice:
+
+- ``QUERIES[name]``: ``(spark, sf_dir) -> DataFrame`` — the Spark-first
+  implementation.
+- ``ORACLES[name]``: equivalent ANSI SQL for DuckDB over the same
+  parquet (omitted only for genuinely non-SQL-expressible ops; those get
+  the driver's weaker rows-only check).
+
+Column aliases are kept byte-identical between the two sides; double
+aggregates are rounded on BOTH sides to absorb summation-order noise.
+Reference citations (file:line of /root/reference) are in each
+docstring/comment so parity is checkable.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_topic_dumper_spark.operators import dedup, multimodal, similarity, text
+from kafka_topic_dumper_spark.operators.relational import (
+    chunk_plan,
+    clamped_start_offsets,
+    latest_per_key,
+    tail_k_per_partition,
+)
+from kafka_topic_dumper_spark.sources.tables import load_table
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def _register(name: str, oracle: str | None = None):
+    def deco(fn: QueryFn) -> QueryFn:
+        QUERIES[name] = fn
+        if oracle is not None:
+            ORACLES[name] = oracle
+        return fn
+
+    return deco
+
+
+# ---------------------------------------------------------------------------
+# Reference parity: projections / filters (SURVEY §2.3)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "p1_project_key_value",
+    """
+    SELECT event_id,
+           lower(hex(encode(CAST(user_id AS VARCHAR)))) AS key_hex,
+           lower(hex(encode(props))) AS value_hex
+    FROM events
+    """,
+)
+def p1_project_key_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P1: project a record stream to (key, value) binary pairs —
+    reference drops all metadata at kafka_client.py:172. F1 parity:
+    str→UTF-8 bytes_serializer (kafka_client.py:26-31). Binary emitted
+    as hex for a stable cross-engine oracle."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.lower(F.hex(F.encode(F.col("user_id").cast("string"), "UTF-8"))).alias(
+            "key_hex"
+        ),
+        F.lower(F.hex(F.encode(F.col("props"), "UTF-8"))).alias("value_hex"),
+    )
+
+
+@_register(
+    "p3_hot_reload_predicate",
+    """
+    SELECT event_id, user_id, value
+    FROM events
+    WHERE event_type = 'purchase'
+      AND CAST(json_extract_string(props, '$.k') AS BIGINT) > 50
+      AND value > 100.0
+      AND user_id % 7 = 3
+    """,
+)
+def p3_hot_reload_predicate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P3: the idempotency predicate — a 4-way conjunction over a decoded
+    state record (kafka_client.py:349-358), with F2 JSON decode
+    (kafka_client.py:340). Catalyst pushes the non-JSON conjuncts to the
+    parquet scan."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.filter(
+        (F.col("event_type") == "purchase")
+        & (F.get_json_object("props", "$.k").cast("bigint") > 50)
+        & (F.col("value") > 100.0)
+        & (F.col("user_id") % 7 == 3)
+    ).select("event_id", "user_id", "value")
+
+
+# ---------------------------------------------------------------------------
+# Reference parity: aggregations (SURVEY §2.4)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "a1_latest_dump_id",
+    """
+    SELECT max(strftime(ts, '%Y%m%d%H%M%S')) AS latest_dump_id FROM events
+    """,
+)
+def a1_latest_dump_id(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A1: global MAX over timestamp-formatted dump ids — lexicographic
+    max = latest dump (kafka_client.py:275; id format main.py:108).
+    F3 parity: date_format → dump id."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.agg(
+        F.max(F.date_format("ts", "yyyyMMddHHmmss")).alias("latest_dump_id")
+    )
+
+
+@_register(
+    "a2_argmax_latest_state",
+    """
+    SELECT event_id AS latest_event_id, ts AS latest_ts
+    FROM events ORDER BY ts DESC, event_id DESC LIMIT 1
+    """,
+)
+def a2_argmax_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A2: ARGMAX by dump_date — latest state record
+    (kafka_client.py:343-344). Global order-by-desc + limit 1; Spark
+    plans this as TakeOrderedAndProject (no full sort)."""
+    ev = load_table(spark, sf_dir, "events")
+    return (
+        ev.orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        .limit(1)
+        .select(
+            F.col("event_id").alias("latest_event_id"), F.col("ts").alias("latest_ts")
+        )
+    )
+
+
+@_register(
+    "a3_a5_available_message_counts",
+    """
+    SELECT event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           CAST(sum(event_id) AS BIGINT) AS sum_event_id,
+           round(sum(value), 2) AS sum_value
+    FROM events GROUP BY event_type
+    """,
+)
+def a3_a5_available_message_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A3+A5: SUM of available messages / COUNT bookkeeping
+    (kafka_client.py:149-154, 231-232) as a partial-aggregatable
+    groupBy (map-side combine, then one shuffle on event_type)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy("event_type").agg(
+        F.count("*").alias("n_events"),
+        F.sum("event_id").alias("sum_event_id"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+
+
+@_register(
+    "a4_offset_clamp",
+    """
+    SELECT user_id,
+           min(event_id) AS beginning_offset,
+           max(event_id) AS end_offset,
+           greatest(min(event_id), max(event_id) - 100) AS start_offset,
+           max(event_id) - greatest(min(event_id), max(event_id) - 100)
+               AS available_messages
+    FROM events GROUP BY user_id
+    """,
+)
+def a4_offset_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A4: per-partition start-offset clamp
+    ``greatest(beginning, end - displacement)`` (kafka_client.py:152-153)
+    with user_id standing in for the Kafka partition."""
+    ev = load_table(spark, sf_dir, "events")
+    return clamped_start_offsets(ev, "user_id", "event_id", 100)
+
+
+# ---------------------------------------------------------------------------
+# Reference parity: sorts / limits / top-k (SURVEY §2.5) + F5 naming
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "o1_sorted_file_plan",
+    """
+    SELECT file_name, CAST(row_number() OVER (ORDER BY file_name) AS BIGINT)
+               AS file_rank
+    FROM (SELECT printf('%s-%015d.parquet', event_type, event_id) AS file_name
+          FROM events)
+    """,
+)
+def o1_sorted_file_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O1+F5: zero-padded file naming (kafka_client.py:242-243) and the
+    lexicographic sort before replay (kafka_client.py:291). The rank
+    column materializes the order so the order-insensitive oracle hash
+    still verifies sortedness."""
+    ev = load_table(spark, sf_dir, "events")
+    named = ev.select(
+        F.format_string("%s-%015d.parquet", F.col("event_type"), F.col("event_id")).alias(
+            "file_name"
+        )
+    )
+    w = Window.orderBy("file_name")
+    return named.withColumn("file_rank", F.row_number().over(w).cast("bigint"))
+
+
+@_register(
+    "o2_tail_k_per_partition",
+    """
+    SELECT user_id, event_id, tail_rank FROM (
+        SELECT user_id, event_id,
+               CAST(row_number() OVER (PARTITION BY user_id
+                    ORDER BY ts DESC, event_id DESC) AS INTEGER) AS tail_rank
+        FROM events)
+    WHERE tail_rank <= 3
+    """,
+)
+def o2_tail_k_per_partition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O2: tail-N per partition — the reference's ``last N messages``
+    seek (kafka_client.py:144-156) in relational form: top-K by offset
+    per partition, one shuffle + in-partition sort."""
+    ev = load_table(spark, sf_dir, "events")
+    return tail_k_per_partition(
+        ev, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()], 3
+    ).select("user_id", "event_id", "tail_rank")
+
+
+@_register(
+    "o3_limit_top_orders",
+    """
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders ORDER BY o_totalprice DESC, o_orderkey LIMIT 100
+    """,
+)
+def o3_limit_top_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """O3: bounded consume / LIMIT (kafka_client.py:170-173,239) as
+    deterministic top-k (TakeOrderedAndProject — no global sort)."""
+    orders = load_table(spark, sf_dir, "orders")
+    return (
+        orders.orderBy(F.col("o_totalprice").desc(), F.col("o_orderkey"))
+        .limit(100)
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference parity: scalar function surface (SURVEY §2.7)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "f_scalar_surface",
+    """
+    SELECT event_id,
+           strftime(ts, '%Y-%m-%d %H:%M:%S') AS ts_str,
+           CAST(floor(epoch(ts)) AS BIGINT) AS ts_unix,
+           CAST(json_extract_string(props, '$.k') AS BIGINT) AS prop_k,
+           upper(event_type) AS event_type_upper,
+           concat_ws('/', 'kafka-topic-dumper-data', event_type,
+                     CAST(event_id AS VARCHAR)) AS s3_key,
+           substring(event_type, 1, 3) AS etype3
+    FROM events
+    """,
+)
+def f_scalar_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2/F3/F4/F6: JSON decode (kafka_client.py:340), timestamp→dump-id
+    formatting (main.py:108), unix epoch (kafka_client.py:316), and the
+    path-join/prefix string ops (kafka_client.py:184-185,268-269). All
+    JVM-side, codegen'd — no Python in the row path."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
+        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("ts_unix"),
+        F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
+        F.upper("event_type").alias("event_type_upper"),
+        F.concat_ws(
+            "/",
+            F.lit("kafka-topic-dumper-data"),
+            F.col("event_type"),
+            F.col("event_id").cast("string"),
+        ).alias("s3_key"),
+        F.substring("event_type", 1, 3).alias("etype3"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Reference parity: batching plan (SURVEY §2.6)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "b1_chunk_plan",
+    """
+    SELECT CAST(floor((rn - 1) / 1000.0) AS BIGINT) AS chunk_id,
+           CAST(count(*) AS BIGINT) AS n_rows,
+           min(event_id) AS start_key,
+           max(event_id) AS end_key
+    FROM (SELECT event_id, row_number() OVER (ORDER BY event_id) AS rn
+          FROM events)
+    GROUP BY 1
+    """,
+)
+def b1_chunk_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """B1: fixed-size file chunking (kafka_client.py:238-255) as a
+    queryable plan. The production dump path uses maxRecordsPerFile
+    (parallel, per-task) — see streaming/dump.py; this is the
+    metadata-scale planner form."""
+    ev = load_table(spark, sf_dir, "events")
+    return chunk_plan(ev, F.col("event_id"), 1000)
+
+
+# ---------------------------------------------------------------------------
+# Flagship + analytic benchmark queries (joins/aggs the engine must plan
+# well at 100 TB; capability upgrades over the reference per SURVEY §2.9)
+# ---------------------------------------------------------------------------
+
+
+@_register(
+    "flagship_latest_event_per_user",
+    """
+    SELECT user_id, event_id AS last_event_id, event_type AS last_event_type,
+           ts AS last_ts, value AS last_value
+    FROM (SELECT *, row_number() OVER (PARTITION BY user_id
+               ORDER BY ts DESC, event_id DESC) AS rn FROM events)
+    WHERE rn = 1
+    """,
+)
+def flagship_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Flagship: latest event per user — the reference's argmax-state
+    pattern (A2, kafka_client.py:343-344) per key. Single shuffle on
+    user_id, rank-1 window."""
+    ev = load_table(spark, sf_dir, "events")
+    return latest_per_key(
+        ev, ["user_id"], [F.col("ts").desc(), F.col("event_id").desc()]
+    ).select(
+        "user_id",
+        F.col("event_id").alias("last_event_id"),
+        F.col("event_type").alias("last_event_type"),
+        F.col("ts").alias("last_ts"),
+        F.col("value").alias("last_value"),
+    )
+
+
+@_register(
+    "q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           round(sum(l_quantity), 2) AS sum_qty,
+           round(sum(l_extendedprice), 2) AS sum_base_price,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+               AS sum_charge,
+           round(avg(l_quantity), 4) AS avg_qty,
+           round(avg(l_extendedprice), 4) AS avg_price,
+           round(avg(l_discount), 4) AS avg_disc,
+           CAST(count(*) AS BIGINT) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1-style pricing summary: scan-heavy groupBy with map-side
+    partial aggregation; the shipdate filter and 7-column pruning push
+    to the parquet scan."""
+    li = load_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count("*").alias("count_order"),
+        )
+    )
+
+
+@_register(
+    "q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate, o_orderpriority
+    FROM customer, orders, lineitem
+    WHERE c_mktsegment = 'BUILDING'
+      AND c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND o_orderdate < TIMESTAMP '1998-03-15 00:00:00'
+      AND l_shipdate > TIMESTAMP '1998-03-15 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3-style: selective dimension (customer segment) broadcast
+    into the fact join, then top-10 by revenue. Customer side is tiny →
+    explicit broadcast hint keeps it off the shuffle."""
+    cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+    cust = load_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@_register(
+    "q5_region_revenue",
+    """
+    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer, orders, lineitem, supplier, nation, region
+    WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+      AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+      AND s_nationkey = n_nationkey AND n_regionkey = r_regionkey
+      AND r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate < TIMESTAMP '1998-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+)
+def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5-style: 6-way join where every dimension (supplier,
+    nation, region, filtered customer) broadcasts; only the
+    orders⋈lineitem fact join shuffles."""
+    cust = load_table(spark, sf_dir, "customer")
+    orders = load_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp_ntz"))
+    )
+    li = load_table(spark, sf_dir, "lineitem")
+    supp = load_table(spark, sf_dir, "supplier")
+    nation = load_table(spark, sf_dir, "nation")
+    region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@_register(
+    "events_hourly_rollup",
+    """
+    SELECT date_trunc('hour', ts) AS window_start, event_type,
+           CAST(count(*) AS BIGINT) AS n_events,
+           round(sum(value), 2) AS sum_value,
+           CAST(count(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM events GROUP BY 1, 2
+    """,
+)
+def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Event-time tumbling-window rollup (batch form of the streaming
+    windowed agg the reference lacks, SURVEY §2.9). date_trunc keeps the
+    group key a plain timestamp so it is oracle-comparable; the
+    streaming twin uses window() + watermark (streaming/windows.py)."""
+    ev = load_table(spark, sf_dir, "events")
+    return ev.groupBy(
+        F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.countDistinct("user_id").alias("n_users"),
+    )
+
+
+def register_extensions() -> None:
+    """Pull in §2.10 extension queries (dedup / similarity / text /
+    multimodal). Separated so this module stays importable even while an
+    extension module is mid-build."""
+    for mod in (dedup, similarity, text, multimodal):
+        mod.register(_register)
+
+
+register_extensions()

@@ -1,0 +1,88 @@
+"""SparkSession factory.
+
+One place to encode the engine's execution posture:
+
+- AQE on (runtime partition coalescing + skew-join handling) — at 100 TB
+  the static plan is always wrong somewhere; AQE re-plans from runtime
+  stats.
+- UTC session timezone — parquet timestamps compare bit-identically
+  against external oracles regardless of host TZ.
+- Arrow transfer on — every pandas-UDF boundary is vectorized.
+- shuffle partitions sized to the local core count for tests; on a real
+  cluster this is overridden (or left to AQE's coalescing with a high
+  initial value).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+DEFAULT_CPUS = int(os.environ.get("SPARK_GRAFT_CPUS", "32"))
+
+_SHIPPED_SESSIONS: set[int] = set()
+
+
+def ensure_shipped(spark: SparkSession) -> None:
+    """Make this package importable on Python workers.
+
+    Any UDF that references this package's module-level code is
+    cloudpickled BY REFERENCE, so executors must be able to import it.
+    On a cluster (or when the driver process didn't start in the repo
+    root) that is not a given — ship the package as a zip via
+    ``addPyFile`` once per session. Idempotent and cheap (the package
+    is a few tens of KB)."""
+    key = id(spark)
+    if key in _SHIPPED_SESSIONS:
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    pkg_name = os.path.basename(pkg_dir)
+    fd, zip_path = tempfile.mkstemp(suffix=".zip", prefix="ktds_pkg_")
+    os.close(fd)
+    with zipfile.ZipFile(zip_path, "w") as zf:
+        for root, _dirs, files in os.walk(pkg_dir):
+            for f in files:
+                if f.endswith(".py"):
+                    full = os.path.join(root, f)
+                    rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
+                    zf.write(full, rel)
+    spark.sparkContext.addPyFile(zip_path)
+    _SHIPPED_SESSIONS.add(key)
+
+
+def get_session(
+    app_name: str = "kafka_topic_dumper_spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    ``master``/``shuffle_partitions`` default to local[$SPARK_GRAFT_CPUS];
+    a cluster deployment passes its own master URL and lets AQE coalesce
+    from a deliberately high initial shuffle-partition count.
+    """
+    cpus = DEFAULT_CPUS
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master or f"local[{cpus}]")
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions or cpus))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.sql.parquet.compression.codec", "gzip")
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        .config("spark.ui.enabled", "false")
+        .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
+    )
+    for k, v in (extra_conf or {}).items():
+        builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
