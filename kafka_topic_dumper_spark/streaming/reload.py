@@ -1,0 +1,116 @@
+"""Reload pipeline: dump files → transformer → producer sink.
+
+Reference entry points 2 and 3 (SURVEY §3.2-3.3,
+kafka_client.py:406-424):
+
+- cold path: list the dump's files, download each, re-produce every
+  row through the pluggable transformer, then write a state record;
+- hot path (idempotent replay): if the latest state record matches
+  (topic, dump_id, transformer_id), skip ALL data movement.
+
+Spark-first shape: ``spark.read.parquet(dump_dir)`` (no download step —
+tasks read the store directly) → ``apply_transformer`` (Arrow-batched
+flat-map) → Kafka sink, bracketed by the state manifest exactly like
+the reference: the state's offsets are snapshotted BEFORE producing
+(kafka_client.py:378) and the record is written only AFTER the produce
+succeeds (kafka_client.py:404).
+
+Ordering note (SURVEY §7 risk 2): the reference replays strictly
+file-ordered through one producer. A distributed produce cannot keep a
+total order; ``ordered=True`` recovers it by sorting on the source
+file name (the reference's offset-encoded names, kafka_client.py:242-243)
+and producing from a single task — correct, deliberately serial, for
+parity-critical replays only.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_topic_dumper_spark.streaming import state as state_mod
+from kafka_topic_dumper_spark.streaming.dump import dump_dir
+from kafka_topic_dumper_spark.transform import apply_transformer
+
+
+def find_latest_dump_id(spark: SparkSession, output_root: str) -> str:
+    """A1 catalog discovery: latest dump = max dump_id (lexicographic =
+    chronological, kafka_client.py:259-278). Uses the Hadoop FileSystem
+    API through the JVM so the same code lists file://, hdfs:// and
+    s3a:// — a driver-side metadata call, never a data scan."""
+    jvm = spark._jvm  # noqa: SLF001
+    conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    path = jvm.org.apache.hadoop.fs.Path(output_root)
+    fs = path.getFileSystem(conf)
+    if not fs.exists(path):
+        raise FileNotFoundError(f"dump root {output_root!r} does not exist")
+    dump_ids = [
+        st.getPath().getName().split("=", 1)[1]
+        for st in fs.listStatus(path)
+        if st.isDirectory() and st.getPath().getName().startswith("dump_id=")
+    ]
+    if not dump_ids:
+        raise FileNotFoundError(f"no dumps under {output_root!r}")
+    return max(dump_ids)
+
+
+def read_dump(spark: SparkSession, output_root: str, dump_id: str) -> DataFrame:
+    """Read one dump's records (key, value) plus the source file name
+    (for ordered replay)."""
+    df = spark.read.parquet(dump_dir(output_root, dump_id))
+    # _seq captures scan order within a file (monotonic per read
+    # partition; dump files are far below maxPartitionBytes so a file
+    # is never split) — together (_src_file, _seq) reconstructs the
+    # reference's exact replay order.
+    return df.withColumn("_src_file", F.input_file_name()).withColumn(
+        "_seq", F.monotonically_increasing_id()
+    )
+
+
+def reload_dump(
+    spark: SparkSession,
+    output_root: str,
+    dump_id: str,
+    transformer,
+    topic_name: str,
+    current_end_offsets: dict[int, int],
+    sink,
+    state_root: str | None = None,
+    ordered: bool = False,
+) -> dict:
+    """Run the reload. ``sink`` is a callable ``(DataFrame) -> None``
+    that produces the transformed (key, value) rows — Kafka in
+    production (sources.kafka.write_kafka), a Parquet/collect sink in
+    tests. Returns a summary dict (action taken + state record).
+
+    Hot path first: when the latest state record matches, only the
+    summary is returned and nothing is read or produced — the caller
+    seeks its consumers to ``state['offsets']`` (the reference resets
+    group offsets, kafka_client.py:360-370; Spark consumers use the
+    offsets manifest instead, SURVEY §2.6 B3).
+    """
+    state_root = state_root or os.path.join(output_root, "_state")
+    transformer_id = transformer.get_id()
+
+    latest = state_mod.read_latest_state(spark, state_root)
+    if state_mod.state_matches(latest, topic_name, dump_id, transformer_id):
+        return {"action": "hot_reload_skip", "state": latest}
+
+    # Snapshot end offsets BEFORE producing (kafka_client.py:378):
+    # a subsequent hot reload must seek past what this replay writes.
+    new_state = state_mod.gen_state(
+        dump_id, topic_name, current_end_offsets, transformer_id
+    )
+
+    records = read_dump(spark, output_root, dump_id)
+    if ordered:
+        # single task + in-task sort = total replay order (O1 parity,
+        # kafka_client.py:291); deliberately serial — parity mode only.
+        records = records.coalesce(1).sortWithinPartitions("_src_file", "_seq")
+    transformed = apply_transformer(records, transformer)
+    sink(transformed)
+
+    state_mod.save_state(spark, state_root, new_state)
+    return {"action": "reloaded", "state": new_state}

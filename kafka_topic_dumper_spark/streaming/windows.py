@@ -1,0 +1,65 @@
+"""Event-time streaming operators (capability upgrades, SURVEY §2.9).
+
+The reference has no event-time semantics at all — these are the
+Structured Streaming twins of the batch rollups in the registry:
+watermarked tumbling windows and session windows over the ``events``
+shape. Tested with a file stream + availableNow → memory sink (no
+broker needed); in production the input is the Kafka source.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def hourly_rollup_stream(
+    events: DataFrame, watermark: str = "2 hours"
+) -> DataFrame:
+    """Tumbling 1-hour windowed aggregate with late-data handling:
+    events later than the watermark are dropped, finalized windows are
+    emitted exactly once (append mode). State is bounded by the
+    watermark — the property that keeps this runnable forever at
+    100 TB/day.
+
+    Event-time columns must be TIMESTAMP (watermarks reject NTZ); with
+    the session pinned to UTC the cast is value-preserving."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def user_sessions_stream(
+    events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
+) -> DataFrame:
+    """Session windows per user: a session closes after ``gap`` of
+    inactivity. Stock ``session_window`` keeps state per (user,
+    open-session) only — no unbounded growth."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.session_window("ts", gap).alias("win"), "user_id")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("session_start"),
+            F.col("win.end").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )
+    )

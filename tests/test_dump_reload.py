@@ -1,0 +1,215 @@
+"""End-to-end dump → reload through the broker-less record archive
+(FIXTURES.md §1.1): offset planning, chunked gzip parquet write,
+catalog discovery, transformer flat-map, state manifest, and the
+idempotent hot-reload skip — the reference's three entry points
+(SURVEY §3) minus only the Kafka wire protocol."""
+
+from __future__ import annotations
+
+import glob
+import os
+
+import pyarrow.parquet as pq
+import pytest
+from pyspark.sql import Row
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from kafka_topic_dumper_spark.plans.offsets import plan_tail_dump
+from kafka_topic_dumper_spark.streaming import dump as dump_mod
+from kafka_topic_dumper_spark.streaming import reload as reload_mod
+from kafka_topic_dumper_spark.streaming import state as state_mod
+from kafka_topic_dumper_spark.transform import Identity, apply_transformer, load_transformer
+
+ARCHIVE_SCHEMA = T.StructType(
+    [
+        T.StructField("topic", T.StringType()),
+        T.StructField("partition", T.IntegerType()),
+        T.StructField("offset", T.LongType()),
+        T.StructField("timestamp", T.TimestampType()),
+        T.StructField("key", T.BinaryType()),
+        T.StructField("value", T.BinaryType()),
+    ]
+)
+
+N_PER_PARTITION = 400
+PARTITIONS = 3
+
+
+@pytest.fixture(scope="module")
+def archive(spark, tmp_path_factory):
+    """Synthetic topic archive: 3 partitions × 400 messages, ~30% null
+    keys, reference-generator-style values (utils/kafka_producer.py:24-31)."""
+    rows = []
+    for p in range(PARTITIONS):
+        for o in range(N_PER_PARTITION):
+            i = p * N_PER_PARTITION + o
+            rows.append(
+                Row(
+                    topic="test",
+                    partition=p,
+                    offset=o,
+                    timestamp=None,
+                    key=None if i % 10 < 3 else f"k{i}".encode(),
+                    value=f"some test message {i:015d}".encode(),
+                )
+            )
+    path = str(tmp_path_factory.mktemp("archive") / "records.parquet")
+    spark.createDataFrame(rows, schema=ARCHIVE_SCHEMA).write.parquet(path)
+    return path
+
+
+def _offsets(spark, archive):
+    df = spark.read.parquet(archive)
+    rows = (
+        df.groupBy("partition")
+        .agg(F.min("offset").alias("b"), (F.max("offset") + 1).alias("e"))
+        .collect()
+    )
+    return {r["partition"]: r["b"] for r in rows}, {r["partition"]: r["e"] for r in rows}
+
+
+def test_dump_tail_n_chunked(spark, archive, tmp_path):
+    out = str(tmp_path / "dumps")
+    beginning, end = _offsets(spark, archive)
+    plan = plan_tail_dump("test", beginning, end, 90)
+    records = dump_mod.apply_plan(spark.read.parquet(archive), plan)
+    path = dump_mod.dump_batch(records, out, "20260813000000", max_records_per_file=25)
+
+    # tail-N semantics: ceil(90/3)=30 per partition
+    assert plan.available_messages == 90
+    written = spark.read.parquet(path)
+    assert written.count() == 90
+    assert set(written.columns) == {"key", "value"}
+
+    files = glob.glob(os.path.join(path, "*.parquet"))
+    # B1: no file exceeds the chunk size; compression is gzip (K1 parity)
+    for f in files:
+        meta = pq.ParquetFile(f)
+        assert meta.metadata.num_rows <= 25
+        assert meta.metadata.row_group(0).column(0).compression == "GZIP"
+
+    # the dump root is a queryable partitioned table (dump_id pruning)
+    all_dumps = spark.read.parquet(out)
+    assert all_dumps.filter(F.col("dump_id") == "20260813000000").count() == 90
+
+
+def test_dump_clamps_at_partition_beginning(spark, archive, tmp_path):
+    beginning, end = _offsets(spark, archive)
+    plan = plan_tail_dump("test", beginning, end, 10**6)
+    records = dump_mod.apply_plan(spark.read.parquet(archive), plan)
+    assert records.count() == PARTITIONS * N_PER_PARTITION  # everything, no underflow
+
+
+def test_find_latest_dump_id(spark, archive, tmp_path):
+    out = str(tmp_path / "dumps")
+    beginning, end = _offsets(spark, archive)
+    plan = plan_tail_dump("test", beginning, end, 30)
+    records = dump_mod.apply_plan(spark.read.parquet(archive), plan)
+    for dump_id in ["20260101000000", "20260813120000", "20250505050505"]:
+        dump_mod.dump_batch(records, out, dump_id)
+    assert reload_mod.find_latest_dump_id(spark, out) == "20260813120000"
+    with pytest.raises(FileNotFoundError):
+        reload_mod.find_latest_dump_id(spark, str(tmp_path / "nope"))
+
+
+def test_transformer_flatmap_semantics(spark):
+    df = spark.createDataFrame(
+        [Row(key=b"a", value=b"1"), Row(key=None, value=b"2")],
+        schema="key binary, value binary",
+    )
+    assert apply_transformer(df, Identity()).count() == 2
+    exploded = apply_transformer(df, load_transformer("tests.plugin_transformers:Explode"))
+    assert exploded.count() == 4
+    vals = sorted(r.value for r in exploded.collect())
+    assert b"1-copy" in vals and b"2-copy" in vals
+    dropped = apply_transformer(df, load_transformer("tests.plugin_transformers:Drop"))
+    assert dropped.count() == 1  # null-keyed row dropped (1→0)
+
+
+def test_reload_cold_then_hot(spark, archive, tmp_path):
+    out = str(tmp_path / "dumps")
+    sink_path = str(tmp_path / "produced")
+    beginning, end = _offsets(spark, archive)
+    plan = plan_tail_dump("test", beginning, end, 60)
+    records = dump_mod.apply_plan(spark.read.parquet(archive), plan)
+    dump_mod.dump_batch(records, out, "20260813000001", max_records_per_file=20)
+
+    transformer = load_transformer("tests.plugin_transformers:Explode")
+
+    def sink(df):
+        df.write.mode("append").parquet(sink_path)
+
+    # cold reload: data moves, state written AFTER produce
+    r1 = reload_mod.reload_dump(
+        spark, out, "20260813000001", transformer, "test", end, sink
+    )
+    assert r1["action"] == "reloaded"
+    assert spark.read.parquet(sink_path).count() == 120  # Explode: 60 → 120
+    assert r1["state"]["offsets"] == {str(p): int(o) for p, o in end.items()}
+
+    # hot reload: matching state ⇒ NO data movement (P3 predicate)
+    r2 = reload_mod.reload_dump(
+        spark, out, "20260813000001", transformer, "test", end, sink
+    )
+    assert r2["action"] == "hot_reload_skip"
+    assert spark.read.parquet(sink_path).count() == 120  # unchanged
+
+    # different transformer ⇒ cache miss ⇒ reload again
+    r3 = reload_mod.reload_dump(
+        spark, out, "20260813000001", Identity(), "test", end, sink
+    )
+    assert r3["action"] == "reloaded"
+    assert spark.read.parquet(sink_path).count() == 180  # +60 identity rows
+
+
+def test_state_manifest_argmax(spark, tmp_path):
+    root = str(tmp_path / "state")
+    state_mod.save_state(
+        spark, root, state_mod.gen_state("d1", "test", {0: 5}, "Identity", dump_date=100)
+    )
+    state_mod.save_state(
+        spark, root, state_mod.gen_state("d2", "test", {0: 9}, "Identity", dump_date=300)
+    )
+    state_mod.save_state(
+        spark, root, state_mod.gen_state("d3", "test", {0: 7}, "Identity", dump_date=200)
+    )
+    latest = state_mod.read_latest_state(spark, root)
+    assert latest["dump_id"] == "d2"  # argmax by dump_date, not insertion order
+    assert latest["offsets"] == {"0": 9}
+    assert state_mod.read_latest_state(spark, str(tmp_path / "missing")) is None
+
+
+def test_ordered_replay_preserves_file_order(spark, archive, tmp_path):
+    out = str(tmp_path / "dumps")
+    beginning, end = _offsets(spark, archive)
+    plan = plan_tail_dump("test", beginning, end, 50)
+    records = dump_mod.apply_plan(spark.read.parquet(archive), plan).orderBy(
+        "partition", "offset"
+    )
+    dump_mod.dump_batch(records, out, "20260813000002", max_records_per_file=10)
+
+    collected = []
+
+    def sink(df):
+        collected.extend(r.value for r in df.collect())
+
+    reload_mod.reload_dump(
+        spark,
+        out,
+        "20260813000002",
+        Identity(),
+        "test",
+        end,
+        sink,
+        ordered=True,
+    )
+    # within each source file, original row order must be intact
+    df = reload_mod.read_dump(spark, out, "20260813000002")
+    expected_by_file = {}
+    for r in df.select("_src_file", "_seq", "value").collect():
+        expected_by_file.setdefault(r._src_file, []).append((r._seq, r.value))
+    expected = []
+    for f in sorted(expected_by_file):
+        expected.extend(v for _, v in sorted(expected_by_file[f]))
+    assert collected == expected
