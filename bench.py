@@ -1,0 +1,101 @@
+"""Benchmark harness: headline queries at $SPARK_GRAFT_SF_DIR
+(default /root/testdata/sf0.1) on local[$SPARK_GRAFT_CPUS].
+
+Prints ONE JSON line:
+``{"metric": ..., "value": <total sec>, "unit": "sec",
+   "queries": {name: sec, ...}, "sf": ...}``
+
+Each query is forced end-to-end with the noop sink (full computation,
+no driver collect — measures the engine, not py4j transfer). The
+``dump_pipeline`` entry measures the reference's actual workload shape:
+scan → project key/value-sized columns → chunked gzip parquet write.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import shutil
+import sys
+import tempfile
+import time
+
+from kafka_topic_dumper_spark import registry
+from kafka_topic_dumper_spark.session import get_session
+from kafka_topic_dumper_spark.sources.tables import load_table
+
+SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+
+HEADLINE = [
+    "q1_pricing_summary",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "flagship_latest_event_per_user",
+    "events_hourly_rollup",
+    "o2_tail_k_per_partition",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "similarity_topk_bruteforce",
+    "text_token_stats",
+    "text_lang_id",
+    "multimodal_decode_stub",
+]
+
+
+def _force(df) -> None:
+    df.write.format("noop").mode("overwrite").save()
+
+
+def main() -> int:
+    spark = get_session("kafka_topic_dumper_spark-bench")
+    sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
+
+    # warm up the JVM / parquet footer caches outside the timed region
+    load_table(spark, SF_DIR, "lineitem").limit(10).count()
+
+    timings: dict[str, float] = {}
+    for name in HEADLINE:
+        fn = registry.QUERIES[name]
+        t0 = time.perf_counter()
+        _force(fn(spark, SF_DIR))
+        timings[name] = round(time.perf_counter() - t0, 3)
+
+    # dump-pipeline throughput: the reference's core workload
+    tmp = tempfile.mkdtemp(prefix="bench_dump_")
+    try:
+        events = load_table(spark, SF_DIR, "events")
+        from pyspark.sql import functions as F
+
+        records = events.select(
+            F.encode(F.col("user_id").cast("string"), "UTF-8").alias("key"),
+            F.encode(F.col("props"), "UTF-8").alias("value"),
+        )
+        t0 = time.perf_counter()
+        (
+            records.write.mode("overwrite")
+            .option("maxRecordsPerFile", 20000)
+            .option("compression", "gzip")
+            .parquet(os.path.join(tmp, "dump"))
+        )
+        timings["dump_pipeline"] = round(time.perf_counter() - t0, 3)
+    finally:
+        shutil.rmtree(tmp, ignore_errors=True)
+
+    total = round(sum(timings.values()), 3)
+    print(
+        json.dumps(
+            {
+                "metric": "headline_queries_total_runtime",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+            }
+        )
+    )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

@@ -155,17 +155,46 @@ def minhash_lsh_candidates(
     )
 
 
+def verify_pairs_exact_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
+    """Exact Jaccard for an explicit (doc_a, doc_b) pair list ONLY:
+    shingle sets are built just for docs appearing in a pair (semi-join
+    prunes the rest) and intersected per pair — cost scales with the
+    candidate count, not with the corpus's shingle co-occurrence."""
+    docs_in_pairs = (
+        pairs.select(F.col("doc_a").alias("doc_id"))
+        .union(pairs.select(F.col("doc_b")))
+        .distinct()
+    )
+    sets = (
+        shingled(docs.join(docs_in_pairs, "doc_id", "left_semi"))
+        .groupBy("doc_id")
+        .agg(F.collect_set("shingle").alias("shingles"))
+    )
+    sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
+    sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
+    return (
+        pairs.join(sa, "doc_a")
+        .join(sb, "doc_b")
+        .withColumn("n_common", F.size(F.array_intersect("sh_a", "sh_b")))
+        .withColumn(
+            "jaccard",
+            F.round(
+                F.col("n_common")
+                / (F.size("sh_a") + F.size("sh_b") - F.col("n_common")),
+                4,
+            ),
+        )
+        .select("doc_a", "doc_b", "jaccard")
+    )
+
+
 def minhash_lsh_dedup(docs: DataFrame, k: int = 32, bands: int = 8) -> DataFrame:
     """Full near-dup pipeline: MinHash → LSH candidates → exact-Jaccard
-    verification of candidates only (semi-join of the inverted index
-    down to candidate pairs)."""
+    verification of the candidates only. This is the 100 TB path: no
+    stage ever materializes the all-pairs (or all-co-shingled-pairs)
+    space."""
     cand = minhash_lsh_candidates(minhash_signatures(docs, k), bands, k // bands)
-    exact = ngram_jaccard_pairs(docs).select("doc_a", "doc_b", "jaccard")
-    return (
-        cand.join(exact, ["doc_a", "doc_b"], "left")
-        .withColumn("jaccard", F.coalesce(F.col("jaccard"), F.lit(0.0)))
-        .withColumn("jaccard", F.round("jaccard", 4))
-    )
+    return verify_pairs_exact_jaccard(docs, cand)
 
 
 # --- SimHash ---------------------------------------------------------------
