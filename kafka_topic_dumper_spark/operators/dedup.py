@@ -20,6 +20,13 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_topic_dumper_spark.functions.portable_hash import (
+    HASH_DOMAIN31,
+    MERSENNE61,
+    h32_duckdb_sql,
+    h32_spark_sql,
+    minhash_params,
+)
 from kafka_topic_dumper_spark.sources.tables import load_table
 
 # --- shared shingle/token helpers (JVM-side lambda expressions) -----------
@@ -79,42 +86,28 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
 
 # --- MinHash + LSH ---------------------------------------------------------
 
-_MERSENNE = (1 << 61) - 1
-# Shingle hashes and multipliers live in a 31-bit domain so
-# a*h + b < 2^62 + 2^61 never overflows int64 (Spark 4 is ANSI —
-# overflow throws rather than wrapping).
-_HASH_DOMAIN = (1 << 31) - 1
 
-
-def _minhash_params(k: int) -> list[tuple[int, int]]:
-    """Deterministic (a, b) pairs for k universal-hash permutations
-    h_i(x) = (a_i * x + b_i) mod p. Derived from a fixed LCG so runs are
-    reproducible without RNG state."""
-    params = []
-    seed = 0x9E3779B97F4A7C15
-    for _ in range(k):
-        seed = (seed * 6364136223846793005 + 1442695040888963407) % (1 << 63)
-        a = (seed % (_HASH_DOMAIN - 1)) + 1
-        seed = (seed * 6364136223846793005 + 1442695040888963407) % (1 << 63)
-        b = seed % _MERSENNE
-        params.append((a, b))
-    return params
-
-
-def minhash_signatures(docs: DataFrame, k: int = 32) -> DataFrame:
+def minhash_signatures(docs: DataFrame, k: int = 32, portable: bool = True) -> DataFrame:
     """(doc_id, sig: array<bigint>[k]) MinHash signatures.
 
-    Shingles hash to 64-bit via xxhash64 (JVM, codegen'd); each of the k
-    permutations is min-aggregated in one groupBy — cost O(rows·k) with
-    map-side partial mins, one shuffle keyed by doc_id.
+    Shingles hash via the engine-portable md5-prefix H32 (JVM-side,
+    codegen'd; see functions/portable_hash.py) reduced to a 31-bit
+    domain, so the k universal-hash permutations
+    ``(a*h + b) mod (2^61-1)`` never overflow int64 under ANSI
+    semantics. All k permutations min-aggregate in one groupBy — cost
+    O(rows·k) with map-side partial mins, one shuffle keyed by doc_id.
+    ``portable=False`` switches to xxhash64 (~10× faster hash) when
+    DuckDB-oracle parity is not needed.
     """
-    sh = shingled(docs).withColumn(
-        "h", F.abs(F.xxhash64("shingle")) % F.lit(_HASH_DOMAIN)
+    hash_col = (
+        F.expr(h32_spark_sql("shingle")) % F.lit(HASH_DOMAIN31)
+        if portable
+        else F.abs(F.xxhash64("shingle")) % F.lit(HASH_DOMAIN31)
     )
-    params = _minhash_params(k)
+    sh = shingled(docs).withColumn("h", hash_col)
     mins = [
-        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(_MERSENNE)).alias(f"m{i}")
-        for i, (a, b) in enumerate(params)
+        F.min((F.col("h") * F.lit(a) + F.lit(b)) % F.lit(MERSENNE61)).alias(f"m{i}")
+        for i, (a, b) in enumerate(minhash_params(k))
     ]
     sig = sh.groupBy("doc_id").agg(*mins)
     return sig.select(
@@ -127,13 +120,19 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """Band the signature and bucket-join: docs sharing any band land in
     the same bucket. One explode (×bands) + one self-join keyed by
-    (band, band_key) — never all-pairs."""
-    k = bands * rows_per_band
+    (band, band_key) — never all-pairs. The band key is
+    md5(concat_ws(',', band-slice)) — fixed-width, engine-portable."""
     band_cols = [
         F.struct(
             F.lit(bi).alias("band"),
-            F.xxhash64(
-                *[F.col("sig")[i] for i in range(bi * rows_per_band, (bi + 1) * rows_per_band)]
+            F.md5(
+                F.concat_ws(
+                    ",",
+                    *[
+                        F.col("sig")[i]
+                        for i in range(bi * rows_per_band, (bi + 1) * rows_per_band)
+                    ],
+                )
             ).alias("band_key"),
         )
         for bi in range(bands)
@@ -200,18 +199,24 @@ def minhash_lsh_dedup(docs: DataFrame, k: int = 32, bands: int = 8) -> DataFrame
 # --- SimHash ---------------------------------------------------------------
 
 
-def simhash_fingerprints(docs: DataFrame) -> DataFrame:
-    """64-bit SimHash per doc: token → xxhash64, per-bit ±1 votes summed
-    across tokens, sign → bit. Two partial-aggregatable groupBys
-    ((doc, bit) votes → doc fingerprint); the ×64 row blowup stays
-    map-local until the first combine."""
-    toks = (
-        docs.select("doc_id", F.explode(F.expr(_TOKENS)).alias("tok"))
-        .withColumn("h", F.xxhash64("tok"))
-    )
+SIMHASH_BITS = 32  # H32 gives 32 portable bits; xxhash64 path uses 64
+
+
+def simhash_fingerprints(docs: DataFrame, portable: bool = True) -> DataFrame:
+    """SimHash per doc: token → hash, per-bit ±1 votes summed across
+    tokens, sign → bit. Two partial-aggregatable groupBys ((doc, bit)
+    votes → doc fingerprint); the ×nbits row blowup stays map-local
+    until the first combine. Portable path: 32-bit md5-prefix hash
+    (engine-portable, see functions/portable_hash.py); ``portable=False``
+    uses all 64 xxhash64 bits."""
+    nbits = SIMHASH_BITS if portable else 64
+    hash_col = F.expr(h32_spark_sql("tok")) if portable else F.xxhash64("tok")
+    toks = docs.select(
+        "doc_id", F.explode(F.expr(_TOKENS)).alias("tok")
+    ).withColumn("h", hash_col)
     bits = toks.select(
         "doc_id",
-        F.explode(F.sequence(F.lit(0), F.lit(63))).alias("bit"),
+        F.explode(F.sequence(F.lit(0), F.lit(nbits - 1))).alias("bit"),
         F.col("h"),
     ).withColumn(
         "vote",
@@ -219,18 +224,24 @@ def simhash_fingerprints(docs: DataFrame) -> DataFrame:
     )
     votes = bits.groupBy("doc_id", "bit").agg(F.sum("vote").alias("v"))
     return votes.groupBy("doc_id").agg(
-        F.expr("bit_or(CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), bit) ELSE CAST(0 AS BIGINT) END)").alias(
-            "simhash"
-        )
+        F.expr(
+            "bit_or(CASE WHEN v > 0 THEN shiftleft(CAST(1 AS BIGINT), bit)"
+            " ELSE CAST(0 AS BIGINT) END)"
+        ).alias("simhash")
     )
 
 
-def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
-    """Near-dup pairs by SimHash: band the 64-bit fingerprint into 4×16
-    bits, bucket-join on any equal band (pigeonhole: hamming ≤ 3 ⇒ some
-    band equal; wider hamming caught probabilistically), verify with
-    bit_count(xor)."""
-    fp = simhash_fingerprints(docs)
+def simhash_near_pairs(
+    docs: DataFrame, max_hamming: int = 4, portable: bool = True
+) -> DataFrame:
+    """Near-dup pairs by SimHash: band the fingerprint into 4 equal
+    slices, bucket-join on any equal band (pigeonhole: hamming ≤ 3 ⇒
+    some band equal; wider hamming caught probabilistically), verify
+    with bit_count(xor)."""
+    nbits = SIMHASH_BITS if portable else 64
+    band_bits = nbits // 4
+    mask = (1 << band_bits) - 1
+    fp = simhash_fingerprints(docs, portable=portable)
     banded = fp.select(
         "doc_id",
         "simhash",
@@ -239,15 +250,20 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("band"),
-                        F.shiftright(F.col("simhash"), i * 16)
-                        .bitwiseAND(F.lit(0xFFFF))
+                        F.shiftright(F.col("simhash"), i * band_bits)
+                        .bitwiseAND(F.lit(mask))
                         .alias("band_key"),
                     )
                     for i in range(4)
                 ]
             )
         ).alias("bk"),
-    ).select("doc_id", "simhash", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+    ).select(
+        "doc_id",
+        "simhash",
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
+    )
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -260,7 +276,7 @@ def simhash_near_pairs(docs: DataFrame, max_hamming: int = 8) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("doc_a"),
             F.col("b.doc_id").alias("doc_b"),
-            F.expr("bit_count(a.simhash ^ b.simhash)").alias("hamming"),
+            F.expr("CAST(bit_count(a.simhash ^ b.simhash) AS INT)").alias("hamming"),
         )
         .distinct()
         .filter(F.col("hamming") <= max_hamming)
@@ -355,15 +371,109 @@ def register(reg) -> None:
             .select("doc_a", "doc_b")
         )
 
-    @reg("dedup_minhash_lsh")  # non-SQL-expressible (xxhash64); rows-only check
+    # MinHash oracle: the exact same pipeline in DuckDB SQL, built from
+    # the same md5-derived (a, b) literals (functions/portable_hash.py).
+    k, bands, rpb = 32, 8, 4
+    min_cols = ",\n                   ".join(
+        f"min((h * {a} + {b}) % {MERSENNE61}) AS m{i}"
+        for i, (a, b) in enumerate(minhash_params(k))
+    )
+    band_selects = "\n            UNION ALL\n            ".join(
+        "SELECT doc_id, {bi} AS band, md5(concat_ws(',', {ms})) AS band_key FROM sig".format(
+            bi=bi, ms=", ".join(f"m{bi * rpb + j}" for j in range(rpb))
+        )
+        for bi in range(bands)
+    )
+
+    @reg(
+        "dedup_minhash_lsh",
+        f"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+            FROM toks
+        ), hashed AS (
+            SELECT doc_id, ({h32_duckdb_sql('shingle')} % {HASH_DOMAIN31}) AS h
+            FROM sh
+        ), sig AS (
+            SELECT doc_id,
+                   {min_cols}
+            FROM hashed GROUP BY doc_id
+        ), banded AS (
+            {band_selects}
+        ), cand AS (
+            SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        ), counts AS (
+            SELECT doc_id, count(*) AS n FROM sh GROUP BY doc_id
+        ), common AS (
+            SELECT c.doc_a, c.doc_b, count(*) AS n_common
+            FROM cand c
+            JOIN sh a ON a.doc_id = c.doc_a
+            JOIN sh b ON b.doc_id = c.doc_b AND a.shingle = b.shingle
+            GROUP BY c.doc_a, c.doc_b
+        )
+        SELECT c.doc_a, c.doc_b,
+               round(coalesce(cm.n_common, 0)
+                     / (na.n + nb.n - coalesce(cm.n_common, 0)), 4) AS jaccard
+        FROM cand c
+        LEFT JOIN common cm ON cm.doc_a = c.doc_a AND cm.doc_b = c.doc_b
+        JOIN counts na ON na.doc_id = c.doc_a
+        JOIN counts nb ON nb.doc_id = c.doc_b
+        """,
+    )
     def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         """MinHash(32) + LSH(8 bands × 4 rows) candidates, verified with
-        exact Jaccard."""
+        exact Jaccard. Portable md5 hashing ⇒ the DuckDB oracle
+        reproduces the result SET bit-identically."""
         return minhash_lsh_dedup(load_table(spark, sf_dir, "documents"))
 
-    @reg("dedup_simhash")  # non-SQL-expressible (xxhash64); rows-only check
+    simhash_bands = "\n            UNION ALL\n            ".join(
+        f"SELECT doc_id, simhash, {i} AS band,"
+        f" (simhash >> {i * 8}) & 255 AS band_key FROM fp"
+        for i in range(4)
+    )
+
+    @reg(
+        "dedup_simhash",
+        f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(string_split_regex(lower(text), '\\s+')) AS tok
+            FROM documents
+        ), hashed AS (
+            SELECT doc_id, {h32_duckdb_sql('tok')} AS h FROM toks
+        ), bits AS (
+            SELECT doc_id, h, unnest(range(0, {SIMHASH_BITS})) AS bit FROM hashed
+        ), votes AS (
+            SELECT doc_id, bit,
+                   sum(CASE WHEN (h >> bit) & 1 = 1 THEN 1 ELSE -1 END) AS v
+            FROM bits GROUP BY doc_id, bit
+        ), fp AS (
+            SELECT doc_id,
+                   CAST(sum(CASE WHEN v > 0 THEN (CAST(1 AS BIGINT) << bit)
+                            ELSE 0 END) AS BIGINT) AS simhash
+            FROM votes GROUP BY doc_id
+        ), banded AS (
+            {simhash_bands}
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) AS hamming
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+        WHERE CAST(bit_count(xor(a.simhash, b.simhash)) AS INTEGER) <= 4
+        """,
+    )
     def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """SimHash-64 banded near-dup pairs (hamming ≤ 8)."""
+        """SimHash-32 (portable md5 bits) banded near-dup pairs
+        (hamming ≤ 4); oracle reproduces the identical pair set."""
         return simhash_near_pairs(load_table(spark, sf_dir, "documents"))
 
     @reg(

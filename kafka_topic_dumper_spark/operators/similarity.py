@@ -155,7 +155,54 @@ def register(reg) -> None:
             load_table(spark, sf_dir, "embeddings"), QUERY_IDS, 10
         )
 
-    @reg("similarity_topk_lsh")  # approximate (recall<1) → rows-only check
+    # Sign-LSH oracle: the hyperplanes are deterministic ±1 literals, so
+    # the bucket assignment — and therefore the exact ANN result set —
+    # is reproducible in DuckDB. Each plane's dot product is emitted as
+    # a left-associated ± chain (x*±1.0 ≡ ±x in IEEE, additions in the
+    # same order as Spark's sequential aggregate() fold ⇒ bit-identical
+    # signs).
+    def _plane_chain(plane: list[float]) -> str:
+        terms = [
+            ("+" if s > 0 else "-") + f" v[{j}]" for j, s in enumerate(plane, start=1)
+        ]
+        chain = " ".join(terms)
+        return chain[2:] if chain.startswith("+ ") else "-" + chain[2:]
+
+    bucket_sql = "\n                 + ".join(
+        f"(CASE WHEN ({_plane_chain(plane)}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(_hyperplanes(64, 4))
+    )
+    qids = ", ".join(str(q) for q in QUERY_IDS)
+
+    @reg(
+        "similarity_topk_lsh",
+        f"""
+        WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), n AS (
+            SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+            FROM v
+        ), b AS (
+            SELECT vec_id, v, nrm,
+                 {bucket_sql} AS bucket
+            FROM n
+        ), pairs AS (
+            SELECT q.vec_id AS query_id, t.vec_id AS neighbor_id,
+                   list_sum(list_transform(range(1, 65), i -> q.v[i] * t.v[i]))
+                       / (q.nrm * t.nrm) AS cos
+            FROM b q JOIN b t
+              ON q.bucket = t.bucket AND q.vec_id != t.vec_id
+            WHERE q.vec_id IN ({qids})
+        )
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+        FROM pairs
+        QUALIFY rank <= 10
+        """,
+    )
     def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """Sign-LSH bucketed ANN top-10 for query vectors 0..4."""
+        """Sign-LSH bucketed ANN top-10 for query vectors 0..4
+        (deterministic hyperplanes ⇒ exact-match oracle)."""
         return cosine_topk_lsh(load_table(spark, sf_dir, "embeddings"), QUERY_IDS, 10)
