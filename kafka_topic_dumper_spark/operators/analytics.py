@@ -1,0 +1,371 @@
+"""Analytic operator coverage beyond the reference (SURVEY §2.9 lists
+these as explicitly absent there): as-of join, grouping
+sets (rollup/cube), set operations, general window functions, and
+semi/anti joins. All stock DataFrame ops — Catalyst plans them; each
+query documents its 100 TB shape.
+
+The as-of join deliberately avoids a range self-join: the scalable plan
+is a single shuffle on the key + one in-partition sort, propagating the
+most recent right-side row with an IGNORE NULLS running last() — the
+same sort-merge shape DuckDB's native ASOF JOIN executes, but expressed
+with stock window functions so it also runs as a streaming
+applyInPandasWithState variant.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from kafka_topic_dumper_spark.sources.tables import load_table
+
+
+def asof_last_purchase(events: DataFrame) -> DataFrame:
+    """For every event: the user's most recent purchase event at-or-
+    before it (by (ts, event_id) order). One shuffle on user_id, one
+    in-partition sort, running last() with ignorenulls — no range join,
+    no row explosion; state is O(1) per key so the same plan streams."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    is_purchase = F.col("event_type") == "purchase"
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.last(F.when(is_purchase, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("last_purchase_event_id"),
+        F.last(F.when(is_purchase, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("last_purchase_ts"),
+    )
+
+
+def rollup_revenue(orders: DataFrame) -> DataFrame:
+    """ROLLUP over (priority, year): per-group, per-priority subtotal,
+    and grand total in one pass — partial-aggregatable, one shuffle.
+    Subtotal-level NULL keys are coalesced to sentinels ('ALL' / -1) so
+    downstream order-insensitive comparators never sort mixed
+    NULL/non-NULL keys (the source keys are non-null, so the sentinel is
+    unambiguous)."""
+    return (
+        orders.rollup("o_orderpriority", F.year("o_orderdate").alias("o_year"))
+        .agg(
+            F.count("*").alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+        .select(
+            F.coalesce("o_orderpriority", F.lit("ALL")).alias("o_orderpriority"),
+            F.coalesce("o_year", F.lit(-1)).alias("o_year"),
+            "n_orders",
+            "total_price",
+        )
+    )
+
+
+def cube_event_activity(events: DataFrame) -> DataFrame:
+    """CUBE over (event_type, weekday): all 4 grouping combinations in
+    one shuffle (weekday: 0=Monday, ISO; subtotal NULLs → sentinels as
+    in rollup_revenue)."""
+    return (
+        events.cube("event_type", F.weekday("ts").alias("dow"))
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.coalesce("event_type", F.lit("ALL")).alias("event_type"),
+            F.coalesce("dow", F.lit(-1)).alias("dow"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+def customer_cohorts(orders: DataFrame) -> DataFrame:
+    """Set-operation cohorts: customers ordering in both 1996 and 1997
+    (INTERSECT), only 1996 (EXCEPT), only 1997 (EXCEPT) — tagged union.
+    Distinct set ops hash-shuffle on the full row; here the row is just
+    the key, so each op is one exchange on o_custkey."""
+    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    y97 = orders.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    retained = y96.intersect(y97).withColumn("cohort", F.lit("retained"))
+    churned = y96.subtract(y97).withColumn("cohort", F.lit("churned"))
+    acquired = y97.subtract(y96).withColumn("cohort", F.lit("acquired"))
+    return retained.unionAll(churned).unionAll(acquired)
+
+
+def window_event_metrics(events: DataFrame) -> DataFrame:
+    """General window-function surface over the event stream: lag/lead,
+    running (integer-exact) purchase count, rank, ntile — all in ONE
+    window spec ⇒ one shuffle on user_id + one sort serves every
+    column."""
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    wv = Window.partitionBy("user_id").orderBy(F.col("value").desc(), "event_id")
+    return events.select(
+        "event_id",
+        "user_id",
+        F.lag("event_type").over(wo).alias("prev_event_type"),
+        F.lead("event_id").over(wo).alias("next_event_id"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .over(run)
+        .cast("bigint")
+        .alias("purchases_so_far"),
+        F.rank().over(wv).cast("integer").alias("value_rank"),
+        F.ntile(4).over(wv).cast("integer").alias("value_quartile"),
+    )
+
+
+def large_volume_orders(
+    orders: DataFrame, lineitem: DataFrame, customer: DataFrame, min_qty: float = 250.0
+) -> DataFrame:
+    """TPC-H Q18 shape: aggregate the fact table first (partial agg +
+    HAVING prunes before any join), then join the small survivor set —
+    broadcast — against orders/customer."""
+    big = (
+        lineitem.groupBy("l_orderkey")
+        .agg(F.sum("l_quantity").alias("sum_qty"))
+        .filter(F.col("sum_qty") > min_qty)
+    )
+    return (
+        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        .join(customer, orders.o_custkey == customer.c_custkey)
+        .select(
+            "c_custkey",
+            "c_name",
+            "o_orderkey",
+            "o_orderdate",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.round("sum_qty", 2).alias("sum_qty"),
+        )
+    )
+
+
+def customer_order_existence(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Semi/anti join surface: customers with no orders at all (anti)
+    and customers with ≥1 1995 order (semi), tagged. Both plan as
+    broadcast/shuffled hash joins with early-out probing — no row
+    multiplication."""
+    o95 = orders.filter(F.year("o_orderdate") == 1995).select("o_custkey")
+    no_orders = customer.join(
+        orders, customer.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", F.lit("no_orders").alias("tag"))
+    buyers95 = customer.join(
+        o95, customer.c_custkey == o95.o_custkey, "left_semi"
+    ).select("c_custkey", F.lit("buyer_1995").alias("tag"))
+    return no_orders.unionAll(buyers95)
+
+
+def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """Conversion-terminated sessionization: a session ends after
+    ``gap_seconds`` of inactivity OR immediately after a purchase —
+    richer semantics than the stock ``session_window`` (gap-only).
+    Batch form: boundary detection with lag() + running sum gives each
+    event a session_id, then one aggregate per session. Two window
+    passes over ONE shuffle on user_id (same window spec), then a
+    partial-aggregatable groupBy. The streaming twin
+    (streaming/stateful.py) keeps O(1) state per open session.
+
+    The gap test uses unix-second differences, which are timezone-
+    independent (offsets cancel), so the plan is safe under any session
+    timezone."""
+    wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    secs = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    prev_secs = F.lag(secs).over(wo)
+    prev_type = F.lag("event_type").over(wo)
+    is_new = (
+        prev_secs.isNull()
+        | ((secs - prev_secs) > gap_seconds)
+        | (prev_type == "purchase")
+    ).cast("int")
+    tagged = events.withColumn(
+        "session_id", F.sum(is_new).over(run).cast("bigint")
+    )
+    return tagged.groupBy("user_id", "session_id").agg(
+        F.min("ts").alias("session_start"),
+        F.max("ts").alias("session_end"),
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("int")
+        .alias("converted"),
+    )
+
+
+def register(reg) -> None:
+    @reg(
+        "asof_join_last_purchase",
+        """
+        SELECT event_id, user_id, ts,
+               last_value(CASE WHEN event_type = 'purchase' THEN event_id END
+                          IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS last_purchase_event_id,
+               last_value(CASE WHEN event_type = 'purchase' THEN ts END
+                          IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS last_purchase_ts
+        FROM events
+        """,
+    )
+    def asof_join_last_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """As-of join: each event ↔ the same user's most recent purchase
+        (sort-merge window form; equivalent to DuckDB ASOF JOIN)."""
+        return asof_last_purchase(load_table(spark, sf_dir, "events"))
+
+    @reg(
+        "rollup_order_revenue",
+        """
+        SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+               coalesce(CAST(year(o_orderdate) AS INTEGER), -1) AS o_year,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               round(sum(o_totalprice), 2) AS total_price
+        FROM orders
+        GROUP BY ROLLUP(o_orderpriority, CAST(year(o_orderdate) AS INTEGER))
+        """,
+    )
+    def rollup_order_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """ROLLUP (priority, year) revenue: group + subtotal + grand
+        total in one shuffle."""
+        return rollup_revenue(load_table(spark, sf_dir, "orders"))
+
+    @reg(
+        "cube_event_activity",
+        """
+        SELECT coalesce(event_type, 'ALL') AS event_type,
+               coalesce(CAST(isodow(ts) - 1 AS INTEGER), -1) AS dow,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2) AS sum_value
+        FROM events
+        GROUP BY CUBE(event_type, CAST(isodow(ts) - 1 AS INTEGER))
+        """,
+    )
+    def cube_event_activity_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """CUBE (event_type, weekday) activity matrix."""
+        return cube_event_activity(load_table(spark, sf_dir, "events"))
+
+    @reg(
+        "setops_customer_cohorts",
+        """
+        SELECT o_custkey, 'retained' AS cohort FROM (
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+            INTERSECT
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+        UNION ALL
+        SELECT o_custkey, 'churned' FROM (
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997)
+        UNION ALL
+        SELECT o_custkey, 'acquired' FROM (
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1997
+            EXCEPT
+            SELECT o_custkey FROM orders WHERE year(o_orderdate) = 1996)
+        """,
+    )
+    def setops_customer_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """INTERSECT / EXCEPT / UNION customer-cohort analysis."""
+        return customer_cohorts(load_table(spark, sf_dir, "orders"))
+
+    @reg(
+        "window_event_metrics",
+        """
+        SELECT event_id, user_id,
+               lag(event_type) OVER wo AS prev_event_type,
+               lead(event_id) OVER wo AS next_event_id,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    OVER (PARTITION BY user_id ORDER BY ts, event_id
+                          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS purchases_so_far,
+               CAST(rank() OVER wv AS INTEGER) AS value_rank,
+               CAST(ntile(4) OVER wv AS INTEGER) AS value_quartile
+        FROM events
+        WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id),
+               wv AS (PARTITION BY user_id ORDER BY value DESC, event_id)
+        """,
+    )
+    def window_event_metrics_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """lag/lead/running-count/rank/ntile over the event stream."""
+        return window_event_metrics(load_table(spark, sf_dir, "events"))
+
+    @reg(
+        "q18_large_volume_orders",
+        """
+        SELECT c_custkey, c_name, o_orderkey, o_orderdate,
+               round(o_totalprice, 2) AS o_totalprice,
+               round(sum_qty, 2) AS sum_qty
+        FROM orders
+        JOIN (SELECT l_orderkey, sum(l_quantity) AS sum_qty
+              FROM lineitem GROUP BY l_orderkey
+              HAVING sum(l_quantity) > 250.0) big
+          ON o_orderkey = big.l_orderkey
+        JOIN customer ON o_custkey = c_custkey
+        """,
+    )
+    def q18_large_volume_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """TPC-H Q18 shape: aggregate-then-join with HAVING pushdown."""
+        return large_volume_orders(
+            load_table(spark, sf_dir, "orders"),
+            load_table(spark, sf_dir, "lineitem"),
+            load_table(spark, sf_dir, "customer"),
+        )
+
+    @reg(
+        "join_semi_anti_customers",
+        """
+        SELECT c_custkey, 'no_orders' AS tag FROM customer
+        WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+        UNION ALL
+        SELECT c_custkey, 'buyer_1995' FROM customer
+        WHERE EXISTS (SELECT 1 FROM orders
+                      WHERE o_custkey = c_custkey AND year(o_orderdate) = 1995)
+        """,
+    )
+    def join_semi_anti_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Anti join (customers with no orders) + semi join (1995
+        buyers), tagged."""
+        return customer_order_existence(
+            load_table(spark, sf_dir, "orders"),
+            load_table(spark, sf_dir, "customer"),
+        )
+
+    @reg(
+        "sessionize_events",
+        """
+        WITH tagged AS (
+            SELECT user_id, ts, event_id, value, event_type,
+                   CAST(sum(CASE WHEN prev_secs IS NULL
+                                 OR epoch(ts) - prev_secs > 1800
+                                 OR prev_type = 'purchase'
+                            THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS session_id
+            FROM (SELECT *, epoch(ts) AS _s,
+                         lag(epoch(ts)) OVER wo AS prev_secs,
+                         lag(event_type) OVER wo AS prev_type
+                  FROM events
+                  WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id))
+        )
+        SELECT user_id, session_id,
+               min(ts) AS session_start,
+               max(ts) AS session_end,
+               CAST(count(*) AS BIGINT) AS n_events,
+               round(sum(value), 2) AS sum_value,
+               CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS INTEGER) AS converted
+        FROM tagged
+        GROUP BY user_id, session_id
+        """,
+    )
+    def sessionize_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Conversion-terminated sessionization (30 min gap OR ends on
+        purchase); batch twin of streaming/stateful.py."""
+        return sessionize(load_table(spark, sf_dir, "events"))

@@ -122,6 +122,62 @@ def cosine_topk_lsh(
     )
 
 
+def ivf_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF-style ANN: vectors are assigned to the nearest of
+    ``n_centroids`` coarse centroids (the inverted file); a query probes
+    only its ``nprobe`` nearest cells, so the search touches
+    ~nprobe/n_centroids of the table. Centroid selection is pluggable —
+    a deterministic sample (vec_id < n_centroids) stands in for a
+    k-means pass here, which keeps the whole operator SQL-expressible
+    for the oracle. At 100 TB: the centroid table is tiny → broadcast;
+    the assignment is one scan; `cell` is persisted as a partition/
+    bucket column so probes prune at the source instead of re-assigning.
+    """
+    base = _as_double_vec(emb, "vec_id", "v")
+    cents = base.filter(F.col("vec_id") < n_centroids).select(
+        F.col("vec_id").alias("cid"),
+        F.col("v").alias("c"),
+        F.col("v_nrm").alias("c_nrm"),
+    )
+    ac = base.crossJoin(F.broadcast(cents)).withColumn(
+        "cos_c", dot(F.col("v"), F.col("c")) / (F.col("v_nrm") * F.col("c_nrm"))
+    )
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cid"))
+    ranked = ac.withColumn("rn", F.row_number().over(w))
+    assigned = ranked.filter(F.col("rn") == 1).select(
+        "vec_id", "v", "v_nrm", F.col("cid").alias("cell")
+    )
+    probes = (
+        ranked.filter(F.col("vec_id").isin(query_ids) & (F.col("rn") <= nprobe))
+        .select(F.col("vec_id").alias("query_id"), F.col("cid").alias("cell"))
+    )
+    q = base.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.col("v").alias("qv"),
+        F.col("v_nrm").alias("q_nrm"),
+    )
+    cand = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cos", dot(F.col("qv"), F.col("v")) / (F.col("q_nrm") * F.col("v_nrm"))
+        )
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(wr).cast("integer"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
+    )
+
+
 QUERY_IDS = [0, 1, 2, 3, 4]
 
 
@@ -206,3 +262,52 @@ def register(reg) -> None:
         """Sign-LSH bucketed ANN top-10 for query vectors 0..4
         (deterministic hyperplanes ⇒ exact-match oracle)."""
         return cosine_topk_lsh(load_table(spark, sf_dir, "embeddings"), QUERY_IDS, 10)
+
+    @reg(
+        "similarity_topk_ivf",
+        f"""
+        WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), n AS (
+            SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+            FROM v
+        ), c AS (
+            SELECT vec_id AS cid, v AS c, nrm AS c_nrm FROM n WHERE vec_id < 16
+        ), ac AS (
+            SELECT n.vec_id, n.v, n.nrm, c.cid,
+                   list_sum(list_transform(range(1, 65), i -> n.v[i] * c.c[i]))
+                       / (n.nrm * c.c_nrm) AS cos_c
+            FROM n, c
+        ), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cos_c DESC, cid) AS rn
+            FROM ac
+        ), assigned AS (
+            SELECT vec_id, v, nrm, cid AS cell FROM ranked WHERE rn = 1
+        ), probes AS (
+            SELECT vec_id AS query_id, cid AS cell FROM ranked
+            WHERE vec_id IN ({", ".join(str(q) for q in QUERY_IDS)}) AND rn <= 2
+        ), q AS (
+            SELECT vec_id AS query_id, v AS qv, nrm AS q_nrm FROM n
+            WHERE vec_id IN ({", ".join(str(q) for q in QUERY_IDS)})
+        ), cand AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   list_sum(list_transform(range(1, 65), i -> q.qv[i] * a.v[i]))
+                       / (q.q_nrm * a.nrm) AS cos
+            FROM probes p
+            JOIN assigned a ON a.cell = p.cell
+            JOIN q ON q.query_id = p.query_id
+            WHERE a.vec_id != p.query_id
+        )
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+        FROM cand
+        QUALIFY rank <= 10
+        """,
+    )
+    def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """IVF ANN top-10 for query vectors 0..4 (16 cells, nprobe=2;
+        deterministic centroids ⇒ exact-match oracle)."""
+        return ivf_topk(load_table(spark, sf_dir, "embeddings"), QUERY_IDS, 10)

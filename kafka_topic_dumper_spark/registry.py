@@ -22,7 +22,13 @@ from collections.abc import Callable
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
-from kafka_topic_dumper_spark.operators import dedup, multimodal, similarity, text
+from kafka_topic_dumper_spark.operators import (
+    analytics,
+    dedup,
+    multimodal,
+    similarity,
+    text,
+)
 from kafka_topic_dumper_spark.operators.relational import (
     chunk_plan,
     clamped_start_offsets,
@@ -508,7 +514,7 @@ def register_extensions() -> None:
     """Pull in §2.10 extension queries (dedup / similarity / text /
     multimodal). Separated so this module stays importable even while an
     extension module is mid-build."""
-    for mod in (dedup, similarity, text, multimodal):
+    for mod in (dedup, similarity, text, multimodal, analytics):
         mod.register(_register)
 
 

@@ -1,0 +1,121 @@
+"""Custom stateful streaming operator: conversion-terminated
+sessionization via ``applyInPandasWithState``.
+
+The stock ``session_window`` can only close a session on an inactivity
+gap; this operator ALSO closes it eagerly on a purchase event — the
+semantics of ``operators/analytics.py::sessionize`` (its batch twin,
+which carries the DuckDB oracle). Differential testing: streaming
+emits exactly the batch result minus each user's still-open trailing
+session (tests/test_stateful_streaming.py).
+
+Scale shape: state is one fixed-size tuple per (user, open-session) —
+O(keys), not O(events); rows stream through Arrow batches; the single
+shuffle is the groupBy on user_id that Structured Streaming already
+needs for state partitioning.
+
+The worker function is self-contained (closes over plain ints only) so
+cloudpickle ships it by value and executors never import this package
+(see .claude/skills/verify gotchas).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import types as T
+from pyspark.sql.streaming.state import GroupStateTimeout
+
+OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("user_id", T.LongType()),
+        T.StructField("session_id", T.LongType()),
+        T.StructField("session_start", T.TimestampNTZType()),
+        T.StructField("session_end", T.TimestampNTZType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("converted", T.IntegerType()),
+    ]
+)
+
+# timestamps kept as epoch-microsecond longs in state: fixed-width,
+# timezone-proof, cheap to serialize per micro-batch
+STATE_SCHEMA = T.StructType(
+    [
+        T.StructField("session_id", T.LongType()),
+        T.StructField("start_us", T.LongType()),
+        T.StructField("last_us", T.LongType()),
+        T.StructField("n_events", T.LongType()),
+        T.StructField("sum_value", T.DoubleType()),
+        T.StructField("converted", T.IntegerType()),
+    ]
+)
+
+
+def sessionize_stream(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+    """events stream → closed-session rows (append). A session closes
+    when a later event of the same user arrives past the gap, or
+    eagerly on a purchase. The trailing open session per user stays in
+    state (flushable via an event-time timeout in production)."""
+    gap_us = gap_seconds * 1_000_000
+
+    def fold(key, pdfs, state):
+        import pandas as pd
+
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        if state.exists:
+            sid, start_us, last_us, n, sv, conv = state.get
+            has_open = True
+        else:
+            sid, start_us, last_us, n, sv, conv = 0, 0, 0, 0, 0.0, 0
+            has_open = False
+        (user_id,) = key
+        out = []
+
+        def emit():
+            out.append((user_id, sid, start_us, last_us, n, sv, conv))
+
+        for ts, event_id, etype, value in zip(
+            rows["ts"], rows["event_id"], rows["event_type"], rows["value"]
+        ):
+            ts_us = ts.value // 1000  # pandas ns → µs
+            if has_open and ts_us - last_us > gap_us:
+                emit()
+                has_open = False
+            if not has_open:
+                sid += 1
+                start_us, n, sv, conv = ts_us, 0, 0.0, 0
+                has_open = True
+            last_us = ts_us
+            n += 1
+            sv += float(value)
+            if etype == "purchase":
+                conv = 1
+                emit()
+                has_open = False
+        if has_open:
+            state.update((sid, start_us, last_us, n, sv, conv))
+        else:
+            if state.exists:
+                state.remove()
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [r[0] for r in out],
+                    "session_id": [r[1] for r in out],
+                    "session_start": pd.to_datetime(
+                        [r[2] for r in out], unit="us"
+                    ),
+                    "session_end": pd.to_datetime([r[3] for r in out], unit="us"),
+                    "n_events": [r[4] for r in out],
+                    "sum_value": [round(r[5], 2) for r in out],
+                    "converted": [r[6] for r in out],
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

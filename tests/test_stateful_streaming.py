@@ -1,0 +1,74 @@
+"""Differential test for the custom stateful streaming operator:
+``sessionize_stream`` (applyInPandasWithState) must emit exactly the
+batch ``sessionize`` result minus each user's trailing open session."""
+
+from __future__ import annotations
+
+import pytest
+from pyspark.sql import Window
+from pyspark.sql import functions as F
+
+from kafka_topic_dumper_spark.operators.analytics import sessionize
+from kafka_topic_dumper_spark.sources.tables import load_table
+from kafka_topic_dumper_spark.streaming.stateful import sessionize_stream
+
+SF = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def events_stream_path(spark, tmp_path_factory):
+    path = str(tmp_path_factory.mktemp("stateful") / "events")
+    load_table(spark, SF, "events").write.parquet(path)
+    return path
+
+
+def test_sessionize_stream_matches_batch(spark, events_stream_path):
+    batch_events = load_table(spark, SF, "events")
+    stream = spark.readStream.schema(batch_events.schema).parquet(
+        events_stream_path
+    )
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sessions_stateful")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_id): (
+            r.session_start,
+            r.session_end,
+            r.n_events,
+            r.sum_value,
+            r.converted,
+        )
+        for r in spark.table("sessions_stateful").collect()
+    }
+
+    full = sessionize(batch_events)
+    # expected = all sessions except each user's last one when it did
+    # not convert (conversion closes eagerly; gap-closure needs a
+    # later event, which the trailing session never gets)
+    w = Window.partitionBy("user_id")
+    expected_df = full.withColumn(
+        "max_sid", F.max("session_id").over(w)
+    ).filter((F.col("session_id") != F.col("max_sid")) | (F.col("converted") == 1))
+    expected = {
+        (r.user_id, r.session_id): (
+            r.session_start,
+            r.session_end,
+            r.n_events,
+            r.sum_value,
+            r.converted,
+        )
+        for r in expected_df.collect()
+    }
+
+    assert set(got) == set(expected)
+    for k, (gs, ge, gn, gv, gc) in got.items():
+        es, ee, en, ev, ec = expected[k]
+        assert (gs, ge, gn, gc) == (es, ee, en, ec), k
+        assert gv == pytest.approx(ev, abs=0.011), k
+    assert len(got) > 0
