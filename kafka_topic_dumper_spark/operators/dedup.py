@@ -158,7 +158,16 @@ def verify_pairs_exact_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     """Exact Jaccard for an explicit (doc_a, doc_b) pair list ONLY:
     shingle sets are built just for docs appearing in a pair (semi-join
     prunes the rest) and intersected per pair — cost scales with the
-    candidate count, not with the corpus's shingle co-occurrence."""
+    candidate count, not with the corpus's shingle co-occurrence.
+
+    ``pairs`` is referenced three times below (two id projections + the
+    final join) and ``sets`` twice (a-side and b-side); both are
+    persisted so Spark materializes each subtree once instead of
+    re-deriving it per reference — at scale these are the small
+    candidate-sized intermediates, exactly what you checkpoint."""
+    from pyspark import StorageLevel
+
+    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
     docs_in_pairs = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .union(pairs.select(F.col("doc_b")))
@@ -168,6 +177,7 @@ def verify_pairs_exact_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
         shingled(docs.join(docs_in_pairs, "doc_id", "left_semi"))
         .groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("shingles"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
