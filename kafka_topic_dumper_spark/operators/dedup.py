@@ -58,6 +58,28 @@ def exact_dedup(docs: DataFrame) -> DataFrame:
     )
 
 
+def canonical_mapping(docs: DataFrame) -> DataFrame:
+    """Dedup as a corpus transformation: every doc mapped to its
+    group's canonical survivor (min doc_id per normalized-text group) —
+    the row-level output a pipeline actually applies, vs exact_dedup's
+    group summary. Normalization = whitespace-collapse + lowercase.
+    One window over the md5 group key; the shuffle carries the 32-char
+    digest, never the text."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp")
+    return (
+        docs.select("doc_id", F.md5(norm).alias("fp"))
+        .withColumn("keep_doc_id", F.min("doc_id").over(w))
+        .select(
+            "doc_id",
+            "keep_doc_id",
+            (F.col("doc_id") != F.col("keep_doc_id")).cast("int").alias("is_dup"),
+        )
+    )
+
+
 def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     """Exact n-gram Jaccard for every co-shingled pair via inverted
     index: explode shingles, self-join on shingle (shuffle keyed by
@@ -380,6 +402,26 @@ def register(reg) -> None:
             .limit(20)
             .select("doc_a", "doc_b")
         )
+
+    @reg(
+        "dedup_canonical_mapping",
+        r"""
+        WITH f AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+            FROM documents
+        )
+        SELECT doc_id,
+               min(doc_id) OVER (PARTITION BY fp) AS keep_doc_id,
+               CAST(doc_id != min(doc_id) OVER (PARTITION BY fp) AS INTEGER)
+                   AS is_dup
+        FROM f
+        """,
+    )
+    def dedup_canonical_mapping(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Row-level dedup mapping: doc → canonical survivor + dup
+        flag."""
+        return canonical_mapping(load_table(spark, sf_dir, "documents"))
 
     # MinHash oracle: the exact same pipeline in DuckDB SQL, built from
     # the same md5-derived (a, b) literals (functions/portable_hash.py).

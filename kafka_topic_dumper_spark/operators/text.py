@@ -11,6 +11,10 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_topic_dumper_spark.functions.portable_hash import (
+    h32_duckdb_sql,
+    h32_spark_sql,
+)
 from kafka_topic_dumper_spark.sources.tables import load_table
 
 # Marker stopwords per language. Tiny on purpose: the operator
@@ -120,6 +124,69 @@ def fingerprint(docs: DataFrame) -> DataFrame:
     )
 
 
+def winnowing_fingerprints(
+    docs: DataFrame, k: int = 8, w: int = 4
+) -> DataFrame:
+    """Winnowing document fingerprints (the rolling-hash scheme MOSS
+    uses): hash every character k-gram of the whitespace-normalized
+    text, slide a window of ``w`` consecutive positions, keep each
+    window's minimum hash, emit the distinct (doc_id, fingerprint)
+    set. Guarantees any match of length ≥ k+w-1 shares a fingerprint.
+
+    Plan: one projection pass + a ×(len) explode that stays map-local,
+    a single per-doc window (shuffle on doc_id), then a distinct —
+    per-doc cost is linear in characters; no cross-doc work at all
+    (fingerprints feed a later bucket-join, same shape as LSH).
+    Hashes are the portable md5-prefix H32 so the DuckDB oracle
+    reproduces the exact fingerprint set."""
+    from pyspark.sql import Window
+
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    base = docs.select("doc_id", norm.alias("t")).withColumn(
+        "maxpos", F.greatest(F.length("t") - F.lit(k - 1), F.lit(1))
+    )
+    grams = base.select(
+        "doc_id",
+        "maxpos",
+        F.explode(F.sequence(F.lit(1), F.col("maxpos"))).alias("pos"),
+        F.col("t"),
+    ).select(
+        "doc_id",
+        "maxpos",
+        "pos",
+        F.expr(h32_spark_sql(f"substring(t, pos, {k})")).alias("h"),
+    )
+    win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    return (
+        grams.withColumn("wmin", F.min("h").over(win))
+        .filter(F.col("pos") <= F.col("maxpos") - F.lit(w - 1))
+        .select("doc_id", F.col("wmin").alias("fingerprint"))
+        .distinct()
+    )
+
+
+def lang_corpus_stats(docs: DataFrame) -> DataFrame:
+    """Per-predicted-language corpus statistics — the composition query
+    a data pipeline runs after language ID (lang_id ⋈ token counts →
+    groupBy). One extra shuffle over the lang_id pass."""
+    lang = lang_id(docs).select("doc_id", "pred_lang")
+    toks = docs.select(
+        "doc_id",
+        F.size(_tokens()).cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+    )
+    return (
+        lang.join(toks, "doc_id")
+        .groupBy("pred_lang")
+        .agg(
+            F.count("*").alias("n_docs"),
+            F.sum("n_tokens").alias("total_tokens"),
+            F.round(F.avg("n_tokens"), 4).alias("avg_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+    )
+
+
 def register(reg) -> None:
     sw = {k: ", ".join(f"'{w}'" for w in v) for k, v in STOPWORDS.items()}
 
@@ -198,6 +265,77 @@ def register(reg) -> None:
     def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Whitespace + BPE-ish-regex token statistics per document."""
         return token_stats(load_table(spark, sf_dir, "documents"))
+
+    @reg(
+        "text_winnowing_fingerprints",
+        rf"""
+        WITH base AS (
+            SELECT doc_id,
+                   trim(regexp_replace(lower(text), '\s+', ' ', 'g')) AS t
+            FROM documents
+        ), b2 AS (
+            SELECT doc_id, t, greatest(length(t) - 7, 1) AS maxpos FROM base
+        ), grams AS (
+            SELECT doc_id, maxpos, unnest(range(1, maxpos + 1)) AS pos, t
+            FROM b2
+        ), hashed AS (
+            SELECT doc_id, maxpos, pos,
+                   {h32_duckdb_sql('substr(t, pos, 8)')} AS h
+            FROM grams
+        ), wm AS (
+            SELECT doc_id, maxpos, pos,
+                   min(h) OVER (PARTITION BY doc_id ORDER BY pos
+                                ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING)
+                       AS wmin
+            FROM hashed
+        )
+        SELECT DISTINCT doc_id, wmin AS fingerprint
+        FROM wm WHERE pos <= maxpos - 3
+        """,
+    )
+    def text_winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Winnowing (k=8, w=4) rolling-hash fingerprints per doc."""
+        return winnowing_fingerprints(load_table(spark, sf_dir, "documents"))
+
+    @reg(
+        "text_lang_corpus_stats",
+        f"""
+        WITH t AS (
+            SELECT doc_id, text,
+                   string_split_regex(lower(text), '\\s+') AS toks
+            FROM documents
+        ), s AS (
+            SELECT doc_id,
+                   CAST(len(toks) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(len(list_filter(toks, x -> x IN ({sw['en']}))) AS INTEGER) AS s_en,
+                   CAST(len(list_filter(toks, x -> x IN ({sw['es']}))) AS INTEGER) AS s_es,
+                   CAST(len(list_filter(toks, x -> x IN ({sw['de']}))) AS INTEGER) AS s_de,
+                   CAST(len(list_filter(toks, x -> x IN ({sw['fr']}))) AS INTEGER) AS s_fr,
+                   CAST(length(regexp_replace(text, '[^一-鿿]', '', 'g')) AS INTEGER) AS s_zh
+            FROM t
+        ), pred AS (
+            SELECT doc_id, n_tokens, n_chars,
+                   CASE WHEN s_zh > 0 THEN 'zh'
+                        WHEN s_en >= greatest(s_es, s_de, s_fr) AND s_en > 0 THEN 'en'
+                        WHEN s_es >= greatest(s_de, s_fr) AND s_es > 0 THEN 'es'
+                        WHEN s_de >= s_fr AND s_de > 0 THEN 'de'
+                        WHEN s_fr > 0 THEN 'fr'
+                        ELSE 'und' END AS pred_lang
+            FROM s
+        )
+        SELECT pred_lang,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(sum(n_tokens) AS BIGINT) AS total_tokens,
+               round(avg(n_tokens), 4) AS avg_tokens,
+               round(avg(n_chars), 4) AS avg_chars
+        FROM pred GROUP BY pred_lang
+        """,
+    )
+    def text_lang_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-predicted-language corpus statistics (lang ID ⋈ token
+        counts → aggregate)."""
+        return lang_corpus_stats(load_table(spark, sf_dir, "documents"))
 
     @reg(
         "text_fingerprint",
