@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafka_topic_dumper_spark.operators.relational import salted_join
 from kafka_topic_dumper_spark.sources.tables import load_table
 
 
@@ -369,3 +370,81 @@ def register(reg) -> None:
         """Conversion-terminated sessionization (30 min gap OR ends on
         purchase); batch twin of streaming/stateful.py."""
         return sessionize(load_table(spark, sf_dir, "events"))
+
+    @reg(
+        "q17_small_quantity_revenue",
+        """
+        WITH threshold AS (
+            SELECT l_partkey, 0.2 * avg(l_quantity) AS small_qty
+            FROM lineitem GROUP BY l_partkey
+        )
+        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        FROM lineitem
+        JOIN part ON p_partkey = l_partkey
+        JOIN threshold ON threshold.l_partkey = lineitem.l_partkey
+        WHERE p_brand LIKE 'Brand#1%' AND l_quantity < small_qty
+        """,
+    )
+    def q17_small_quantity_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """TPC-H Q17 shape: correlated scalar subquery (per-part average
+        quantity threshold), expressed in its decorrelated join form —
+        the rewrite Catalyst itself applies. The quantity sums are
+        integral-valued doubles, so the 0.2·avg threshold is exact in
+        both engines. Per-part agg shuffles once; the part filter
+        broadcasts."""
+        li = load_table(spark, sf_dir, "lineitem")
+        part = load_table(spark, sf_dir, "part").filter(
+            F.col("p_brand").startswith("Brand#1")
+        )
+        thr = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+            (F.avg("l_quantity") * 0.2).alias("small_qty")
+        )
+        return (
+            li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .join(thr, li.l_partkey == thr.t_partkey)
+            .filter(F.col("l_quantity") < F.col("small_qty"))
+            .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+        )
+
+    @reg(
+        "q16_supplier_diversity",
+        """
+        SELECT p_type,
+               CAST(count(DISTINCT l_suppkey) AS BIGINT) AS n_suppliers,
+               CAST(count(*) AS BIGINT) AS n_lineitems
+        FROM part JOIN lineitem ON l_partkey = p_partkey
+        GROUP BY p_type
+        """,
+    )
+    def q16_supplier_diversity(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """TPC-H Q16 shape: COUNT(DISTINCT) per group after a fact⋈dim
+        join — Spark plans the distinct as a two-phase expand+agg; the
+        dim side broadcasts."""
+        li = load_table(spark, sf_dir, "lineitem")
+        part = load_table(spark, sf_dir, "part")
+        return (
+            li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .groupBy("p_type")
+            .agg(
+                F.countDistinct("l_suppkey").alias("n_suppliers"),
+                F.count("*").alias("n_lineitems"),
+            )
+        )
+
+    @reg(
+        "join_salted_skew",
+        """
+        SELECT o_orderkey, o_totalprice, c_name
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        """,
+    )
+    def join_salted_skew(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Salted skew join: orders⋈customer with an 8-way salt. The
+        oracle is the PLAIN join — proving the salting transformation
+        is semantics-preserving while spreading any hot key over 8
+        reducers."""
+        orders = load_table(spark, sf_dir, "orders")
+        cust = load_table(spark, sf_dir, "customer")
+        return salted_join(orders, cust, "o_custkey", "c_custkey").select(
+            "o_orderkey", "o_totalprice", "c_name"
+        )

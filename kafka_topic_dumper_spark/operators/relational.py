@@ -66,6 +66,46 @@ def clamped_start_offsets(
     )
 
 
+def salted_join(
+    big: DataFrame,
+    small: DataFrame,
+    big_key: str,
+    small_key: str,
+    n_salts: int = 8,
+) -> DataFrame:
+    """Skew-mitigating equi-join: the big side gets a deterministic salt
+    (hash of its whole key-row spread over ``n_salts``), the small side
+    is replicated ×``n_salts``, and the join key becomes
+    (key, salt) — a single hot key now lands on ``n_salts`` reducers
+    instead of one. Semantically identical to ``big.join(small, key)``
+    (the differential oracle for ``join_salted_skew`` is the PLAIN
+    join). Use when AQE's skew-join split isn't available or the skew
+    is in a single key beyond what splitting a partition fixes.
+
+    The salt on the big side hashes the row's monotonically-varying
+    columns via ``spark_partition_id + a per-row counter``-free route:
+    xxhash64 over all columns is enough spread and fully deterministic.
+    """
+    salt_small = small.crossJoin(
+        F.broadcast(
+            small.sparkSession.range(n_salts).select(
+                F.col("id").cast("int").alias("_salt_s")
+            )
+        )
+    )
+    salted_big = big.withColumn(
+        "_salt", F.pmod(F.xxhash64(*big.columns), F.lit(n_salts)).cast("int")
+    )
+    return (
+        salted_big.join(
+            salt_small,
+            (F.col(big_key) == F.col(small_key))
+            & (F.col("_salt") == F.col("_salt_s")),
+        )
+        .drop("_salt", "_salt_s")
+    )
+
+
 def chunk_plan(df: DataFrame, order_col: Column, chunk_size: int) -> DataFrame:
     """The reference's fixed-size file chunking (``kafka_client.py:238-255``)
     as a plan: assign each row a ``chunk_id`` by global order and
