@@ -213,3 +213,45 @@ def test_ordered_replay_preserves_file_order(spark, archive, tmp_path):
     for f in sorted(expected_by_file):
         expected.extend(v for _, v in sorted(expected_by_file[f]))
     assert collected == expected
+
+
+def test_dump_stream_exactly_once_resume(spark, tmp_path):
+    """Streaming dump with checkpoint: a second availableNow run over
+    the same source writes ONLY the newly-arrived records — the WAL
+    replaces the reference's offset commits (kafka_client.py:158-166)
+    and upgrades its at-least-once to exactly-once (SURVEY §2.9)."""
+    src = str(tmp_path / "incoming")
+    out = str(tmp_path / "dump_out")
+    ckpt = str(tmp_path / "ckpt")
+    os.makedirs(src)
+
+    def batch(lo, hi):
+        return spark.createDataFrame(
+            [
+                Row(
+                    topic="test",
+                    partition=0,
+                    offset=i,
+                    timestamp=None,
+                    key=f"k{i}".encode(),
+                    value=f"v{i:06d}".encode(),
+                )
+                for i in range(lo, hi)
+            ],
+            schema=ARCHIVE_SCHEMA,
+        )
+
+    batch(0, 100).write.mode("append").parquet(src)
+    stream = spark.readStream.schema(ARCHIVE_SCHEMA).parquet(src)
+    q = dump_mod.dump_stream(stream, out, ckpt, max_records_per_file=40)
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == 100
+
+    # new arrivals + restart from the same checkpoint → no re-dump
+    batch(100, 150).write.mode("append").parquet(src)
+    stream2 = spark.readStream.schema(ARCHIVE_SCHEMA).parquet(src)
+    q2 = dump_mod.dump_stream(stream2, out, ckpt, max_records_per_file=40)
+    q2.awaitTermination(120)
+    result = spark.read.parquet(out)
+    assert result.count() == 150
+    assert result.select("value").distinct().count() == 150
