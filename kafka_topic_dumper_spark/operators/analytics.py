@@ -432,6 +432,82 @@ def register(reg) -> None:
         )
 
     @reg(
+        "window_rolling_hour",
+        """
+        SELECT event_id, user_id, ts,
+               CAST(count(*) OVER w AS BIGINT) AS n_events_prev_hour,
+               round(sum(value) OVER w, 2) AS sum_value_prev_hour
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                     RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        """,
+    )
+    def window_rolling_hour(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Event-time RANGE window: per user, the rolling count/sum over
+        the trailing hour — the range-interval frame the reference's
+        offset-count windows can't express. One shuffle on user_id;
+        the frame is evaluated with a sliding pointer over the sorted
+        partition, not a self-join."""
+        ev = load_table(spark, sf_dir, "events")
+        ev.createOrReplaceTempView("events_v")
+        return spark.sql(
+            """
+            SELECT event_id, user_id, ts,
+                   CAST(count(*) OVER w AS BIGINT) AS n_events_prev_hour,
+                   round(sum(value) OVER w, 2) AS sum_value_prev_hour
+            FROM events_v
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                               AND CURRENT ROW)
+            """
+        )
+
+    @reg(
+        "embedding_corpus_stats",
+        """
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), n AS (
+            SELECT vec_id, len(v) AS dim,
+                   sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm,
+                   list_sum(v) / len(v) AS mean_c
+            FROM v
+        )
+        SELECT CAST(dim AS INTEGER) AS dim,
+               CAST(count(*) AS BIGINT) AS n_vectors,
+               round(avg(nrm), 4) AS avg_norm,
+               round(min(nrm), 4) AS min_norm,
+               round(max(nrm), 4) AS max_norm,
+               round(avg(mean_c), 6) AS avg_component_mean
+        FROM n GROUP BY dim
+        """,
+    )
+    def embedding_corpus_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Embedding-column hygiene stats (dimension, norm distribution,
+        component mean) — the validation pass a pipeline runs before
+        building an ANN index. Single scan, JVM lambda expressions, one
+        tiny aggregate."""
+        emb = load_table(spark, sf_dir, "embeddings")
+        v = F.transform("embedding", lambda x: x.cast("double"))
+        dsum = lambda arr: F.aggregate(  # noqa: E731
+            arr, F.lit(0.0).cast("double"), lambda a, x: a + x
+        )
+        per = emb.select(
+            F.size(v).alias("dim"),
+            F.sqrt(dsum(F.transform(v, lambda x: x * x))).alias("nrm"),
+            (dsum(v) / F.size(v)).alias("mean_c"),
+        )
+        return per.groupBy("dim").agg(
+            F.count("*").alias("n_vectors"),
+            F.round(F.avg("nrm"), 4).alias("avg_norm"),
+            F.round(F.min("nrm"), 4).alias("min_norm"),
+            F.round(F.max("nrm"), 4).alias("max_norm"),
+            F.round(F.avg("mean_c"), 6).alias("avg_component_mean"),
+        )
+
+    @reg(
         "join_salted_skew",
         """
         SELECT o_orderkey, o_totalprice, c_name
