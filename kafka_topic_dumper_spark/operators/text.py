@@ -187,6 +187,63 @@ def lang_corpus_stats(docs: DataFrame) -> DataFrame:
     )
 
 
+def token_doc_frequency(docs: DataFrame, k: int = 50) -> DataFrame:
+    """Top-k tokens by document frequency — the corpus-level statistic
+    behind stopword discovery and df-based filtering. explode →
+    per-doc distinct (map-local) → count per token (one shuffle,
+    partial-aggregatable) → top-k (TakeOrdered, no global sort)."""
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(_tokens())).alias("tok")
+    )
+    return (
+        toks.groupBy("tok")
+        .agg(F.count("*").alias("doc_freq"))
+        .orderBy(F.col("doc_freq").desc(), "tok")
+        .limit(k)
+    )
+
+
+def repetition_quality(docs: DataFrame) -> DataFrame:
+    """Gopher-style repetition/quality signals per document: duplicate
+    word-2-gram fraction, symbol-to-word ratio, mean word length —
+    the cheap heuristics large-corpus pipelines filter on before any
+    model-based scoring. Pure array-lambda expressions, single pass,
+    no shuffle."""
+    toks = _tokens()
+    n_tokens = F.size(toks).cast("bigint")
+    # guard: Spark's sequence(0, n) DESCENDS when n < 0, so short docs
+    # must short-circuit to an empty gram list instead
+    grams2 = F.when(
+        F.size("tokens") >= 2,
+        F.expr(
+            "transform(sequence(0, size(tokens) - 2), "
+            "i -> concat_ws(' ', tokens[i], tokens[i+1]))"
+        ),
+    ).otherwise(F.expr("CAST(array() AS array<string>)"))
+    n_grams = F.size(F.col("g2")).cast("bigint")
+    n_distinct = F.size(F.array_distinct(F.col("g2"))).cast("bigint")
+    symbols = F.length(
+        F.regexp_replace(F.col("text"), r"[A-Za-z0-9\s]", "")
+    ).cast("bigint")
+    word_chars = F.aggregate(
+        F.transform(toks, lambda t: F.length(t).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    return (
+        docs.withColumn("tokens", toks)
+        .withColumn("g2", grams2)
+        .select(
+            "doc_id",
+            F.when(n_grams > 0, F.round((n_grams - n_distinct) / n_grams, 4))
+            .otherwise(F.lit(0.0))
+            .alias("dup_2gram_frac"),
+            F.round(symbols / word_chars, 4).alias("symbol_word_ratio"),
+            F.round(word_chars / n_tokens, 4).alias("mean_word_len"),
+        )
+    )
+
+
 def register(reg) -> None:
     sw = {k: ", ".join(f"'{w}'" for w in v) for k, v in STOPWORDS.items()}
 
@@ -265,6 +322,61 @@ def register(reg) -> None:
     def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Whitespace + BPE-ish-regex token statistics per document."""
         return token_stats(load_table(spark, sf_dir, "documents"))
+
+    @reg(
+        "text_token_doc_frequency",
+        r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_distinct(string_split_regex(lower(text), '\s+')))
+                       AS tok
+            FROM documents
+        )
+        SELECT tok, CAST(count(*) AS BIGINT) AS doc_freq
+        FROM toks GROUP BY tok
+        ORDER BY doc_freq DESC, tok
+        LIMIT 50
+        """,
+    )
+    def text_token_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Top-50 tokens by document frequency (stopword discovery)."""
+        return token_doc_frequency(load_table(spark, sf_dir, "documents"))
+
+    @reg(
+        "text_repetition_quality",
+        r"""
+        WITH t AS (
+            SELECT doc_id, text,
+                   string_split_regex(lower(text), '\s+') AS toks
+            FROM documents
+        ), g AS (
+            SELECT doc_id, text, toks,
+                   list_transform(range(1, len(toks)),
+                                  i -> toks[i] || ' ' || toks[i+1]) AS g2
+            FROM t
+        ), m AS (
+            SELECT doc_id,
+                   CAST(len(g2) AS BIGINT) AS n_g,
+                   CAST(len(list_distinct(g2)) AS BIGINT) AS n_d,
+                   CAST(length(regexp_replace(text, '[A-Za-z0-9\s]', '', 'g'))
+                        AS BIGINT) AS symbols,
+                   CAST(list_sum(list_transform(toks,
+                        x -> CAST(length(x) AS BIGINT))) AS BIGINT) AS word_chars,
+                   CAST(len(toks) AS BIGINT) AS n_tokens
+            FROM g
+        )
+        SELECT doc_id,
+               CASE WHEN n_g > 0 THEN round((n_g - n_d) / n_g, 4)
+                    ELSE 0.0 END AS dup_2gram_frac,
+               round(symbols / word_chars, 4) AS symbol_word_ratio,
+               round(word_chars / n_tokens, 4) AS mean_word_len
+        FROM m
+        """,
+    )
+    def text_repetition_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Gopher-style repetition / symbol-ratio / word-length quality
+        signals per document."""
+        return repetition_quality(load_table(spark, sf_dir, "documents"))
 
     @reg(
         "text_winnowing_fingerprints",

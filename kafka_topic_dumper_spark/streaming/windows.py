@@ -41,6 +41,22 @@ def hourly_rollup_stream(
     )
 
 
+def dedup_stream(
+    events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours"
+) -> DataFrame:
+    """Streaming exact dedup — the streaming twin of
+    operators/dedup.exact_dedup. ``dropDuplicatesWithinWatermark``
+    keeps one row per key and holds per-key state only until the
+    watermark passes it, so state is bounded by (keys within the
+    watermark horizon) instead of the full stream history — the
+    property that lets an at-least-once Kafka source feed an
+    effectively-once pipeline forever."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return events.withWatermark("ts", watermark).dropDuplicatesWithinWatermark(
+        keys or ["event_id"]
+    )
+
+
 def user_sessions_stream(
     events: DataFrame, gap: str = "30 minutes", watermark: str = "2 hours"
 ) -> DataFrame:

@@ -64,3 +64,20 @@ def test_session_windows_stream(spark, events_stream_path):
     for r in rows:
         assert r.session_start <= r.session_end
         assert r.n_events >= 1
+
+
+def test_dedup_stream_drops_replayed_duplicates(spark, events_stream_path, tmp_path):
+    """An at-least-once source (here: the same file data arriving twice)
+    must come out exactly-once after dropDuplicatesWithinWatermark."""
+    from kafka_topic_dumper_spark.streaming.windows import dedup_stream
+
+    batch = load_table(spark, SF, "events")
+    dup_src = str(tmp_path / "dup_events")
+    batch.write.parquet(dup_src)
+    batch.write.mode("append").parquet(dup_src)  # replay: every row twice
+    assert spark.read.parquet(dup_src).count() == 2 * batch.count()
+
+    stream = spark.readStream.schema(batch.schema).parquet(dup_src)
+    out = _run_stream(spark, dedup_stream(stream), "dedup_stream_test")
+    assert out.count() == batch.count()
+    assert out.select("event_id").distinct().count() == batch.count()
