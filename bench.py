@@ -37,9 +37,14 @@ HEADLINE = [
     "dedup_ngram_jaccard",
     "dedup_minhash_lsh",
     "similarity_topk_bruteforce",
+    "similarity_topk_ivf",
     "text_token_stats",
     "text_lang_id",
+    "text_winnowing_fingerprints",
     "multimodal_decode_stub",
+    "asof_join_last_purchase",
+    "sessionize_events",
+    "join_salted_skew",
 ]
 
 

@@ -138,7 +138,14 @@ def winnowing_fingerprints(
     per-doc cost is linear in characters; no cross-doc work at all
     (fingerprints feed a later bucket-join, same shape as LSH).
     Hashes are the portable md5-prefix H32 so the DuckDB oracle
-    reproduces the exact fingerprint set."""
+    reproduces the exact fingerprint set.
+
+    NOTE a pure array-lambda formulation (hash array + array_min over
+    slices, zero shuffle) is quadratic in practice: Catalyst collapses
+    the projections and inlines the full hash-array expression into
+    EVERY slice position, re-hashing the whole doc per position —
+    measured >100× slower. The explode+window form keeps each hash
+    computed exactly once."""
     from pyspark.sql import Window
 
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
