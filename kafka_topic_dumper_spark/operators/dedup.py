@@ -32,10 +32,16 @@ from kafka_topic_dumper_spark.sources.tables import load_table
 # --- shared shingle/token helpers (JVM-side lambda expressions) -----------
 
 _TOKENS = "split(lower(text), '\\\\s+')"
-# word 3-gram shingles, distinct per doc; tokens[] is 0-based in Spark SQL
+# word 3-gram shingles, distinct per doc; tokens[] is 0-based in Spark
+# SQL. Guarded: sequence(0, n) DESCENDS when n < 0, so docs with < 3
+# tokens would index out of bounds (ANSI error) without the CASE —
+# they must simply produce no shingles (matching the oracle's
+# range(1, len-1), which is empty there).
 _SHINGLES = (
+    "CASE WHEN size({t}) >= 3 THEN "
     "array_distinct(transform(sequence(0, size({t}) - 3), "
-    "i -> concat_ws(' ', {t}[i], {t}[i+1], {t}[i+2])))"
+    "i -> concat_ws(' ', {t}[i], {t}[i+1], {t}[i+2]))) "
+    "ELSE CAST(array() AS array<string>) END"
 ).format(t="tokens")
 
 

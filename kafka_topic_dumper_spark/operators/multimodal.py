@@ -111,6 +111,59 @@ def decode_metadata(payloads: DataFrame) -> DataFrame:
     return payloads.mapInPandas(run, schema=_DECODE_SCHEMA)
 
 
+_FRAME_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("frame_idx", T.IntegerType()),
+        T.StructField("frame_offset_ms", T.LongType()),
+        T.StructField("frame_bytes", T.LongType()),
+    ]
+)
+
+
+def sample_frames(payloads: DataFrame, stride_ms: int = 1000) -> DataFrame:
+    """Frame sampling over an opaque video/audio payload: a 1→N
+    Arrow-batched flat-map — each payload expands to one row per
+    sampled frame, the shape a video pipeline needs (decode is the
+    STUB below; the schema/batching/flat-map plumbing is real).
+
+    Scale shape: output rows ≈ inputs × duration/stride; the expansion
+    happens inside mapInPandas per batch, so no driver involvement and
+    downstream operators see an ordinary DataFrame they can
+    repartition/aggregate."""
+    payloads.sparkSession.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", "100000"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        # STUB DECODER (deterministic): "duration" is derived from the
+        # payload length; a real deployment replaces this with an
+        # av/ffmpeg probe + frame grab. Kept arithmetic so the oracle
+        # can replicate it exactly.
+        for pdf in batches:
+            n = pdf["payload"].map(len)
+            n_frames = (n % 5 + 1).astype("int64")
+            doc_ids, idxs, offs, sizes = [], [], [], []
+            for doc_id, length, k in zip(pdf["doc_id"], n, n_frames):
+                for i in range(k):
+                    doc_ids.append(doc_id)
+                    idxs.append(i)
+                    offs.append(i * stride_ms)
+                    sizes.append(length // k)
+            yield _pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "frame_idx": _pd.array(idxs, dtype="int32"),
+                    "frame_offset_ms": offs,
+                    "frame_bytes": sizes,
+                }
+            )
+
+    return payloads.mapInPandas(run, schema=_FRAME_SCHEMA)
+
+
 def register(reg) -> None:
     @reg(
         "multimodal_binary_meta",
@@ -142,3 +195,26 @@ def register(reg) -> None:
         decoder (oracle replicates its arithmetic)."""
         docs = load_table(spark, sf_dir, "documents")
         return decode_metadata(binary_payloads(docs))
+
+    @reg(
+        "multimodal_frame_sample",
+        """
+        WITH p AS (
+            SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+        ), f AS (
+            SELECT doc_id, n, n % 5 + 1 AS k FROM p
+        ), e AS (
+            SELECT doc_id, n, k, unnest(range(0, k)) AS i FROM f
+        )
+        SELECT doc_id,
+               CAST(i AS INTEGER) AS frame_idx,
+               CAST(i * 1000 AS BIGINT) AS frame_offset_ms,
+               CAST(n // k AS BIGINT) AS frame_bytes
+        FROM e
+        """,
+    )
+    def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """1→N frame-sampling flat-map over binary payloads (stub
+        frame decoder; oracle replicates the expansion arithmetic)."""
+        docs = load_table(spark, sf_dir, "documents")
+        return sample_frames(binary_payloads(docs))

@@ -1,0 +1,84 @@
+"""Edge-case robustness: operators must degrade to empty/zero results
+on degenerate inputs (empty tables, sub-shingle-length docs, single
+events) instead of erroring — the inputs a 100 TB corpus inevitably
+contains."""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_topic_dumper_spark.operators import dedup, text
+from kafka_topic_dumper_spark.operators.analytics import sessionize
+from kafka_topic_dumper_spark.operators.relational import salted_join
+
+DOCS_SCHEMA = "doc_id long, text string, lang string, source string, n_chars long"
+EVENTS_SCHEMA = (
+    "event_id long, user_id long, ts timestamp_ntz, event_type string, "
+    "value double, props string"
+)
+
+
+@pytest.fixture(scope="module")
+def empty_docs(spark):
+    return spark.createDataFrame([], schema=DOCS_SCHEMA)
+
+
+@pytest.fixture(scope="module")
+def tiny_docs(spark):
+    return spark.createDataFrame(
+        [
+            (1, "ab", "en", "s", 2),  # shorter than any shingle/k-gram
+            (2, "one two", "en", "s", 7),  # 2 tokens — no 3-gram shingles
+            (3, "x", "en", "s", 1),  # single token
+        ],
+        schema=DOCS_SCHEMA,
+    )
+
+
+def test_dedup_ops_on_empty_corpus(spark, empty_docs):
+    assert dedup.exact_dedup(empty_docs).count() == 0
+    assert dedup.minhash_lsh_dedup(empty_docs).count() == 0
+    assert dedup.simhash_near_pairs(empty_docs).count() == 0
+    assert dedup.canonical_mapping(empty_docs).count() == 0
+
+
+def test_text_ops_on_empty_corpus(spark, empty_docs):
+    assert text.winnowing_fingerprints(empty_docs).count() == 0
+    assert text.token_doc_frequency(empty_docs).count() == 0
+    assert text.repetition_quality(empty_docs).count() == 0
+    assert text.lang_corpus_stats(empty_docs).count() == 0
+
+
+def test_short_docs_produce_no_shingles_but_valid_rows(spark, tiny_docs):
+    # no 3-gram shingles → no signatures → no candidate pairs; no error
+    assert dedup.minhash_lsh_dedup(tiny_docs).count() == 0
+    # winnowing: docs shorter than k+w-1 chars yield no fingerprints,
+    # longer ones yield >=1; all without failing
+    fp = text.winnowing_fingerprints(tiny_docs)
+    assert fp.filter(fp.doc_id == 3).count() == 0
+    # repetition metrics defined even with zero 2-grams
+    rows = {r.doc_id: r for r in text.repetition_quality(tiny_docs).collect()}
+    assert rows[3].dup_2gram_frac == 0.0
+    assert rows[2].dup_2gram_frac == 0.0
+    assert rows[3].mean_word_len == 1.0
+
+
+def test_sessionize_single_event_and_empty(spark):
+    empty = spark.createDataFrame([], schema=EVENTS_SCHEMA)
+    assert sessionize(empty).count() == 0
+    import datetime
+
+    one = spark.createDataFrame(
+        [(1, 7, datetime.datetime(2026, 1, 1), "purchase", 5.0, "{}")],
+        schema=EVENTS_SCHEMA,
+    )
+    rows = sessionize(one).collect()
+    assert len(rows) == 1
+    assert rows[0].n_events == 1 and rows[0].converted == 1
+
+
+def test_salted_join_empty_sides(spark):
+    big = spark.createDataFrame([(1, "a")], schema="k long, v string")
+    empty = spark.createDataFrame([], schema="k2 long, w string")
+    assert salted_join(big, empty, "k", "k2").count() == 0
+    assert salted_join(empty.selectExpr("k2 as k", "w as v"), big.selectExpr("k as k2", "v as w"), "k", "k2").count() == 0
