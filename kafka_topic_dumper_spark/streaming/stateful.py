@@ -21,6 +21,7 @@ cloudpickle ships it by value and executors never import this package
 from __future__ import annotations
 
 from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.streaming.state import GroupStateTimeout
 
@@ -50,15 +51,49 @@ STATE_SCHEMA = T.StructType(
 )
 
 
-def sessionize_stream(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
+def sessionize_stream(
+    events: DataFrame,
+    gap_seconds: int = 1800,
+    flush_timeout: bool = False,
+    watermark: str = "0 seconds",
+) -> DataFrame:
     """events stream → closed-session rows (append). A session closes
     when a later event of the same user arrives past the gap, or
-    eagerly on a purchase. The trailing open session per user stays in
-    state (flushable via an event-time timeout in production)."""
+    eagerly on a purchase. With ``flush_timeout=True`` an event-time
+    timer also closes the trailing open session once the watermark
+    passes ``last_event + gap`` — no session waits forever for a key
+    that went quiet; otherwise it stays in state."""
     gap_us = gap_seconds * 1_000_000
+
+    if flush_timeout:
+        events = events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
+            "ts", watermark
+        )
 
     def fold(key, pdfs, state):
         import pandas as pd
+
+        (user_id,) = key
+        out = []
+
+        if flush_timeout and state.hasTimedOut:
+            sid, start_us, last_us, n, sv, conv = state.get
+            out.append((user_id, sid, start_us, last_us, n, sv, conv))
+            state.remove()
+            yield pd.DataFrame(
+                {
+                    "user_id": [r[0] for r in out],
+                    "session_id": [r[1] for r in out],
+                    "session_start": pd.to_datetime(
+                        [r[2] for r in out], unit="us"
+                    ),
+                    "session_end": pd.to_datetime([r[3] for r in out], unit="us"),
+                    "n_events": [r[4] for r in out],
+                    "sum_value": [round(r[5], 2) for r in out],
+                    "converted": [r[6] for r in out],
+                }
+            )
+            return
 
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(["ts", "event_id"])
@@ -68,8 +103,6 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
         else:
             sid, start_us, last_us, n, sv, conv = 0, 0, 0, 0, 0.0, 0
             has_open = False
-        (user_id,) = key
-        out = []
 
         def emit():
             out.append((user_id, sid, start_us, last_us, n, sv, conv))
@@ -94,6 +127,8 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
                 has_open = False
         if has_open:
             state.update((sid, start_us, last_us, n, sv, conv))
+            if flush_timeout:
+                state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
         else:
             if state.exists:
                 state.remove()
@@ -117,5 +152,9 @@ def sessionize_stream(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
         outputStructType=OUTPUT_SCHEMA,
         stateStructType=STATE_SCHEMA,
         outputMode="append",
-        timeoutConf=GroupStateTimeout.NoTimeout,
+        timeoutConf=(
+            GroupStateTimeout.EventTimeTimeout
+            if flush_timeout
+            else GroupStateTimeout.NoTimeout
+        ),
     )

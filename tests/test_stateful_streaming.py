@@ -72,3 +72,47 @@ def test_sessionize_stream_matches_batch(spark, events_stream_path):
         assert (gs, ge, gn, gc) == (es, ee, en, ec), k
         assert gv == pytest.approx(ev, abs=0.011), k
     assert len(got) > 0
+
+
+def test_sessionize_stream_timeout_flushes_trailing(spark, events_stream_path):
+    """With flush_timeout=True, an event-time timer closes trailing
+    open sessions once the watermark (here: max ts, delay 0) passes
+    last_event + gap — so emitted sessions = every batch session except
+    trailing ones still inside the gap horizon at end of stream."""
+    batch_events = load_table(spark, SF, "events")
+    stream = spark.readStream.schema(batch_events.schema).parquet(
+        events_stream_path
+    )
+    q = (
+        sessionize_stream(stream, flush_timeout=True)
+        .writeStream.format("memory")
+        .queryName("sessions_flush")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        (r.user_id, r.session_id): (r.session_start, r.session_end, r.n_events)
+        for r in spark.table("sessions_flush").collect()
+    }
+
+    full = sessionize(batch_events)
+    max_ts = batch_events.agg(F.max("ts")).collect()[0][0]
+    w = Window.partitionBy("user_id")
+    flushed_or_closed = full.withColumn(
+        "max_sid", F.max("session_id").over(w)
+    ).filter(
+        (F.col("session_id") != F.col("max_sid"))
+        | (F.col("converted") == 1)
+        | (F.col("session_end") + F.expr("INTERVAL 1800 SECONDS") <= F.lit(max_ts))
+    )
+    expected = {
+        (r.user_id, r.session_id): (r.session_start, r.session_end, r.n_events)
+        for r in flushed_or_closed.collect()
+    }
+    assert set(got) == set(expected)
+    for k in got:
+        assert got[k] == expected[k], k
+    # the flush must have emitted strictly more than the no-timeout run
+    assert len(got) >= full.count() - batch_events.select("user_id").distinct().count()
