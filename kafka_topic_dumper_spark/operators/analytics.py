@@ -508,6 +508,41 @@ def register(reg) -> None:
         )
 
     @reg(
+        "approx_aggregates",
+        """
+        SELECT event_type,
+               CAST(count(DISTINCT user_id) AS BIGINT) AS n_users_exact,
+               true AS hll_within_5pct,
+               round(quantile_cont(value, 0.5), 2) AS p50_exact,
+               true AS p50_within_5pct
+        FROM events GROUP BY event_type
+        """,
+    )
+    def approx_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Sketch-based aggregates — the 100 TB path where exact
+        distinct/percentile is too expensive. Sketches differ across
+        engines, so the differential contract is the ERROR BOUND: the
+        query outputs exact values (oracle-matched) plus booleans
+        asserting the HLL estimate and approx-percentile land within
+        5% — the oracle emits literal true, so a sketch drifting out
+        of tolerance fails the hash check."""
+        ev = load_table(spark, sf_dir, "events")
+        agg = ev.groupBy("event_type").agg(
+            F.countDistinct("user_id").alias("n_users_exact"),
+            F.approx_count_distinct("user_id", rsd=0.02).alias("n_users_hll"),
+            F.expr("percentile(value, 0.5)").alias("p50e"),
+            F.expr("approx_percentile(value, 0.5, 10000)").alias("p50a"),
+        )
+        ok = lambda a, e: (F.abs(F.col(a) - F.col(e)) / F.col(e)) < 0.05  # noqa: E731
+        return agg.select(
+            "event_type",
+            "n_users_exact",
+            ok("n_users_hll", "n_users_exact").alias("hll_within_5pct"),
+            F.round("p50e", 2).alias("p50_exact"),
+            ok("p50a", "p50e").alias("p50_within_5pct"),
+        )
+
+    @reg(
         "join_salted_skew",
         """
         SELECT o_orderkey, o_totalprice, c_name
