@@ -508,6 +508,40 @@ def register(reg) -> None:
         )
 
     @reg(
+        "join_range_interval",
+        """
+        SELECT o_orderkey, o_custkey, o_orderdate,
+               CAST(count(e.event_id) AS BIGINT) AS n_events_week_after
+        FROM orders o
+        LEFT JOIN events e
+          ON e.user_id = o.o_custkey
+         AND e.ts >= o.o_orderdate
+         AND e.ts < o.o_orderdate + INTERVAL 7 DAY
+        WHERE o.o_custkey < 150
+        GROUP BY o_orderkey, o_custkey, o_orderdate
+        """,
+    )
+    def join_range_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Interval/range join: events landing in the week after each
+        order by the same customer. The equi-key (user = custkey)
+        carries the shuffle; the interval predicate evaluates inside
+        the hash-join probe, so this is NOT a cross product — the plan
+        is an ordinary shuffled/broadcast hash join with a residual
+        range filter."""
+        orders = load_table(spark, sf_dir, "orders").filter(F.col("o_custkey") < 150)
+        ev = load_table(spark, sf_dir, "events")
+        cond = (
+            (ev.user_id == orders.o_custkey)
+            & (ev.ts >= orders.o_orderdate)
+            & (ev.ts < orders.o_orderdate + F.expr("INTERVAL 7 DAYS"))
+        )
+        return (
+            orders.join(ev, cond, "left")
+            .groupBy("o_orderkey", "o_custkey", "o_orderdate")
+            .agg(F.count(ev.event_id).alias("n_events_week_after"))
+        )
+
+    @reg(
         "approx_aggregates",
         """
         SELECT event_type,

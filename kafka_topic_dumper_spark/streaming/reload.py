@@ -69,6 +69,38 @@ def read_dump(spark: SparkSession, output_root: str, dump_id: str) -> DataFrame:
     )
 
 
+def reload_stream(
+    spark: SparkSession,
+    output_root: str,
+    dump_id: str,
+    transformer,
+    checkpoint_dir: str,
+    sink_path: str,
+    available_now: bool = True,
+):
+    """Streaming reload: dump files → transformer → file sink, with a
+    checkpoint. Unlike the batch path (and the reference, which is
+    at-least-once, kafka_client.py:395-400), a crashed or re-run replay
+    resumes from the checkpoint and never re-produces rows already
+    sunk — exactly-once replay. The transformer runs as the same
+    Arrow-batched flat-map; in production the sink is Kafka
+    (writeStream.format('kafka')), here a file sink for the
+    broker-less environment. Returns the started StreamingQuery.
+    """
+    records = spark.readStream.schema("key binary, value binary").parquet(
+        dump_dir(output_root, dump_id)
+    )
+    transformed = apply_transformer(records, transformer)
+    writer = (
+        transformed.writeStream.format("parquet")
+        .option("path", sink_path)
+        .option("checkpointLocation", checkpoint_dir)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()
+
+
 def reload_dump(
     spark: SparkSession,
     output_root: str,

@@ -255,3 +255,30 @@ def test_dump_stream_exactly_once_resume(spark, tmp_path):
     result = spark.read.parquet(out)
     assert result.count() == 150
     assert result.select("value").distinct().count() == 150
+
+
+def test_reload_stream_exactly_once(spark, archive, tmp_path):
+    """Streaming replay through the transformer: re-running against the
+    same checkpoint must not re-produce rows (exactly-once — an
+    upgrade over the reference's at-least-once produce loop)."""
+    out = str(tmp_path / "dumps")
+    sink = str(tmp_path / "replayed")
+    ckpt = str(tmp_path / "ckpt")
+    beginning, end = _offsets(spark, archive)
+    plan = plan_tail_dump("test", beginning, end, 60)
+    records = dump_mod.apply_plan(spark.read.parquet(archive), plan)
+    dump_mod.dump_batch(records, out, "20260813000002", max_records_per_file=20)
+
+    transformer = load_transformer("tests.plugin_transformers:Explode")
+    q = reload_mod.reload_stream(
+        spark, out, "20260813000002", transformer, ckpt, sink
+    )
+    q.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == 120  # Explode: 60 → 120
+
+    # identical re-run, same checkpoint: nothing new to process
+    q2 = reload_mod.reload_stream(
+        spark, out, "20260813000002", transformer, ckpt, sink
+    )
+    q2.awaitTermination(120)
+    assert spark.read.parquet(sink).count() == 120
