@@ -35,6 +35,20 @@ def h32_duckdb_sql(expr: str) -> str:
     return f"(('0x' || substr(md5({expr}), 1, 8))::BIGINT)"
 
 
+def h60_spark_sql(expr: str) -> str:
+    """Spark SQL: 60-bit md5-prefix hash (15 hex chars) — a compact
+    join key for high-cardinality strings. At 10^6 distinct values the
+    expected collision count is ~4e-7; and because BOTH engines use
+    the identical hash, a collision changes both sides of a
+    differential check identically."""
+    return f"CAST(conv(substr(md5({expr}), 1, 15), 16, 10) AS BIGINT)"
+
+
+def h60_duckdb_sql(expr: str) -> str:
+    """DuckDB SQL: same 60-bit md5-prefix hash."""
+    return f"(('0x' || substr(md5({expr}), 1, 15))::BIGINT)"
+
+
 def h32_py(s: str) -> int:
     """Python-side H32 — for deriving literals (e.g. hyperplane weights)
     that get embedded identically into both engines' SQL."""
