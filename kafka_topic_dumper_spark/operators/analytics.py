@@ -508,6 +508,68 @@ def register(reg) -> None:
         )
 
     @reg(
+        "pivot_user_event_matrix",
+        """
+        SELECT user_id,
+               CAST(sum(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS click,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS error,
+               CAST(sum(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS purchase,
+               CAST(sum(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS signup,
+               CAST(sum(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS view
+        FROM events GROUP BY user_id
+        """,
+    )
+    def pivot_user_event_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """PIVOT: per-user event-type count matrix. The explicit value
+        list keeps the output schema static (no extra pass to discover
+        pivot values) — at scale pivot compiles to exactly the CASE-sum
+        aggregate the oracle spells out, one shuffle."""
+        ev = load_table(spark, sf_dir, "events")
+        piv = (
+            ev.groupBy("user_id")
+            .pivot("event_type", ["click", "error", "purchase", "signup", "view"])
+            .count()
+        )
+        return piv.select(
+            "user_id",
+            *[
+                F.coalesce(F.col(c), F.lit(0)).alias(c)
+                for c in ["click", "error", "purchase", "signup", "view"]
+            ],
+        )
+
+    @reg(
+        "stats_numeric_profile",
+        """
+        SELECT event_type,
+               round(stddev_samp(value), 4) AS value_stddev,
+               round(var_samp(value), 4) AS value_var,
+               round(corr(value, CAST(json_extract_string(props, '$.k')
+                                      AS BIGINT)), 4) AS corr_value_k,
+               round(covar_samp(value, CAST(json_extract_string(props, '$.k')
+                                            AS BIGINT)), 4) AS covar_value_k
+        FROM events GROUP BY event_type
+        """,
+    )
+    def stats_numeric_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Statistical aggregate surface: sample stddev/variance,
+        correlation, covariance per group — single-pass (Welford-style
+        merge) partial aggregation, one shuffle."""
+        ev = load_table(spark, sf_dir, "events")
+        k = F.get_json_object("props", "$.k").cast("bigint")
+        return ev.groupBy("event_type").agg(
+            F.round(F.stddev_samp("value"), 4).alias("value_stddev"),
+            F.round(F.var_samp("value"), 4).alias("value_var"),
+            F.round(F.corr(F.col("value"), k), 4).alias("corr_value_k"),
+            F.round(F.covar_samp(F.col("value"), k), 4).alias("covar_value_k"),
+        )
+
+    @reg(
         "join_range_interval",
         """
         SELECT o_orderkey, o_custkey, o_orderdate,
