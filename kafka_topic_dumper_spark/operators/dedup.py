@@ -95,11 +95,16 @@ def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
     engine-portable so the oracle sees identical keys, collisions
     included), count common, join per-doc shingle counts back
     (broadcast)."""
+    from pyspark import StorageLevel
+
     from kafka_topic_dumper_spark.functions.portable_hash import h60_spark_sql
 
+    # the hashed inverted index feeds three consumers (both join sides
+    # + the per-doc counts); persist it so the tokenize/shingle/hash
+    # pass runs once instead of three times
     sh = shingled(docs).select(
         "doc_id", F.expr(h60_spark_sql("shingle")).alias("sh_h")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")

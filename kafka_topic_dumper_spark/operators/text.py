@@ -164,11 +164,16 @@ def winnowing_fingerprints(
         F.expr(h32_spark_sql(f"substring(t, pos, {k})")).alias("h"),
     )
     win = Window.partitionBy("doc_id").orderBy("pos").rowsBetween(0, w - 1)
+    # per-doc dedup via groupBy(doc_id) + collect_set: the window
+    # already hash-partitioned by doc_id, so this aggregation needs NO
+    # second exchange (a plain .distinct() on (doc_id, fp) would
+    # reshuffle everything on the pair key); the explode is map-side
     return (
         grams.withColumn("wmin", F.min("h").over(win))
         .filter(F.col("pos") <= F.col("maxpos") - F.lit(w - 1))
-        .select("doc_id", F.col("wmin").alias("fingerprint"))
-        .distinct()
+        .groupBy("doc_id")
+        .agg(F.collect_set("wmin").alias("fps"))
+        .select("doc_id", F.explode("fps").alias("fingerprint"))
     )
 
 
