@@ -1,0 +1,97 @@
+"""Physical-plan property tests: lock in the scale-critical plan
+shapes so a refactor that silently loses predicate pushdown, a
+broadcast, or adds an unnecessary exchange fails CI — these ARE the
+100 TB requirements, asserted on the optimizer's output rather than
+timings."""
+
+from __future__ import annotations
+
+import pytest
+
+from kafka_topic_dumper_spark import registry
+
+SF = "/root/testdata/sf0.001"
+
+
+def plan_of(spark, name: str) -> str:
+    df = registry.QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().executedPlan().toString()
+
+
+def count_in(plan: str, needle: str) -> int:
+    return plan.count(needle)
+
+
+def test_q1_pushdown_and_single_exchange(spark):
+    plan = plan_of(spark, "q1_pricing_summary")
+    # the shipdate filter must reach the parquet scan
+    assert "PushedFilters: [IsNotNull(l_shipdate), LessThanOrEqual(l_shipdate" in plan
+    # scan-agg-scan: exactly one exchange (the groupBy), no joins
+    assert count_in(plan, "Exchange hashpartitioning") == 1
+    # column pruning: never read l_orderkey for this query
+    assert "l_orderkey" not in plan.split("ReadSchema")[1].splitlines()[0]
+
+
+def test_q3_broadcasts_dimensions(spark):
+    plan = plan_of(spark, "q3_shipping_priority")
+    # filtered customer (and at this SF, orders) broadcast — the fact
+    # table must never be on the build side of a shuffle join
+    assert count_in(plan, "BroadcastHashJoin") >= 2
+    assert "PushedFilters: [IsNotNull(c_mktsegment), EqualTo(c_mktsegment,BUILDING)" in plan
+
+
+def test_q5_all_dims_broadcast(spark):
+    plan = plan_of(spark, "q5_region_revenue")
+    assert count_in(plan, "BroadcastHashJoin") >= 4
+
+
+def test_flagship_single_shuffle(spark):
+    plan = plan_of(spark, "flagship_latest_event_per_user")
+    # one shuffle on user_id serves the rank-1 window; nothing else
+    assert count_in(plan, "Exchange hashpartitioning") == 1
+
+
+def test_winnowing_single_shuffle(spark):
+    plan = plan_of(spark, "text_winnowing_fingerprints")
+    # window + per-doc dedup share the doc_id partitioning
+    assert count_in(plan, "Exchange hashpartitioning") == 1
+
+
+def test_multimodal_meta_prunes_payload_and_stays_jvm(spark):
+    plan = plan_of(spark, "multimodal_binary_meta")
+    # metadata projection must not invoke Python at all
+    assert "ArrowEvalPython" not in plan and "BatchEvalPython" not in plan
+    # and reads only the two columns it needs
+    read_schema = plan.split("ReadSchema:")[1].splitlines()[0]
+    assert "lang" not in read_schema and "source" not in read_schema
+
+
+def test_sessionize_single_shuffle_two_windows(spark):
+    plan = plan_of(spark, "sessionize_events")
+    # lag-window, running-sum window, and the session aggregate all
+    # ride ONE user_id exchange
+    assert count_in(plan, "Exchange hashpartitioning") == 1
+
+
+def test_salted_join_correct_under_heavy_skew(spark):
+    """Correctness under the condition salting exists for: one key
+    holding ~90% of the big side. The salted join must produce exactly
+    the plain join's result."""
+    from pyspark.sql import functions as F
+
+    from kafka_topic_dumper_spark.operators.relational import salted_join
+
+    big = spark.range(0, 20000).select(
+        F.when(F.col("id") < 18000, F.lit(7)).otherwise(F.col("id") % 50).alias("k"),
+        F.col("id").alias("payload"),
+    )
+    small = spark.range(0, 50).select(
+        F.col("id").alias("k2"), (F.col("id") * 10).alias("w")
+    )
+    got = salted_join(big, small, "k", "k2", n_salts=8)
+    plain = big.join(small, big.k == small.k2)
+    assert got.count() == plain.count() == 20000
+    assert (
+        got.agg(F.sum(F.col("payload") * F.col("w"))).collect()[0][0]
+        == plain.agg(F.sum(F.col("payload") * F.col("w"))).collect()[0][0]
+    )
