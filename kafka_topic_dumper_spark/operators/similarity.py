@@ -148,13 +148,26 @@ def ivf_topk(
     ac = base.crossJoin(F.broadcast(cents)).withColumn(
         "cos_c", dot(F.col("v"), F.col("c")) / (F.col("v_nrm") * F.col("c_nrm"))
     )
-    w = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cid"))
-    ranked = ac.withColumn("rn", F.row_number().over(w))
-    assigned = ranked.filter(F.col("rn") == 1).select(
-        "vec_id", "v", "v_nrm", F.col("cid").alias("cell")
+    # cell assignment = argmax over the ×n_centroids expansion, done as
+    # a partial-aggregatable max_by (map-side combine shrinks the
+    # shuffle to one row per vector) instead of a window sort over the
+    # full expansion; ties break to the lowest cid via the (cos, -cid)
+    # struct ordering
+    assigned = (
+        ac.groupBy("vec_id")
+        .agg(
+            F.expr("max_by(cid, struct(cos_c, -cid))").alias("cell"),
+            F.first("v").alias("v"),
+            F.first("v_nrm").alias("v_nrm"),
+        )
     )
+    # probe selection only ranks the query vectors (tiny) — the window
+    # runs over |query_ids| × n_centroids rows, not the corpus
+    w = Window.partitionBy("vec_id").orderBy(F.col("cos_c").desc(), F.col("cid"))
     probes = (
-        ranked.filter(F.col("vec_id").isin(query_ids) & (F.col("rn") <= nprobe))
+        ac.filter(F.col("vec_id").isin(query_ids))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= nprobe)
         .select(F.col("vec_id").alias("query_id"), F.col("cid").alias("cell"))
     )
     q = base.filter(F.col("vec_id").isin(query_ids)).select(
