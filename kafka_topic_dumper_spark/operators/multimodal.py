@@ -164,6 +164,87 @@ def sample_frames(payloads: DataFrame, stride_ms: int = 1000) -> DataFrame:
     return payloads.mapInPandas(run, schema=_FRAME_SCHEMA)
 
 
+_RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("out_width", T.IntegerType()),
+        T.StructField("out_height", T.IntegerType()),
+        T.StructField("resized_bytes", T.LongType()),
+        T.StructField("scale_pct", T.DoubleType()),
+    ]
+)
+
+
+def resize_images(payloads: DataFrame, target: int = 224) -> DataFrame:
+    """Image resize over opaque payloads: binary→binary Pandas UDF
+    plumbing (STUB transform — a real deployment swaps in PIL; the
+    deterministic fake derives output dims/size from input length so
+    the oracle can replicate). Emits the post-resize metadata a
+    training pipeline partitions on."""
+    payloads.sparkSession.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", "100000"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            n = pdf["payload"].map(len)
+            in_w = (n % 640 + 16).astype("int64")
+            yield _pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "out_width": _pd.array([target] * len(pdf), dtype="int32"),
+                    "out_height": _pd.array([target] * len(pdf), dtype="int32"),
+                    "resized_bytes": (n * target // in_w).astype("int64"),
+                    "scale_pct": (target * 100.0 / in_w).round(4),
+                }
+            )
+
+    return payloads.mapInPandas(run, schema=_RESIZE_SCHEMA)
+
+
+_FEATURE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("features", T.ArrayType(T.DoubleType())),
+    ]
+)
+
+
+def extract_features(payloads: DataFrame) -> DataFrame:
+    """Feature extraction over payload bytes: the embedding-producer
+    slot of a multimodal pipeline as an Arrow-batched Pandas UDF
+    (deterministic byte-statistics stand in for a real encoder). The
+    output array<double> column is exactly what the similarity/dedup
+    operators consume downstream."""
+    payloads.sparkSession.conf.set(
+        "spark.sql.execution.arrow.maxRecordsPerBatch", "100000"
+    )
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import pandas as _pd
+
+        for pdf in batches:
+            feats = []
+            for payload in pdf["payload"]:
+                b = bytes(payload)
+                # byte-level counts equal character-level counts for
+                # ASCII targets even in multibyte UTF-8 (continuation
+                # bytes are >= 0x80), so the SQL oracle can replicate
+                feats.append(
+                    [
+                        float(len(b)),
+                        float(b.count(b"a")),
+                        float(b.count(b"e")),
+                        float(sum(1 for x in b if 48 <= x <= 57)),
+                    ]
+                )
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "features": feats})
+
+    return payloads.mapInPandas(run, schema=_FEATURE_SCHEMA)
+
+
 def register(reg) -> None:
     @reg(
         "multimodal_binary_meta",
@@ -218,3 +299,44 @@ def register(reg) -> None:
         frame decoder; oracle replicates the expansion arithmetic)."""
         docs = load_table(spark, sf_dir, "documents")
         return sample_frames(binary_payloads(docs))
+
+    @reg(
+        "multimodal_resize_stub",
+        """
+        WITH p AS (
+            SELECT doc_id, octet_length(encode(text)) AS n FROM documents
+        ), w AS (
+            SELECT doc_id, n, n % 640 + 16 AS in_w FROM p
+        )
+        SELECT doc_id,
+               CAST(224 AS INTEGER) AS out_width,
+               CAST(224 AS INTEGER) AS out_height,
+               CAST(n * 224 // in_w AS BIGINT) AS resized_bytes,
+               round(224 * 100.0 / in_w, 4) AS scale_pct
+        FROM w
+        """,
+    )
+    def multimodal_resize_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """binary→binary resize plumbing (stub transform; oracle
+        replicates the dimension/size arithmetic)."""
+        docs = load_table(spark, sf_dir, "documents")
+        return resize_images(binary_payloads(docs))
+
+    @reg(
+        "multimodal_feature_stub",
+        """
+        SELECT doc_id,
+               [CAST(octet_length(encode(text)) AS DOUBLE),
+                CAST(length(text) - length(replace(text, 'a', '')) AS DOUBLE),
+                CAST(length(text) - length(replace(text, 'e', '')) AS DOUBLE),
+                CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)]
+                   AS features
+        FROM documents
+        """,
+    )
+    def multimodal_feature_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Payload → feature-vector extraction (byte statistics stand
+        in for a real encoder); output array<double> feeds the
+        similarity/dedup operators."""
+        docs = load_table(spark, sf_dir, "documents")
+        return extract_features(binary_payloads(docs))
