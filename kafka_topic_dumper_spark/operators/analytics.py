@@ -508,6 +508,159 @@ def register(reg) -> None:
         )
 
     @reg(
+        "q4_order_priority_check",
+        """
+        SELECT o_orderpriority, CAST(count(*) AS BIGINT) AS order_count
+        FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-07-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-10-01 00:00:00'
+          AND EXISTS (SELECT 1 FROM lineitem
+                      WHERE l_orderkey = o_orderkey
+                        AND l_returnflag = 'R')
+        GROUP BY o_orderpriority
+        """,
+    )
+    def q4_order_priority_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """TPC-H Q4 shape: EXISTS correlated subquery → left-semi join
+        (probe-side early-out, no row multiplication) + small agg.
+        (The testdata lineitem has no commit/receipt dates, so the
+        correlated predicate is 'has a returned line' instead of
+        'late delivery' — same plan shape.)"""
+        orders = load_table(spark, sf_dir, "orders").filter(
+            (F.col("o_orderdate") >= F.lit("1996-07-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1996-10-01 00:00:00").cast("timestamp_ntz"))
+        )
+        late = load_table(spark, sf_dir, "lineitem").filter(
+            F.col("l_returnflag") == "R"
+        )
+        return (
+            orders.join(late, orders.o_orderkey == late.l_orderkey, "left_semi")
+            .groupBy("o_orderpriority")
+            .agg(F.count("*").alias("order_count"))
+        )
+
+    @reg(
+        "q10_returned_items",
+        """
+        SELECT c_custkey, c_name,
+               sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * CAST(round((1 - l_discount) * 100) AS BIGINT))
+                   / 10000.0 AS revenue,
+               n_name
+        FROM customer, orders, lineitem, nation
+        WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
+          AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND o_orderdate < TIMESTAMP '1996-04-01 00:00:00'
+          AND l_returnflag = 'R' AND c_nationkey = n_nationkey
+        GROUP BY c_custkey, c_name, n_name
+        ORDER BY revenue DESC, c_custkey
+        LIMIT 20
+        """,
+    )
+    def q10_returned_items(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """TPC-H Q10 shape: returned-item revenue per customer, top 20.
+        Fact-side filters push to the scans; customer/nation
+        broadcast; TakeOrdered caps the result without a global sort.
+
+        Revenue is summed in integer cents×basis-points (prices and
+        discounts are 2-decimal): an integer sum is partition-order
+        independent, so the top-20 cutoff can't flip with the shuffle
+        layout — float sums near a rounding boundary did exactly that
+        under a different partition count. The exact integer is then
+        divided by 10^4 WITHOUT rounding: an integer/constant division
+        is correctly-rounded IEEE in every engine, whereas round(x, 2)
+        on a ...595 boundary differs between Spark (BigDecimal of the
+        shortest decimal repr, HALF_UP → .60) and DuckDB (binary
+        value rounds → .59)."""
+        cust = load_table(spark, sf_dir, "customer")
+        nation = load_table(spark, sf_dir, "nation")
+        orders = load_table(spark, sf_dir, "orders").filter(
+            (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+        )
+        li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
+        cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+        bps = F.round((1 - F.col("l_discount")) * 100, 0).cast("bigint")
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
+            .groupBy("c_custkey", "c_name", "n_name")
+            .agg((F.sum(cents * bps) / 10000.0).alias("revenue"))
+            .select("c_custkey", "c_name", "revenue", "n_name")
+            .orderBy(F.col("revenue").desc(), "c_custkey")
+            .limit(20)
+        )
+
+    @reg(
+        "q12_lines_priority",
+        """
+        SELECT l_returnflag,
+               CAST(sum(CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS high_line_count,
+               CAST(sum(CASE WHEN o_orderpriority NOT IN ('1-URGENT', '2-HIGH')
+                        THEN 1 ELSE 0 END) AS BIGINT) AS low_line_count
+        FROM orders, lineitem
+        WHERE o_orderkey = l_orderkey
+          AND l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+        GROUP BY l_returnflag
+        """,
+    )
+    def q12_lines_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """TPC-H Q12 shape: conditional-count aggregation after a
+        filtered fact join (shipdate predicate pushes to the scan;
+        returnflag stands in for shipmode, which the testdata
+        lacks)."""
+        orders = load_table(spark, sf_dir, "orders")
+        li = load_table(spark, sf_dir, "lineitem").filter(
+            (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+        )
+        high = F.col("o_orderpriority").isin("1-URGENT", "2-HIGH")
+        return (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .groupBy("l_returnflag")
+            .agg(
+                F.sum(F.when(high, 1).otherwise(0)).alias("high_line_count"),
+                F.sum(F.when(~high, 1).otherwise(0)).alias("low_line_count"),
+            )
+        )
+
+    @reg(
+        "q14_promo_revenue",
+        """
+        SELECT round(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                         THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
+                     / sum(l_extendedprice * (1 - l_discount)), 4)
+                   AS promo_revenue_pct
+        FROM lineitem, part
+        WHERE l_partkey = p_partkey
+          AND l_shipdate >= TIMESTAMP '1996-03-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1996-04-01 00:00:00'
+        """,
+    )
+    def q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """TPC-H Q14 shape: conditional revenue ratio over a
+        broadcast dim join — one global aggregate, no shuffle beyond
+        the final combine."""
+        part = load_table(spark, sf_dir, "part")
+        li = load_table(spark, sf_dir, "lineitem").filter(
+            (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp_ntz"))
+            & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
+        )
+        rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+        promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0)
+        return (
+            li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            .agg(
+                F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias(
+                    "promo_revenue_pct"
+                )
+            )
+        )
+
+    @reg(
         "pivot_user_event_matrix",
         """
         SELECT user_id,
