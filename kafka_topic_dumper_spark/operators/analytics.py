@@ -378,7 +378,8 @@ def register(reg) -> None:
             SELECT l_partkey, 0.2 * avg(l_quantity) AS small_qty
             FROM lineitem GROUP BY l_partkey
         )
-        SELECT round(sum(l_extendedprice) / 7.0, 2) AS avg_yearly
+        SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 / 7.0
+                   AS avg_yearly
         FROM lineitem
         JOIN part ON p_partkey = l_partkey
         JOIN threshold ON threshold.l_partkey = lineitem.l_partkey
@@ -399,11 +400,12 @@ def register(reg) -> None:
         thr = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
             (F.avg("l_quantity") * 0.2).alias("small_qty")
         )
+        cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
         return (
             li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
             .join(thr, li.l_partkey == thr.t_partkey)
             .filter(F.col("l_quantity") < F.col("small_qty"))
-            .agg(F.round(F.sum("l_extendedprice") / 7.0, 2).alias("avg_yearly"))
+            .agg((F.sum(cents) / 100.0 / 7.0).alias("avg_yearly"))
         )
 
     @reg(
@@ -630,9 +632,12 @@ def register(reg) -> None:
     @reg(
         "q14_promo_revenue",
         """
-        SELECT round(100.00 * sum(CASE WHEN p_type LIKE 'PROMO%'
-                         THEN l_extendedprice * (1 - l_discount) ELSE 0 END)
-                     / sum(l_extendedprice * (1 - l_discount)), 4)
+        SELECT 100.0 * sum(CASE WHEN p_type LIKE 'PROMO%'
+                     THEN CAST(round(l_extendedprice * 100) AS BIGINT)
+                          * CAST(round((1 - l_discount) * 100) AS BIGINT)
+                     ELSE 0 END)
+               / sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                     * CAST(round((1 - l_discount) * 100) AS BIGINT))
                    AS promo_revenue_pct
         FROM lineitem, part
         WHERE l_partkey = p_partkey
@@ -649,12 +654,14 @@ def register(reg) -> None:
             (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp_ntz"))
             & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
         )
-        rev = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-        promo = F.when(F.col("p_type").like("PROMO%"), rev).otherwise(0.0)
+        units = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint") * F.round(
+            (1 - F.col("l_discount")) * 100, 0
+        ).cast("bigint")
+        promo = F.when(F.col("p_type").like("PROMO%"), units).otherwise(F.lit(0))
         return (
             li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
             .agg(
-                F.round(100.0 * F.sum(promo) / F.sum(rev), 4).alias(
+                (F.lit(100.0) * F.sum(promo) / F.sum(units)).alias(
                     "promo_revenue_pct"
                 )
             )

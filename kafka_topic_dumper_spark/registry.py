@@ -363,13 +363,20 @@ def flagship_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFram
     """
     SELECT l_returnflag, l_linestatus,
            round(sum(l_quantity), 2) AS sum_qty,
-           round(sum(l_extendedprice), 2) AS sum_base_price,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           round(sum(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2)
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0
+               AS sum_base_price,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * CAST(round((1 - l_discount) * 100) AS BIGINT)) / 10000.0
+               AS sum_disc_price,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * CAST(round((1 - l_discount) * 100) AS BIGINT)
+               * CAST(round((1 + l_tax) * 100) AS BIGINT)) / 1000000.0
                AS sum_charge,
-           round(avg(l_quantity), 4) AS avg_qty,
-           round(avg(l_extendedprice), 4) AS avg_price,
-           round(avg(l_discount), 4) AS avg_disc,
+           sum(l_quantity) / count(*) AS avg_qty,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)) / 100.0 / count(*)
+               AS avg_price,
+           sum(CAST(round(l_discount * 100) AS BIGINT)) / 100.0 / count(*)
+               AS avg_disc,
            CAST(count(*) AS BIGINT) AS count_order
     FROM lineitem
     WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -379,20 +386,35 @@ def flagship_latest_event_per_user(spark: SparkSession, sf_dir: str) -> DataFram
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q1-style pricing summary: scan-heavy groupBy with map-side
     partial aggregation; the shipdate filter and 7-column pruning push
-    to the parquet scan."""
+    to the parquet scan.
+
+    Money aggregates are summed in integer cents/basis-points (the
+    inputs are 2-decimal): integer sums are partition-order
+    independent and the final scale division is correctly-rounded IEEE
+    in every engine, so results are bit-identical under ANY shuffle
+    layout — a float product sum is a 4-decimal value that can land
+    exactly on a round(x, 2) boundary, where engines disagree (see
+    q10). l_quantity is integral, so its double sum is already exact.
+    At extreme per-group cardinality (~10^8 rows per group) the
+    charge product sum approaches int64 range — a production deploy
+    at that scale moves these to DECIMAL(38) aggregation."""
     li = load_table(spark, sf_dir, "lineitem")
-    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    bps_d = F.round((1 - F.col("l_discount")) * 100, 0).cast("bigint")
+    bps_t = F.round((1 + F.col("l_tax")) * 100, 0).cast("bigint")
+    d_bps = F.round(F.col("l_discount") * 100, 0).cast("bigint")
+    cnt = F.count("*")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            (F.sum(cents) / 100.0).alias("sum_base_price"),
+            (F.sum(cents * bps_d) / 10000.0).alias("sum_disc_price"),
+            (F.sum(cents * bps_d * bps_t) / 1000000.0).alias("sum_charge"),
+            (F.sum("l_quantity") / cnt).alias("avg_qty"),
+            (F.sum(cents) / 100.0 / cnt).alias("avg_price"),
+            (F.sum(d_bps) / 100.0 / cnt).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
     )
@@ -402,7 +424,9 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     """
     SELECT l_orderkey,
-           round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * CAST(round((1 - l_discount) * 100) AS BIGINT)) / 10000.0
+               AS revenue,
            o_orderdate, o_orderpriority
     FROM customer, orders, lineitem
     WHERE c_mktsegment = 'BUILDING'
@@ -424,15 +448,13 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+    bps = F.round((1 - F.col("l_discount")) * 100, 0).cast("bigint")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
-        )
+        .agg((F.sum(cents * bps) / 10000.0).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -442,7 +464,10 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
 @_register(
     "q5_region_revenue",
     """
-    SELECT n_name, round(sum(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    SELECT n_name,
+           sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+               * CAST(round((1 - l_discount) * 100) AS BIGINT)) / 10000.0
+               AS revenue
     FROM customer, orders, lineitem, supplier, nation, region
     WHERE c_custkey = o_custkey AND l_orderkey = o_orderkey
       AND l_suppkey = s_suppkey AND c_nationkey = s_nationkey
@@ -478,8 +503,12 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            (
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+                    * F.round((1 - F.col("l_discount")) * 100, 0).cast("bigint")
+                )
+                / 10000.0
             ).alias("revenue")
         )
     )
