@@ -256,6 +256,42 @@ def repetition_quality(docs: DataFrame) -> DataFrame:
     )
 
 
+SPLIT_RATES = {"train": 90, "val": 5, "test": 5}
+SAMPLE_RATES = {"en": 100, "es": 50, "de": 50, "fr": 25, "zh": 25}
+
+
+def stratified_sample(docs: DataFrame, rates: dict[str, int] | None = None) -> DataFrame:
+    """Reproducible stratified sampling: keep a doc iff
+    ``H32(doc_id) % 100 < rate[lang]`` — the hash-mod scheme production
+    pipelines use instead of RNG sampling precisely because it is
+    deterministic, stable under re-runs/retries, and needs no state.
+    Pure projection + filter; no shuffle, no sampling state."""
+    rates = rates or SAMPLE_RATES
+    bucket = F.expr(h32_spark_sql("CAST(doc_id AS STRING)")) % 100
+    rate = F.coalesce(
+        *[F.when(F.col("lang") == k, F.lit(v)) for k, v in sorted(rates.items())],
+        F.lit(0),
+    )
+    return (
+        docs.withColumn("__b", bucket)
+        .filter(F.col("__b") < rate)
+        .select("doc_id", "lang", F.col("__b").cast("int").alias("sample_bucket"))
+    )
+
+
+def train_val_test_split(docs: DataFrame) -> DataFrame:
+    """Deterministic 90/5/5 split by content-independent hash of the
+    id — membership never changes as the corpus grows or re-shards
+    (the property RNG splits lack). Projection-only."""
+    b = F.expr(h32_spark_sql("CAST(doc_id AS STRING)")) % 100
+    split = (
+        F.when(b < SPLIT_RATES["train"], "train")
+        .when(b < SPLIT_RATES["train"] + SPLIT_RATES["val"], "val")
+        .otherwise("test")
+    )
+    return docs.select("doc_id", split.alias("split"))
+
+
 def register(reg) -> None:
     sw = {k: ", ".join(f"'{w}'" for w in v) for k, v in STOPWORDS.items()}
 
@@ -334,6 +370,38 @@ def register(reg) -> None:
     def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Whitespace + BPE-ish-regex token statistics per document."""
         return token_stats(load_table(spark, sf_dir, "documents"))
+
+    h32_doc = h32_duckdb_sql("CAST(doc_id AS VARCHAR)")
+
+    @reg(
+        "sample_stratified_by_lang",
+        f"""
+        SELECT doc_id, lang,
+               CAST(({h32_doc} % 100) AS INTEGER) AS sample_bucket
+        FROM documents
+        WHERE ({h32_doc} % 100) <
+              CASE lang WHEN 'en' THEN 100 WHEN 'es' THEN 50
+                        WHEN 'de' THEN 50 WHEN 'fr' THEN 25
+                        WHEN 'zh' THEN 25 ELSE 0 END
+        """,
+    )
+    def sample_stratified_by_lang(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Deterministic hash-mod stratified sampling per language."""
+        return stratified_sample(load_table(spark, sf_dir, "documents"))
+
+    @reg(
+        "sample_train_val_test_split",
+        f"""
+        SELECT doc_id,
+               CASE WHEN ({h32_doc} % 100) < 90 THEN 'train'
+                    WHEN ({h32_doc} % 100) < 95 THEN 'val'
+                    ELSE 'test' END AS split
+        FROM documents
+        """,
+    )
+    def sample_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Deterministic 90/5/5 train/val/test assignment by id hash."""
+        return train_val_test_split(load_table(spark, sf_dir, "documents"))
 
     @reg(
         "text_token_doc_frequency",
