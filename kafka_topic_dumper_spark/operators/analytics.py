@@ -668,6 +668,116 @@ def register(reg) -> None:
         )
 
     @reg(
+        "q6_forecast_revenue",
+        """
+        SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * CAST(round(l_discount * 100) AS BIGINT)) / 10000.0
+                   AS revenue
+        FROM lineitem
+        WHERE l_shipdate >= TIMESTAMP '1996-01-01 00:00:00'
+          AND l_shipdate < TIMESTAMP '1997-01-01 00:00:00'
+          AND l_discount BETWEEN 0.05 AND 0.07
+          AND l_quantity < 24
+        """,
+    )
+    def q6_forecast_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """TPC-H Q6 shape: pure filter + global aggregate — every
+        predicate pushes to the parquet scan (row-group stats prune
+        whole chunks); integer-exact revenue sum."""
+        li = load_table(spark, sf_dir, "lineitem")
+        cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+        d_bps = F.round(F.col("l_discount") * 100, 0).cast("bigint")
+        return (
+            li.filter(
+                (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
+                & (F.col("l_shipdate") < F.lit("1997-01-01 00:00:00").cast("timestamp_ntz"))
+                & (F.col("l_discount") >= 0.05)
+                & (F.col("l_discount") <= 0.07)
+                & (F.col("l_quantity") < 24)
+            )
+            .agg((F.sum(cents * d_bps) / 10000.0).alias("revenue"))
+        )
+
+    @reg(
+        "q19_disjunctive_predicates",
+        """
+        SELECT sum(CAST(round(l_extendedprice * 100) AS BIGINT)
+                   * CAST(round((1 - l_discount) * 100) AS BIGINT)) / 10000.0
+                   AS revenue,
+               CAST(count(*) AS BIGINT) AS n_lines
+        FROM lineitem, part
+        WHERE p_partkey = l_partkey
+          AND ((p_brand = 'Brand#12' AND p_size BETWEEN 1 AND 15
+                AND l_quantity BETWEEN 1 AND 11)
+            OR (p_brand = 'Brand#23' AND p_size BETWEEN 1 AND 25
+                AND l_quantity BETWEEN 10 AND 20)
+            OR (p_brand = 'Brand#34' AND p_size BETWEEN 1 AND 35
+                AND l_quantity BETWEEN 20 AND 30))
+        """,
+    )
+    def q19_disjunctive_predicates(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """TPC-H Q19 shape: OR-of-ANDs across both join sides.
+        Catalyst extracts the common single-side conjuncts from the
+        disjunction and pushes them below the join (p_brand IN (...),
+        l_quantity range) so both scans prune before the broadcast
+        join; the full disjunction evaluates as the join residual."""
+        li = load_table(spark, sf_dir, "lineitem")
+        part = load_table(spark, sf_dir, "part")
+        joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
+            (F.col("p_brand") == brand)
+            & F.col("p_size").between(1, smax)
+            & F.col("l_quantity").between(qlo, qhi)
+        )
+        cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+        bps = F.round((1 - F.col("l_discount")) * 100, 0).cast("bigint")
+        return (
+            joined.filter(
+                arm("Brand#12", 15, 1, 11)
+                | arm("Brand#23", 25, 10, 20)
+                | arm("Brand#34", 35, 20, 30)
+            )
+            .agg(
+                (F.sum(cents * bps) / 10000.0).alias("revenue"),
+                F.count("*").alias("n_lines"),
+            )
+        )
+
+    @reg(
+        "window_distribution_metrics",
+        """
+        SELECT event_id, user_id,
+               round(percent_rank() OVER wv, 6) AS value_pct_rank,
+               round(cume_dist() OVER wv, 6) AS value_cume_dist,
+               first_value(event_id) OVER wo AS first_event_id,
+               nth_value(event_id, 2) OVER wo AS second_event_id
+        FROM events
+        WINDOW wv AS (PARTITION BY user_id ORDER BY value, event_id),
+               wo AS (PARTITION BY user_id ORDER BY ts, event_id
+                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+        """,
+    )
+    def window_distribution_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Distribution window functions: percent_rank/cume_dist (exact
+        integer-ratio doubles — identical across engines) plus
+        first/nth value over the event-time order."""
+        ev = load_table(spark, sf_dir, "events")
+        wv = Window.partitionBy("user_id").orderBy("value", "event_id")
+        wo = (
+            Window.partitionBy("user_id")
+            .orderBy("ts", "event_id")
+            .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        )
+        return ev.select(
+            "event_id",
+            "user_id",
+            F.round(F.percent_rank().over(wv), 6).alias("value_pct_rank"),
+            F.round(F.cume_dist().over(wv), 6).alias("value_cume_dist"),
+            F.first("event_id").over(wo).alias("first_event_id"),
+            F.nth_value("event_id", 2).over(wo).alias("second_event_id"),
+        )
+
+    @reg(
         "pivot_user_event_matrix",
         """
         SELECT user_id,
