@@ -31,7 +31,7 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         prog="kafka-topic-dumper-spark",
         description="Dump Kafka topics to Parquet and reload them, on Spark.",
     )
-    p.add_argument("action", choices=["dump", "reload"])
+    p.add_argument("action", choices=["dump", "reload", "generate"])
     p.add_argument("-t", "--topic", default="test", help="topic name")
     p.add_argument(
         "-b", "--bootstrap-servers", default=None, help="Kafka bootstrap servers"
@@ -41,7 +41,11 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         default=None,
         help="broker-less mode: parquet path with Kafka-source-schema records",
     )
-    p.add_argument("--output", required=True, help="dump root (file:// or s3a://)")
+    p.add_argument(
+        "--output",
+        default=None,
+        help="dump root (file:// or s3a://); required for dump/reload",
+    )
     p.add_argument(
         "-n", "--num-messages", type=int, default=300, help="tail-N to dump"
     )
@@ -61,7 +65,39 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     )
     p.add_argument("-x", "--dry-run", action="store_true")
     p.add_argument("--reload-output", default=None, help="broker-less reload sink path")
+    p.add_argument(
+        "--partitions", type=int, default=3, help="generate: topic partition count"
+    )
     return p.parse_args(argv)
+
+
+def generate_archive(
+    spark, path: str, topic: str, n_messages: int, n_partitions: int
+) -> None:
+    """Synthetic topic-archive generator — the stress fixture the
+    reference ships as a standalone producer script
+    (utils/kafka_producer.py:17-33: value-only messages
+    ``"…test message {:015d}"``). Here it is a distributed write of
+    the Kafka-source-schema parquet the broker-less mode consumes:
+    spark.range is generated per-task (no driver loop, no broker)."""
+    from pyspark.sql import functions as F
+
+    (
+        spark.range(n_messages)
+        .select(
+            F.lit(topic).alias("topic"),
+            (F.col("id") % n_partitions).cast("int").alias("partition"),
+            (F.col("id") / n_partitions).cast("long").alias("offset"),
+            F.current_timestamp().alias("timestamp"),
+            F.lit(None).cast("binary").alias("key"),  # value-only, like the reference
+            F.encode(
+                F.format_string("This is a dummy test message %015d", F.col("id")),
+                "UTF-8",
+            ).alias("value"),
+        )
+        .write.mode("overwrite")
+        .parquet(path)
+    )
 
 
 def _archive_offsets(records) -> tuple[dict[int, int], dict[int, int]]:
@@ -86,7 +122,26 @@ def main(argv: list[str] | None = None) -> int:
     from kafka_topic_dumper_spark.streaming import reload as reload_mod
     from kafka_topic_dumper_spark.transform import load_transformer
 
+    if opts.action in ("dump", "reload") and not opts.output:
+        log.error("%s needs --output", opts.action)
+        return 2
+
     spark = get_session("kafka-topic-dumper-spark-cli")
+
+    if opts.action == "generate":
+        if not opts.records_parquet:
+            log.error("generate needs --records-parquet (output path)")
+            return 2
+        generate_archive(
+            spark, opts.records_parquet, opts.topic, opts.num_messages, opts.partitions
+        )
+        log.info(
+            "generated %d messages across %d partitions at %s",
+            opts.num_messages,
+            opts.partitions,
+            opts.records_parquet,
+        )
+        return 0
 
     if opts.action == "dump":
         dump_id = dump_mod.make_dump_id(opts.prefix)
