@@ -95,3 +95,25 @@ def test_salted_join_correct_under_heavy_skew(spark):
         got.agg(F.sum(F.col("payload") * F.col("w"))).collect()[0][0]
         == plain.agg(F.sum(F.col("payload") * F.col("w"))).collect()[0][0]
     )
+
+
+def test_q6_all_predicates_pushed(spark):
+    plan = plan_of(spark, "q6_forecast_revenue")
+    # every conjunct reaches the scan; 4-column pruning; no join, no
+    # pre-agg exchange (global agg = single final combine)
+    scan = plan.split("FileScan parquet")[1]
+    for frag in ("l_shipdate", "l_discount", "l_quantity"):
+        assert frag in scan.split("ReadSchema")[0]
+    assert count_in(plan, "Exchange hashpartitioning") == 0
+
+
+def test_q19_disjunction_split_to_both_scans(spark):
+    plan = plan_of(spark, "q19_disjunctive_predicates")
+    # Catalyst must extract each side's component of the OR-of-ANDs
+    # below the broadcast join: quantity ranges on the lineitem scan,
+    # brand/size on the part scan
+    assert "BroadcastHashJoin" in plan
+    scans = plan.split("FileScan parquet")
+    li_scan, part_scan = scans[1], scans[2]
+    assert "l_quantity" in li_scan.split("ReadSchema")[0]
+    assert "p_brand" in part_scan.split("ReadSchema")[0]
