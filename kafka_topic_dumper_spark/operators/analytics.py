@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from kafka_topic_dumper_spark.functions.exact_money import cents, pct_units
 from kafka_topic_dumper_spark.operators.relational import salted_join
 from kafka_topic_dumper_spark.sources.tables import load_table
 
@@ -400,12 +401,12 @@ def register(reg) -> None:
         thr = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
             (F.avg("l_quantity") * 0.2).alias("small_qty")
         )
-        cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
+        ep_cents = cents(F.col("l_extendedprice"))
         return (
             li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
             .join(thr, li.l_partkey == thr.t_partkey)
             .filter(F.col("l_quantity") < F.col("small_qty"))
-            .agg((F.sum(cents) / 100.0 / 7.0).alias("avg_yearly"))
+            .agg((F.sum(ep_cents) / 100.0 / 7.0).alias("avg_yearly"))
         )
 
     @reg(
@@ -581,14 +582,14 @@ def register(reg) -> None:
             & (F.col("o_orderdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
         )
         li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_returnflag") == "R")
-        cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
-        bps = F.round((1 - F.col("l_discount")) * 100, 0).cast("bigint")
+        ep_cents = cents(F.col("l_extendedprice"))
+        bps = pct_units(1 - F.col("l_discount"))
         return (
             li.join(orders, li.l_orderkey == orders.o_orderkey)
             .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
             .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
             .groupBy("c_custkey", "c_name", "n_name")
-            .agg((F.sum(cents * bps) / 10000.0).alias("revenue"))
+            .agg((F.sum(ep_cents * bps) / 10000.0).alias("revenue"))
             .select("c_custkey", "c_name", "revenue", "n_name")
             .orderBy(F.col("revenue").desc(), "c_custkey")
             .limit(20)
@@ -654,9 +655,7 @@ def register(reg) -> None:
             (F.col("l_shipdate") >= F.lit("1996-03-01 00:00:00").cast("timestamp_ntz"))
             & (F.col("l_shipdate") < F.lit("1996-04-01 00:00:00").cast("timestamp_ntz"))
         )
-        units = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint") * F.round(
-            (1 - F.col("l_discount")) * 100, 0
-        ).cast("bigint")
+        units = cents(F.col("l_extendedprice")) * pct_units(1 - F.col("l_discount"))
         promo = F.when(F.col("p_type").like("PROMO%"), units).otherwise(F.lit(0))
         return (
             li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
@@ -685,8 +684,8 @@ def register(reg) -> None:
         predicate pushes to the parquet scan (row-group stats prune
         whole chunks); integer-exact revenue sum."""
         li = load_table(spark, sf_dir, "lineitem")
-        cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
-        d_bps = F.round(F.col("l_discount") * 100, 0).cast("bigint")
+        ep_cents = cents(F.col("l_extendedprice"))
+        d_bps = pct_units(F.col("l_discount"))
         return (
             li.filter(
                 (F.col("l_shipdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
@@ -695,7 +694,7 @@ def register(reg) -> None:
                 & (F.col("l_discount") <= 0.07)
                 & (F.col("l_quantity") < 24)
             )
-            .agg((F.sum(cents * d_bps) / 10000.0).alias("revenue"))
+            .agg((F.sum(ep_cents * d_bps) / 10000.0).alias("revenue"))
         )
 
     @reg(
@@ -729,8 +728,8 @@ def register(reg) -> None:
             & F.col("p_size").between(1, smax)
             & F.col("l_quantity").between(qlo, qhi)
         )
-        cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
-        bps = F.round((1 - F.col("l_discount")) * 100, 0).cast("bigint")
+        ep_cents = cents(F.col("l_extendedprice"))
+        bps = pct_units(1 - F.col("l_discount"))
         return (
             joined.filter(
                 arm("Brand#12", 15, 1, 11)
@@ -738,7 +737,7 @@ def register(reg) -> None:
                 | arm("Brand#34", 35, 20, 30)
             )
             .agg(
-                (F.sum(cents * bps) / 10000.0).alias("revenue"),
+                (F.sum(ep_cents * bps) / 10000.0).alias("revenue"),
                 F.count("*").alias("n_lines"),
             )
         )

@@ -29,6 +29,7 @@ from kafka_topic_dumper_spark.operators import (
     similarity,
     text,
 )
+from kafka_topic_dumper_spark.functions.exact_money import cents, pct_units
 from kafka_topic_dumper_spark.operators.relational import (
     chunk_plan,
     clamped_start_offsets,
@@ -399,21 +400,21 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     charge product sum approaches int64 range — a production deploy
     at that scale moves these to DECIMAL(38) aggregation."""
     li = load_table(spark, sf_dir, "lineitem")
-    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
-    bps_d = F.round((1 - F.col("l_discount")) * 100, 0).cast("bigint")
-    bps_t = F.round((1 + F.col("l_tax")) * 100, 0).cast("bigint")
-    d_bps = F.round(F.col("l_discount") * 100, 0).cast("bigint")
+    ep_cents = cents(F.col("l_extendedprice"))
+    bps_d = pct_units(1 - F.col("l_discount"))
+    bps_t = pct_units(1 + F.col("l_tax"))
+    d_bps = pct_units(F.col("l_discount"))
     cnt = F.count("*")
     return (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
             F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            (F.sum(cents) / 100.0).alias("sum_base_price"),
-            (F.sum(cents * bps_d) / 10000.0).alias("sum_disc_price"),
-            (F.sum(cents * bps_d * bps_t) / 1000000.0).alias("sum_charge"),
+            (F.sum(ep_cents) / 100.0).alias("sum_base_price"),
+            (F.sum(ep_cents * bps_d) / 10000.0).alias("sum_disc_price"),
+            (F.sum(ep_cents * bps_d * bps_t) / 1000000.0).alias("sum_charge"),
             (F.sum("l_quantity") / cnt).alias("avg_qty"),
-            (F.sum(cents) / 100.0 / cnt).alias("avg_price"),
+            (F.sum(ep_cents) / 100.0 / cnt).alias("avg_price"),
             (F.sum(d_bps) / 100.0 / cnt).alias("avg_disc"),
             F.count("*").alias("count_order"),
         )
@@ -448,13 +449,13 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     orders = load_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
     li = load_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
-    cents = F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
-    bps = F.round((1 - F.col("l_discount")) * 100, 0).cast("bigint")
+    ep_cents = cents(F.col("l_extendedprice"))
+    bps = pct_units(1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
-        .agg((F.sum(cents * bps) / 10000.0).alias("revenue"))
+        .agg((F.sum(ep_cents * bps) / 10000.0).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
         .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
         .limit(10)
@@ -505,8 +506,8 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(
             (
                 F.sum(
-                    F.round(F.col("l_extendedprice") * 100, 0).cast("bigint")
-                    * F.round((1 - F.col("l_discount")) * 100, 0).cast("bigint")
+                    cents(F.col("l_extendedprice"))
+                    * pct_units(1 - F.col("l_discount"))
                 )
                 / 10000.0
             ).alias("revenue")
