@@ -256,6 +256,39 @@ def repetition_quality(docs: DataFrame) -> DataFrame:
     )
 
 
+# PII-ish patterns: email-like tokens and long digit runs (IDs, phone
+# fragments). Deliberately simple — the operator demonstrates the
+# redact-and-account plan shape; production swaps in a fuller ruleset.
+_PII_EMAIL = r"[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}"
+_PII_DIGITS = r"[0-9]{4,}"
+
+
+def redact_pii(docs: DataFrame) -> DataFrame:
+    """PII scrubbing: redact email-like tokens and ≥4-digit runs,
+    emitting the redacted-text fingerprint plus per-doc redaction
+    counts (the audit trail a compliance pipeline must keep). Pure
+    regexp expressions — single projection pass, no shuffle, no
+    Python."""
+    redacted = F.regexp_replace(
+        F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
+        _PII_DIGITS,
+        "<NUM>",
+    )
+    n_emails = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(_PII_EMAIL), F.lit(0))
+    ).cast("int")
+    n_digit_runs = F.size(
+        F.regexp_extract_all(F.col("text"), F.lit(_PII_DIGITS), F.lit(0))
+    ).cast("int")
+    return docs.select(
+        "doc_id",
+        F.md5(redacted).alias("redacted_md5"),
+        n_emails.alias("n_email_redactions"),
+        n_digit_runs.alias("n_number_redactions"),
+        F.length(redacted).cast("bigint").alias("redacted_chars"),
+    )
+
+
 SPLIT_RATES = {"train": 90, "val": 5, "test": 5}
 SAMPLE_RATES = {"en": 100, "es": 50, "de": 50, "fr": 25, "zh": 25}
 
@@ -370,6 +403,34 @@ def register(reg) -> None:
     def text_token_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Whitespace + BPE-ish-regex token statistics per document."""
         return token_stats(load_table(spark, sf_dir, "documents"))
+
+    @reg(
+        "text_redact_pii",
+        r"""
+        WITH r AS (
+            SELECT doc_id,
+                   regexp_replace(
+                       regexp_replace(text,
+                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                           '<EMAIL>', 'g'),
+                       '[0-9]{4,}', '<NUM>', 'g') AS redacted,
+                   CAST(len(regexp_extract_all(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
+                       AS INTEGER) AS n_email_redactions,
+                   CAST(len(regexp_extract_all(text, '[0-9]{4,}'))
+                       AS INTEGER) AS n_number_redactions
+            FROM documents
+        )
+        SELECT doc_id, md5(redacted) AS redacted_md5,
+               n_email_redactions, n_number_redactions,
+               CAST(length(redacted) AS BIGINT) AS redacted_chars
+        FROM r
+        """,
+    )
+    def text_redact_pii(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Regex PII redaction with audit counts (emails, digit
+        runs)."""
+        return redact_pii(load_table(spark, sf_dir, "documents"))
 
     h32_doc = h32_duckdb_sql("CAST(doc_id AS VARCHAR)")
 
