@@ -1,0 +1,42 @@
+"""ANN quality regression: the oracle proves the approximate indexes
+are computed as specified, but not that they find true neighbors —
+these tests pin the measured recall against the exact brute-force
+top-k so an index change that silently degrades quality fails CI.
+(Measured at last tuning: multi-table LSH ≈ 0.74, IVF ≈ 0.82 at
+sf0.001; floors set with slack below.)"""
+
+from __future__ import annotations
+
+from kafka_topic_dumper_spark.operators import similarity
+from kafka_topic_dumper_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _topk_sets(df):
+    out: dict[int, set[int]] = {}
+    for r in df.collect():
+        out.setdefault(r.query_id, set()).add(r.neighbor_id)
+    return out
+
+
+def _mean_recall(got, exact):
+    recalls = [
+        len(got.get(q, set()) & exact[q]) / len(exact[q]) for q in exact
+    ]
+    return sum(recalls) / len(recalls)
+
+
+def test_ann_recall_floors(spark):
+    emb = load_table(spark, SF, "embeddings")
+    exact = _topk_sets(
+        similarity.cosine_topk_bruteforce(emb, similarity.QUERY_IDS, 10)
+    )
+    lsh = _mean_recall(
+        _topk_sets(similarity.cosine_topk_lsh(emb, similarity.QUERY_IDS, 10)), exact
+    )
+    ivf = _mean_recall(
+        _topk_sets(similarity.ivf_topk(emb, similarity.QUERY_IDS, 10)), exact
+    )
+    assert lsh >= 0.5, f"multi-table LSH recall degraded: {lsh:.2f}"
+    assert ivf >= 0.6, f"IVF recall degraded: {ivf:.2f}"
