@@ -38,6 +38,7 @@ HEADLINE = [
     "dedup_minhash_lsh",
     "similarity_topk_bruteforce",
     "similarity_topk_ivf",
+    "similarity_topk_lsh",
     "text_token_stats",
     "text_lang_id",
     "text_winnowing_fingerprints",
