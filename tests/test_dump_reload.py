@@ -282,3 +282,12 @@ def test_reload_stream_exactly_once(spark, archive, tmp_path):
     )
     q2.awaitTermination(120)
     assert spark.read.parquet(sink).count() == 120
+
+
+def test_load_transformer_rejects_bad_spec():
+    import pytest as _pytest
+
+    for bad in ("nomodule", ":NoModule", "no.such.module:Cls"):
+        with _pytest.raises((ValueError, ModuleNotFoundError)):
+            load_transformer(bad)
+    assert load_transformer(None).get_id() == "Identity"
