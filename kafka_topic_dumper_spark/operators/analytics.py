@@ -873,6 +873,43 @@ def register(reg) -> None:
         )
 
     @reg(
+        "join_full_outer_reconcile",
+        """
+        SELECT coalesce(c.c_custkey, e.user_id) AS entity_id,
+               CASE WHEN c.c_custkey IS NULL THEN 'activity_only'
+                    WHEN e.user_id IS NULL THEN 'customer_only'
+                    ELSE 'both' END AS presence,
+               c.c_name,
+               e.n_events
+        FROM customer c
+        FULL OUTER JOIN (SELECT user_id, CAST(count(*) AS BIGINT) AS n_events
+                         FROM events GROUP BY user_id) e
+          ON c.c_custkey = e.user_id
+        """,
+    )
+    def join_full_outer_reconcile(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """FULL OUTER reconciliation: customer master vs event activity,
+        tagging rows present on only one side — the data-quality join
+        every ingestion pipeline runs. Aggregate-then-join keeps the
+        outer join at one row per entity."""
+        cust = load_table(spark, sf_dir, "customer")
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(F.count("*").alias("n_events"))
+        )
+        joined = cust.join(ev, cust.c_custkey == ev.user_id, "full_outer")
+        return joined.select(
+            F.coalesce(cust.c_custkey, ev.user_id).alias("entity_id"),
+            F.when(cust.c_custkey.isNull(), "activity_only")
+            .when(ev.user_id.isNull(), "customer_only")
+            .otherwise("both")
+            .alias("presence"),
+            cust.c_name,
+            ev.n_events,
+        )
+
+    @reg(
         "approx_aggregates",
         """
         SELECT event_type,
