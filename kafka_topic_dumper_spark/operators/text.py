@@ -405,6 +405,31 @@ def register(reg) -> None:
         return token_stats(load_table(spark, sf_dir, "documents"))
 
     @reg(
+        "text_source_profile",
+        """
+        SELECT source,
+               CAST(count(*) AS BIGINT) AS n_docs,
+               CAST(count(DISTINCT lang) AS BIGINT) AS n_langs,
+               CAST(sum(n_chars) AS BIGINT) AS total_chars,
+               CAST(min(n_chars) AS BIGINT) AS min_chars,
+               CAST(max(n_chars) AS BIGINT) AS max_chars
+        FROM documents GROUP BY source
+        """,
+    )
+    def text_source_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-source corpus profile (docs, language spread, size
+        stats) — the mix-monitoring query a multi-source training
+        pipeline keys its sampling weights on."""
+        docs = load_table(spark, sf_dir, "documents")
+        return docs.groupBy("source").agg(
+            F.count("*").alias("n_docs"),
+            F.countDistinct("lang").alias("n_langs"),
+            F.sum("n_chars").alias("total_chars"),
+            F.min("n_chars").alias("min_chars"),
+            F.max("n_chars").alias("max_chars"),
+        )
+
+    @reg(
         "text_redact_pii",
         r"""
         WITH r AS (
