@@ -291,3 +291,45 @@ def test_load_transformer_rejects_bad_spec():
         with _pytest.raises((ValueError, ModuleNotFoundError)):
             load_transformer(bad)
     assert load_transformer(None).get_id() == "Identity"
+
+
+def test_pipeline_output_feeds_dedup_operators(spark, archive, tmp_path):
+    """Cross-module composition: records replayed through the pipeline
+    (with a duplicating transformer) are exactly de-duplicated by the
+    dedup operators — the operators work on pipeline output, not just
+    the fixture tables."""
+    from kafka_topic_dumper_spark.operators.dedup import exact_dedup
+
+    out = str(tmp_path / "dumps")
+    sink_path = str(tmp_path / "replayed")
+    beginning, end = _offsets(spark, archive)
+    plan = plan_tail_dump("test", beginning, end, 90)
+    records = dump_mod.apply_plan(spark.read.parquet(archive), plan)
+    dump_mod.dump_batch(records, out, "20260813000003")
+
+    def sink(df):
+        df.write.mode("append").parquet(sink_path)
+
+    reload_mod.reload_dump(
+        spark,
+        out,
+        "20260813000003",
+        load_transformer("tests.plugin_transformers:Explode"),
+        "test",
+        end,
+        sink,
+    )
+    replayed = spark.read.parquet(sink_path)
+    assert replayed.count() == 180  # Explode doubles every record
+
+    docs = replayed.select(
+        F.monotonically_increasing_id().alias("doc_id"),
+        F.decode(F.col("value"), "UTF-8").alias("text"),
+    )
+    groups = exact_dedup(docs)
+    # Explode emits (value, value-copy): 90 originals + 90 distinct
+    # "-copy" variants → 180 distinct texts, no collapses...
+    # unless the transformer duplicated content; assert the exact
+    # group structure instead of a blanket count
+    assert groups.count() == replayed.select("value").distinct().count()
+    assert groups.agg(F.sum("n_copies")).collect()[0][0] == 180
