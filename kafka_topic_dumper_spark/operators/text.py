@@ -215,6 +215,33 @@ def token_doc_frequency(docs: DataFrame, k: int = 50) -> DataFrame:
     )
 
 
+def mean_token_df(docs: DataFrame) -> DataFrame:
+    """Corpus-relative fluency proxy: the mean document frequency of a
+    doc's tokens (high = built from common words, low = rare/noisy
+    vocabulary) — a two-pass n-gram-LM stand-in that needs no model:
+    pass 1 aggregates the token→df table (shuffle on token), pass 2
+    joins it back (broadcast at sane vocabulary sizes) and averages
+    per doc. Integer sums/counts only — no transcendentals, so the
+    result is bit-identical across engines."""
+    toks = docs.select(
+        "doc_id", F.explode(F.array_distinct(_tokens())).alias("tok")
+    )
+    df_table = toks.groupBy("tok").agg(F.count("*").alias("df"))
+    return (
+        toks.join(F.broadcast(df_table), "tok")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_distinct_tokens"),
+            (F.sum("df") / F.count("*")).alias("mean_token_df"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_distinct_tokens").cast("bigint").alias("n_distinct_tokens"),
+            "mean_token_df",
+        )
+    )
+
+
 def repetition_quality(docs: DataFrame) -> DataFrame:
     """Gopher-style repetition/quality signals per document: duplicate
     word-2-gram fraction, symbol-to-word ratio, mean word length —
@@ -507,6 +534,29 @@ def register(reg) -> None:
     def text_token_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Top-50 tokens by document frequency (stopword discovery)."""
         return token_doc_frequency(load_table(spark, sf_dir, "documents"))
+
+    @reg(
+        "text_mean_token_df",
+        r"""
+        WITH toks AS (
+            SELECT doc_id,
+                   unnest(list_distinct(string_split_regex(lower(text), '\s+')))
+                       AS tok
+            FROM documents
+        ), dft AS (
+            SELECT tok, count(*) AS df FROM toks GROUP BY tok
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_distinct_tokens,
+               sum(df) / count(*) AS mean_token_df
+        FROM toks JOIN dft USING (tok)
+        GROUP BY doc_id
+        """,
+    )
+    def text_mean_token_df(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Mean token document-frequency per doc (corpus-relative
+        fluency proxy)."""
+        return mean_token_df(load_table(spark, sf_dir, "documents"))
 
     @reg(
         "text_repetition_quality",
