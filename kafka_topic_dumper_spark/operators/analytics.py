@@ -777,6 +777,94 @@ def register(reg) -> None:
         )
 
     @reg(
+        "q2_cheapest_supplier",
+        """
+        SELECT l_partkey,
+               min(l_extendedprice) AS min_price,
+               arg_min(l_suppkey,
+                       CAST(round(l_extendedprice * 100) AS BIGINT) * 1048576
+                       + l_suppkey) AS cheapest_suppkey
+        FROM lineitem
+        GROUP BY l_partkey
+        """,
+    )
+    def q2_cheapest_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """TPC-H Q2 shape: argmin per group (cheapest supplier per
+        part) via min_by — partial-aggregatable, one shuffle; no
+        join-back or window needed. The deterministic tie-break packs
+        (price_cents, suppkey) into one BIGINT (suppkey < 2^20 at
+        these scales; DuckDB's arg_min cannot order by struct)."""
+        li = load_table(spark, sf_dir, "lineitem")
+        packed = cents(F.col("l_extendedprice")) * F.lit(1048576) + F.col("l_suppkey")
+        return li.groupBy("l_partkey").agg(
+            F.min("l_extendedprice").alias("min_price"),
+            F.min_by("l_suppkey", packed).alias("cheapest_suppkey"),
+        )
+
+    @reg(
+        "funnel_conversion",
+        """
+        WITH stage1 AS (
+            SELECT user_id, min(ts) AS t_view FROM events
+            WHERE event_type = 'view' GROUP BY user_id
+        ), stage2 AS (
+            SELECT e.user_id, min(e.ts) AS t_click
+            FROM events e JOIN stage1 s ON e.user_id = s.user_id
+            WHERE e.event_type = 'click' AND e.ts >= s.t_view
+            GROUP BY e.user_id
+        ), stage3 AS (
+            SELECT e.user_id, min(e.ts) AS t_purchase
+            FROM events e JOIN stage2 s ON e.user_id = s.user_id
+            WHERE e.event_type = 'purchase' AND e.ts >= s.t_click
+            GROUP BY e.user_id
+        )
+        SELECT s1.user_id, s1.t_view, s2.t_click, s3.t_purchase,
+               CAST(CASE WHEN s3.user_id IS NOT NULL THEN 1 ELSE 0 END
+                    AS INTEGER) AS converted
+        FROM stage1 s1
+        LEFT JOIN stage2 s2 ON s2.user_id = s1.user_id
+        LEFT JOIN stage3 s3 ON s3.user_id = s1.user_id
+        """,
+    )
+    def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Ordered funnel (view → click → purchase): each stage's first
+        event must follow the previous stage's. Three aggregate+join
+        stages, each shuffled on user_id so the exchanges reuse the
+        same partitioning; the product-analytics query every event
+        pipeline serves."""
+        ev = load_table(spark, sf_dir, "events")
+        s1 = (
+            ev.filter(F.col("event_type") == "view")
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t_view"))
+        )
+        s2 = (
+            ev.filter(F.col("event_type") == "click")
+            .join(s1, "user_id")
+            .filter(F.col("ts") >= F.col("t_view"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t_click"))
+        )
+        s3 = (
+            ev.filter(F.col("event_type") == "purchase")
+            .join(s2, "user_id")
+            .filter(F.col("ts") >= F.col("t_click"))
+            .groupBy("user_id")
+            .agg(F.min("ts").alias("t_purchase"))
+        )
+        return (
+            s1.join(s2, "user_id", "left")
+            .join(s3.withColumn("converted", F.lit(1)), "user_id", "left")
+            .select(
+                "user_id",
+                "t_view",
+                "t_click",
+                "t_purchase",
+                F.coalesce("converted", F.lit(0)).cast("int").alias("converted"),
+            )
+        )
+
+    @reg(
         "pivot_user_event_matrix",
         """
         SELECT user_id,
