@@ -128,11 +128,16 @@ def cosine_topk_lsh(
             for t in range(n_tables)
         ]
     )
+    from pyspark import StorageLevel
+
+    # banded feeds both the probe extraction and the candidate join —
+    # persist so the 32 hyperplane dot products per vector run once
+    # (at scale this IS the precomputed index you'd store)
     banded = base.select(
         "neighbor_id", F.explode(tables).alias("tb")
     ).select(
         "neighbor_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
-    )
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     probes = banded.filter(F.col("neighbor_id").isin(query_ids)).select(
         F.col("neighbor_id").alias("query_id"),
         F.col("tbl").alias("qtbl"),
