@@ -172,12 +172,14 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     partial-aggregatable groupBy. The streaming twin
     (streaming/stateful.py) keeps O(1) state per open session.
 
-    The gap test uses unix-second differences, which are timezone-
-    independent (offsets cancel), so the plan is safe under any session
-    timezone."""
+    The gap test uses second differences computed directly on the NTZ
+    wall time (timestampdiff from the NTZ epoch) — fully timezone-
+    independent. (unix_timestamp over a session-zone cast is NOT: its
+    differences shift by an hour for pairs straddling a DST
+    transition.)"""
     wo = Window.partitionBy("user_id").orderBy("ts", "event_id")
     run = wo.rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    secs = F.unix_timestamp(F.col("ts").cast("timestamp"))
+    secs = F.expr("timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)")
     prev_secs = F.lag(secs).over(wo)
     prev_type = F.lag("event_type").over(wo)
     is_new = (

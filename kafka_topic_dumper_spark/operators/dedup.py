@@ -5,12 +5,15 @@ Five strategies, each scale-conscious:
 - exact        — hash-groupBy on a content digest (never shuffles raw text)
 - ngram-jaccard— exact Jaccard over word shingles via inverted-index
                  self-join (the classic "join on shingle, count common"
-                 plan; no O(n²) crossJoin)
+                 plan; no O(n²) crossJoin), document-frequency-capped so
+                 one viral boilerplate shingle can't go quadratic
 - minhash-LSH  — signature + banding; candidate pairs verified with
                  exact Jaccard. The 100 TB path: cost is O(n·k) + the
                  band-bucket join, never all-pairs.
 - simhash      — 64-bit fingerprints + banded hamming join
-- embedding    — cosine near-dup over `array<float>` (top-k pairs)
+- embedding    — cosine near-dup over `array<float>`: sign-LSH bucket
+                 candidates + exact-cosine verify (all-pairs exists only
+                 as the recall-test baseline)
 
 All pure DataFrame ops — no Python in the row path.
 """
@@ -87,24 +90,44 @@ def canonical_mapping(docs: DataFrame) -> DataFrame:
     )
 
 
-def ngram_jaccard_pairs(docs: DataFrame) -> DataFrame:
+NGRAM_MAX_DF = 100
+
+
+def ngram_jaccard_pairs(docs: DataFrame, max_df: int = NGRAM_MAX_DF) -> DataFrame:
     """Exact n-gram Jaccard for every co-shingled pair via inverted
     index: explode shingles, self-join keyed by a 60-bit md5-prefix
     hash of the shingle (an 8-byte shuffle key instead of the ~20-byte
     string — the join shuffles ~2.5× less data; the hash is
     engine-portable so the oracle sees identical keys, collisions
     included), count common, join per-doc shingle counts back
-    (broadcast)."""
+    (broadcast).
+
+    Document-frequency cap: a shingle appearing in d docs produces d²
+    join rows, so ONE viral boilerplate string is a single-key
+    quadratic blowup AND a skew hotspot at corpus scale. Shingles with
+    df > ``max_df`` carry no discriminative signal (they are corpus
+    furniture, not content) and are dropped BEFORE the self-join: the
+    hot set is tiny by construction, so it broadcasts into a left-anti
+    join — the index itself never reshuffles to apply the cap. Jaccard
+    is then computed over the capped shingle sets on both engines, so
+    the oracle mirrors the cap and the comparison stays exact."""
     from pyspark import StorageLevel
 
     from kafka_topic_dumper_spark.functions.portable_hash import h60_spark_sql
 
-    # the hashed inverted index feeds three consumers (both join sides
-    # + the per-doc counts); persist it so the tokenize/shingle/hash
-    # pass runs once instead of three times
-    sh = shingled(docs).select(
+    # the hashed inverted index feeds four consumers (df cap, both join
+    # sides, the per-doc counts); persist it so the tokenize/shingle/
+    # hash pass runs once
+    sh_all = shingled(docs).select(
         "doc_id", F.expr(h60_spark_sql("shingle")).alias("sh_h")
     ).persist(StorageLevel.MEMORY_AND_DISK)
+    hot = (
+        sh_all.groupBy("sh_h")
+        .agg(F.count("*").alias("df"))
+        .filter(F.col("df") > max_df)
+        .select("sh_h")
+    )
+    sh = sh_all.join(F.broadcast(hot), "sh_h", "left_anti")
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
     a = sh.alias("a")
     b = sh.alias("b")
@@ -338,13 +361,19 @@ def simhash_near_pairs(
 
 _DOT = "aggregate(zip_with(va, vb, (x, y) -> x * y), CAST(0.0 AS DOUBLE), (acc, v) -> acc + v)"
 
+# 4 tables × 8 bits = 256 buckets/table: candidate volume ~n²/128 vs
+# all-pairs n²/2, and the per-table bucket count is the knob that grows
+# with the corpus (nbits ≈ log2(n/target_bucket_size) at 100 TB).
+NEARDUP_LSH_TABLES = 4
+NEARDUP_LSH_BITS = 8
+
 
 def embedding_neardup_topk(emb: DataFrame, k: int = 50) -> DataFrame:
-    """Top-k most-similar embedding pairs by cosine. Brute-force
-    all-pairs (correctness baseline; the ANN path for scale is
-    operators/similarity.py). Vectors normalized once, then a self-join
-    keyed only by the inequality — Spark plans BNL join; at 100 TB this
-    is replaced by the LSH variant."""
+    """Top-k most-similar embedding pairs by cosine — brute-force
+    all-pairs BNL join. NOT a declared query: this is the exact-recall
+    baseline the LSH path's recall regression test compares against
+    (tests/test_ann_recall.py); at any real scale use
+    :func:`embedding_neardup_lsh`."""
     v = emb.select(
         "vec_id",
         F.expr(
@@ -359,6 +388,67 @@ def embedding_neardup_topk(emb: DataFrame, k: int = 50) -> DataFrame:
     pairs = (
         a.join(b, F.col("vec_a") < F.col("vec_b"))
         .withColumn("cos", F.expr(_DOT) / (F.col("na") * F.col("nb")))
+    )
+    return (
+        pairs.orderBy(F.col("cos").desc(), "vec_a", "vec_b")
+        .limit(k)
+        .select("vec_a", "vec_b")
+    )
+
+
+def embedding_neardup_lsh(
+    emb: DataFrame,
+    k: int = 50,
+    nbits: int = NEARDUP_LSH_BITS,
+    n_tables: int = NEARDUP_LSH_TABLES,
+    dim: int = 64,
+) -> DataFrame:
+    """Top-k near-dup embedding pairs via sign-LSH bucketing — the
+    100 TB plan: vectors are bucketed once per hash table (the
+    persisted index; at scale written out partitioned by (tbl,
+    bucket)), candidate pairs come from a bucket-equijoin (never
+    all-pairs), and exact cosine ranks ONLY the candidates. A pair is
+    a candidate if it collides in ANY of the ``n_tables`` independent
+    tables — multi-table probing recovers the recall a single sign-LSH
+    table loses to hyperplane straddling (same finding as
+    similarity.cosine_topk_lsh). Deterministic hyperplanes ⇒ the DuckDB
+    oracle reproduces the exact pair set."""
+    from pyspark import StorageLevel
+
+    from kafka_topic_dumper_spark.operators.similarity import (
+        _as_double_vec,
+        dot,
+        lsh_banded,
+    )
+
+    base = _as_double_vec(emb, "vec_id", "v")
+    # the banded index feeds both sides of the candidate self-join —
+    # persist so the hyperplane dot products run once per vector
+    banded = lsh_banded(base, "vec_id", "v", dim, nbits, n_tables).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("vec_a"), F.col("b.vec_id").alias("vec_b"))
+        .distinct()
+    )
+    va = base.select(
+        F.col("vec_id").alias("vec_a"), F.col("v").alias("va"), F.col("v_nrm").alias("na")
+    )
+    vb = base.select(
+        F.col("vec_id").alias("vec_b"), F.col("v").alias("vb"), F.col("v_nrm").alias("nb")
+    )
+    pairs = (
+        cand.join(va, "vec_a")
+        .join(vb, "vec_b")
+        .withColumn("cos", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
     )
     return (
         pairs.orderBy(F.col("cos").desc(), "vec_a", "vec_b")
@@ -395,8 +485,14 @@ def register(reg) -> None:
                    unnest(list_transform(range(1, len(t) - 1),
                           i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
             FROM toks
-        ), hashed AS (
+        ), hashed_all AS (
             SELECT doc_id, {h60_duckdb_sql('shingle')} AS sh_h FROM sh
+        ), hot AS (
+            SELECT sh_h FROM hashed_all GROUP BY sh_h
+            HAVING count(*) > {NGRAM_MAX_DF}
+        ), hashed AS (
+            SELECT * FROM hashed_all
+            WHERE sh_h NOT IN (SELECT sh_h FROM hot)
         ), counts AS (
             SELECT doc_id, count(*) AS n FROM hashed GROUP BY doc_id
         ), common AS (
@@ -415,7 +511,8 @@ def register(reg) -> None:
     )
     def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Top-20 most-similar doc pairs by exact word-3-gram Jaccard
-        (inverted-index join; no crossJoin)."""
+        (inverted-index join, df-capped at {NGRAM_MAX_DF}; no
+        crossJoin)."""
         docs = load_table(spark, sf_dir, "documents")
         return (
             ngram_jaccard_pairs(docs)
@@ -549,9 +646,15 @@ def register(reg) -> None:
         (hamming ≤ 4); oracle reproduces the identical pair set."""
         return simhash_near_pairs(load_table(spark, sf_dir, "documents"))
 
+    from kafka_topic_dumper_spark.operators.similarity import banded_union_sql
+
+    neardup_banded = banded_union_sql(
+        "n", "vec_id", 64, NEARDUP_LSH_BITS, NEARDUP_LSH_TABLES
+    )
+
     @reg(
         "dedup_embedding_cosine",
-        """
+        f"""
         WITH v AS (
             SELECT vec_id,
                    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
@@ -560,16 +663,26 @@ def register(reg) -> None:
             SELECT vec_id, v,
                    sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
             FROM v
+        ), banded AS (
+            {neardup_banded}
+        ), cand AS (
+            SELECT DISTINCT a.vec_id AS vec_a, b.vec_id AS vec_b
+            FROM banded a JOIN banded b
+              ON a.tbl = b.tbl AND a.bucket = b.bucket
+             AND a.vec_id < b.vec_id
         ), pairs AS (
-            SELECT a.vec_id AS vec_a, b.vec_id AS vec_b,
+            SELECT c.vec_a, c.vec_b,
                    list_sum(list_transform(range(1, 65),
-                       i -> a.v[i] * b.v[i])) / (a.nrm * b.nrm) AS cos
-            FROM n a JOIN n b ON a.vec_id < b.vec_id
+                       i -> na.v[i] * nb.v[i])) / (na.nrm * nb.nrm) AS cos
+            FROM cand c
+            JOIN n na ON na.vec_id = c.vec_a
+            JOIN n nb ON nb.vec_id = c.vec_b
         )
         SELECT vec_a, vec_b FROM pairs ORDER BY cos DESC, vec_a, vec_b LIMIT 50
         """,
     )
     def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
-        """Top-50 near-dup embedding pairs by cosine (brute-force
-        baseline)."""
-        return embedding_neardup_topk(load_table(spark, sf_dir, "embeddings"))
+        """Top-50 near-dup embedding pairs by cosine over sign-LSH
+        bucket candidates (4 tables × 8 bits; deterministic hyperplanes
+        ⇒ exact-match oracle). The bucketed plan — never all-pairs."""
+        return embedding_neardup_lsh(load_table(spark, sf_dir, "embeddings"))

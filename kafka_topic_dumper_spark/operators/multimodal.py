@@ -26,6 +26,21 @@ from pyspark.sql import types as T
 from kafka_topic_dumper_spark.sources.tables import load_table
 
 
+def _ensure_arrow_batch(df: DataFrame, rows: int = 100000) -> None:
+    """Raise the Arrow batch size for payload operators — but ONLY when
+    the session still carries Spark's stock 10000 default. Arrow batch
+    size is session-scoped in Spark (there is no per-operator knob), so
+    an unconditional set here would silently change batching for every
+    other pandas-UDF operator in the session (e.g. a transformer
+    flat-map with multi-MB payloads wants SMALL batches). Sessions from
+    our factory already carry the documented 100k default
+    (session.py); externally-created sessions that configured their own
+    value are left alone."""
+    conf = df.sparkSession.conf
+    if conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000") == "10000":
+        conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(rows))
+
+
 def binary_payloads(docs: DataFrame) -> DataFrame:
     """documents → (doc_id, payload binary). Stands in for an
     image/audio payload column; real datasets read this directly from
@@ -77,9 +92,7 @@ def decode_metadata(payloads: DataFrame) -> DataFrame:
     lower it. Runtime-settable, so it also works under an externally
     created session.
     """
-    payloads.sparkSession.conf.set(
-        "spark.sql.execution.arrow.maxRecordsPerBatch", "100000"
-    )
+    _ensure_arrow_batch(payloads)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
@@ -131,9 +144,7 @@ def sample_frames(payloads: DataFrame, stride_ms: int = 1000) -> DataFrame:
     happens inside mapInPandas per batch, so no driver involvement and
     downstream operators see an ordinary DataFrame they can
     repartition/aggregate."""
-    payloads.sparkSession.conf.set(
-        "spark.sql.execution.arrow.maxRecordsPerBatch", "100000"
-    )
+    _ensure_arrow_batch(payloads)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
@@ -181,9 +192,7 @@ def resize_images(payloads: DataFrame, target: int = 224) -> DataFrame:
     deterministic fake derives output dims/size from input length so
     the oracle can replicate). Emits the post-resize metadata a
     training pipeline partitions on."""
-    payloads.sparkSession.conf.set(
-        "spark.sql.execution.arrow.maxRecordsPerBatch", "100000"
-    )
+    _ensure_arrow_batch(payloads)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
@@ -218,9 +227,7 @@ def extract_features(payloads: DataFrame) -> DataFrame:
     (deterministic byte-statistics stand in for a real encoder). The
     output array<double> column is exactly what the similarity/dedup
     operators consume downstream."""
-    payloads.sparkSession.conf.set(
-        "spark.sql.execution.arrow.maxRecordsPerBatch", "100000"
-    )
+    _ensure_arrow_batch(payloads)
 
     def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         import pandas as _pd
@@ -325,18 +332,28 @@ def register(reg) -> None:
     @reg(
         "multimodal_feature_stub",
         """
-        SELECT doc_id,
-               [CAST(octet_length(encode(text)) AS DOUBLE),
-                CAST(length(text) - length(replace(text, 'a', '')) AS DOUBLE),
-                CAST(length(text) - length(replace(text, 'e', '')) AS DOUBLE),
-                CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)]
-                   AS features
-        FROM documents
+        WITH f AS (
+            SELECT doc_id,
+                   [CAST(octet_length(encode(text)) AS DOUBLE),
+                    CAST(length(text) - length(replace(text, 'a', '')) AS DOUBLE),
+                    CAST(length(text) - length(replace(text, 'e', '')) AS DOUBLE),
+                    CAST(length(regexp_replace(text, '[^0-9]', '', 'g')) AS DOUBLE)]
+                       AS features
+            FROM documents
+        )
+        SELECT doc_id, CAST(i AS INTEGER) AS idx, features[i + 1] AS value
+        FROM f, range(0, 4) r(i)
         """,
     )
     def multimodal_feature_stub(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Payload → feature-vector extraction (byte statistics stand
-        in for a real encoder); output array<double> feeds the
-        similarity/dedup operators."""
+        in for a real encoder); the array<double> column feeds the
+        similarity/dedup operators. For the differential check the
+        vector is exploded to (doc_id, idx, value) rows — raw array
+        columns are not canonicalizable by the order-insensitive
+        comparator (pandas cannot sort list cells)."""
         docs = load_table(spark, sf_dir, "documents")
-        return extract_features(binary_payloads(docs))
+        feats = extract_features(binary_payloads(docs))
+        return feats.select(
+            "doc_id", F.posexplode("features").alias("idx", "value")
+        )

@@ -99,6 +99,67 @@ def lsh_bucket_expr(
 N_LSH_TABLES = 8
 
 
+def lsh_banded(
+    base: DataFrame,
+    id_col: str,
+    vec_col: str,
+    dim: int,
+    nbits: int,
+    n_tables: int,
+) -> DataFrame:
+    """(id, tbl, bucket) sign-LSH index rows: every vector exploded into
+    one row per hash table. At scale this is the PRECOMPUTED index —
+    written out partitioned by (tbl, bucket) so probes prune at the
+    source. Callers persist it when it feeds multiple consumers (the
+    hyperplane dot products then run once per vector)."""
+    tables = F.array(
+        *[
+            F.struct(
+                F.lit(t).alias("tbl"),
+                lsh_bucket_expr(F.col(vec_col), dim, nbits, table=t).alias("bucket"),
+            )
+            for t in range(n_tables)
+        ]
+    )
+    return base.select(id_col, F.explode(tables).alias("tb")).select(
+        id_col, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
+    )
+
+
+def plane_chain_sql(plane: list[float]) -> str:
+    """One hyperplane's dot product as a left-associated ± chain:
+    x*±1.0 ≡ ±x in IEEE, additions in the same order as Spark's
+    sequential aggregate() fold ⇒ bit-identical signs in DuckDB."""
+    terms = [
+        ("+" if s > 0 else "-") + f" v[{j}]" for j, s in enumerate(plane, start=1)
+    ]
+    chain = " ".join(terms)
+    return chain[2:] if chain.startswith("+ ") else "-" + chain[2:]
+
+
+def bucket_sql(table: int, dim: int = 64, nbits: int = 4) -> str:
+    """DuckDB expression reproducing ``lsh_bucket_expr`` for one table
+    (identical hyperplane slices, identical fold order)."""
+    planes = _hyperplanes(dim, nbits * (table + 1))[table * nbits :]
+    return "\n                 + ".join(
+        f"(CASE WHEN ({plane_chain_sql(plane)}) > 0 THEN {1 << i} ELSE 0 END)"
+        for i, plane in enumerate(planes)
+    )
+
+
+def banded_union_sql(
+    src: str, id_col: str, dim: int, nbits: int, n_tables: int
+) -> str:
+    """UNION ALL of per-table bucket assignments over CTE ``src`` (which
+    must expose ``{id_col}`` and a double-list column ``v``) — the
+    DuckDB mirror of :func:`lsh_banded`."""
+    return "\n            UNION ALL\n            ".join(
+        f"SELECT {id_col}, {t} AS tbl,\n                 "
+        f"{bucket_sql(t, dim, nbits)} AS bucket FROM {src}"
+        for t in range(n_tables)
+    )
+
+
 def cosine_topk_lsh(
     emb: DataFrame,
     query_ids: list[int],
@@ -119,25 +180,14 @@ def cosine_topk_lsh(
     candidate ids deduplicate BEFORE any vector math, then one
     id-join re-attaches vectors for exact cosine ranking."""
     base = _as_double_vec(emb, "neighbor_id", "vb")
-    tables = F.array(
-        *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                lsh_bucket_expr(F.col("vb"), dim, nbits, table=t).alias("bucket"),
-            )
-            for t in range(n_tables)
-        ]
-    )
     from pyspark import StorageLevel
 
     # banded feeds both the probe extraction and the candidate join —
     # persist so the 32 hyperplane dot products per vector run once
     # (at scale this IS the precomputed index you'd store)
-    banded = base.select(
-        "neighbor_id", F.explode(tables).alias("tb")
-    ).select(
-        "neighbor_id", F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    banded = lsh_banded(base, "neighbor_id", "vb", dim, nbits, n_tables).persist(
+        StorageLevel.MEMORY_AND_DISK
+    )
     probes = banded.filter(F.col("neighbor_id").isin(query_ids)).select(
         F.col("neighbor_id").alias("query_id"),
         F.col("tbl").alias("qtbl"),
@@ -279,28 +329,9 @@ def register(reg) -> None:
 
     # Sign-LSH oracle: the hyperplanes are deterministic ±1 literals, so
     # the bucket assignment — and therefore the exact ANN result set —
-    # is reproducible in DuckDB. Each plane's dot product is emitted as
-    # a left-associated ± chain (x*±1.0 ≡ ±x in IEEE, additions in the
-    # same order as Spark's sequential aggregate() fold ⇒ bit-identical
-    # signs).
-    def _plane_chain(plane: list[float]) -> str:
-        terms = [
-            ("+" if s > 0 else "-") + f" v[{j}]" for j, s in enumerate(plane, start=1)
-        ]
-        chain = " ".join(terms)
-        return chain[2:] if chain.startswith("+ ") else "-" + chain[2:]
-
-    def _bucket_sql(table: int, nbits: int = 4) -> str:
-        planes = _hyperplanes(64, nbits * (table + 1))[table * nbits :]
-        return "\n                 + ".join(
-            f"(CASE WHEN ({_plane_chain(plane)}) > 0 THEN {1 << i} ELSE 0 END)"
-            for i, plane in enumerate(planes)
-        )
-
-    banded_sql = "\n            UNION ALL\n            ".join(
-        f"SELECT vec_id, {t} AS tbl,\n                 {_bucket_sql(t)} AS bucket FROM n"
-        for t in range(N_LSH_TABLES)
-    )
+    # is reproducible in DuckDB (see plane_chain_sql for the IEEE
+    # bit-identity argument).
+    banded_sql = banded_union_sql("n", "vec_id", 64, 4, N_LSH_TABLES)
     qids = ", ".join(str(q) for q in QUERY_IDS)
 
     @reg(

@@ -133,11 +133,15 @@ def winnowing_fingerprints(
     window's minimum hash, emit the distinct (doc_id, fingerprint)
     set. Guarantees any match of length ≥ k+w-1 shares a fingerprint.
 
-    Plan: one projection pass + a ×(len) explode that stays map-local,
-    a single per-doc window (shuffle on doc_id), then a distinct —
-    per-doc cost is linear in characters; no cross-doc work at all
-    (fingerprints feed a later bucket-join, same shape as LSH).
-    Hashes are the portable md5-prefix H32 so the DuckDB oracle
+    Plan: the doc_id shuffle happens BEFORE the ×(len) character
+    explode — repartition("doc_id") on whole-doc rows, then explode
+    (generators preserve their child's partitioning), so the per-doc
+    window's required distribution is already satisfied and NO exchange
+    ever carries one-row-per-character data. At 100 TB the exchange
+    moves docs, not characters — ~100× less shuffle volume for typical
+    doc lengths. Per-doc cost is linear in characters; no cross-doc
+    work at all (fingerprints feed a later bucket-join, same shape as
+    LSH). Hashes are the portable md5-prefix H32 so the DuckDB oracle
     reproduces the exact fingerprint set.
 
     NOTE a pure array-lambda formulation (hash array + array_min over
@@ -149,8 +153,11 @@ def winnowing_fingerprints(
     from pyspark.sql import Window
 
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    base = docs.select("doc_id", norm.alias("t")).withColumn(
-        "maxpos", F.greatest(F.length("t") - F.lit(k - 1), F.lit(1))
+    base = (
+        docs.select("doc_id", norm.alias("t"))
+        .withColumn("maxpos", F.greatest(F.length("t") - F.lit(k - 1), F.lit(1)))
+        # pre-explode shuffle: move whole docs, never per-character rows
+        .repartition("doc_id")
     )
     grams = base.select(
         "doc_id",

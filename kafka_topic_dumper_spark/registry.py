@@ -288,7 +288,12 @@ def f_scalar_surface(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.select(
         "event_id",
         F.date_format("ts", "yyyy-MM-dd HH:mm:ss").alias("ts_str"),
-        F.unix_timestamp(F.col("ts").cast("timestamp")).alias("ts_unix"),
+        # epoch seconds from the NTZ wall time directly — timezone-
+        # independent (unix_timestamp(cast) would re-interpret the wall
+        # time in the SESSION zone and shift under non-UTC sessions)
+        F.expr(
+            "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("ts_unix"),
         F.get_json_object("props", "$.k").cast("bigint").alias("prop_k"),
         F.upper("event_type").alias("event_type_upper"),
         F.concat_ws(

@@ -34,6 +34,12 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     settable so it also works under an externally-created session) and
     truncate to a TIMESTAMP_NTZ(µs) column — the same truncation DuckDB
     applies, so oracle comparisons agree.
+
+    The NTZ value is built by adding the epoch microseconds to the NTZ
+    epoch literal — a timezone-independent construction.
+    (``timestamp_micros()`` would yield TIMESTAMP_LTZ, and LTZ→NTZ
+    casts render wall time in the SESSION timezone: under a non-UTC
+    externally-created session every ts would shift.)
     """
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
@@ -42,7 +48,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
         return df.withColumn(
             "ts",
-            F.timestamp_micros(F.expr("ts div 1000")).cast("timestamp_ntz"),
+            F.expr(
+                "timestampadd(MICROSECOND, ts div 1000,"
+                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+            ),
         )
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

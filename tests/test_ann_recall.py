@@ -40,3 +40,30 @@ def test_ann_recall_floors(spark):
     )
     assert lsh >= 0.5, f"multi-table LSH recall degraded: {lsh:.2f}"
     assert ivf >= 0.6, f"IVF recall degraded: {ivf:.2f}"
+
+
+def test_embedding_neardup_lsh_finds_planted_duplicates(spark):
+    """Recall regression for the bucketed near-dup path, on data that
+    actually CONTAINS near-duplicates. The testdata embeddings are
+    near-uniform (best pair cosine ≈ 0.5 — 66° apart), which sign-LSH
+    is by design NOT meant to bucket together, so a brute-force-vs-LSH
+    comparison there measures nothing. Here: 200 random vectors, 25 of
+    them cloned with tiny noise (cos ≈ 0.999); the planted pairs must
+    dominate the LSH top-50 — a banding change that loses real
+    near-dup recall fails this floor."""
+    import numpy as np
+
+    from kafka_topic_dumper_spark.operators import dedup
+
+    rng = np.random.default_rng(7)
+    base = rng.normal(size=(200, 64))
+    rows = [(i, base[i].astype(float).tolist()) for i in range(200)]
+    planted = set()
+    for j in range(25):
+        noisy = base[j] + 0.02 * rng.normal(size=64)
+        rows.append((200 + j, noisy.astype(float).tolist()))
+        planted.add((j, 200 + j))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+    lsh = {tuple(r) for r in dedup.embedding_neardup_lsh(emb, 50).collect()}
+    recall = len(lsh & planted) / len(planted)
+    assert recall >= 0.9, f"bucketed near-dup recall degraded: {recall:.2f}"

@@ -51,10 +51,34 @@ def test_flagship_single_shuffle(spark):
     assert count_in(plan, "Exchange hashpartitioning") == 1
 
 
-def test_winnowing_single_shuffle(spark):
+def test_winnowing_single_shuffle_pre_explode(spark):
     plan = plan_of(spark, "text_winnowing_fingerprints")
     # window + per-doc dedup share the doc_id partitioning
     assert count_in(plan, "Exchange hashpartitioning") == 1
+    # and that one exchange must sit BELOW the character explode
+    # (generators preserve partitioning): the shuffle moves whole docs,
+    # never one-row-per-character data. Plans print root-first, so the
+    # deeper node (the exchange) must appear AFTER the Generate.
+    assert "Generate explode" in plan
+    assert plan.index("Exchange hashpartitioning") > plan.index("Generate explode")
+
+
+def test_embedding_neardup_is_bucketed_not_all_pairs(spark):
+    plan = plan_of(spark, "dedup_embedding_cosine")
+    # candidate pairs must come from the (tbl, bucket) equijoin — an
+    # all-pairs nested-loop join here is the 100× scale-killer
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_ngram_jaccard_df_cap_is_broadcast_anti_join(spark):
+    plan = plan_of(spark, "dedup_ngram_jaccard")
+    # the document-frequency cap must exist (hot shingles dropped before
+    # the self-join) and be applied as a BROADCAST anti join — the
+    # index must not reshuffle to apply the cap
+    anti_lines = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
+    assert anti_lines, "df-cap anti join missing from plan"
+    assert any("BroadcastHashJoin" in ln for ln in anti_lines)
 
 
 def test_multimodal_meta_prunes_payload_and_stays_jvm(spark):
