@@ -67,3 +67,14 @@ def test_entry_smoke(spark):
 
 def test_every_oracle_has_query():
     assert set(registry.ORACLES) <= set(registry.QUERIES)
+
+
+def test_entry_verify_priority_covers_registry_exactly():
+    """The driver-facing dict rotation must never drop or invent a
+    query: the explicit priority list is exactly the registry."""
+    import __spark_entry__ as e
+
+    assert set(e._VERIFY_PRIORITY) == set(registry.QUERIES)
+    assert list(e.queries()) == e._VERIFY_PRIORITY
+    oracles = e.oracle_sql()
+    assert list(oracles) == [n for n in e._VERIFY_PRIORITY if n in oracles]
