@@ -64,6 +64,13 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         help="module:Class transformer plug-in (default Identity)",
     )
     p.add_argument("-x", "--dry-run", action="store_true")
+    p.add_argument(
+        "-g",
+        "--group",
+        default=None,
+        help="reload: consumer group whose offsets are reset to the "
+        "state record's snapshot (B3; requires --bootstrap-servers)",
+    )
     p.add_argument("--reload-output", default=None, help="broker-less reload sink path")
     p.add_argument(
         "--partitions", type=int, default=3, help="generate: topic partition count"
@@ -87,7 +94,9 @@ def generate_archive(
         .select(
             F.lit(topic).alias("topic"),
             (F.col("id") % n_partitions).cast("int").alias("partition"),
-            (F.col("id") / n_partitions).cast("long").alias("offset"),
+            # integer division — float `/` loses exactness past 2^53
+            # ids and would silently duplicate/skip offsets
+            F.expr(f"id div {int(n_partitions)}").alias("offset"),
             F.current_timestamp().alias("timestamp"),
             F.lit(None).cast("binary").alias("key"),  # value-only, like the reference
             F.encode(
@@ -185,8 +194,27 @@ def main(argv: list[str] | None = None) -> int:
     if opts.records_parquet:
         archive = spark.read.parquet(opts.records_parquet)
         _, end = _archive_offsets(archive.filter(F.col("topic") == opts.topic))
+        if not end:
+            # reference parity: "Can not find offsets" is fatal
+            # (kafka_client.py:301 always snapshots REAL end offsets) —
+            # a state record with empty offsets would leave a later
+            # hot-reload skip with nothing to seek consumers to
+            log.error("can not find offsets for topic %r in archive", opts.topic)
+            return 2
+    elif opts.bootstrap_servers:
+        from kafka_topic_dumper_spark.streaming.group_offsets import fetch_end_offsets
+
+        end = fetch_end_offsets(opts.bootstrap_servers, opts.topic)
     else:
-        end = {}
+        # no archive and no broker to snapshot offsets from: refuse
+        # rather than write an unusable state record (reference
+        # 'Can not find offsets', kafka_client.py:137)
+        log.error(
+            "reload needs --records-parquet or --bootstrap-servers to "
+            "snapshot end offsets (a state record with empty offsets "
+            "cannot seed a hot-reload seek)"
+        )
+        return 2
     if opts.reload_output:
         def sink(df):
             df.write.mode("append").parquet(opts.reload_output)
@@ -208,6 +236,21 @@ def main(argv: list[str] | None = None) -> int:
         sink,
     )
     log.info("reload result: %s", result["action"])
+    if opts.group:
+        if not opts.bootstrap_servers:
+            log.error("--group needs --bootstrap-servers to commit offsets")
+            return 2
+        from kafka_topic_dumper_spark.streaming.group_offsets import (
+            kafka_python_committer,
+            reset_group_to_state,
+        )
+
+        committed = reset_group_to_state(
+            result["state"],
+            opts.topic,
+            kafka_python_committer(opts.bootstrap_servers, opts.group),
+        )
+        log.info("group %s reset to %s", opts.group, committed)
     return 0
 
 

@@ -87,6 +87,36 @@ def read_kafka_batch(
     return reader.load()
 
 
+def produce_test_messages(
+    bootstrap_servers: str,
+    topic: str,
+    n_messages: int,
+    producer_factory=None,
+) -> int:
+    """Load-generator for the broker harness — the port of the
+    reference's standalone producer script (utils/kafka_producer.py:
+    17-33: async value-only sends of ``"…test message {:015d}"``, one
+    final flush). kafka-python is imported lazily (absent in this
+    container, present wherever the compose harness runs);
+    ``producer_factory`` is injectable for unit tests. Returns the
+    number of messages sent."""
+    if producer_factory is None:
+
+        def producer_factory():
+            from kafka import KafkaProducer
+
+            return KafkaProducer(bootstrap_servers=bootstrap_servers)
+
+    producer = producer_factory()
+    try:
+        for i in range(n_messages):
+            producer.send(topic, f"This is a dummy test message {i:015d}".encode())
+        producer.flush()
+    finally:
+        producer.close()
+    return n_messages
+
+
 def write_kafka(
     records: DataFrame, bootstrap_servers: str, topic: str
 ) -> None:
