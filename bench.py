@@ -103,6 +103,11 @@ def main() -> int:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 3)
+        # the LSH/Jaccard operators persist() their banded indexes /
+        # inverted indexes (they feed multiple consumers WITHIN the
+        # query); drop them between queries so a 20-query session
+        # doesn't accumulate dead cached partitions in executor memory
+        spark.catalog.clearCache()
 
     # dump-pipeline throughput: the reference's core workload
     tmp = tempfile.mkdtemp(prefix="bench_dump_")

@@ -110,7 +110,11 @@ def ngram_jaccard_pairs(docs: DataFrame, max_df: int = NGRAM_MAX_DF) -> DataFram
     hot set is tiny by construction, so it broadcasts into a left-anti
     join — the index itself never reshuffles to apply the cap. Jaccard
     is then computed over the capped shingle sets on both engines, so
-    the oracle mirrors the cap and the comparison stays exact."""
+    the oracle mirrors the cap and the comparison stays exact.
+
+    Cache lifetime: the persisted index lives until the session drops
+    it — long-lived sessions running many queries should
+    ``spark.catalog.clearCache()`` between them (bench.py does)."""
     from pyspark import StorageLevel
 
     from kafka_topic_dumper_spark.functions.portable_hash import h60_spark_sql

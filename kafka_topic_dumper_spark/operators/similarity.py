@@ -11,6 +11,11 @@
 
 Dot products are JVM-side ``zip_with``/``aggregate`` lambda expressions
 in DOUBLE — no Python, no UDF, codegen-friendly.
+
+Cache lifetime: the LSH index is persist()ed because it feeds multiple
+consumers within one query; the cached partitions live until the
+session drops them, so long-lived sessions running many queries should
+``spark.catalog.clearCache()`` between them (bench.py does).
 """
 
 from __future__ import annotations

@@ -153,11 +153,19 @@ def winnowing_fingerprints(
     from pyspark.sql import Window
 
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    # pre-explode shuffle: move whole docs, never per-character rows.
+    # The partition count is pinned explicitly: doc rows are ~100×
+    # smaller than the exploded per-character rows they expand into, so
+    # AQE's size-based coalescing (which only sees the pre-explode
+    # bytes) would funnel the expensive hash stage into one or two
+    # partitions; an explicit N is exempt from coalescing.
+    n_parts = int(
+        docs.sparkSession.conf.get("spark.sql.shuffle.partitions", "200")
+    )
     base = (
         docs.select("doc_id", norm.alias("t"))
         .withColumn("maxpos", F.greatest(F.length("t") - F.lit(k - 1), F.lit(1)))
-        # pre-explode shuffle: move whole docs, never per-character rows
-        .repartition("doc_id")
+        .repartition(n_parts, "doc_id")
     )
     grams = base.select(
         "doc_id",

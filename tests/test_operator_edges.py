@@ -82,3 +82,37 @@ def test_salted_join_empty_sides(spark):
     empty = spark.createDataFrame([], schema="k2 long, w string")
     assert salted_join(big, empty, "k", "k2").count() == 0
     assert salted_join(empty.selectExpr("k2 as k", "w as v"), big.selectExpr("k as k2", "v as w"), "k", "k2").count() == 0
+
+
+def test_decimal_money_flag_survives_int64_overflow_scale(spark):
+    """q1's docstring promise made airtight: at ~10^8 rows per group
+    the 3-factor charge sum exceeds int64; the DECIMAL(38) switch must
+    aggregate it exactly. Adversarial stand-in: 100k max-price rows in
+    ONE group — per-row term 1e14, true sum 1.0201e19 > 2^63-1."""
+    from pyspark.sql import functions as F
+
+    from kafka_topic_dumper_spark.functions import exact_money
+
+    df = spark.range(100_000).select(
+        F.lit(999_999_999.99).alias("price"),
+        F.lit(0.0).alias("disc"),
+        F.lit(0.0).alias("tax"),
+    )
+    per_row = round(999_999_999.99 * 100) * 100 * 100
+    expected = per_row * 100_000
+    assert expected > 2**63 - 1  # the scenario actually overflows int64
+
+    exact_money.decimal_money_sums(True)
+    try:
+        got = (
+            df.agg(
+                F.sum(
+                    exact_money.cents(F.col("price"))
+                    * exact_money.pct_units(1 - F.col("disc"))
+                    * exact_money.pct_units(1 + F.col("tax"))
+                ).alias("s")
+            ).collect()[0]["s"]
+        )
+    finally:
+        exact_money.decimal_money_sums(None)
+    assert int(got) == expected
