@@ -427,10 +427,12 @@ def embedding_neardup_lsh(
 
     base = _as_double_vec(emb, "vec_id", "v")
     # the banded index feeds both sides of the candidate self-join —
-    # persist so the hyperplane dot products run once per vector
-    banded = lsh_banded(base, "vec_id", "v", dim, nbits, n_tables).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # persist so the hyperplane dot products run once per vector.
+    # Bucketing runs over the RAW embedding column (computed columns
+    # hit the Catalyst lambda-inlining trap — see lsh_bucket_expr).
+    banded = lsh_banded(
+        emb.select("vec_id", "embedding"), "vec_id", "embedding", dim, nbits, n_tables
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (

@@ -84,21 +84,48 @@ def _hyperplanes(dim: int, nbits: int) -> list[list[float]]:
     return planes
 
 
+def _chain(terms: list[str]) -> str:
+    chain = " ".join(terms)
+    return chain[2:] if chain.startswith("+ ") else "-" + chain[2:]
+
+
 def lsh_bucket_expr(
-    vec: Column, dim: int, nbits: int, table: int = 0
+    vec_col: str, dim: int, nbits: int, table: int = 0
 ) -> Column:
     """Sign-LSH bucket id for an array<double> column: bit i = sign of
     the dot product with hyperplane ``table*nbits + i``. A pure
     expression, so the same code buckets the stored table and the
-    probe side."""
+    probe side.
+
+    ``vec_col`` must be the RAW stored array column (any numeric
+    element type — every element reference is cast to DOUBLE
+    individually, which is exact from float). Referencing a COMPUTED
+    double-array column here is the Catalyst lambda-inlining trap:
+    CollapseProject inlines the full ``transform(embedding, …)`` into
+    every one of the ~2048 element references, re-evaluating the
+    64-element lambda per reference (~131k evaluations per row —
+    measured ~70× slower).
+
+    Built as ONE parsed SQL string: the planes are ±1, so each dot
+    product is the left-associated chain ``±v[0] ±v[1] …`` — in IEEE
+    bit-identical to a zip_with/aggregate fold (x·±1.0 ≡ ±x;
+    additions in the same order) and to the DuckDB oracle's identical
+    chain. The string form also matters operationally: building 32
+    planes × 64 entries as F.lit() Column algebra is thousands of py4j
+    round-trips whose plan CONSTRUCTION alone cost ~10 s per query;
+    one expr() parse is milliseconds, and the straight-line adds
+    codegen far better than 32 nested lambda folds."""
     planes = _hyperplanes(dim, nbits * (table + 1))[table * nbits :]
-    bucket = F.lit(0)
+    bits = []
     for i, plane in enumerate(planes):
-        lit_plane = F.array(*[F.lit(x) for x in plane])
-        bucket = bucket + F.when(dot(vec, lit_plane) > 0, F.lit(1 << i)).otherwise(
-            F.lit(0)
+        chain = _chain(
+            [
+                ("+" if s > 0 else "-") + f" CAST({vec_col}[{j}] AS DOUBLE)"
+                for j, s in enumerate(plane)
+            ]
         )
-    return bucket
+        bits.append(f"(CASE WHEN ({chain}) > 0 THEN {1 << i} ELSE 0 END)")
+    return F.expr("\n + ".join(bits))
 
 
 N_LSH_TABLES = 8
@@ -116,17 +143,33 @@ def lsh_banded(
     one row per hash table. At scale this is the PRECOMPUTED index —
     written out partitioned by (tbl, bucket) so probes prune at the
     source. Callers persist it when it feeds multiple consumers (the
-    hyperplane dot products then run once per vector)."""
+    hyperplane dot products then run once per vector).
+
+    ``vec_col`` must be the RAW stored array column, not a computed
+    one — see :func:`lsh_bucket_expr` (lambda-inlining trap).
+
+    Shape note: the per-table buckets are computed as SEPARATE
+    projection columns and only then exploded. Fusing all tables into
+    one ``explode(array(struct(…bucket-expr…)))`` makes the generator
+    input a single expression too large for whole-stage codegen
+    (method-size limit) — the whole stage silently falls back to
+    interpreted evaluation, measured ~15× slower. As independent
+    columns each bucket expression codegens into its own method, and
+    the Generate boundary keeps CollapseProject from re-fusing them."""
+    with_buckets = base.select(
+        id_col,
+        *[
+            lsh_bucket_expr(vec_col, dim, nbits, table=t).alias(f"_b{t}")
+            for t in range(n_tables)
+        ],
+    )
     tables = F.array(
         *[
-            F.struct(
-                F.lit(t).alias("tbl"),
-                lsh_bucket_expr(F.col(vec_col), dim, nbits, table=t).alias("bucket"),
-            )
+            F.struct(F.lit(t).alias("tbl"), F.col(f"_b{t}").alias("bucket"))
             for t in range(n_tables)
         ]
     )
-    return base.select(id_col, F.explode(tables).alias("tb")).select(
+    return with_buckets.select(id_col, F.explode(tables).alias("tb")).select(
         id_col, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
     )
 
@@ -135,11 +178,9 @@ def plane_chain_sql(plane: list[float]) -> str:
     """One hyperplane's dot product as a left-associated ± chain:
     x*±1.0 ≡ ±x in IEEE, additions in the same order as Spark's
     sequential aggregate() fold ⇒ bit-identical signs in DuckDB."""
-    terms = [
-        ("+" if s > 0 else "-") + f" v[{j}]" for j, s in enumerate(plane, start=1)
-    ]
-    chain = " ".join(terms)
-    return chain[2:] if chain.startswith("+ ") else "-" + chain[2:]
+    return _chain(
+        [("+" if s > 0 else "-") + f" v[{j}]" for j, s in enumerate(plane, start=1)]
+    )
 
 
 def bucket_sql(table: int, dim: int = 64, nbits: int = 4) -> str:
@@ -189,10 +230,16 @@ def cosine_topk_lsh(
 
     # banded feeds both the probe extraction and the candidate join —
     # persist so the 32 hyperplane dot products per vector run once
-    # (at scale this IS the precomputed index you'd store)
-    banded = lsh_banded(base, "neighbor_id", "vb", dim, nbits, n_tables).persist(
-        StorageLevel.MEMORY_AND_DISK
-    )
+    # (at scale this IS the precomputed index you'd store). Bucketing
+    # runs over the RAW embedding column (see lsh_bucket_expr).
+    banded = lsh_banded(
+        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+        "neighbor_id",
+        "embedding",
+        dim,
+        nbits,
+        n_tables,
+    ).persist(StorageLevel.MEMORY_AND_DISK)
     probes = banded.filter(F.col("neighbor_id").isin(query_ids)).select(
         F.col("neighbor_id").alias("query_id"),
         F.col("tbl").alias("qtbl"),
