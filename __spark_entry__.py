@@ -56,6 +56,16 @@ _VERIFY_PRIORITY = [
     "join_full_outer_reconcile",
     "approx_aggregates",
     "join_salted_skew",
+    # --- new in round 2 (first driver verification) ---
+    "q7_nation_volume_shipping",
+    "q8_nation_market_share",
+    "q9_product_profit",
+    "q11_important_stock_value",
+    "q13_customer_order_distribution",
+    "q15_top_supplier",
+    "q20_potential_part_promotion",
+    "q21_late_shipping_suppliers",
+    "q22_dormant_customers",
     # --- changed in round 2 (need fresh rows) ---
     "multimodal_feature_stub",
     "dedup_ngram_jaccard",
@@ -79,6 +89,7 @@ _VERIFY_PRIORITY = [
     "asof_join_last_purchase",
     "rollup_order_revenue",
     "cube_event_activity",
+    # --- tail: round-1-green, unchanged (rows carried from r1) ---
     "setops_customer_cohorts",
     "window_event_metrics",
     "join_semi_anti_customers",
@@ -88,7 +99,6 @@ _VERIFY_PRIORITY = [
     "multimodal_binary_meta",
     "multimodal_decode_stub",
     "multimodal_frame_sample",
-    # --- tail: round-1-green, unchanged (rows carried from r1) ---
     "p1_project_key_value",
     "p3_hot_reload_predicate",
     "a1_latest_dump_id",

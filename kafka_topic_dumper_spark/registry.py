@@ -28,6 +28,7 @@ from kafka_topic_dumper_spark.operators import (
     multimodal,
     similarity,
     text,
+    tpch_full,
 )
 from kafka_topic_dumper_spark.functions.exact_money import cents, pct_units
 from kafka_topic_dumper_spark.operators.relational import (
@@ -551,7 +552,7 @@ def register_extensions() -> None:
     """Pull in §2.10 extension queries (dedup / similarity / text /
     multimodal). Separated so this module stays importable even while an
     extension module is mid-build."""
-    for mod in (dedup, similarity, text, multimodal, analytics):
+    for mod in (dedup, similarity, text, multimodal, analytics, tpch_full):
         mod.register(_register)
 
 
