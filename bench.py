@@ -21,6 +21,7 @@ import tempfile
 import time
 
 from kafka_topic_dumper_spark import registry
+from kafka_topic_dumper_spark.functions.caching import release_persisted
 from kafka_topic_dumper_spark.session import get_session
 from kafka_topic_dumper_spark.sources.tables import load_table
 
@@ -107,7 +108,7 @@ def main() -> int:
         # inverted indexes (they feed multiple consumers WITHIN the
         # query); drop them between queries so a 20-query session
         # doesn't accumulate dead cached partitions in executor memory
-        spark.catalog.clearCache()
+        release_persisted()
 
     # dump-pipeline throughput: the reference's core workload
     tmp = tempfile.mkdtemp(prefix="bench_dump_")

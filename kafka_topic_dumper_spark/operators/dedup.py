@@ -115,16 +115,18 @@ def ngram_jaccard_pairs(docs: DataFrame, max_df: int = NGRAM_MAX_DF) -> DataFram
     Cache lifetime: the persisted index lives until the session drops
     it — long-lived sessions running many queries should
     ``spark.catalog.clearCache()`` between them (bench.py does)."""
-    from pyspark import StorageLevel
+    from kafka_topic_dumper_spark.functions.caching import tracked_persist
 
     from kafka_topic_dumper_spark.functions.portable_hash import h60_spark_sql
 
     # the hashed inverted index feeds four consumers (df cap, both join
     # sides, the per-doc counts); persist it so the tokenize/shingle/
     # hash pass runs once
-    sh_all = shingled(docs).select(
-        "doc_id", F.expr(h60_spark_sql("shingle")).alias("sh_h")
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    sh_all = tracked_persist(
+        shingled(docs).select(
+            "doc_id", F.expr(h60_spark_sql("shingle")).alias("sh_h")
+        )
+    )
     hot = (
         sh_all.groupBy("sh_h")
         .agg(F.count("*").alias("df"))
@@ -233,19 +235,18 @@ def verify_pairs_exact_jaccard(docs: DataFrame, pairs: DataFrame) -> DataFrame:
     persisted so Spark materializes each subtree once instead of
     re-deriving it per reference — at scale these are the small
     candidate-sized intermediates, exactly what you checkpoint."""
-    from pyspark import StorageLevel
+    from kafka_topic_dumper_spark.functions.caching import tracked_persist
 
-    pairs = pairs.persist(StorageLevel.MEMORY_AND_DISK)
+    pairs = tracked_persist(pairs)
     docs_in_pairs = (
         pairs.select(F.col("doc_a").alias("doc_id"))
         .union(pairs.select(F.col("doc_b")))
         .distinct()
     )
-    sets = (
+    sets = tracked_persist(
         shingled(docs.join(docs_in_pairs, "doc_id", "left_semi"))
         .groupBy("doc_id")
         .agg(F.collect_set("shingle").alias("shingles"))
-        .persist(StorageLevel.MEMORY_AND_DISK)
     )
     sa = sets.select(F.col("doc_id").alias("doc_a"), F.col("shingles").alias("sh_a"))
     sb = sets.select(F.col("doc_id").alias("doc_b"), F.col("shingles").alias("sh_b"))
@@ -417,7 +418,7 @@ def embedding_neardup_lsh(
     table loses to hyperplane straddling (same finding as
     similarity.cosine_topk_lsh). Deterministic hyperplanes ⇒ the DuckDB
     oracle reproduces the exact pair set."""
-    from pyspark import StorageLevel
+    from kafka_topic_dumper_spark.functions.caching import tracked_persist
 
     from kafka_topic_dumper_spark.operators.similarity import (
         _as_double_vec,
@@ -430,9 +431,9 @@ def embedding_neardup_lsh(
     # persist so the hyperplane dot products run once per vector.
     # Bucketing runs over the RAW embedding column (computed columns
     # hit the Catalyst lambda-inlining trap — see lsh_bucket_expr).
-    banded = lsh_banded(
+    banded = tracked_persist(lsh_banded(
         emb.select("vec_id", "embedding"), "vec_id", "embedding", dim, nbits, n_tables
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    ))
     a = banded.alias("a")
     b = banded.alias("b")
     cand = (

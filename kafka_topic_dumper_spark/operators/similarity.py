@@ -226,20 +226,22 @@ def cosine_topk_lsh(
     candidate ids deduplicate BEFORE any vector math, then one
     id-join re-attaches vectors for exact cosine ranking."""
     base = _as_double_vec(emb, "neighbor_id", "vb")
-    from pyspark import StorageLevel
+    from kafka_topic_dumper_spark.functions.caching import tracked_persist
 
     # banded feeds both the probe extraction and the candidate join —
     # persist so the 32 hyperplane dot products per vector run once
     # (at scale this IS the precomputed index you'd store). Bucketing
     # runs over the RAW embedding column (see lsh_bucket_expr).
-    banded = lsh_banded(
-        emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
-        "neighbor_id",
-        "embedding",
-        dim,
-        nbits,
-        n_tables,
-    ).persist(StorageLevel.MEMORY_AND_DISK)
+    banded = tracked_persist(
+        lsh_banded(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+            "neighbor_id",
+            "embedding",
+            dim,
+            nbits,
+            n_tables,
+        )
+    )
     probes = banded.filter(F.col("neighbor_id").isin(query_ids)).select(
         F.col("neighbor_id").alias("query_id"),
         F.col("tbl").alias("qtbl"),

@@ -29,3 +29,14 @@ def duck():
         )
     yield con
     con.close()
+
+
+@pytest.fixture(autouse=True)
+def _release_operator_caches():
+    """Operators register their internal persist()s with
+    functions.caching; drop them after every test so a full suite run
+    doesn't accumulate dead cached partitions (ADVICE r1)."""
+    yield
+    from kafka_topic_dumper_spark.functions.caching import release_persisted
+
+    release_persisted()

@@ -141,3 +141,47 @@ def test_q19_disjunction_split_to_both_scans(spark):
     li_scan, part_scan = scans[1], scans[2]
     assert "l_quantity" in li_scan.split("ReadSchema")[0]
     assert "p_brand" in part_scan.split("ReadSchema")[0]
+
+
+def test_q7_q8_dims_broadcast_single_fact_shuffle(spark):
+    # the multi-dimension star joins must broadcast every dim side;
+    # the ONLY hash exchange is the final tiny group
+    for name, n_bhj in (
+        ("q7_nation_volume_shipping", 5),
+        ("q8_nation_market_share", 7),
+        ("q9_product_profit", 4),
+    ):
+        plan = plan_of(spark, name)
+        assert count_in(plan, "BroadcastHashJoin") >= n_bhj, name
+        assert count_in(plan, "SortMergeJoin") == 0, name
+        assert count_in(plan, "Exchange hashpartitioning") == 1, name
+
+
+def test_q11_q22_scalar_subquery_is_one_row_broadcast(spark):
+    # the scalar aggregate (grand total / pool average) must attach as
+    # a 1-row BroadcastNestedLoopJoin — never a shuffle, never a
+    # per-row recomputation
+    for name in ("q11_important_stock_value", "q22_dormant_customers"):
+        plan = plan_of(spark, name)
+        assert count_in(plan, "BroadcastNestedLoopJoin") == 1, name
+    # q22's dormancy is an anti join with the date filter pushed into
+    # the orders scan
+    plan = plan_of(spark, "q22_dormant_customers")
+    assert "LeftAnti" in plan
+    assert "GreaterThanOrEqual(o_orderdate" in plan
+
+
+def test_q20_nested_in_is_semi_join(spark):
+    plan = plan_of(spark, "q20_potential_part_promotion")
+    assert "LeftSemi" in plan
+    # prefix LIKE pushes to the part scan as a range/startswith filter
+    assert "StringStartsWith(p_name,small)" in plan
+
+
+def test_q21_decorrelated_form_never_multiplies_rows(spark):
+    # the EXISTS/NOT-EXISTS pair must be the window form: no join of
+    # lineitem against itself (no row multiplication on l_orderkey)
+    plan = plan_of(spark, "q21_late_shipping_suppliers")
+    assert count_in(plan, "Window") >= 1
+    # lineitem is scanned exactly once
+    assert count_in(plan, "lineitem.parquet") == 1
