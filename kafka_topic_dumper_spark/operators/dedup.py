@@ -562,9 +562,7 @@ def register(reg) -> None:
         for bi in range(bands)
     )
 
-    @reg(
-        "dedup_minhash_lsh",
-        f"""
+    minhash_pairs_sql = f"""
         WITH toks AS (
             SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
             FROM documents
@@ -603,13 +601,64 @@ def register(reg) -> None:
         LEFT JOIN common cm ON cm.doc_a = c.doc_a AND cm.doc_b = c.doc_b
         JOIN counts na ON na.doc_id = c.doc_a
         JOIN counts nb ON nb.doc_id = c.doc_b
-        """,
-    )
+        """
+
+    @reg("dedup_minhash_lsh", minhash_pairs_sql)
     def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         """MinHash(32) + LSH(8 bands × 4 rows) candidates, verified with
         exact Jaccard. Portable md5 hashing ⇒ the DuckDB oracle
         reproduces the result SET bit-identically."""
         return minhash_lsh_dedup(load_table(spark, sf_dir, "documents"))
+
+    @reg(
+        "dedup_cluster_components",
+        f"""
+        WITH RECURSIVE pairs AS (
+            {minhash_pairs_sql}
+        ), strong AS (
+            SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5
+        ), edges AS (
+            SELECT doc_a AS s, doc_b AS d FROM strong
+            UNION
+            SELECT doc_b, doc_a FROM strong
+        ), reach(node, label) AS (
+            SELECT s, s FROM edges
+            UNION
+            SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node
+        ), comp AS (
+            SELECT node, min(label) AS component_id FROM reach GROUP BY node
+        )
+        SELECT d.doc_id, coalesce(c.component_id, d.doc_id) AS component_id
+        FROM documents d
+        LEFT JOIN comp c ON c.node = d.doc_id
+        """,
+    )
+    def dedup_cluster_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Near-dup CLUSTER assignment: MinHash-LSH verified pairs with
+        Jaccard ≥ 0.5 become edges; connected components (iterative
+        min-label propagation, operators/graph.py) give every document
+        a deterministic cluster id (min doc_id in its cluster;
+        singletons label themselves). This is the stage between
+        pair-finding and canonical-doc selection in a production dedup
+        pipeline. The oracle reproduces the closure with a recursive
+        CTE over the identical portable-hash pair set."""
+        from kafka_topic_dumper_spark.operators.graph import connected_components
+
+        docs = load_table(spark, sf_dir, "documents")
+        strong = (
+            minhash_lsh_dedup(docs)
+            .filter(F.col("jaccard") >= 0.5)
+            .select("doc_a", "doc_b")
+        )
+        comp = connected_components(strong, "doc_a", "doc_b")
+        return (
+            docs.select("doc_id")
+            .join(comp, docs["doc_id"] == comp["node"], "left")
+            .select(
+                "doc_id",
+                F.coalesce("component_id", "doc_id").alias("component_id"),
+            )
+        )
 
     simhash_bands = "\n            UNION ALL\n            ".join(
         f"SELECT doc_id, simhash, {i} AS band,"

@@ -1,0 +1,81 @@
+"""Connected components over a pair/edge DataFrame — the cluster-
+assignment stage of a dedup pipeline (MinHash/SimHash emit near-dup
+PAIRS; training-data dedup needs CLUSTERS, then one canonical doc per
+cluster).
+
+Spark-first shape: iterative min-label propagation expressed as stock
+DataFrame joins/aggregations — the same hash-partitioned equi-join
+Catalyst already optimizes, repeated until fixpoint. Each sweep moves
+every node's label one hop, so the iteration count is the graph
+DIAMETER, and near-dup graphs are unions of tiny quasi-cliques
+(diameter ≤ ~3): convergence in a handful of sweeps. For adversarial
+high-diameter graphs at 100 TB, swap the sweep body for the
+large-star/small-star contraction (Kiveris et al., "Connected
+Components in MapReduce and Beyond", SoCC'14), which converges in
+O(log n) sweeps with the identical join-groupBy skeleton.
+
+Scale notes: every sweep is two shuffles (message join on the edge
+source, min-agg on the destination) over edge-count-sized data; each
+sweep's labels are eagerly localCheckpoint()ed — persist() is NOT
+enough for iterative plans, because the logical tree doubles per sweep
+(union of a join of the previous tree) and Catalyst chokes on the
+exponential plan long before the data is big; checkpointing truncates
+the lineage to the materialized blocks. The convergence test is a
+driver-side scalar count — metadata-plane, like GraphX/GraphFrames'
+own CC. Checkpoint blocks from superseded sweeps are freed by Spark's
+ContextCleaner once unreferenced (for resilient multi-hour jobs, use
+reliable checkpoint() to a cluster store instead)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame
+from pyspark.sql import functions as F
+
+
+def connected_components(
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 25,
+) -> DataFrame:
+    """Undirected connected components. ``edges`` holds one row per
+    edge (either direction); returns ``(node, component_id)`` for every
+    node that appears in an edge, where ``component_id`` is the MINIMUM
+    node id reachable from it — a deterministic, engine-independent
+    labeling. Raises if ``max_iter`` sweeps don't reach the fixpoint
+    (propagation is monotone: labels only ever decrease, so
+    non-convergence means the diameter exceeds the budget, not a
+    cycle)."""
+    sym = edges.select(
+        F.col(src).alias("es"), F.col(dst).alias("ed")
+    ).union(edges.select(F.col(dst).alias("es"), F.col(src).alias("ed")))
+
+    labels = (
+        sym.select(F.col("es").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _ in range(max_iter):
+        # each neighbor offers its current label to the other endpoint;
+        # a node keeps the min of its own label and all offers
+        offers = sym.join(
+            labels, sym["es"] == labels["node"], "inner"
+        ).select(F.col("ed").alias("node"), F.col("label"))
+        new_labels = (
+            labels.union(offers)
+            .groupBy("node")
+            .agg(F.min("label").alias("label"))
+            .localCheckpoint(eager=True)
+        )
+        changed = (
+            new_labels.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.label") != F.col("o.label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            return labels.select("node", F.col("label").alias("component_id"))
+    raise RuntimeError(
+        f"connected_components did not converge in {max_iter} sweeps"
+    )

@@ -116,3 +116,36 @@ def test_decimal_money_flag_survives_int64_overflow_scale(spark):
     finally:
         exact_money.decimal_money_sums(None)
     assert int(got) == expected
+
+
+def test_connected_components_basic(spark):
+    from kafka_topic_dumper_spark.operators.graph import connected_components
+
+    # two chains and an isolated pair: {1-2-3-4}, {10-11}, {20-21-22}
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11), (21, 20), (21, 22)],
+        ["src", "dst"],
+    )
+    got = {
+        (r.node, r.component_id)
+        for r in connected_components(edges, "src", "dst").collect()
+    }
+    assert got == {
+        (1, 1), (2, 1), (3, 1), (4, 1),
+        (10, 10), (11, 10),
+        (20, 20), (21, 20), (22, 20),
+    }
+
+
+def test_connected_components_diameter_budget(spark):
+    import pytest as _pytest
+
+    from kafka_topic_dumper_spark.operators.graph import connected_components
+
+    chain = spark.createDataFrame(
+        [(i, i + 1) for i in range(8)], ["src", "dst"]
+    )
+    labels = connected_components(chain, "src", "dst").collect()
+    assert {r.component_id for r in labels} == {0}
+    with _pytest.raises(RuntimeError, match="did not converge"):
+        connected_components(chain, "src", "dst", max_iter=2)
