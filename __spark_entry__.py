@@ -67,6 +67,7 @@ _VERIFY_PRIORITY = [
     "q21_late_shipping_suppliers",
     "q22_dormant_customers",
     "dedup_cluster_components",
+    "text_contamination_overlap",
     # --- changed in round 2 (need fresh rows) ---
     "multimodal_feature_stub",
     "dedup_ngram_jaccard",
@@ -88,8 +89,8 @@ _VERIFY_PRIORITY = [
     "similarity_topk_ivf",
     "q18_large_volume_orders",
     "asof_join_last_purchase",
-    "rollup_order_revenue",
     # --- tail: round-1-green, unchanged (rows carried from r1) ---
+    "rollup_order_revenue",
     "cube_event_activity",
     "setops_customer_cohorts",
     "window_event_metrics",

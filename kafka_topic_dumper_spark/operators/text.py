@@ -14,6 +14,8 @@ from pyspark.sql import functions as F
 from kafka_topic_dumper_spark.functions.portable_hash import (
     h32_duckdb_sql,
     h32_spark_sql,
+    h60_duckdb_sql,
+    h60_spark_sql,
 )
 from kafka_topic_dumper_spark.sources.tables import load_table
 
@@ -31,6 +33,75 @@ _CJK = "[一-鿿]"  # U+4E00..U+9FFF
 
 def _tokens() -> Column:
     return F.split(F.lower(F.col("text")), r"\s+")
+
+
+CONTAMINATION_K = 4
+CONTAMINATION_PROBE_MOD = 25
+
+
+def contamination_overlap(
+    docs: DataFrame,
+    k: int = CONTAMINATION_K,
+    probe_mod: int = CONTAMINATION_PROBE_MOD,
+) -> DataFrame:
+    """Benchmark decontamination: k-gram overlap of every document
+    against a probe ("benchmark") subset — the check every serious
+    training-data pipeline runs so eval sets don't leak into training
+    corpora. Here the probe set is the deterministic doc_id % probe_mod
+    slice; in production it is the actual benchmark suite, which is
+    always TINY relative to the corpus — exactly why the plan below
+    broadcasts the probe index and never shuffles the corpus:
+
+    1. one pass tokenizes and hashes distinct k-grams per doc
+       (JVM array lambdas, 60-bit portable md5-prefix keys);
+    2. the probe docs' gram index (benchmark-sized) broadcasts;
+    3. a broadcast hash join + groupBy counts shared grams — the
+       corpus is streamed map-side, the only exchange is the final
+       per-(doc, probe) partial-agg combine.
+
+    Outputs are integers only (n_common, probe_ngrams) — callers
+    derive the contamination ratio; emitting the division would
+    reintroduce the cross-engine double-rounding trap
+    (see q10's docstring in operators/analytics.py).
+    """
+    grams = (
+        docs.select("doc_id", F.split(F.lower("text"), r"\s+").alias("toks"))
+        .select(
+            "doc_id",
+            F.explode(
+                F.when(
+                    F.size("toks") >= k,
+                    F.array_distinct(
+                        F.transform(
+                            F.sequence(F.lit(0), F.size("toks") - k),
+                            lambda i: F.concat_ws(
+                                " ", *[F.col("toks")[i + j] for j in range(k)]
+                            ),
+                        )
+                    ),
+                ).otherwise(F.expr("CAST(array() AS array<string>)"))
+            ).alias("g"),
+        )
+        .select("doc_id", F.expr(h60_spark_sql("g")).alias("gh"))
+        # per-doc distinctness is already guaranteed by array_distinct
+        # BEFORE the explode — a global .distinct() here would re-shuffle
+        # the whole exploded corpus for nothing
+    )
+    probe = grams.filter(F.col("doc_id") % probe_mod == 0).select(
+        F.col("doc_id").alias("probe_id"), "gh"
+    )
+    probe_counts = probe.groupBy("probe_id").agg(
+        F.count("*").alias("probe_ngrams")
+    )
+    hits = (
+        grams.join(F.broadcast(probe), "gh")
+        .filter(F.col("doc_id") != F.col("probe_id"))
+        .groupBy("doc_id", "probe_id")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return hits.join(F.broadcast(probe_counts), "probe_id").select(
+        "doc_id", "probe_id", "n_common", "probe_ngrams"
+    )
 
 
 def _count_in(tokens: Column, words: list[str]) -> Column:
@@ -693,3 +764,36 @@ def register(reg) -> None:
     def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
         """md5 fingerprint of whitespace-normalized text."""
         return fingerprint(load_table(spark, sf_dir, "documents"))
+
+    @reg(
+        "text_contamination_overlap",
+        f"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+            FROM documents
+        ), grams AS (
+            SELECT DISTINCT doc_id, {h60_duckdb_sql('g')} AS gh
+            FROM (SELECT doc_id,
+                         unnest(list_transform(range(1, len(t) - 2),
+                                i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3])) AS g
+                  FROM toks)
+        ), probe AS (
+            SELECT doc_id AS probe_id, gh FROM grams
+            WHERE doc_id % {CONTAMINATION_PROBE_MOD} = 0
+        ), probe_counts AS (
+            SELECT probe_id, CAST(count(*) AS BIGINT) AS probe_ngrams
+            FROM probe GROUP BY probe_id
+        ), hits AS (
+            SELECT g.doc_id, p.probe_id, CAST(count(*) AS BIGINT) AS n_common
+            FROM grams g
+            JOIN probe p ON g.gh = p.gh AND g.doc_id <> p.probe_id
+            GROUP BY g.doc_id, p.probe_id
+        )
+        SELECT h.doc_id, h.probe_id, h.n_common, pc.probe_ngrams
+        FROM hits h JOIN probe_counts pc ON pc.probe_id = h.probe_id
+        """,
+    )
+    def text_contamination_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Benchmark-decontamination overlap counts (4-gram portable
+        hashes vs the doc_id %% 25 probe slice); integer-only output."""
+        return contamination_overlap(load_table(spark, sf_dir, "documents"))

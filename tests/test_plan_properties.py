@@ -185,3 +185,14 @@ def test_q21_decorrelated_form_never_multiplies_rows(spark):
     assert count_in(plan, "Window") >= 1
     # lineitem is scanned exactly once
     assert count_in(plan, "lineitem.parquet") == 1
+
+
+def test_contamination_probe_broadcasts_corpus_never_reshuffles(spark):
+    # the probe (benchmark) index and its counts broadcast; the only
+    # hash exchanges are the two aggregations (per-(doc,probe) combine
+    # and the probe-sized count) — the exploded corpus is never
+    # re-shuffled for distinctness (array_distinct dedupes pre-explode)
+    plan = plan_of(spark, "text_contamination_overlap")
+    assert count_in(plan, "BroadcastHashJoin") == 2
+    assert count_in(plan, "SortMergeJoin") == 0
+    assert count_in(plan, "Exchange hashpartitioning") == 2
