@@ -68,6 +68,8 @@ _VERIFY_PRIORITY = [
     "q22_dormant_customers",
     "dedup_cluster_components",
     "text_contamination_overlap",
+    "stats_exact_percentiles",
+    "grouping_sets_order_matrix",
     # --- changed in round 2 (need fresh rows) ---
     "multimodal_feature_stub",
     "dedup_ngram_jaccard",
@@ -87,9 +89,9 @@ _VERIFY_PRIORITY = [
     "similarity_topk_bruteforce",
     "similarity_topk_lsh",
     "similarity_topk_ivf",
+    # --- tail: round-1-green, unchanged (rows carried from r1) ---
     "q18_large_volume_orders",
     "asof_join_last_purchase",
-    # --- tail: round-1-green, unchanged (rows carried from r1) ---
     "rollup_order_revenue",
     "cube_event_activity",
     "setops_customer_cohorts",

@@ -1051,3 +1051,92 @@ def register(reg) -> None:
         return salted_join(orders, cust, "o_custkey", "c_custkey").select(
             "o_orderkey", "o_totalprice", "c_name"
         )
+
+    @reg(
+        "stats_exact_percentiles",
+        """
+        SELECT l_returnflag,
+               quantile_cont(l_quantity, 0.25) AS p25_qty,
+               quantile_cont(l_quantity, 0.50) AS p50_qty,
+               quantile_cont(l_quantity, 0.75) AS p75_qty,
+               min(l_quantity) AS min_qty,
+               max(l_quantity) AS max_qty,
+               CAST(count(*) AS BIGINT) AS n_rows
+        FROM lineitem GROUP BY l_returnflag
+        """,
+    )
+    def stats_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """EXACT quartiles per group (complement of approx_aggregates'
+        sketch percentiles). Spark's percentile() and DuckDB's
+        quantile_cont() both linearly interpolate at position
+        f·(n−1); with integral-valued quantities and quarter
+        fractions (2^-2), every interpolation term is an exact binary
+        double, so the engines agree bit-for-bit — arbitrary fractions
+        over non-integral data would NOT be cross-engine-stable.
+        Exact percentile is a full-sort-per-group aggregate: fine for
+        bounded group counts; at 100 TB over high-cardinality groups
+        use approx_percentile (the approx_aggregates query) instead."""
+        li = load_table(spark, sf_dir, "lineitem")
+        pct = F.expr("percentile(l_quantity, array(0.25D, 0.50D, 0.75D))")
+        return (
+            li.groupBy("l_returnflag")
+            .agg(
+                pct.alias("pcts"),
+                F.min("l_quantity").alias("min_qty"),
+                F.max("l_quantity").alias("max_qty"),
+                F.count("*").alias("n_rows"),
+            )
+            .select(
+                "l_returnflag",
+                F.col("pcts")[0].alias("p25_qty"),
+                F.col("pcts")[1].alias("p50_qty"),
+                F.col("pcts")[2].alias("p75_qty"),
+                "min_qty",
+                "max_qty",
+                "n_rows",
+            )
+        )
+
+    @reg(
+        "grouping_sets_order_matrix",
+        """
+        SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+               coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+               CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus)
+                    AS INTEGER) AS gid,
+               CAST(count(*) AS BIGINT) AS n_orders,
+               sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0
+                   AS total_price
+        FROM orders
+        GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                (o_orderpriority), (o_orderstatus))
+        """,
+    )
+    def grouping_sets_order_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Arbitrary GROUPING SETS (completing the grouping surface
+        beyond rollup/cube): the two single-key marginals plus the
+        full cross — one Expand + one shuffle, same as rollup; the
+        grouping() bitvector disambiguates subtotal rows from real
+        'ALL' values. total_price follows the repo's integer-cents
+        discipline (exact_money.py): a float sum over the ~3000-row
+        marginal groups accumulates enough ulp error (~n·eps·sum) to
+        flip a round(…, 2) boundary under a different partition
+        layout, so the sum is an exact bigint divided once."""
+        orders = load_table(spark, sf_dir, "orders")
+        orders.createOrReplaceTempView("orders_gs_v")
+        return spark.sql(
+            """
+            SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+                   coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+                   CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus)
+                        AS INT) AS gid,
+                   count(*) AS n_orders,
+                   -- 100.0D: Spark SQL parses a bare 100.0 as DECIMAL,
+                   -- which would make the division DECIMAL, not DOUBLE
+                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0D
+                       AS total_price
+            FROM orders_gs_v
+            GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                    (o_orderpriority), (o_orderstatus))
+            """
+        )
