@@ -79,3 +79,17 @@ def user_sessions_stream(
             "sum_value",
         )
     )
+
+
+def enrich_stream(events: DataFrame, dim: DataFrame, on_left: str, on_right: str) -> DataFrame:
+    """Stream-static enrichment join: attach dimension attributes to a
+    live stream — the most common production streaming shape (events ⋈
+    user/customer/product table). Stateless: Spark plans a broadcast
+    (or locality-respecting) join per micro-batch, re-resolving the
+    static side each batch, so a dimension UPDATE is picked up on the
+    next trigger without restarting the query; no streaming state is
+    kept at all. Left join keeps stream rows with no dim match
+    (nulls), never drops stream data."""
+    return events.join(
+        F.broadcast(dim), events[on_left] == dim[on_right], "left"
+    )

@@ -149,3 +149,54 @@ def test_connected_components_diameter_budget(spark):
     assert {r.component_id for r in labels} == {0}
     with _pytest.raises(RuntimeError, match="did not converge"):
         connected_components(chain, "src", "dst", max_iter=2)
+
+
+def test_connected_components_matches_union_find(spark):
+    """Property: CC labels equal an independent union-find's min-node
+    labels on random graphs (self-loops, dups, multi-component)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from kafka_topic_dumper_spark.operators.graph import connected_components
+
+    @settings(
+        max_examples=8,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 24), st.integers(0, 24)),
+            min_size=1,
+            max_size=40,
+        )
+    )
+    def run(edges):
+        parent = {}
+
+        def find(x):
+            parent.setdefault(x, x)
+            while parent[x] != x:
+                parent[x] = parent[parent[x]]
+                x = parent[x]
+            return x
+
+        for a, b in edges:
+            ra, rb = find(a), find(b)
+            if ra != rb:
+                parent[ra] = rb
+        comp = {}
+        for n in parent:
+            comp.setdefault(find(n), []).append(n)
+        expected = {
+            n: min(members) for members in comp.values() for n in members
+        }
+        got = {
+            r.node: r.component_id
+            for r in connected_components(
+                spark.createDataFrame(edges, ["src", "dst"]), "src", "dst"
+            ).collect()
+        }
+        assert got == expected
+
+    run()

@@ -81,3 +81,32 @@ def test_dedup_stream_drops_replayed_duplicates(spark, events_stream_path, tmp_p
     out = _run_stream(spark, dedup_stream(stream), "dedup_stream_test")
     assert out.count() == batch.count()
     assert out.select("event_id").distinct().count() == batch.count()
+
+
+def test_enrich_stream_matches_batch_join(spark, events_stream_path):
+    """Stream-static enrichment: per-microbatch broadcast join against
+    a static dimension equals the batch left join, row for row."""
+    from kafka_topic_dumper_spark.streaming.windows import enrich_stream
+
+    batch = load_table(spark, SF, "events")
+    dim = load_table(spark, SF, "customer").select(
+        "c_custkey", "c_name", "c_mktsegment"
+    )
+    stream = spark.readStream.schema(batch.schema).parquet(events_stream_path)
+    out = _run_stream(
+        spark,
+        enrich_stream(stream, dim, "user_id", "c_custkey").select(
+            "event_id", "user_id", "c_name", "c_mktsegment"
+        ),
+        "enrich_test",
+    )
+    got = sorted(tuple(r) for r in out.collect())
+    expected = sorted(
+        tuple(r)
+        for r in batch.join(
+            dim, batch.user_id == dim.c_custkey, "left"
+        )
+        .select("event_id", "user_id", "c_name", "c_mktsegment")
+        .collect()
+    )
+    assert got == expected
