@@ -81,6 +81,45 @@ def user_sessions_stream(
     )
 
 
+def interval_join_stream(
+    left: DataFrame,
+    right: DataFrame,
+    on: str,
+    left_ts: str,
+    right_ts: str,
+    max_delay: str = "1 hour",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Stream-stream event-time interval join: pair each right-stream
+    row with the left-stream rows of the same key that precede it by at
+    most ``max_delay`` (the attribution shape: purchase ⋈ clicks within
+    the last hour). BOTH sides carry a watermark and the join condition
+    bounds event-time distance — together these let Spark expire
+    per-key join state once the watermark passes ``max_delay``, so
+    state stays bounded forever instead of buffering both full streams.
+    Inner join in append mode: every matched pair is emitted exactly
+    once. Timestamp columns must be named differently on the two sides
+    (the output carries both)."""
+    if left_ts == right_ts:
+        raise ValueError("left_ts and right_ts must be distinct column names")
+    lhs = (
+        left.withColumn(left_ts, F.col(left_ts).cast("timestamp"))
+        .withWatermark(left_ts, watermark)
+        .alias("l")
+    )
+    rhs = (
+        right.withColumn(right_ts, F.col(right_ts).cast("timestamp"))
+        .withWatermark(right_ts, watermark)
+        .alias("r")
+    )
+    cond = (
+        (F.col(f"l.{on}") == F.col(f"r.{on}"))
+        & (F.col(f"r.{right_ts}") >= F.col(f"l.{left_ts}"))
+        & (F.col(f"r.{right_ts}") <= F.col(f"l.{left_ts}") + F.expr(f"INTERVAL {max_delay}"))
+    )
+    return lhs.join(rhs, cond, "inner").drop(F.col(f"r.{on}"))
+
+
 def enrich_stream(events: DataFrame, dim: DataFrame, on_left: str, on_right: str) -> DataFrame:
     """Stream-static enrichment join: attach dimension attributes to a
     live stream — the most common production streaming shape (events ⋈

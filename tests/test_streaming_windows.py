@@ -83,6 +83,55 @@ def test_dedup_stream_drops_replayed_duplicates(spark, events_stream_path, tmp_p
     assert out.select("event_id").distinct().count() == batch.count()
 
 
+def test_interval_join_stream_matches_batch(spark, events_stream_path):
+    """Stream-stream interval join (purchase attributed to clicks by
+    the same user within the preceding hour) equals the identical batch
+    join, pair for pair — the inner-join append-mode contract."""
+    from kafka_topic_dumper_spark.streaming.windows import interval_join_stream
+
+    batch = load_table(spark, SF, "events").withColumn(
+        "ts", F.col("ts").cast("timestamp")
+    )
+    clicks_b = batch.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    buys_b = batch.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("buy_id"), F.col("ts").alias("buy_ts")
+    )
+    expected = sorted(
+        (r.click_id, r.buy_id)
+        for r in clicks_b.alias("l")
+        .join(
+            buys_b.alias("r"),
+            (F.col("l.user_id") == F.col("r.user_id"))
+            & (F.col("buy_ts") >= F.col("click_ts"))
+            & (F.col("buy_ts") <= F.col("click_ts") + F.expr("INTERVAL 1 hour")),
+        )
+        .collect()
+    )
+    assert len(expected) > 0  # the fixture data must actually exercise the join
+
+    raw = spark.readStream.schema(
+        load_table(spark, SF, "events").schema
+    ).parquet(events_stream_path)
+    stream = raw.withColumn("ts", F.col("ts").cast("timestamp"))
+    clicks_s = stream.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("event_id").alias("click_id"), F.col("ts").alias("click_ts")
+    )
+    buys_s = stream.filter(F.col("event_type") == "purchase").select(
+        "user_id", F.col("event_id").alias("buy_id"), F.col("ts").alias("buy_ts")
+    )
+    out = _run_stream(
+        spark,
+        interval_join_stream(
+            clicks_s, buys_s, "user_id", "click_ts", "buy_ts"
+        ).select("click_id", "buy_id"),
+        "interval_join_test",
+    )
+    got = sorted((r.click_id, r.buy_id) for r in out.collect())
+    assert got == expected
+
+
 def test_enrich_stream_matches_batch_join(spark, events_stream_path):
     """Stream-static enrichment: per-microbatch broadcast join against
     a static dimension equals the batch left join, row for row."""
