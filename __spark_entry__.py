@@ -70,6 +70,8 @@ _VERIFY_PRIORITY = [
     "text_contamination_overlap",
     "stats_exact_percentiles",
     "grouping_sets_order_matrix",
+    "pack_training_sequences",
+    "sample_domain_mixture",
     # --- changed in round 2 (need fresh rows) ---
     "multimodal_feature_stub",
     "dedup_ngram_jaccard",
@@ -87,9 +89,9 @@ _VERIFY_PRIORITY = [
     "dedup_minhash_lsh",
     "dedup_simhash",
     "similarity_topk_bruteforce",
+    # --- tail: round-1-green, unchanged (rows carried from r1) ---
     "similarity_topk_lsh",
     "similarity_topk_ivf",
-    # --- tail: round-1-green, unchanged (rows carried from r1) ---
     "q18_large_volume_orders",
     "asof_join_last_purchase",
     "rollup_order_revenue",

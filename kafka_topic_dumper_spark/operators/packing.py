@@ -1,0 +1,265 @@
+"""Training-sequence packing and domain mixing (SURVEY §2.10 — the
+steps between a cleaned corpus and a training run).
+
+``pack_sequences`` is the concat-and-chunk layout step of LLM
+pretraining: documents are laid out in a deterministic global order,
+token streams concatenated, and cut into fixed-length sequences; the
+output says, for every document, which training sequence(s) it lands
+in and at which offsets. The core primitive is a GLOBAL prefix sum of
+per-document token counts — the textbook serial trap in Spark (a
+``Window.orderBy`` with no partitionBy collapses to ONE task). Here it
+is the classic two-phase distributed prefix sum instead:
+
+1. bucket documents by deterministic doc_id ranges (NOT
+   ``repartitionByRange``: its sampled boundaries can differ if a
+   cached stage is evicted and recomputed, which would silently shift
+   every offset — the bucket function must be a pure function of the
+   row);
+2. local cumulative sums per bucket (parallel windows);
+3. per-bucket totals → driver (one row per bucket — metadata-plane,
+   like the reference's offset bounds in kafka_client.py:82-110);
+   exclusive-prefix them and broadcast the bases back.
+
+Two compact shuffles total, both carrying (doc_id, n_tok, bucket) —
+never text. At 100 TB the shuffled projection is ~24 B/doc.
+
+``sample_domain_mixture`` solves the data-mixing equation: given
+target corpus proportions per source, the largest feasible corpus is
+``T = min_s(tokens_s / w_s)`` and each source is down-sampled at
+``rate_s = w_s·T / tokens_s`` — membership decided by the portable
+md5 hash of the doc id, so the sample is deterministic, reproducible
+across engines, and needs no shuffle at all (the per-source totals are
+a tiny broadcast).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, Window
+from pyspark.sql import functions as F
+
+from kafka_topic_dumper_spark.functions.caching import tracked_persist
+from kafka_topic_dumper_spark.functions.portable_hash import h32_spark_sql
+
+# NB: Spark SQL string literals are C-escaped — the literal must read
+# '\\s+' in the SQL text to mean the regex \s+ (a single backslash
+# would split on the regex "s+")
+TOKENS_SQL = r"split(lower(text), '\\s+')"
+
+DEFAULT_SEQ_LEN = 2048
+MIX_WEIGHTS = {"src0": 0.5, "src1": 0.3, "src2": 0.2}
+_MIX_RES = 10000  # rate quantization: integer hash-bucket compare, no float <
+
+
+def token_counts(docs: DataFrame) -> DataFrame:
+    """(doc_id, n_tok) — whitespace token count, the same tokenizer as
+    operators/text.py so corpus stats and packing agree."""
+    return docs.select(
+        "doc_id", F.expr(f"CAST(size({TOKENS_SQL}) AS BIGINT)").alias("n_tok")
+    )
+
+
+def pack_sequences(
+    docs: DataFrame, seq_len: int = DEFAULT_SEQ_LEN, buckets: int = 32
+) -> DataFrame:
+    """Assign every document its slice(s) of the packed training
+    stream: (doc_id, seq_id, start_in_seq, n_tok_in_seq), where
+    documents crossing a sequence boundary emit one row per sequence
+    touched. Layout order is doc_id; all arithmetic is exact int64.
+
+    ``buckets`` bounds the parallelism of the prefix-sum stage — at
+    scale set it ≈ the cluster's task slots. Bucketing is by doc_id
+    range (pure function of the row; see module docstring for why not
+    repartitionByRange), so bucket k holds ids
+    [min_id + k·width, min_id + (k+1)·width)."""
+    toks = tracked_persist(token_counts(docs))
+    lo, hi = toks.agg(F.min("doc_id"), F.max("doc_id")).first()
+    if lo is None:
+        return toks.select(
+            "doc_id",
+            F.lit(0).cast("bigint").alias("seq_id"),
+            F.lit(0).cast("bigint").alias("start_in_seq"),
+            F.lit(0).cast("bigint").alias("n_tok_in_seq"),
+        ).limit(0)
+    width = max(1, (hi - lo + buckets) // buckets)
+    bucketed = toks.withColumn(
+        "bucket", F.expr(f"(doc_id - {lo}) div {width}")
+    )
+    # phase 1+3: per-bucket totals -> exclusive prefix on the driver
+    # (one row per bucket — metadata-plane), broadcast back as bases
+    totals = bucketed.groupBy("bucket").agg(F.sum("n_tok").alias("tot")).collect()
+    bases, acc = [], 0
+    for row in sorted(totals, key=lambda r: r["bucket"]):
+        bases.append((row["bucket"], acc))
+        acc += row["tot"]
+    base_df = docs.sparkSession.createDataFrame(
+        bases, "bucket bigint, base bigint"
+    )
+    # phase 2: parallel local cumsums (exclusive), one window per bucket
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    started = (
+        bucketed.withColumn(
+            "local_start", F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+        )
+        .join(F.broadcast(base_df), "bucket")
+        .select("doc_id", "n_tok", (F.col("base") + F.col("local_start")).alias("s"))
+    )
+    # chunk: doc occupying global tokens [s, s+n_tok) touches sequences
+    # floor(s/L) .. floor((s+n_tok-1)/L)
+    return (
+        started.filter(F.col("n_tok") > 0)
+        .select(
+            "doc_id",
+            "n_tok",
+            "s",
+            F.explode(
+                F.sequence(
+                    F.expr(f"s div {seq_len}"),
+                    F.expr(f"(s + n_tok - 1) div {seq_len}"),
+                )
+            ).alias("seq_id"),
+        )
+        .select(
+            "doc_id",
+            "seq_id",
+            (
+                F.greatest(F.col("s"), F.col("seq_id") * seq_len)
+                - F.col("seq_id") * seq_len
+            ).alias("start_in_seq"),
+            (
+                F.least(F.col("s") + F.col("n_tok"), (F.col("seq_id") + 1) * seq_len)
+                - F.greatest(F.col("s"), F.col("seq_id") * seq_len)
+            ).alias("n_tok_in_seq"),
+        )
+    )
+
+
+def pack_sequences_oracle_sql(seq_len: int = DEFAULT_SEQ_LEN) -> str:
+    """DuckDB twin: serial window cumsum (fine at oracle scale) over
+    the identical tokenizer and integer chunk arithmetic."""
+    return rf"""
+        WITH t AS (
+            SELECT doc_id,
+                   CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)
+                       AS n_tok
+            FROM documents
+        ), c AS (
+            SELECT doc_id, n_tok,
+                   COALESCE(sum(n_tok) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+                       0) AS s
+            FROM t
+        ), x AS (
+            SELECT doc_id, n_tok, s,
+                   unnest(range(CAST(s // {seq_len} AS BIGINT),
+                                CAST((s + n_tok - 1) // {seq_len} + 1 AS BIGINT)))
+                       AS seq_id
+            FROM c WHERE n_tok > 0
+        )
+        SELECT doc_id, seq_id,
+               CAST(greatest(s, seq_id * {seq_len}) - seq_id * {seq_len}
+                    AS BIGINT) AS start_in_seq,
+               CAST(least(s + n_tok, (seq_id + 1) * {seq_len})
+                    - greatest(s, seq_id * {seq_len}) AS BIGINT) AS n_tok_in_seq
+        FROM x
+        """
+
+
+def sample_domain_mixture(
+    docs: DataFrame, weights: dict[str, float] | None = None
+) -> DataFrame:
+    """Down-sample sources to hit a target token mix: keep docs whose
+    portable id-hash bucket falls under the source's computed rate.
+    Returns the kept (doc_id, source, n_tok). The rate computation and
+    the threshold quantization (floor(rate·10000)) are identical IEEE
+    double expressions on both engines, so membership is exact — no
+    float tolerance anywhere. No shuffle touches the corpus: the
+    per-source totals are a tiny aggregate broadcast back as a map-side
+    filter."""
+    weights = weights or MIX_WEIGHTS
+    wmap = F.create_map(
+        *[F.lit(x) for kv in weights.items() for x in kv]
+    )
+    tok = (
+        docs.filter(F.col("source").isin(*weights))
+        .select(
+            "doc_id",
+            "source",
+            F.expr(f"CAST(size({TOKENS_SQL}) AS BIGINT)").alias("n_tok"),
+        )
+    )
+    totals = tok.groupBy("source").agg(F.sum("n_tok").alias("toks_s"))
+    feasible = totals.withColumn("w", wmap[F.col("source")]).agg(
+        F.min(F.col("toks_s") / F.col("w")).alias("t_total")
+    )
+    rates = (
+        totals.join(F.broadcast(feasible))
+        .withColumn("w", wmap[F.col("source")])
+        .select(
+            "source",
+            F.floor(
+                F.col("w") * F.col("t_total") / F.col("toks_s") * _MIX_RES
+            ).alias("thr"),
+        )
+    )
+    return (
+        tok.join(F.broadcast(rates), "source")
+        .filter(F.expr(f"{h32_spark_sql('CAST(doc_id AS STRING)')} % {_MIX_RES}") < F.col("thr"))
+        .select("doc_id", "source", "n_tok")
+    )
+
+
+def sample_domain_mixture_oracle_sql(weights: dict[str, float] | None = None) -> str:
+    """DuckDB twin — same totals, same min-feasibility, same
+    floor-quantized thresholds, same portable hash membership."""
+    from kafka_topic_dumper_spark.functions.portable_hash import h32_duckdb_sql
+
+    weights = weights or MIX_WEIGHTS
+    srcs = ", ".join(f"'{s}'" for s in weights)
+    wcase = "CASE source " + " ".join(
+        f"WHEN '{s}' THEN {w}" for s, w in weights.items()
+    ) + " END"
+    h = h32_duckdb_sql("CAST(doc_id AS VARCHAR)")
+    return rf"""
+        WITH tok AS (
+            SELECT doc_id, source,
+                   CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)
+                       AS n_tok
+            FROM documents WHERE source IN ({srcs})
+        ), totals AS (
+            SELECT source, sum(n_tok) AS toks_s FROM tok GROUP BY source
+        ), feasible AS (
+            SELECT min(toks_s / ({wcase})) AS t_total FROM totals
+        ), rates AS (
+            SELECT source,
+                   floor(({wcase}) * t_total / toks_s * {_MIX_RES}) AS thr
+            FROM totals CROSS JOIN feasible
+        )
+        SELECT doc_id, tok.source AS source, n_tok
+        FROM tok JOIN rates ON tok.source = rates.source
+        WHERE ({h} % {_MIX_RES}) < thr
+        """
+
+
+def register(reg) -> None:
+    from pyspark.sql import SparkSession
+
+    from kafka_topic_dumper_spark.sources.tables import load_table
+
+    @reg("pack_training_sequences", pack_sequences_oracle_sql(512))
+    def pack_training_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Concat-and-chunk packing of the documents corpus into
+        512-token training sequences via the distributed prefix sum
+        (8 range buckets exercise the multi-bucket path at test SF)."""
+        return pack_sequences(
+            load_table(spark, sf_dir, "documents"), seq_len=512, buckets=8
+        )
+
+    @reg("sample_domain_mixture", sample_domain_mixture_oracle_sql())
+    def sample_domain_mixture_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Deterministic token-weighted domain mixing over three
+        sources (50/30/20 target)."""
+        return sample_domain_mixture(load_table(spark, sf_dir, "documents"))

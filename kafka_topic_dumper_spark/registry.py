@@ -26,6 +26,7 @@ from kafka_topic_dumper_spark.operators import (
     analytics,
     dedup,
     multimodal,
+    packing,
     similarity,
     text,
     tpch_full,
@@ -552,7 +553,7 @@ def register_extensions() -> None:
     """Pull in §2.10 extension queries (dedup / similarity / text /
     multimodal). Separated so this module stays importable even while an
     extension module is mid-build."""
-    for mod in (dedup, similarity, text, multimodal, analytics, tpch_full):
+    for mod in (dedup, similarity, text, multimodal, analytics, tpch_full, packing):
         mod.register(_register)
 
 

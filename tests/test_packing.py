@@ -1,0 +1,90 @@
+"""Sequence packing + domain mixing: invariants, distributed-prefix-sum
+correctness (bucket-count invariance), and the no-serial-window plan
+property."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_topic_dumper_spark.operators.packing import (
+    MIX_WEIGHTS,
+    pack_sequences,
+    sample_domain_mixture,
+    token_counts,
+)
+from kafka_topic_dumper_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+L = 128
+
+
+def test_pack_covers_every_token_exactly_once(spark):
+    docs = load_table(spark, SF, "documents")
+    out = pack_sequences(docs, seq_len=L, buckets=4)
+    total_tokens = token_counts(docs).agg(F.sum("n_tok")).first()[0]
+    per_seq = (
+        out.groupBy("seq_id").agg(F.sum("n_tok_in_seq").alias("filled")).collect()
+    )
+    n_seqs = max(r.seq_id for r in per_seq) + 1
+    # every sequence is exactly full except possibly the last
+    for r in per_seq:
+        if r.seq_id < n_seqs - 1:
+            assert r.filled == L, f"seq {r.seq_id} has {r.filled} tokens"
+        else:
+            assert 0 < r.filled <= L
+    # no token lost or duplicated across the whole corpus
+    assert sum(r.filled for r in per_seq) == total_tokens
+    # every doc's slices reassemble to its token count
+    per_doc = {
+        r.doc_id: r.s
+        for r in out.groupBy("doc_id").agg(F.sum("n_tok_in_seq").alias("s")).collect()
+    }
+    for r in token_counts(docs).collect():
+        assert per_doc[r.doc_id] == r.n_tok
+    # slice bounds live inside the sequence
+    bad = out.filter(
+        (F.col("start_in_seq") < 0)
+        | (F.col("start_in_seq") + F.col("n_tok_in_seq") > L)
+        | (F.col("n_tok_in_seq") <= 0)
+    ).count()
+    assert bad == 0
+
+
+def test_pack_is_bucket_count_invariant(spark):
+    """The two-phase prefix sum must yield identical global offsets for
+    ANY bucketing — 1 bucket (serial) vs many (parallel)."""
+    docs = load_table(spark, SF, "documents")
+    one = sorted(map(tuple, pack_sequences(docs, seq_len=L, buckets=1).collect()))
+    many = sorted(map(tuple, pack_sequences(docs, seq_len=L, buckets=16).collect()))
+    assert one == many
+
+
+def test_pack_plan_has_no_serial_window(spark):
+    """The scale property: no single-partition exchange anywhere — the
+    global cumsum must NOT be a Window.orderBy over one task."""
+    docs = load_table(spark, SF, "documents")
+    plan = (
+        pack_sequences(docs, seq_len=L, buckets=8)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "Exchange SinglePartition" not in plan
+    assert "Window" in plan  # the per-bucket cumsum is still a window
+
+
+def test_mixture_hits_target_proportions(spark):
+    """Achieved token mix tracks the target weights to within doc
+    granularity, and no source exceeds its available tokens."""
+    docs = load_table(spark, SF, "documents")
+    kept = sample_domain_mixture(docs)
+    toks = {
+        r.source: r.t
+        for r in kept.groupBy("source").agg(F.sum("n_tok").alias("t")).collect()
+    }
+    assert set(toks) <= set(MIX_WEIGHTS)
+    total = sum(toks.values())
+    for s, w in MIX_WEIGHTS.items():
+        # hash sampling at ~25-doc sources: generous tolerance, the
+        # exactness claim lives in the DuckDB oracle not in this bound
+        assert abs(toks.get(s, 0) / total - w) < 0.2
