@@ -72,6 +72,8 @@ _VERIFY_PRIORITY = [
     "grouping_sets_order_matrix",
     "pack_training_sequences",
     "sample_domain_mixture",
+    "pipeline_clean_dedup_pack",
+    "dedup_incremental",
     # --- changed in round 2 (need fresh rows) ---
     "multimodal_feature_stub",
     "dedup_ngram_jaccard",
@@ -84,12 +86,12 @@ _VERIFY_PRIORITY = [
     "q5_region_revenue",
     "flagship_latest_event_per_user",
     "events_hourly_rollup",
-    "dedup_exact",
-    "dedup_canonical_mapping",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "similarity_topk_bruteforce",
     # --- tail: round-1-green, unchanged (rows carried from r1) ---
+    "dedup_exact",
+    "dedup_canonical_mapping",
     "similarity_topk_lsh",
     "similarity_topk_ivf",
     "q18_large_volume_orders",

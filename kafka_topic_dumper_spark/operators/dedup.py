@@ -154,6 +154,50 @@ def ngram_jaccard_pairs(docs: DataFrame, max_df: int = NGRAM_MAX_DF) -> DataFram
     )
 
 
+INCR_BATCH_MOD = 10
+
+
+def incremental_dedup(docs: DataFrame, batch_mod: int = INCR_BATCH_MOD) -> DataFrame:
+    """Continuous-ingestion dedup: flag a NEW batch of documents
+    against the already-ingested corpus without ever shuffling the
+    corpus. The batch here is the deterministic ``doc_id % batch_mod
+    == 0`` slice standing in for today's crawl; the corpus is the rest,
+    standing in for the persisted fingerprint index.
+
+    Plan shape for 100 TB: the batch's distinct fingerprints (small by
+    assumption — one ingest interval) BROADCAST into a left-semi probe
+    of the corpus index, which therefore streams map-side; the matched
+    fingerprint set that comes back is at most batch-sized, so it
+    broadcasts into the final flag join. The only shuffle anywhere is
+    the batch-internal first-seen window — over the batch, not the
+    corpus. Output per batch doc: was it already in the corpus, and is
+    it a duplicate within its own batch."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    batch = docs.filter(F.col("doc_id") % batch_mod == 0).select(
+        "doc_id", F.md5(norm).alias("fp")
+    )
+    corpus_fp = docs.filter(F.col("doc_id") % batch_mod != 0).select(
+        F.md5(norm).alias("fp")
+    )
+    known = (
+        corpus_fp.join(F.broadcast(batch.select("fp").distinct()), "fp", "left_semi")
+        .distinct()
+        .withColumn("known", F.lit(1))
+    )
+    from pyspark.sql import Window
+
+    w = Window.partitionBy("fp")
+    return (
+        batch.withColumn("first_id", F.min("doc_id").over(w))
+        .join(known.hint("broadcast"), "fp", "left")
+        .select(
+            "doc_id",
+            F.coalesce("known", F.lit(0)).cast("int").alias("is_known_in_corpus"),
+            (F.col("doc_id") != F.col("first_id")).cast("int").alias("is_dup_in_batch"),
+        )
+    )
+
+
 # --- MinHash + LSH ---------------------------------------------------------
 
 
@@ -547,6 +591,33 @@ def register(reg) -> None:
         """Row-level dedup mapping: doc → canonical survivor + dup
         flag."""
         return canonical_mapping(load_table(spark, sf_dir, "documents"))
+
+    @reg(
+        "dedup_incremental",
+        rf"""
+        WITH f AS (
+            SELECT doc_id,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+            FROM documents
+        ), batch AS (
+            SELECT doc_id, fp FROM f WHERE doc_id % {INCR_BATCH_MOD} = 0
+        ), known AS (
+            SELECT DISTINCT fp FROM f
+            WHERE doc_id % {INCR_BATCH_MOD} != 0
+              AND fp IN (SELECT fp FROM batch)
+        )
+        SELECT b.doc_id,
+               CAST(CASE WHEN k.fp IS NOT NULL THEN 1 ELSE 0 END AS INTEGER)
+                   AS is_known_in_corpus,
+               CAST(b.doc_id != min(b.doc_id) OVER (PARTITION BY b.fp)
+                    AS INTEGER) AS is_dup_in_batch
+        FROM batch b LEFT JOIN known k ON b.fp = k.fp
+        """,
+    )
+    def dedup_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """New-batch-vs-corpus dedup flags (broadcast probe of the
+        corpus fingerprint index; the corpus never shuffles)."""
+        return incremental_dedup(load_table(spark, sf_dir, "documents"))
 
     # MinHash oracle: the exact same pipeline in DuckDB SQL, built from
     # the same md5-derived (a, b) literals (functions/portable_hash.py).

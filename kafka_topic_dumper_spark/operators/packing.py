@@ -137,15 +137,15 @@ def pack_sequences(
     )
 
 
-def pack_sequences_oracle_sql(seq_len: int = DEFAULT_SEQ_LEN) -> str:
-    """DuckDB twin: serial window cumsum (fine at oracle scale) over
-    the identical tokenizer and integer chunk arithmetic."""
-    return rf"""
-        WITH t AS (
+def pack_oracle_ctes(seq_len: int = DEFAULT_SEQ_LEN, src: str = "documents") -> str:
+    """The packing computation as a chain of CTE definitions over
+    ``src`` (must expose doc_id, text) — composable into larger
+    pipelines; ``pack_sequences_oracle_sql`` wraps it standalone."""
+    return rf"""t AS (
             SELECT doc_id,
                    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)
                        AS n_tok
-            FROM documents
+            FROM {src}
         ), c AS (
             SELECT doc_id, n_tok,
                    COALESCE(sum(n_tok) OVER (ORDER BY doc_id
@@ -158,7 +158,12 @@ def pack_sequences_oracle_sql(seq_len: int = DEFAULT_SEQ_LEN) -> str:
                                 CAST((s + n_tok - 1) // {seq_len} + 1 AS BIGINT)))
                        AS seq_id
             FROM c WHERE n_tok > 0
-        )
+        )"""
+
+
+def pack_oracle_select(seq_len: int = DEFAULT_SEQ_LEN) -> str:
+    """Final SELECT over the ``x`` CTE from :func:`pack_oracle_ctes`."""
+    return f"""
         SELECT doc_id, seq_id,
                CAST(greatest(s, seq_id * {seq_len}) - seq_id * {seq_len}
                     AS BIGINT) AS start_in_seq,
@@ -166,6 +171,12 @@ def pack_sequences_oracle_sql(seq_len: int = DEFAULT_SEQ_LEN) -> str:
                     - greatest(s, seq_id * {seq_len}) AS BIGINT) AS n_tok_in_seq
         FROM x
         """
+
+
+def pack_sequences_oracle_sql(seq_len: int = DEFAULT_SEQ_LEN) -> str:
+    """DuckDB twin: serial window cumsum (fine at oracle scale) over
+    the identical tokenizer and integer chunk arithmetic."""
+    return f"WITH {pack_oracle_ctes(seq_len)}{pack_oracle_select(seq_len)}"
 
 
 def sample_domain_mixture(
@@ -244,6 +255,44 @@ def sample_domain_mixture_oracle_sql(weights: dict[str, float] | None = None) ->
         """
 
 
+def clean_dedup_pack(
+    docs: DataFrame, lang: str = "en", seq_len: int = DEFAULT_SEQ_LEN, buckets: int = 32
+) -> DataFrame:
+    """End-to-end corpus prep as ONE declarative plan: language filter →
+    canonical exact dedup (min-doc_id survivor per normalized-text
+    group) → sequence packing. Composition is the point — each stage is
+    the same operator exposed individually, and Catalyst fuses the
+    filter+dedup projection into the packing scan; nothing materializes
+    between stages."""
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    w = Window.partitionBy("fp")
+    survivors = (
+        docs.filter(F.col("lang") == lang)
+        .select("doc_id", "text", F.md5(norm).alias("fp"))
+        .withColumn("k", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("k"))
+        .select("doc_id", "text")
+    )
+    return pack_sequences(survivors, seq_len=seq_len, buckets=buckets)
+
+
+def clean_dedup_pack_oracle_sql(lang: str = "en", seq_len: int = DEFAULT_SEQ_LEN) -> str:
+    return rf"""
+        WITH en AS (
+            SELECT doc_id, text FROM documents WHERE lang = '{lang}'
+        ), f AS (
+            SELECT doc_id, text,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+            FROM en
+        ), cleaned AS (
+            SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       min(doc_id) OVER (PARTITION BY fp) AS k
+                FROM f
+            ) WHERE doc_id = k
+        ), {pack_oracle_ctes(seq_len, 'cleaned')}{pack_oracle_select(seq_len)}"""
+
+
 def register(reg) -> None:
     from pyspark.sql import SparkSession
 
@@ -263,3 +312,11 @@ def register(reg) -> None:
         """Deterministic token-weighted domain mixing over three
         sources (50/30/20 target)."""
         return sample_domain_mixture(load_table(spark, sf_dir, "documents"))
+
+    @reg("pipeline_clean_dedup_pack", clean_dedup_pack_oracle_sql("en", 512))
+    def pipeline_clean_dedup_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Composed corpus-prep pipeline: lang='en' filter → canonical
+        dedup → 512-token sequence packing, one declarative plan."""
+        return clean_dedup_pack(
+            load_table(spark, sf_dir, "documents"), "en", 512, buckets=8
+        )

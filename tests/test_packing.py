@@ -73,6 +73,23 @@ def test_pack_plan_has_no_serial_window(spark):
     assert "Window" in plan  # the per-bucket cumsum is still a window
 
 
+def test_incremental_dedup_all_joins_broadcast(spark):
+    """The corpus side must never be shuffled for a join — every join
+    in the plan broadcasts (batch fingerprints / matched set)."""
+    from kafka_topic_dumper_spark.operators.dedup import incremental_dedup
+
+    docs = load_table(spark, SF, "documents")
+    plan = (
+        incremental_dedup(docs)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
+    assert "ShuffledHashJoin" not in plan
+
+
 def test_mixture_hits_target_proportions(spark):
     """Achieved token mix tracks the target weights to within doc
     granularity, and no source exceeds its available tokens."""
