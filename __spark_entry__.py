@@ -74,6 +74,8 @@ _VERIFY_PRIORITY = [
     "sample_domain_mixture",
     "pipeline_clean_dedup_pack",
     "dedup_incremental",
+    "timeseries_gap_fill",
+    "cohort_retention",
     # --- changed in round 2 (need fresh rows) ---
     "multimodal_feature_stub",
     "dedup_ngram_jaccard",
@@ -86,10 +88,10 @@ _VERIFY_PRIORITY = [
     "q5_region_revenue",
     "flagship_latest_event_per_user",
     "events_hourly_rollup",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
     "similarity_topk_bruteforce",
     # --- tail: round-1-green, unchanged (rows carried from r1) ---
+    "dedup_minhash_lsh",
+    "dedup_simhash",
     "dedup_exact",
     "dedup_canonical_mapping",
     "similarity_topk_lsh",

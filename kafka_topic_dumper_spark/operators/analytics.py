@@ -201,6 +201,92 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     )
 
 
+def gap_fill_hourly(events: DataFrame) -> DataFrame:
+    """Hypertable-style gap filling: a dense hourly spine per
+    event_type between the corpus's first and last hour, observed
+    hourly aggregates joined on, gaps carrying the last seen value
+    forward. The spine is |event_types| × hours — metadata-sized next
+    to the fact table, so it broadcasts; the only fact-side work is
+    the hourly pre-aggregate (one shuffle, partial map-side combine).
+    Forward fill is last_value(IGNORE NULLS) over the SPINE (small),
+    never over raw events."""
+    hourly = events.groupBy(
+        F.date_trunc("hour", "ts").alias("hour"), "event_type"
+    ).agg(
+        F.count("*").alias("n_events"),
+        F.round(F.sum("value"), 2).alias("sum_value"),
+    )
+    bounds = events.agg(
+        F.date_trunc("hour", F.min("ts")).alias("h0"),
+        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    )
+    spine = (
+        events.select("event_type")
+        .distinct()
+        .join(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(
+                F.sequence(F.col("h0"), F.col("h1"), F.expr("INTERVAL 1 HOUR"))
+            ).alias("hour"),
+        )
+    )
+    w = (
+        Window.partitionBy("event_type")
+        .orderBy("hour")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        spine.join(hourly, ["event_type", "hour"], "left")
+        .select(
+            "event_type",
+            "hour",
+            F.coalesce("n_events", F.lit(0)).cast("bigint").alias("n_events"),
+            F.last("sum_value", ignorenulls=True).over(w).alias("carried_sum_value"),
+            F.col("n_events").isNull().cast("int").alias("is_gap"),
+        )
+    )
+
+
+def cohort_retention(events: DataFrame) -> DataFrame:
+    """Weekly cohort retention: users grouped by the week of their
+    first event; for each (cohort week, weeks since), the count of
+    cohort members active that week and the retention fraction.
+    Shuffle budget: the per-user min (one partial-agg shuffle on
+    user_id), the distinct (user, week) pairs (same key — AQE reuses
+    the layout), a user-keyed join of two user-cardinality sides
+    (co-partitioned at scale), then a tiny (cohort, week) aggregate.
+    Week arithmetic is integer day-diffs div 7 on NTZ wall time —
+    timezone-independent and exact."""
+    cohorts = events.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    )
+    active = events.select(
+        "user_id", F.date_trunc("week", "ts").alias("week")
+    ).distinct()
+    sizes = cohorts.groupBy("cohort_week").agg(
+        F.countDistinct("user_id").alias("cohort_size")
+    )
+    return (
+        active.join(cohorts, "user_id")
+        .withColumn(
+            "week_number",
+            F.expr("timestampdiff(DAY, cohort_week, week) div 7").cast("int"),
+        )
+        .groupBy("cohort_week", "week_number")
+        .agg(F.countDistinct("user_id").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_number",
+            "n_active",
+            F.round(F.col("n_active") / F.col("cohort_size"), 4).alias(
+                "retention_frac"
+            ),
+        )
+    )
+
+
 def register(reg) -> None:
     @reg(
         "asof_join_last_purchase",
@@ -373,6 +459,75 @@ def register(reg) -> None:
         """Conversion-terminated sessionization (30 min gap OR ends on
         purchase); batch twin of streaming/stateful.py."""
         return sessionize(load_table(spark, sf_dir, "events"))
+
+    @reg(
+        "timeseries_gap_fill",
+        """
+        WITH hourly AS (
+            SELECT date_trunc('hour', ts) AS hour, event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        ), bounds AS (
+            SELECT date_trunc('hour', min(ts)) AS h0,
+                   date_trunc('hour', max(ts)) AS h1
+            FROM events
+        ), spine AS (
+            SELECT et.event_type, g.hour
+            FROM (SELECT DISTINCT event_type FROM events) et
+            CROSS JOIN (SELECT unnest(generate_series(h0, h1, INTERVAL 1 HOUR))
+                        AS hour FROM bounds) g
+        )
+        SELECT s.event_type, s.hour,
+               CAST(COALESCE(h.n_events, 0) AS BIGINT) AS n_events,
+               last_value(h.sum_value IGNORE NULLS)
+                   OVER (PARTITION BY s.event_type ORDER BY s.hour
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                   AS carried_sum_value,
+               CAST(CASE WHEN h.n_events IS NULL THEN 1 ELSE 0 END AS INTEGER)
+                   AS is_gap
+        FROM spine s
+        LEFT JOIN hourly h ON h.event_type = s.event_type AND h.hour = s.hour
+        """,
+    )
+    def timeseries_gap_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Dense hourly spine per event_type with forward-filled
+        values — the hypertable gap-fill shape."""
+        return gap_fill_hourly(load_table(spark, sf_dir, "events"))
+
+    @reg(
+        "cohort_retention",
+        """
+        WITH cohorts AS (
+            -- DuckDB date_trunc('week') yields DATE; cast back to
+            -- TIMESTAMP to match Spark's timestamp week column
+            SELECT user_id,
+                   CAST(date_trunc('week', min(ts)) AS TIMESTAMP) AS cohort_week
+            FROM events GROUP BY user_id
+        ), active AS (
+            SELECT DISTINCT user_id,
+                   CAST(date_trunc('week', ts) AS TIMESTAMP) AS week
+            FROM events
+        ), sizes AS (
+            SELECT cohort_week, CAST(count(DISTINCT user_id) AS BIGINT)
+                       AS cohort_size
+            FROM cohorts GROUP BY cohort_week
+        ), grid AS (
+            SELECT c.cohort_week,
+                   CAST(date_diff('day', c.cohort_week, a.week) // 7
+                        AS INTEGER) AS week_number,
+                   CAST(count(DISTINCT a.user_id) AS BIGINT) AS n_active
+            FROM active a JOIN cohorts c ON a.user_id = c.user_id
+            GROUP BY 1, 2
+        )
+        SELECT g.cohort_week, g.week_number, g.n_active,
+               round(g.n_active / s.cohort_size, 4) AS retention_frac
+        FROM grid g JOIN sizes s ON g.cohort_week = s.cohort_week
+        """,
+    )
+    def cohort_retention_q(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Weekly signup-cohort retention matrix with fractions."""
+        return cohort_retention(load_table(spark, sf_dir, "events"))
 
     @reg(
         "q17_small_quantity_revenue",
