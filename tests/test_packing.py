@@ -73,6 +73,51 @@ def test_pack_plan_has_no_serial_window(spark):
     assert "Window" in plan  # the per-bucket cumsum is still a window
 
 
+def test_pack_matches_python_reference(spark):
+    """Property: packing equals an independent serial Python
+    implementation on random corpora — docs far larger than seq_len,
+    single-token docs, sparse/duplicate-free random ids."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    seq_len = 16
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.tuples(st.integers(0, 10_000), st.integers(1, 100)),
+            min_size=1,
+            max_size=30,
+            unique_by=lambda t: t[0],
+        )
+    )
+    def run(corpus):
+        # serial reference: concat in doc_id order, cut every seq_len
+        expected = []
+        pos = 0
+        for doc_id, n in sorted(corpus):
+            start = pos
+            while pos < start + n:
+                seq = pos // seq_len
+                take = min((seq + 1) * seq_len, start + n) - pos
+                expected.append((doc_id, seq, pos - seq * seq_len, take))
+                pos += take
+        docs = spark.createDataFrame(
+            [(doc_id, " ".join(["w"] * n)) for doc_id, n in corpus],
+            "doc_id long, text string",
+        )
+        got = sorted(
+            map(tuple, pack_sequences(docs, seq_len=seq_len, buckets=5).collect())
+        )
+        assert got == sorted(expected)
+
+    run()
+
+
 def test_incremental_dedup_all_joins_broadcast(spark):
     """The corpus side must never be shuffled for a join — every join
     in the plan broadcasts (batch fingerprints / matched set)."""
