@@ -76,6 +76,7 @@ _VERIFY_PRIORITY = [
     "dedup_incremental",
     "timeseries_gap_fill",
     "cohort_retention",
+    "multimodal_phash_neardup",
     # --- changed in round 2 (need fresh rows) ---
     "multimodal_feature_stub",
     "dedup_ngram_jaccard",
@@ -87,9 +88,9 @@ _VERIFY_PRIORITY = [
     "q3_shipping_priority",
     "q5_region_revenue",
     "flagship_latest_event_per_user",
-    "events_hourly_rollup",
     "similarity_topk_bruteforce",
     # --- tail: round-1-green, unchanged (rows carried from r1) ---
+    "events_hourly_rollup",
     "dedup_minhash_lsh",
     "dedup_simhash",
     "dedup_exact",

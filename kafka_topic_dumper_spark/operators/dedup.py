@@ -354,6 +354,63 @@ def simhash_fingerprints(docs: DataFrame, portable: bool = True) -> DataFrame:
     )
 
 
+def banded_hamming_pairs(
+    fps: DataFrame,
+    fp_col: str,
+    nbits: int,
+    n_bands: int = 4,
+    max_hamming: int = 4,
+) -> DataFrame:
+    """Near-dup pairs for ANY integer fingerprint column by banded
+    hamming join: slice the fingerprint into ``n_bands`` equal bit
+    bands, bucket-join on any equal band (pigeonhole: hamming <
+    n_bands ⇒ some band equal), verify with bit_count(xor). The
+    generic core under simhash text dedup and perceptual-hash
+    multimodal dedup — at scale the banded index is the precomputed
+    artifact, partitioned by (band, band_key)."""
+    band_bits = nbits // n_bands
+    mask = (1 << band_bits) - 1
+    banded = fps.select(
+        "doc_id",
+        F.col(fp_col).alias("fp"),
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("band"),
+                        F.shiftright(F.col(fp_col), i * band_bits)
+                        .bitwiseAND(F.lit(mask))
+                        .alias("band_key"),
+                    )
+                    for i in range(n_bands)
+                ]
+            )
+        ).alias("bk"),
+    ).select(
+        "doc_id",
+        "fp",
+        F.col("bk.band").alias("band"),
+        F.col("bk.band_key").alias("band_key"),
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_a"),
+            F.col("b.doc_id").alias("doc_b"),
+            F.expr("CAST(bit_count(a.fp ^ b.fp) AS INT)").alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= max_hamming)
+    )
+
+
 def simhash_near_pairs(
     docs: DataFrame, max_hamming: int = 4, portable: bool = True
 ) -> DataFrame:

@@ -252,6 +252,32 @@ def extract_features(payloads: DataFrame) -> DataFrame:
     return payloads.mapInPandas(run, schema=_FEATURE_SCHEMA)
 
 
+def phash_stub(payloads: DataFrame) -> DataFrame:
+    """32-bit perceptual-hash STUB over a binary payload column. A
+    real pHash is a DCT over decoded pixels (image libs absent in this
+    container); the stand-in is the portable md5-prefix hash of the raw
+    bytes, which keeps the downstream banding/dedup pipeline — the part
+    that matters at scale — fully testable and oracle-exact. Equal
+    payloads collide at hamming 0 (exact dups always found); unequal
+    payloads behave as random fingerprints."""
+    from kafka_topic_dumper_spark.functions.portable_hash import h32_spark_sql
+
+    return payloads.select(
+        "doc_id", F.expr(h32_spark_sql("payload")).alias("phash")
+    )
+
+
+def phash_neardup(docs: DataFrame, max_hamming: int = 4) -> DataFrame:
+    """Multimodal near-dup pairs: payload → phash (stub) → banded
+    hamming join (4×8-bit bands) — the same precomputed-band-index
+    shape as text simhash, applied to the binary column."""
+    from kafka_topic_dumper_spark.operators.dedup import banded_hamming_pairs
+
+    return banded_hamming_pairs(
+        phash_stub(binary_payloads(docs)), "phash", nbits=32, max_hamming=max_hamming
+    )
+
+
 def register(reg) -> None:
     @reg(
         "multimodal_binary_meta",
@@ -357,3 +383,29 @@ def register(reg) -> None:
         return feats.select(
             "doc_id", F.posexplode("features").alias("idx", "value")
         )
+
+    from kafka_topic_dumper_spark.functions.portable_hash import h32_duckdb_sql
+
+    @reg(
+        "multimodal_phash_neardup",
+        f"""
+        WITH fp AS (
+            SELECT doc_id, {h32_duckdb_sql('text')} AS phash FROM documents
+        ), banded AS (
+            SELECT doc_id, phash, i AS band,
+                   (phash >> (i * 8)) & 255 AS band_key
+            FROM fp, range(0, 4) r(i)
+        )
+        SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_key = b.band_key
+         AND a.doc_id < b.doc_id
+        WHERE CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) <= 4
+        """,
+    )
+    def multimodal_phash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Near-dup binary payloads by (stub) perceptual hash + banded
+        hamming join — multimodal dedup with the same banded-index
+        plan shape as text simhash."""
+        return phash_neardup(load_table(spark, sf_dir, "documents"))
