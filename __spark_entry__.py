@@ -77,6 +77,8 @@ _VERIFY_PRIORITY = [
     "timeseries_gap_fill",
     "cohort_retention",
     "multimodal_phash_neardup",
+    "stats_key_skew_profile",
+    "stats_value_histogram",
     # --- changed in round 2 (need fresh rows) ---
     "multimodal_feature_stub",
     "dedup_ngram_jaccard",
@@ -86,10 +88,10 @@ _VERIFY_PRIORITY = [
     # --- highest-value round-1-green re-verification ---
     "q1_pricing_summary",
     "q3_shipping_priority",
-    "q5_region_revenue",
     "flagship_latest_event_per_user",
-    "similarity_topk_bruteforce",
     # --- tail: round-1-green, unchanged (rows carried from r1) ---
+    "q5_region_revenue",
+    "similarity_topk_bruteforce",
     "events_hourly_rollup",
     "dedup_minhash_lsh",
     "dedup_simhash",

@@ -1058,6 +1058,96 @@ def register(reg) -> None:
         )
 
     @reg(
+        "stats_key_skew_profile",
+        """
+        WITH counts AS (
+            SELECT l_partkey AS key, CAST(count(*) AS BIGINT) AS cnt
+            FROM lineitem GROUP BY l_partkey
+        ), tot AS (
+            SELECT CAST(sum(cnt) AS BIGINT) AS total,
+                   CAST(count(*) AS BIGINT) AS n_keys,
+                   CAST(max(cnt) AS BIGINT) AS max_cnt
+            FROM counts
+        )
+        SELECT key, cnt,
+               round(cnt * 1.0 / total, 6) AS pct_of_total,
+               round(max_cnt * 1.0 * n_keys / total, 4) AS skew_factor
+        FROM counts CROSS JOIN tot
+        ORDER BY cnt DESC, key
+        LIMIT 10
+        """,
+    )
+    def stats_key_skew_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Join-key skew diagnostics: the top-10 heaviest keys with
+        their share of rows, plus the corpus skew factor
+        (max-key-count / mean-key-count). This is the profile you run
+        BEFORE a big join to decide between plain shuffle, broadcast,
+        salting, or AQE skew handling; one partial-agg shuffle on the
+        key, a 1-row global aggregate broadcast back, top-10 via
+        TakeOrdered — never a full sort."""
+        li = load_table(spark, sf_dir, "lineitem")
+        counts = li.groupBy(F.col("l_partkey").alias("key")).agg(
+            F.count("*").alias("cnt")
+        )
+        tot = counts.agg(
+            F.sum("cnt").alias("total"),
+            F.count("*").alias("n_keys"),
+            F.max("cnt").alias("max_cnt"),
+        )
+        return (
+            counts.join(F.broadcast(tot))
+            .select(
+                "key",
+                "cnt",
+                F.round(F.col("cnt") * 1.0 / F.col("total"), 6).alias("pct_of_total"),
+                F.round(
+                    F.col("max_cnt") * 1.0 * F.col("n_keys") / F.col("total"), 4
+                ).alias("skew_factor"),
+            )
+            .orderBy(F.col("cnt").desc(), "key")
+            .limit(10)
+        )
+
+    @reg(
+        "stats_value_histogram",
+        """
+        WITH b AS (
+            SELECT min(value) AS lo, max(value) AS hi FROM events
+        )
+        SELECT CAST(least(floor((value - lo) / (hi - lo) * 20), 19)
+                    AS INTEGER) AS bucket,
+               CAST(count(*) AS BIGINT) AS n,
+               round(min(value), 4) AS bucket_min,
+               round(max(value), 4) AS bucket_max
+        FROM events CROSS JOIN b
+        GROUP BY 1
+        """,
+    )
+    def stats_value_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Equal-width 20-bucket histogram of events.value. The bounds
+        are a 1-row aggregate broadcast into the bucketing scan; the
+        bucket arithmetic is the same IEEE expression on both engines
+        so assignments match exactly. One shuffle (the 20-row group)."""
+        ev = load_table(spark, sf_dir, "events")
+        b = ev.agg(F.min("value").alias("lo"), F.max("value").alias("hi"))
+        return (
+            ev.join(F.broadcast(b))
+            .groupBy(
+                F.least(
+                    F.floor((F.col("value") - F.col("lo")) / (F.col("hi") - F.col("lo")) * 20),
+                    F.lit(19),
+                )
+                .cast("int")
+                .alias("bucket")
+            )
+            .agg(
+                F.count("*").alias("n"),
+                F.round(F.min("value"), 4).alias("bucket_min"),
+                F.round(F.max("value"), 4).alias("bucket_max"),
+            )
+        )
+
+    @reg(
         "stats_numeric_profile",
         """
         SELECT event_type,
