@@ -79,6 +79,7 @@ _VERIFY_PRIORITY = [
     "multimodal_phash_neardup",
     "stats_key_skew_profile",
     "stats_value_histogram",
+    "asof_join_next_purchase",
     # --- changed in round 2 (need fresh rows) ---
     "multimodal_feature_stub",
     "dedup_ngram_jaccard",
@@ -87,9 +88,9 @@ _VERIFY_PRIORITY = [
     "f_scalar_surface",
     # --- highest-value round-1-green re-verification ---
     "q1_pricing_summary",
-    "q3_shipping_priority",
     "flagship_latest_event_per_user",
     # --- tail: round-1-green, unchanged (rows carried from r1) ---
+    "q3_shipping_priority",
     "q5_region_revenue",
     "similarity_topk_bruteforce",
     "events_hourly_rollup",

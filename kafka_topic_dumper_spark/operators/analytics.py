@@ -201,6 +201,31 @@ def sessionize(events: DataFrame, gap_seconds: int = 1800) -> DataFrame:
     )
 
 
+def asof_next_purchase(events: DataFrame) -> DataFrame:
+    """Forward as-of: for every event, the same user's NEXT purchase
+    at-or-after it — the attribution/label-lookahead direction (e.g.
+    "did a purchase follow within the session"). Same single-shuffle
+    window plan as the backward form, with a forward frame and
+    first(ignorenulls)."""
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    is_purchase = F.col("event_type") == "purchase"
+    return events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.first(F.when(is_purchase, F.col("event_id")), ignorenulls=True)
+        .over(w)
+        .alias("next_purchase_event_id"),
+        F.first(F.when(is_purchase, F.col("ts")), ignorenulls=True)
+        .over(w)
+        .alias("next_purchase_ts"),
+    )
+
+
 def gap_fill_hourly(events: DataFrame) -> DataFrame:
     """Hypertable-style gap filling: a dense hourly spine per
     event_type between the corpus's first and last hour, observed
@@ -309,6 +334,28 @@ def register(reg) -> None:
         """As-of join: each event ↔ the same user's most recent purchase
         (sort-merge window form; equivalent to DuckDB ASOF JOIN)."""
         return asof_last_purchase(load_table(spark, sf_dir, "events"))
+
+    @reg(
+        "asof_join_next_purchase",
+        """
+        SELECT event_id, user_id, ts,
+               first_value(CASE WHEN event_type = 'purchase' THEN event_id END
+                          IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS next_purchase_event_id,
+               first_value(CASE WHEN event_type = 'purchase' THEN ts END
+                          IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
+                   AS next_purchase_ts
+        FROM events
+        """,
+    )
+    def asof_join_next_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Forward as-of join: each event ↔ the user's next purchase
+        (lookahead labeling direction)."""
+        return asof_next_purchase(load_table(spark, sf_dir, "events"))
 
     @reg(
         "rollup_order_revenue",

@@ -196,3 +196,24 @@ def test_contamination_probe_broadcasts_corpus_never_reshuffles(spark):
     assert count_in(plan, "BroadcastHashJoin") == 2
     assert count_in(plan, "SortMergeJoin") == 0
     assert count_in(plan, "Exchange hashpartitioning") == 2
+
+
+def test_skew_profile_topk_never_full_sorts(spark):
+    # top-10 heavy hitters must plan as TakeOrdered, not a global sort
+    plan = plan_of(spark, "stats_key_skew_profile")
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_gap_fill_spine_never_cartesians_events(spark):
+    # the only nested-loop join allowed is against the 1-row bounds
+    # aggregate; the fact table itself must reach the spine through the
+    # pre-aggregated hourly rows
+    plan = plan_of(spark, "timeseries_gap_fill")
+    assert "CartesianProduct" not in plan
+    assert plan.count("events.parquet") <= 3  # hourly + bounds + types
+
+
+def test_asof_forward_single_shuffle(spark):
+    plan = plan_of(spark, "asof_join_next_purchase")
+    assert count_in(plan, "Exchange hashpartitioning") == 1
