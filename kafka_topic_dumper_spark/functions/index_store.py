@@ -1,0 +1,107 @@
+"""Materialized LSH-index store: build once, probe many.
+
+The ANN/dedup operators document their banded (tbl, bucket) index as
+"the precomputed artifact at scale". This module makes that concrete:
+
+- ``write_banded_index`` materializes the banded rows with the layout
+  that makes probes cheap: hive-partitioned by ``tbl`` (a handful of
+  directories — partitioning by bucket too would explode into
+  tables × 2^nbits directories at production bit widths) and SORTED by
+  ``bucket`` within files, so a bucket probe prunes at two levels:
+  directory (partition filter on tbl) then parquet row-group min/max
+  (pushed filter on the sorted bucket column).
+- ``cosine_topk_lsh_stored`` is the probe path: the query vectors'
+  own index rows (|queries| × tables — metadata-sized) are collected
+  and turned into LITERAL (tbl, bucket) predicates, so the candidate
+  scan is statically pruned at the source — the index is never
+  re-bucketed, never broadcast, and only ~n_tables/2^nbits of it is
+  read. Exact cosine then ranks the candidates only, identical to the
+  in-memory operator (`operators/similarity.py::cosine_topk_lsh`),
+  whose results it must reproduce bit-for-bit.
+"""
+
+from __future__ import annotations
+
+import functools
+import operator
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+
+def write_banded_index(banded: DataFrame, path: str) -> None:
+    """Materialize a banded (id, tbl, bucket) index (from
+    ``similarity.lsh_banded``) probe-ready; see module docstring for
+    the layout rationale."""
+    from kafka_topic_dumper_spark.sinks.layout import write_layout
+
+    write_layout(banded, path, ["tbl"], sort_cols=["bucket"])
+
+
+def read_banded_index(spark: SparkSession, path: str) -> DataFrame:
+    return spark.read.parquet(path)
+
+
+def probe_filter(buckets: set[tuple[int, int]]):
+    """OR of literal (tbl = t AND bucket = b) terms — statically
+    prunable by both the partition layer and row-group stats."""
+    return functools.reduce(
+        operator.or_,
+        [
+            (F.col("tbl") == F.lit(t)) & (F.col("bucket") == F.lit(b))
+            for t, b in sorted(buckets)
+        ],
+    )
+
+
+def cosine_topk_lsh_stored(
+    emb: DataFrame,
+    query_ids: list[int],
+    index_path: str,
+    k: int = 10,
+) -> DataFrame:
+    """Multi-table sign-LSH ANN top-k against a MATERIALIZED index.
+    Must produce exactly `cosine_topk_lsh`'s output (same hyperplanes,
+    same candidate semantics) — asserted in tests/test_index_store.py."""
+    from kafka_topic_dumper_spark.operators.similarity import _as_double_vec, dot
+
+    spark = emb.sparkSession
+    idx = read_banded_index(spark, index_path)
+    # the probe set: metadata-sized (|queries| × n_tables rows)
+    qrows = idx.filter(F.col("neighbor_id").isin(query_ids)).collect()
+    qbuckets = {(r.tbl, r.bucket) for r in qrows}
+    by_query: dict[int, set[tuple[int, int]]] = {}
+    for r in qrows:
+        by_query.setdefault(r.neighbor_id, set()).add((r.tbl, r.bucket))
+    probes = spark.createDataFrame(
+        [(q, t, b) for q, tbs in by_query.items() for t, b in tbs],
+        "query_id long, tbl int, bucket int",
+    )
+    # statically pruned candidate scan: only the probed buckets' rows
+    # are read from the store
+    cand = (
+        idx.filter(probe_filter(qbuckets))
+        .join(F.broadcast(probes), ["tbl", "bucket"])
+        .filter(F.col("neighbor_id") != F.col("query_id"))
+        .select("query_id", "neighbor_id")
+        .distinct()
+    )
+    base = _as_double_vec(emb, "neighbor_id", "vb")
+    qv = base.filter(F.col("neighbor_id").isin(query_ids)).select(
+        F.col("neighbor_id").alias("query_id"),
+        F.col("vb").alias("va"),
+        F.col("vb_nrm").alias("va_nrm"),
+    )
+    pairs = (
+        cand.join(F.broadcast(qv), "query_id")
+        .join(base, "neighbor_id")
+        .withColumn(
+            "cos", dot(F.col("va"), F.col("vb")) / (F.col("va_nrm") * F.col("vb_nrm"))
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("integer"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )

@@ -1,0 +1,87 @@
+"""Materialized LSH index: the stored-probe path must reproduce the
+in-memory operator exactly AND prune the index scan at both the
+partition and row-group level."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from kafka_topic_dumper_spark.functions.index_store import (
+    cosine_topk_lsh_stored,
+    read_banded_index,
+    write_banded_index,
+)
+from kafka_topic_dumper_spark.operators.similarity import (
+    N_LSH_TABLES,
+    QUERY_IDS,
+    cosine_topk_lsh,
+    lsh_banded,
+)
+from kafka_topic_dumper_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _build(spark, tmp_path) -> str:
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "lsh_index")
+    write_banded_index(
+        lsh_banded(
+            emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+            "neighbor_id",
+            "embedding",
+            64,
+            4,
+            N_LSH_TABLES,
+        ),
+        path,
+    )
+    return path
+
+
+def test_stored_probe_matches_in_memory_operator(spark, tmp_path):
+    emb = load_table(spark, SF, "embeddings")
+    path = _build(spark, tmp_path)
+    stored = sorted(
+        map(tuple, cosine_topk_lsh_stored(emb, QUERY_IDS, path, 10).collect())
+    )
+    live = sorted(map(tuple, cosine_topk_lsh(emb, QUERY_IDS, 10).collect()))
+    assert stored == live
+    assert len(stored) > 0
+
+
+def test_stored_probe_prunes_partitions_and_rowgroups(spark, tmp_path):
+    emb = load_table(spark, SF, "embeddings")
+    path = _build(spark, tmp_path)
+    plan = (
+        cosine_topk_lsh_stored(emb, QUERY_IDS, path, 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    # the index scan carries partition filters on tbl (directory
+    # pruning) and pushed filters on the sorted bucket column
+    # (row-group min/max skipping)
+    import re
+
+    # the index scan line: partition filters on tbl, a pushed Or-chain
+    # of bucket equalities (the printed chain is truncated, so match
+    # the shape), and a pruned read schema
+    assert re.search(r"PartitionFilters: \[[^\]]*tbl#\d+ = \d+", plan), plan[:2000]
+    idx_line = next(
+        ln for ln in plan.splitlines() if "bucket:int" in ln and "ReadSchema" in ln
+    )
+    assert "PushedFilters: [Or(" in idx_line or "EqualTo(bucket" in idx_line
+
+
+def test_index_files_sorted_by_bucket(spark, tmp_path):
+    import glob
+    import os
+
+    import pyarrow.parquet as pq
+
+    path = _build(spark, tmp_path)
+    files = glob.glob(os.path.join(path, "tbl=*", "*.parquet"))
+    assert len(files) == N_LSH_TABLES  # one file per table partition
+    col = pq.read_table(files[0], columns=["bucket"])["bucket"].to_pylist()
+    assert col == sorted(col)
