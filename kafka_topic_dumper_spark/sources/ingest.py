@@ -1,0 +1,90 @@
+"""Raw-corpus ingest sources: JSONL and CSV → typed DataFrames.
+
+Production corpora arrive as compressed JSONL / CSV long before they
+are parquet. The scale rules this module encodes:
+
+- **Explicit schema, never inference.** Schema inference is a full
+  extra pass over the data (at 100 TB, a second 100 TB read) and can
+  silently flip a column's type when a later file disagrees. Callers
+  pass (or reuse) a `StructType`; the reader does one pass.
+- **PERMISSIVE with a corrupt-record column.** A multi-TB crawl WILL
+  contain malformed lines; failing the job on line 40 billion is not
+  an option, and silently dropping rows (DROPMALFORMED) hides data
+  loss. Bad lines land in ``_corrupt_record`` so the pipeline can
+  count, sample, and quarantine them — the audit trail a training-data
+  pipeline needs.
+- Line-based formats split by newline, so both read in parallel per
+  file chunk (gzip members are the exception — one task per .gz file;
+  prefer zstd/bzip2 or pre-split inputs at scale).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+CORRUPT_COL = "_corrupt_record"
+
+DOCUMENTS_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType()),
+        T.StructField("text", T.StringType()),
+        T.StructField("lang", T.StringType()),
+        T.StructField("source", T.StringType()),
+        T.StructField("n_chars", T.LongType()),
+    ]
+)
+
+
+def _with_corrupt(schema: T.StructType) -> T.StructType:
+    """The corrupt-record column must be IN the schema to be populated."""
+    if CORRUPT_COL in schema.fieldNames():
+        return schema
+    return T.StructType(list(schema.fields) + [T.StructField(CORRUPT_COL, T.StringType())])
+
+
+def read_jsonl(
+    spark: SparkSession, path: str, schema: T.StructType = DOCUMENTS_SCHEMA
+) -> DataFrame:
+    """One JSON object per line → typed rows + ``_corrupt_record``."""
+    return (
+        spark.read.schema(_with_corrupt(schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .json(path)
+    )
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = DOCUMENTS_SCHEMA,
+    header: bool = True,
+) -> DataFrame:
+    """CSV with explicit schema → typed rows + ``_corrupt_record``."""
+    return (
+        spark.read.schema(_with_corrupt(schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("header", str(header).lower())
+        .option("multiLine", "false")
+        .csv(path)
+    )
+
+
+def split_quarantine(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
+    """(clean rows without the audit column, quarantined raw lines).
+    The caller writes the quarantine out next to the ingested table —
+    rows are never silently lost.
+
+    The parsed rows are persisted first: Spark refuses corrupt-column-
+    only queries over an unparsed file scan (the column exists only
+    during parsing), and operationally you want to PARSE ONCE and
+    split twice rather than re-read the raw corpus per side."""
+    from kafka_topic_dumper_spark.functions.caching import tracked_persist
+
+    raw = tracked_persist(raw)
+    clean = raw.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+    bad = raw.filter(F.col(CORRUPT_COL).isNotNull()).select(F.col(CORRUPT_COL).alias("raw_line"))
+    return clean, bad

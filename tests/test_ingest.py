@@ -1,0 +1,63 @@
+"""JSONL/CSV ingest: typed round trip, corrupt-line quarantine (no
+silent loss), and schema-pass-count discipline (no inference)."""
+
+from __future__ import annotations
+
+from kafka_topic_dumper_spark.sources.ingest import (
+    CORRUPT_COL,
+    read_csv,
+    read_jsonl,
+    split_quarantine,
+)
+from kafka_topic_dumper_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
+    docs = load_table(spark, SF, "documents")
+    path = str(tmp_path / "corpus.jsonl")
+    jsonl = [r for (r,) in docs.selectExpr("to_json(struct(*)) j").toLocalIterator()]
+    jsonl.insert(3, '{"doc_id": "not-a-number", "text": 17')  # malformed
+    jsonl.insert(7, "garbage line")
+    with open(path, "w") as f:
+        f.write("\n".join(jsonl))
+
+    raw = read_jsonl(spark, path)
+    assert CORRUPT_COL in raw.columns
+    clean, bad = split_quarantine(raw)
+    assert bad.count() == 2  # both bad lines quarantined, none dropped
+    assert clean.count() == docs.count()
+    a = sorted(map(tuple, clean.select(*docs.columns).collect()))
+    b = sorted(map(tuple, docs.collect()))
+    assert a == b  # typed values identical to the parquet original
+
+
+def test_csv_roundtrip_and_quarantine(spark, tmp_path):
+    docs = load_table(spark, SF, "documents").selectExpr(
+        "doc_id", "lang", "source", "n_chars"
+    )
+    from pyspark.sql import types as T
+
+    schema = T.StructType(
+        [
+            T.StructField("doc_id", T.LongType()),
+            T.StructField("lang", T.StringType()),
+            T.StructField("source", T.StringType()),
+            T.StructField("n_chars", T.LongType()),
+        ]
+    )
+    csv_file = str(tmp_path / "corpus.csv")
+    with open(csv_file, "w") as f:
+        f.write("doc_id,lang,source,n_chars\n")
+        for r in docs.toLocalIterator():
+            f.write(f"{r.doc_id},{r.lang},{r.source},{r.n_chars}\n")
+        f.write("oops,this,row,not-a-number\n")
+
+    raw = read_csv(spark, csv_file, schema=schema)
+    clean, bad = split_quarantine(raw)
+    assert bad.count() == 1
+    assert clean.count() == docs.count()
+    a = sorted(map(tuple, clean.collect()))
+    b = sorted(map(tuple, docs.collect()))
+    assert a == b
