@@ -234,19 +234,26 @@ def gap_fill_hourly(events: DataFrame) -> DataFrame:
     to the fact table, so it broadcasts; the only fact-side work is
     the hourly pre-aggregate (one shuffle, partial map-side combine).
     Forward fill is last_value(IGNORE NULLS) over the SPINE (small),
-    never over raw events."""
-    hourly = events.groupBy(
-        F.date_trunc("hour", "ts").alias("hour"), "event_type"
-    ).agg(
-        F.count("*").alias("n_events"),
-        F.round(F.sum("value"), 2).alias("sum_value"),
+    never over raw events.
+
+    The fact table is scanned ONCE: the hourly pre-aggregate is
+    persisted and the spine's bounds and event-type set both derive
+    from it (min/max of truncated hours == truncated min/max ts;
+    every event_type present has ≥1 hourly row) — not from extra
+    passes over raw events."""
+    from kafka_topic_dumper_spark.functions.caching import tracked_persist
+
+    hourly = tracked_persist(
+        events.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type").agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
     )
-    bounds = events.agg(
-        F.date_trunc("hour", F.min("ts")).alias("h0"),
-        F.date_trunc("hour", F.max("ts")).alias("h1"),
+    bounds = hourly.agg(
+        F.min("hour").alias("h0"), F.max("hour").alias("h1")
     )
     spine = (
-        events.select("event_type")
+        hourly.select("event_type")
         .distinct()
         .join(F.broadcast(bounds))
         .select(
@@ -282,13 +289,17 @@ def cohort_retention(events: DataFrame) -> DataFrame:
     the layout), a user-keyed join of two user-cardinality sides
     (co-partitioned at scale), then a tiny (cohort, week) aggregate.
     Week arithmetic is integer day-diffs div 7 on NTZ wall time —
-    timezone-independent and exact."""
-    cohorts = events.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).alias("cohort_week")
+    timezone-independent and exact.
+
+    One fact scan: the distinct (user, week) activity set is persisted
+    and the cohort anchor derives from it (date_trunc is monotone, so
+    trunc(min ts) == min(trunc ts))."""
+    from kafka_topic_dumper_spark.functions.caching import tracked_persist
+
+    active = tracked_persist(
+        events.select("user_id", F.date_trunc("week", "ts").alias("week")).distinct()
     )
-    active = events.select(
-        "user_id", F.date_trunc("week", "ts").alias("week")
-    ).distinct()
+    cohorts = active.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     sizes = cohorts.groupBy("cohort_week").agg(
         F.countDistinct("user_id").alias("cohort_size")
     )

@@ -194,7 +194,10 @@ def sample_domain_mixture(
     wmap = F.create_map(
         *[F.lit(x) for kv in weights.items() for x in kv]
     )
-    tok = (
+    # persisted: the (doc_id, source, n_tok) projection feeds both the
+    # totals pass and the membership pass — one tokenize of the corpus,
+    # not two
+    tok = tracked_persist(
         docs.filter(F.col("source").isin(*weights))
         .select(
             "doc_id",

@@ -205,13 +205,20 @@ def test_skew_profile_topk_never_full_sorts(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_gap_fill_spine_never_cartesians_events(spark):
-    # the only nested-loop join allowed is against the 1-row bounds
-    # aggregate; the fact table itself must reach the spine through the
-    # pre-aggregated hourly rows
+def test_gap_fill_scans_fact_table_once(spark):
+    # the spine's bounds and type set derive from the PERSISTED hourly
+    # aggregate: every reference reads the cache (InMemoryTableScan),
+    # so the raw fact scan executes once at materialization. (The plan
+    # STRING still prints the cached subtree's parquet lineage per
+    # reference — count cache reads, not lineage mentions.)
     plan = plan_of(spark, "timeseries_gap_fill")
     assert "CartesianProduct" not in plan
-    assert plan.count("events.parquet") <= 3  # hourly + bounds + types
+    assert plan.count("InMemoryTableScan") >= 3  # hourly join + bounds + types
+
+
+def test_cohort_retention_scans_fact_table_once(spark):
+    plan = plan_of(spark, "cohort_retention")
+    assert plan.count("InMemoryTableScan") >= 2  # activity join + cohort agg
 
 
 def test_asof_forward_single_shuffle(spark):
