@@ -81,6 +81,24 @@ def user_sessions_stream(
     )
 
 
+def dedup_stream_against_corpus(
+    events: DataFrame,
+    corpus_keys: DataFrame,
+    key: str,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of ``operators/dedup.incremental_dedup``: drop
+    stream rows whose key already exists in a STATIC corpus index
+    (stream-static left_anti join — stateless, re-resolved per
+    micro-batch so an updated index applies at the next trigger), then
+    exact-dedup within the stream itself with watermark-bounded state.
+    Together: a continuously-ingesting pipeline admits each key once,
+    whether the duplicate is historical or in-flight."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    fresh = events.join(F.broadcast(corpus_keys), key, "left_anti")
+    return fresh.withWatermark("ts", watermark).dropDuplicatesWithinWatermark([key])
+
+
 def interval_join_stream(
     left: DataFrame,
     right: DataFrame,

@@ -83,6 +83,32 @@ def test_dedup_stream_drops_replayed_duplicates(spark, events_stream_path, tmp_p
     assert out.select("event_id").distinct().count() == batch.count()
 
 
+def test_dedup_stream_against_corpus(spark, events_stream_path, tmp_path):
+    """Stream rows whose event_id is already in the static corpus index
+    are dropped; replayed in-stream duplicates are dropped too; exactly
+    the genuinely-new ids survive, once each."""
+    from kafka_topic_dumper_spark.streaming.windows import dedup_stream_against_corpus
+
+    batch = load_table(spark, SF, "events")
+    # corpus = every third id is "already ingested"
+    corpus = batch.filter(F.col("event_id") % 3 == 0).select("event_id")
+    dup_src = str(tmp_path / "replayed")
+    batch.write.parquet(dup_src)
+    batch.write.mode("append").parquet(dup_src)  # at-least-once replay
+
+    stream = spark.readStream.schema(batch.schema).parquet(dup_src)
+    out = _run_stream(
+        spark,
+        dedup_stream_against_corpus(stream, corpus, "event_id"),
+        "dedup_corpus_test",
+    )
+    expected_ids = {
+        r.event_id for r in batch.filter(F.col("event_id") % 3 != 0).collect()
+    }
+    got = [r.event_id for r in out.select("event_id").collect()]
+    assert sorted(got) == sorted(expected_ids)  # once each, none historical
+
+
 def test_interval_join_stream_matches_batch(spark, events_stream_path):
     """Stream-stream interval join (purchase attributed to clicks by
     the same user within the preceding hour) equals the identical batch
