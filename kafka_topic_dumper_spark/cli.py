@@ -31,7 +31,7 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         prog="kafka-topic-dumper-spark",
         description="Dump Kafka topics to Parquet and reload them, on Spark.",
     )
-    p.add_argument("action", choices=["dump", "reload", "generate"])
+    p.add_argument("action", choices=["dump", "reload", "generate", "ingest"])
     p.add_argument("-t", "--topic", default="test", help="topic name")
     p.add_argument(
         "-b", "--bootstrap-servers", default=None, help="Kafka bootstrap servers"
@@ -74,6 +74,15 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument("--reload-output", default=None, help="broker-less reload sink path")
     p.add_argument(
         "--partitions", type=int, default=3, help="generate: topic partition count"
+    )
+    p.add_argument(
+        "--input", default=None, help="ingest: JSONL/CSV corpus path"
+    )
+    p.add_argument(
+        "--format",
+        choices=["jsonl", "csv"],
+        default="jsonl",
+        help="ingest: input format",
     )
     return p.parse_args(argv)
 
@@ -136,6 +145,12 @@ def main(argv: list[str] | None = None) -> int:
         return 2
 
     spark = get_session("kafka-topic-dumper-spark-cli")
+    # the reload transformer (even Identity) is a module-level class
+    # cloudpickled BY REFERENCE — workers must be able to import the
+    # package even when the driver wasn't launched from the repo root
+    from kafka_topic_dumper_spark.session import ensure_shipped
+
+    ensure_shipped(spark)
 
     if opts.action == "generate":
         if not opts.records_parquet:
@@ -150,6 +165,30 @@ def main(argv: list[str] | None = None) -> int:
             opts.partitions,
             opts.records_parquet,
         )
+        return 0
+
+    if opts.action == "ingest":
+        # raw corpus → typed parquet + quarantine, no row silently lost
+        import os
+
+        from kafka_topic_dumper_spark.sources.ingest import (
+            read_csv,
+            read_jsonl,
+            split_quarantine,
+        )
+
+        if not opts.input or not opts.output:
+            log.error("ingest needs --input and --output")
+            return 2
+        reader = read_jsonl if opts.format == "jsonl" else read_csv
+        clean, bad = split_quarantine(reader(spark, opts.input))
+        clean.write.mode("overwrite").parquet(os.path.join(opts.output, "clean"))
+        n_bad = bad.count()
+        if n_bad:
+            bad.write.mode("overwrite").parquet(
+                os.path.join(opts.output, "quarantine")
+            )
+        log.info("ingested %d rows, quarantined %d", clean.count(), n_bad)
         return 0
 
     if opts.action == "dump":

@@ -33,6 +33,26 @@ def test_jsonl_roundtrip_and_quarantine(spark, tmp_path):
     assert a == b  # typed values identical to the parquet original
 
 
+def test_cli_ingest_end_to_end(spark, tmp_path):
+    """The ingest subcommand writes clean parquet + a quarantine dir."""
+    import glob
+
+    from kafka_topic_dumper_spark.cli import main
+
+    docs = load_table(spark, SF, "documents")
+    src = str(tmp_path / "corpus.jsonl")
+    jsonl = [r for (r,) in docs.selectExpr("to_json(struct(*)) j").toLocalIterator()]
+    jsonl.append("{broken json")
+    with open(src, "w") as f:
+        f.write("\n".join(jsonl))
+    out = str(tmp_path / "ingested")
+    assert main(["ingest", "--input", src, "--output", out]) == 0
+    clean = spark.read.parquet(out + "/clean")
+    assert clean.count() == docs.count()
+    assert spark.read.parquet(out + "/quarantine").count() == 1
+    assert glob.glob(out + "/clean/*.parquet")
+
+
 def test_csv_roundtrip_and_quarantine(spark, tmp_path):
     docs = load_table(spark, SF, "documents").selectExpr(
         "doc_id", "lang", "source", "n_chars"
