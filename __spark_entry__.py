@@ -26,16 +26,71 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES["flagship_latest_event_per_user"](spark, SMOKE_SF_DIR)
 
 
-# Verification-priority order. The round-1 driver checked exactly the
-# FIRST 50 of the 70 declared queries (registration order), leaving 20
-# without a CORRECTNESS row. Until the harness is confirmed to run all
-# of them, the dict is emitted in an explicit rotation: the 20 queries
-# unverified in round 1, then every query whose implementation changed
-# this round, then the rest by value; the 20 tail entries are all
-# round-1-green and semantically unchanged since (their green rows
-# stand). This is ordering only — coverage is always the full set.
+# Verification-priority order. The round-1 and round-2 drivers each
+# checked exactly the FIRST 50 declared queries (registration order).
+# Round-3 rotation goal: after this round, no query's latest green row
+# predates the last commit touching its code path. Order: (a) queries
+# whose implementation changed in round 2 but whose green rows are
+# still from round 1 (the stale set the r2 verdict flagged), (b) the
+# rest of the r1-only-verified tail, (c) queries changed in round 3,
+# (d) round-2-green queries whose code is unchanged since their row.
+# This is ordering only — coverage is always the full set.
 _VERIFY_PRIORITY = [
-    # --- unverified in round 1 (driver cut at 50) ---
+    # --- (a) changed in r2, last verified in r1 — stale rows first ---
+    "similarity_topk_lsh",
+    "similarity_topk_ivf",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "multimodal_binary_meta",
+    "multimodal_decode_stub",
+    "multimodal_frame_sample",
+    "multimodal_resize_stub",
+    # --- (b) rest of the r1-only-verified tail ---
+    "dedup_exact",
+    "dedup_canonical_mapping",
+    "events_hourly_rollup",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_stats",
+    "text_source_profile",
+    "text_redact_pii",
+    "text_token_doc_frequency",
+    "text_mean_token_df",
+    "text_repetition_quality",
+    "text_lang_corpus_stats",
+    "text_fingerprint",
+    "p1_project_key_value",
+    "p3_hot_reload_predicate",
+    "a1_latest_dump_id",
+    "a2_argmax_latest_state",
+    "a3_a5_available_message_counts",
+    "a4_offset_clamp",
+    "o1_sorted_file_plan",
+    "o2_tail_k_per_partition",
+    "o3_limit_top_orders",
+    "b1_chunk_plan",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q18_large_volume_orders",
+    "rollup_order_revenue",
+    "cube_event_activity",
+    "setops_customer_cohorts",
+    "window_event_metrics",
+    "join_semi_anti_customers",
+    "sample_stratified_by_lang",
+    "sample_train_val_test_split",
+    "asof_join_last_purchase",
+    "similarity_topk_bruteforce",
+    # --- (c) changed in round 3 (need fresh rows) ---
+    "funnel_conversion",
+    "dedup_ngram_jaccard",
+    # --- (d) r2-green, unchanged since their r2 rows ---
+    "q1_pricing_summary",
+    "flagship_latest_event_per_user",
+    "dedup_embedding_cosine",
+    "text_winnowing_fingerprints",
+    "f_scalar_surface",
+    "multimodal_feature_stub",
     "sessionize_events",
     "q17_small_quantity_revenue",
     "q16_supplier_diversity",
@@ -49,14 +104,12 @@ _VERIFY_PRIORITY = [
     "q19_disjunctive_predicates",
     "window_distribution_metrics",
     "q2_cheapest_supplier",
-    "funnel_conversion",
     "pivot_user_event_matrix",
     "stats_numeric_profile",
     "join_range_interval",
     "join_full_outer_reconcile",
     "approx_aggregates",
     "join_salted_skew",
-    # --- new in round 2 (first driver verification) ---
     "q7_nation_volume_shipping",
     "q8_nation_market_share",
     "q9_product_profit",
@@ -80,59 +133,6 @@ _VERIFY_PRIORITY = [
     "stats_key_skew_profile",
     "stats_value_histogram",
     "asof_join_next_purchase",
-    # --- changed in round 2 (need fresh rows) ---
-    "multimodal_feature_stub",
-    "dedup_ngram_jaccard",
-    "dedup_embedding_cosine",
-    "text_winnowing_fingerprints",
-    "f_scalar_surface",
-    # --- highest-value round-1-green re-verification ---
-    "q1_pricing_summary",
-    "flagship_latest_event_per_user",
-    # --- tail: round-1-green, unchanged (rows carried from r1) ---
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "similarity_topk_bruteforce",
-    "events_hourly_rollup",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_exact",
-    "dedup_canonical_mapping",
-    "similarity_topk_lsh",
-    "similarity_topk_ivf",
-    "q18_large_volume_orders",
-    "asof_join_last_purchase",
-    "rollup_order_revenue",
-    "cube_event_activity",
-    "setops_customer_cohorts",
-    "window_event_metrics",
-    "join_semi_anti_customers",
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_stats",
-    "multimodal_binary_meta",
-    "multimodal_decode_stub",
-    "multimodal_frame_sample",
-    "p1_project_key_value",
-    "p3_hot_reload_predicate",
-    "a1_latest_dump_id",
-    "a2_argmax_latest_state",
-    "a3_a5_available_message_counts",
-    "a4_offset_clamp",
-    "o1_sorted_file_plan",
-    "o2_tail_k_per_partition",
-    "o3_limit_top_orders",
-    "b1_chunk_plan",
-    "multimodal_resize_stub",
-    "text_source_profile",
-    "text_redact_pii",
-    "sample_stratified_by_lang",
-    "sample_train_val_test_split",
-    "text_token_doc_frequency",
-    "text_mean_token_df",
-    "text_repetition_quality",
-    "text_lang_corpus_stats",
-    "text_fingerprint",
 ]
 
 

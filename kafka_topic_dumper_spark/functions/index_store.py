@@ -10,14 +10,20 @@ The ANN/dedup operators document their banded (tbl, bucket) index as
   ``bucket`` within files, so a bucket probe prunes at two levels:
   directory (partition filter on tbl) then parquet row-group min/max
   (pushed filter on the sorted bucket column).
-- ``cosine_topk_lsh_stored`` is the probe path: the query vectors'
-  own index rows (|queries| × tables — metadata-sized) are collected
-  and turned into LITERAL (tbl, bucket) predicates, so the candidate
-  scan is statically pruned at the source — the index is never
-  re-bucketed, never broadcast, and only ~n_tables/2^nbits of it is
-  read. Exact cosine then ranks the candidates only, identical to the
-  in-memory operator (`operators/similarity.py::cosine_topk_lsh`),
-  whose results it must reproduce bit-for-bit.
+- ``cosine_topk_lsh_stored`` is the probe path: the query buckets are
+  computed by running ``lsh_bucket_expr`` (the exact expression that
+  built the index) over the query ids' EMBEDDING rows — a pushed-
+  filter point lookup on the base table, |queries| × tables rows,
+  metadata-sized. The index itself is NEVER read to find the probes;
+  its only scan is the candidate scan, statically pruned by LITERAL
+  (tbl, bucket) predicates, so only ~n_tables/2^nbits of the store is
+  read. (The previous probe derivation filtered the full index on
+  ``neighbor_id`` — unprunable under the (tbl, bucket) layout, i.e. a
+  full index scan at 100 TB; flagged by the r2 verdict and fixed
+  here.) Exact cosine then ranks the candidates only, identical to
+  the in-memory operator
+  (`operators/similarity.py::cosine_topk_lsh`), whose results it must
+  reproduce bit-for-bit.
 """
 
 from __future__ import annotations
@@ -27,6 +33,8 @@ import operator
 
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
+
+from kafka_topic_dumper_spark.operators.similarity import N_LSH_TABLES
 
 
 def write_banded_index(banded: DataFrame, path: str) -> None:
@@ -45,6 +53,8 @@ def read_banded_index(spark: SparkSession, path: str) -> DataFrame:
 def probe_filter(buckets: set[tuple[int, int]]):
     """OR of literal (tbl = t AND bucket = b) terms — statically
     prunable by both the partition layer and row-group stats."""
+    if not buckets:
+        raise ValueError("probe_filter needs at least one (tbl, bucket)")
     return functools.reduce(
         operator.or_,
         [
@@ -59,22 +69,48 @@ def cosine_topk_lsh_stored(
     query_ids: list[int],
     index_path: str,
     k: int = 10,
+    dim: int = 64,
+    nbits: int = 4,
+    n_tables: int = N_LSH_TABLES,
 ) -> DataFrame:
     """Multi-table sign-LSH ANN top-k against a MATERIALIZED index.
     Must produce exactly `cosine_topk_lsh`'s output (same hyperplanes,
-    same candidate semantics) — asserted in tests/test_index_store.py."""
-    from kafka_topic_dumper_spark.operators.similarity import _as_double_vec, dot
+    same candidate semantics) — asserted in tests/test_index_store.py.
+
+    ``dim``/``nbits``/``n_tables`` must match the parameters the index
+    was built with (``lsh_banded`` defaults) — the probe buckets are
+    recomputed from the query ids' embedding rows with the SAME
+    ``lsh_bucket_expr`` that built the index, so the index is never
+    scanned to discover the probes."""
+    from kafka_topic_dumper_spark.operators.similarity import (
+        _as_double_vec,
+        dot,
+        lsh_banded,
+    )
 
     spark = emb.sparkSession
     idx = read_banded_index(spark, index_path)
-    # the probe set: metadata-sized (|queries| × n_tables rows)
-    qrows = idx.filter(F.col("neighbor_id").isin(query_ids)).collect()
+    # the probe set: metadata-sized (|queries| × n_tables rows),
+    # derived from the query EMBEDDING rows (pushed vec_id filter on
+    # the base table) — no index read
+    qrows = lsh_banded(
+        emb.filter(F.col("vec_id").isin(query_ids)).select(
+            F.col("vec_id").alias("query_id"), "embedding"
+        ),
+        "query_id",
+        "embedding",
+        dim,
+        nbits,
+        n_tables,
+    ).collect()
+    if not qrows:
+        raise ValueError(
+            f"none of the query ids {sorted(query_ids)} exist in the "
+            "embedding table — cannot derive probe buckets"
+        )
     qbuckets = {(r.tbl, r.bucket) for r in qrows}
-    by_query: dict[int, set[tuple[int, int]]] = {}
-    for r in qrows:
-        by_query.setdefault(r.neighbor_id, set()).add((r.tbl, r.bucket))
     probes = spark.createDataFrame(
-        [(q, t, b) for q, tbs in by_query.items() for t, b in tbs],
+        [(r.query_id, r.tbl, r.bucket) for r in qrows],
         "query_id long, tbl int, bucket int",
     )
     # statically pruned candidate scan: only the probed buckets' rows

@@ -64,14 +64,30 @@ def test_stored_probe_prunes_partitions_and_rowgroups(spark, tmp_path):
     # (row-group min/max skipping)
     import re
 
-    # the index scan line: partition filters on tbl, a pushed Or-chain
-    # of bucket equalities (the printed chain is truncated, so match
-    # the shape), and a pruned read schema
-    assert re.search(r"PartitionFilters: \[[^\]]*tbl#\d+ = \d+", plan), plan[:2000]
-    idx_line = next(
-        ln for ln in plan.splitlines() if "bucket:int" in ln and "ReadSchema" in ln
-    )
-    assert "PushedFilters: [Or(" in idx_line or "EqualTo(bucket" in idx_line
+    # EVERY scan of the index store (r2 verdict: the probe derivation
+    # used to add an unpruned neighbor_id scan of the full index) must
+    # carry literal partition filters on tbl and a pushed bucket
+    # Or-chain. The index scans are the FileScan lines exposing the
+    # bucket column (the store's path string is truncated by
+    # spark.sql.maxMetadataStringLength, so identify by schema).
+    idx_lines = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln and re.search(r"\[[^\]]*bucket#\d+", ln)
+    ]
+    assert len(idx_lines) == 1, f"expected exactly one index scan:\n{idx_lines}"
+    for ln in idx_lines:
+        assert re.search(r"PartitionFilters: \[[^\]]*tbl#\d+ = \d+", ln), ln
+        assert re.search(r"\(bucket#\d+ = \d+\)", ln), ln
+
+
+def test_stored_probe_unknown_query_ids_raise(spark, tmp_path):
+    emb = load_table(spark, SF, "embeddings")
+    path = _build(spark, tmp_path)
+    import pytest
+
+    with pytest.raises(ValueError, match="cannot derive probe buckets"):
+        cosine_topk_lsh_stored(emb, [10**12], path, 10).collect()
 
 
 def test_index_files_sorted_by_bucket(spark, tmp_path):
