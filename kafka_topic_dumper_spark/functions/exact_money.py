@@ -9,6 +9,16 @@ the scale WITHOUT rounding is bit-identical in every engine under any
 partition layout. The inputs must be exact 2-decimal values (true for
 all testdata money columns); at ~10^8 rows per group the 3-factor
 product sum approaches int64 — move to DECIMAL(38) aggregation there.
+
+ORACLE CAVEAT: the registered DuckDB oracle SQL sums CAST(... AS
+BIGINT) unconditionally, so the differential harness is only valid
+with the DECIMAL flag OFF (the default). With
+SPARK_GRAFT_MONEY_DECIMAL=1 Spark aggregates DECIMAL(38,0) while the
+oracle still wraps at int64 — in exactly the overflow regime the flag
+targets, the harness would report spurious mismatches against an
+int64-wrapping oracle, not real engine errors. Run differential
+checks with the flag off; a deployment that needs the flag should
+mirror it by porting the oracle sums to DuckDB HUGEINT/DECIMAL.
 """
 
 from __future__ import annotations

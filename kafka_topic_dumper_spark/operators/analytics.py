@@ -1043,39 +1043,49 @@ def register(reg) -> None:
     )
     def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Ordered funnel (view → click → purchase): each stage's first
-        event must follow the previous stage's. Three aggregate+join
-        stages, each shuffled on user_id so the exchanges reuse the
-        same partitioning; the product-analytics query every event
-        pipeline serves."""
-        ev = load_table(spark, sf_dir, "events")
-        s1 = (
-            ev.filter(F.col("event_type") == "view")
-            .groupBy("user_id")
-            .agg(F.min("ts").alias("t_view"))
+        event must follow the previous stage's.
+
+        One fact scan, one shuffle (r3 rewrite — the r2 form ran three
+        filtered aggregate+join stages, i.e. three event scans): the
+        stage times are CHAINED window minima over a single user_id
+        partitioning — t_view = min(view ts), then t_click = min(click
+        ts ≥ t_view), then t_purchase = min(purchase ts ≥ t_click).
+        Each conditional min is a separate select, so the three
+        WindowExec nodes stack on ONE exchange, and the final per-user
+        collapse is a partial-agg groupBy on the same partitioning (no
+        new shuffle). A comparison against a NULL prior stage yields
+        NULL, which the conditional min ignores — exactly the oracle's
+        join-on-prior-stage semantics."""
+        ev = (
+            load_table(spark, sf_dir, "events")
+            .filter(F.col("event_type").isin("view", "click", "purchase"))
+            .select("user_id", "event_type", "ts")
         )
-        s2 = (
-            ev.filter(F.col("event_type") == "click")
-            .join(s1, "user_id")
-            .filter(F.col("ts") >= F.col("t_view"))
-            .groupBy("user_id")
-            .agg(F.min("ts").alias("t_click"))
-        )
-        s3 = (
-            ev.filter(F.col("event_type") == "purchase")
-            .join(s2, "user_id")
-            .filter(F.col("ts") >= F.col("t_click"))
-            .groupBy("user_id")
-            .agg(F.min("ts").alias("t_purchase"))
+        from pyspark.sql import Window
+
+        w = Window.partitionBy("user_id")
+
+        def stage_min(etype: str, after) -> Column:
+            cond = F.col("event_type") == etype
+            if after is not None:
+                cond = cond & (F.col("ts") >= F.col(after))
+            return F.min(F.when(cond, F.col("ts"))).over(w)
+
+        staged = (
+            ev.withColumn("t_view", stage_min("view", None))
+            .withColumn("t_click", stage_min("click", "t_view"))
+            .withColumn("t_purchase", stage_min("purchase", "t_click"))
         )
         return (
-            s1.join(s2, "user_id", "left")
-            .join(s3.withColumn("converted", F.lit(1)), "user_id", "left")
-            .select(
-                "user_id",
-                "t_view",
-                "t_click",
-                "t_purchase",
-                F.coalesce("converted", F.lit(0)).cast("int").alias("converted"),
+            staged.groupBy("user_id")
+            .agg(
+                F.min("t_view").alias("t_view"),
+                F.min("t_click").alias("t_click"),
+                F.min("t_purchase").alias("t_purchase"),
+            )
+            .filter(F.col("t_view").isNotNull())
+            .withColumn(
+                "converted", F.col("t_purchase").isNotNull().cast("int")
             )
         )
 

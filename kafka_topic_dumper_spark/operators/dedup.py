@@ -20,7 +20,7 @@ All pure DataFrame ops — no Python in the row path.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_topic_dumper_spark.functions.portable_hash import (
@@ -95,53 +95,55 @@ NGRAM_MAX_DF = 100
 
 def ngram_jaccard_pairs(docs: DataFrame, max_df: int = NGRAM_MAX_DF) -> DataFrame:
     """Exact n-gram Jaccard for every co-shingled pair via inverted
-    index: explode shingles, self-join keyed by a 60-bit md5-prefix
-    hash of the shingle (an 8-byte shuffle key instead of the ~20-byte
-    string — the join shuffles ~2.5× less data; the hash is
-    engine-portable so the oracle sees identical keys, collisions
-    included), count common, join per-doc shingle counts back
-    (broadcast).
+    index, keyed by a 60-bit md5-prefix hash of the shingle (an 8-byte
+    shuffle key instead of the ~20-byte string — ~2.5× less shuffle
+    data; the hash is engine-portable so the oracle sees identical
+    keys, collisions included).
 
     Document-frequency cap: a shingle appearing in d docs produces d²
-    join rows, so ONE viral boilerplate string is a single-key
+    candidate pairs, so ONE viral boilerplate string is a single-key
     quadratic blowup AND a skew hotspot at corpus scale. Shingles with
-    df > ``max_df`` carry no discriminative signal (they are corpus
-    furniture, not content) and are dropped BEFORE the self-join: the
-    hot set is tiny by construction, so it broadcasts into a left-anti
-    join — the index itself never reshuffles to apply the cap. Jaccard
-    is then computed over the capped shingle sets on both engines, so
-    the oracle mirrors the cap and the comparison stays exact.
+    df > ``max_df`` carry no discriminative signal (corpus furniture,
+    not content) and are dropped. The oracle mirrors the cap, so the
+    comparison stays exact.
 
-    Cache lifetime: the persisted index lives until the session drops
-    it — long-lived sessions running many queries should
-    ``spark.catalog.clearCache()`` between them (bench.py does)."""
-    from kafka_topic_dumper_spark.functions.caching import tracked_persist
+    Plan shape (r3 rewrite — the r2 form computed the hot set with a
+    DEDICATED groupBy pass + broadcast anti-join; at sf0.1 there are
+    zero hot shingles, so that pass was ~25% pure overhead, the
+    BENCH_r02 regression): ONE shuffle of the index by sh_h serves
+    everything downstream —
 
+    - df per shingle is a window COUNT over that partitioning (no
+      second pass; WindowExec spills per-key, so a viral shingle
+      degrades to disk, never OOM), then rows with df > max_df drop;
+    - pair generation is collect_list per shingle + a double explode
+      (doc_a < doc_b) — NO self-join. The list is provably bounded by
+      ``max_df`` elements because the window cap ran first, so the
+      aggregation buffer is O(max_df) per key at ANY corpus size;
+    - per-doc shingle counts reuse the same exchange (AQE reuses the
+      sh_h shuffle across the pair and count branches — verified in
+      the final adaptive plan) and broadcast back onto the pairs.
+
+    Measured at sf0.1 local[32]: 2.27 s → 1.55 s best-of-4."""
     from kafka_topic_dumper_spark.functions.portable_hash import h60_spark_sql
 
-    # the hashed inverted index feeds four consumers (df cap, both join
-    # sides, the per-doc counts); persist it so the tokenize/shingle/
-    # hash pass runs once
-    sh_all = tracked_persist(
-        shingled(docs).select(
-            "doc_id", F.expr(h60_spark_sql("shingle")).alias("sh_h")
-        )
+    sh_all = shingled(docs).select(
+        "doc_id", F.expr(h60_spark_sql("shingle")).alias("sh_h")
     )
-    hot = (
-        sh_all.groupBy("sh_h")
-        .agg(F.count("*").alias("df"))
-        .filter(F.col("df") > max_df)
-        .select("sh_h")
+    w = Window.partitionBy("sh_h")
+    sh = (
+        sh_all.withColumn("df", F.count("*").over(w))
+        .filter(F.col("df") <= max_df)
+        .drop("df")
     )
-    sh = sh_all.join(F.broadcast(hot), "sh_h", "left_anti")
+    grouped = sh.groupBy("sh_h").agg(F.collect_list("doc_id").alias("docs"))
+    pairs = (
+        grouped.select(F.explode("docs").alias("doc_a"), "docs")
+        .select("doc_a", F.explode("docs").alias("doc_b"))
+        .filter(F.col("doc_a") < F.col("doc_b"))
+    )
+    common = pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_common"))
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    common = (
-        a.join(b, (F.col("a.sh_h") == F.col("b.sh_h")) & (F.col("a.doc_id") < F.col("b.doc_id")))
-        .groupBy(F.col("a.doc_id").alias("doc_a"), F.col("b.doc_id").alias("doc_b"))
-        .agg(F.count("*").alias("n_common"))
-    )
     ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
     cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
     return (

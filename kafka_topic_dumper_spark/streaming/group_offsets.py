@@ -29,6 +29,17 @@ def kafka_python_committer(bootstrap_servers: str, group_id: str) -> Committer:
     one blocking commit carrying every partition's target offset."""
     from kafka import KafkaConsumer, OffsetAndMetadata, TopicPartition
 
+    def make_oam(offset: int) -> "OffsetAndMetadata":
+        # kafka-python >= 2.1 widened OffsetAndMetadata to a 3-field
+        # namedtuple (offset, metadata, leader_epoch) WITHOUT defaults;
+        # older releases take (offset, metadata). Construct
+        # version-tolerantly, preferring '' over None for metadata
+        # (None round-trips as a null string in the commit protocol).
+        try:
+            return OffsetAndMetadata(int(offset), "", -1)
+        except TypeError:
+            return OffsetAndMetadata(int(offset), "")
+
     def commit(topic: str, offsets: dict[int, int]) -> None:
         consumer = KafkaConsumer(
             bootstrap_servers=bootstrap_servers,
@@ -38,7 +49,7 @@ def kafka_python_committer(bootstrap_servers: str, group_id: str) -> Committer:
         try:
             consumer.commit(
                 {
-                    TopicPartition(topic, int(p)): OffsetAndMetadata(int(o), None)
+                    TopicPartition(topic, int(p)): make_oam(o)
                     for p, o in offsets.items()
                 }
             )

@@ -105,11 +105,14 @@ def test_cli_dump_reload_e2e_and_group_guard(spark, tmp_path, monkeypatch):
     st = state_mod.read_latest_state(spark, dumps + "/_state")
     assert st["offsets"] == {"0": 40, "1": 40, "2": 40}
 
-    # --group without a broker connection is a hard error
+    # --group without a broker connection is a hard error, validated
+    # UP FRONT: the replay must NOT run first (a half-applied B3 would
+    # have appended another 60 rows to the sink before exiting 2)
     assert cli.main(
         ["reload", "--records-parquet", archive, "-t", "test",
          "--output", dumps, "--reload-output", sink, "--group", "g1"]
     ) == 2
+    assert spark.read.parquet(sink).count() == 60
 
     # no archive and no broker: refuse rather than write empty offsets
     assert cli.main(

@@ -71,14 +71,16 @@ def test_embedding_neardup_is_bucketed_not_all_pairs(spark):
     assert "CartesianProduct" not in plan
 
 
-def test_ngram_jaccard_df_cap_is_broadcast_anti_join(spark):
+def test_ngram_jaccard_df_cap_rides_one_index_shuffle(spark):
     plan = plan_of(spark, "dedup_ngram_jaccard")
-    # the document-frequency cap must exist (hot shingles dropped before
-    # the self-join) and be applied as a BROADCAST anti join — the
-    # index must not reshuffle to apply the cap
-    anti_lines = [ln for ln in plan.splitlines() if "LeftAnti" in ln]
-    assert anti_lines, "df-cap anti join missing from plan"
-    assert any("BroadcastHashJoin" in ln for ln in anti_lines)
+    # r3 shape: the df cap is a window COUNT over the same sh_h
+    # partitioning the pair generation uses — no dedicated hot-set
+    # groupBy pass, no anti-join, and no shingle self-join (pairs come
+    # from a bounded collect_list + double explode)
+    assert "Window" in plan
+    assert "LeftAnti" not in plan
+    assert "SortMergeJoin" not in plan  # the only joins left broadcast
+    assert count_in(plan, "Generate explode") >= 2
 
 
 def test_multimodal_meta_prunes_payload_and_stays_jvm(spark):
@@ -224,3 +226,14 @@ def test_cohort_retention_scans_fact_table_once(spark):
 def test_asof_forward_single_shuffle(spark):
     plan = plan_of(spark, "asof_join_next_purchase")
     assert count_in(plan, "Exchange hashpartitioning") == 1
+
+
+def test_funnel_single_scan_single_shuffle(spark):
+    # r3 rewrite: chained window minima — one fact scan, one user_id
+    # exchange feeding three stacked Window nodes, and the per-user
+    # collapse rides the same partitioning (no second shuffle)
+    plan = plan_of(spark, "funnel_conversion")
+    assert count_in(plan, "FileScan parquet") == 1
+    assert count_in(plan, "Exchange hashpartitioning") == 1
+    assert count_in(plan, "Window ") == 3
+    assert "Join" not in plan
