@@ -122,7 +122,12 @@ def ngram_jaccard_pairs(docs: DataFrame, max_df: int = NGRAM_MAX_DF) -> DataFram
       aggregation buffer is O(max_df) per key at ANY corpus size;
     - per-doc shingle counts reuse the same exchange (AQE reuses the
       sh_h shuffle across the pair and count branches — verified in
-      the final adaptive plan) and broadcast back onto the pairs.
+      the final adaptive plan) and join back onto the pairs with NO
+      explicit broadcast hint: counts is corpus-sized (one row per
+      doc), so a forced broadcast OOMs at billions of docs (r4
+      verdict). AQE still broadcasts it from runtime stats while it
+      fits; at scale the join degrades to a shuffle whose small side
+      is the df-capped pair set.
 
     Measured at sf0.1 local[32]: 2.27 s → 1.55 s best-of-4."""
     from kafka_topic_dumper_spark.functions.portable_hash import h60_spark_sql
@@ -147,8 +152,8 @@ def ngram_jaccard_pairs(docs: DataFrame, max_df: int = NGRAM_MAX_DF) -> DataFram
     ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
     cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
     return (
-        common.join(F.broadcast(ca), "doc_a")
-        .join(F.broadcast(cb), "doc_b")
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
         .withColumn(
             "jaccard",
             F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),

@@ -65,8 +65,18 @@ def connected_components(
             labels.union(offers)
             .groupBy("node")
             .agg(F.min("label").alias("label"))
-            .localCheckpoint(eager=True)
         )
+        # Truncate lineage each sweep or the plan doubles per iteration.
+        # Prefer RELIABLE checkpoint when a checkpoint dir is configured:
+        # localCheckpoint pins blocks in executor memory, so on a real
+        # cluster one executor loss mid-iteration kills the job (r4
+        # verdict item 4). Locally (no dir set) localCheckpoint is fine
+        # and avoids the disk round-trip.
+        sc = edges.sparkSession.sparkContext
+        if sc.getCheckpointDir() is not None:
+            new_labels = new_labels.checkpoint(eager=True)
+        else:
+            new_labels = new_labels.localCheckpoint(eager=True)
         changed = (
             new_labels.alias("n")
             .join(labels.alias("o"), "node")

@@ -449,9 +449,13 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q3-style: selective dimension (customer segment) broadcast
-    into the fact join, then top-10 by revenue. Customer side is tiny →
-    explicit broadcast hint keeps it off the shuffle."""
+    """TPC-H Q3-style: selective dimension (customer segment) joined
+    into the fact join, then top-10 by revenue.
+
+    No explicit broadcast hint on customer: the segment filter keeps
+    ~1/5 of an SF-proportional table, so a hint that wins at sf0.1
+    forces an OOM at 100× (r4 verdict). AQE sees the post-filter size
+    at runtime and still picks broadcast when it actually fits."""
     cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
     cust = load_table(spark, sf_dir, "customer").filter(
         F.col("c_mktsegment") == "BUILDING"
@@ -462,7 +466,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     bps = pct_units(1 - F.col("l_discount"))
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg((F.sum(ep_cents * bps) / 10000.0).alias("revenue"))
         .select("l_orderkey", "revenue", "o_orderdate", "o_orderpriority")
@@ -489,9 +493,11 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     """,
 )
 def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """TPC-H Q5-style: 6-way join where every dimension (supplier,
-    nation, region, filtered customer) broadcasts; only the
-    orders⋈lineitem fact join shuffles."""
+    """TPC-H Q5-style: 6-way join. Only the fixed-cardinality
+    dimensions (nation: 25 rows, region: 5) carry broadcast hints;
+    customer and supplier are SF-proportional, so they get no hint —
+    AQE broadcasts them at small SF from runtime stats and falls back
+    to shuffle join at scale instead of OOMing (r4 verdict)."""
     cust = load_table(spark, sf_dir, "customer")
     orders = load_table(spark, sf_dir, "orders").filter(
         (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp_ntz"))
@@ -503,9 +509,9 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
     region = load_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
     return (
         li.join(orders, li.l_orderkey == orders.o_orderkey)
-        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(cust, orders.o_custkey == cust.c_custkey)
         .join(
-            F.broadcast(supp),
+            supp,
             (li.l_suppkey == supp.s_suppkey)
             & (cust.c_nationkey == supp.s_nationkey),
         )

@@ -11,6 +11,7 @@ import os
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql import types as T
 
 TABLES = (
     "region",
@@ -29,29 +30,52 @@ TABLES = (
 def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table. ``name`` must be in :data:`TABLES`.
 
-    ``events.ts`` is parquet TIMESTAMP(NANOS), which Spark's reader
-    rejects by default; we read it as raw nanos (legacy conf, runtime-
-    settable so it also works under an externally-created session) and
-    truncate to a TIMESTAMP_NTZ(µs) column — the same truncation DuckDB
-    applies, so oracle comparisons agree.
+    ``events.ts`` has drifted across testdata generations: parquet
+    TIMESTAMP(NANOS) in some, ``timestamp[us]`` in others. We normalize
+    to TIMESTAMP_NTZ(µs) regardless of what the footer says, branching
+    on the dtype Spark actually read:
 
-    The NTZ value is built by adding the epoch microseconds to the NTZ
-    epoch literal — a timezone-independent construction.
-    (``timestamp_micros()`` would yield TIMESTAMP_LTZ, and LTZ→NTZ
-    casts render wall time in the SESSION timezone: under a non-UTC
-    externally-created session every ts would shift.)
+    - ``TimestampNTZType`` — already what we want; pass through.
+    - ``TimestampType`` (LTZ) — cast to NTZ (parquet µs with
+      ``isAdjustedToUTC`` set; wall time preserved under a UTC session).
+    - ``LongType`` — raw nanos under the legacy ``nanosAsLong`` conf;
+      truncate to µs and add to the NTZ epoch literal — a timezone-
+      independent construction.  (``timestamp_micros()`` would yield
+      TIMESTAMP_LTZ, and LTZ→NTZ casts render wall time in the SESSION
+      timezone: under a non-UTC externally-created session every ts
+      would shift.)
+
+    A TIMESTAMP(NANOS) footer makes the plain read raise before we can
+    inspect the dtype, so on failure we retry once under the legacy
+    conf (runtime-settable, so this also works under an externally-
+    created session).
     """
     if name not in TABLES:
         raise ValueError(f"unknown table {name!r}; expected one of {TABLES}")
     if name == "events":
-        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-        df = spark.read.parquet(os.path.join(sf_dir, "events.parquet"))
-        return df.withColumn(
-            "ts",
-            F.expr(
-                "timestampadd(MICROSECOND, ts div 1000,"
-                " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
-            ),
+        path = os.path.join(sf_dir, "events.parquet")
+        try:
+            df = spark.read.parquet(path)
+            df.schema  # force analysis so a nanos footer fails here
+        except Exception:
+            spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+            df = spark.read.parquet(path)
+        ts_type = df.schema["ts"].dataType
+        if isinstance(ts_type, T.TimestampNTZType):
+            return df
+        if isinstance(ts_type, T.TimestampType):
+            return df.withColumn("ts", F.col("ts").cast(T.TimestampNTZType()))
+        if isinstance(ts_type, T.LongType):
+            return df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, ts div 1000,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
+        raise TypeError(
+            f"events.ts read as unexpected dtype {ts_type}; "
+            "expected timestamp_ntz, timestamp, or raw-nanos long"
         )
     return spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
 

@@ -237,3 +237,30 @@ def test_funnel_single_scan_single_shuffle(spark):
     assert count_in(plan, "Exchange hashpartitioning") == 1
     assert count_in(plan, "Window ") == 3
     assert "Join" not in plan
+
+
+def _analyzed_plan_of(spark, name: str) -> str:
+    df = registry.QUERIES[name](spark, SF)
+    return df._jdf.queryExecution().analyzed().toString()
+
+
+@pytest.mark.parametrize(
+    "query,max_hints",
+    [
+        ("q3_shipping_priority", 0),
+        # q5 keeps hints ONLY on the fixed-cardinality dims (nation=25
+        # rows, region=5); customer/supplier must be hint-free
+        ("q5_region_revenue", 2),
+        ("dedup_ngram_jaccard", 0),
+    ],
+)
+def test_no_broadcast_hint_on_sf_proportional_relations(spark, query, max_hints):
+    """r4 verdict item 5: an explicit broadcast() on a relation that
+    grows with SF (customer, supplier, per-doc counts) wins at sf0.1
+    and OOMs at 100×. The hint must stay off these queries — AQE
+    broadcasts from runtime stats while the side fits and falls back
+    to shuffle at scale. Asserted on the ANALYZED plan (ResolvedHint
+    nodes) because the optimizer folds hints into Join nodes and the
+    physical plan broadcasts either way at test SF."""
+    plan = _analyzed_plan_of(spark, query)
+    assert plan.count("ResolvedHint") <= max_hints, plan
