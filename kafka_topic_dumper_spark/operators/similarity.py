@@ -9,8 +9,12 @@
   probe touches ~1/2^nbits of the table), queries probe only their own
   bucket. Recall < 1 by construction → rows-only correctness check.
 
-Dot products are JVM-side ``zip_with``/``aggregate`` lambda expressions
-in DOUBLE — no Python, no UDF, codegen-friendly.
+Dot products for cosine ranking are JVM-side ``zip_with``/``aggregate``
+lambda expressions in DOUBLE. The one deliberate exception to the
+no-Python rule is the LSH signature kernel (``lsh_signatures_udf``):
+an Arrow-batched vectorized pandas_udf, because the equivalent pure
+expression blows Janino's 64 KB method limit and drags the whole stage
+into interpreted fallback — see its docstring.
 
 Cache lifetime: the LSH index is persist()ed because it feeds multiple
 consumers within one query; the cached partitions live until the
@@ -92,7 +96,11 @@ def _chain(terms: list[str]) -> str:
 def lsh_bucket_expr(
     vec_col: str, dim: int, nbits: int, table: int = 0
 ) -> Column:
-    """Sign-LSH bucket id for an array<double> column: bit i = sign of
+    """REFERENCE implementation (pure-SQL spec of the bucket id; the
+    production path is :func:`lsh_signatures_udf`, which must stay
+    bit-identical to this — pinned by tests/test_ann_recall.py's
+    parity test). Sign-LSH bucket id for an array<double> column: bit
+    i = sign of
     the dot product with hyperplane ``table*nbits + i``. A pure
     expression, so the same code buckets the stored table and the
     probe side.
@@ -131,6 +139,72 @@ def lsh_bucket_expr(
 N_LSH_TABLES = 8
 
 
+def lsh_signatures_udf(dim: int, nbits: int, n_tables: int):
+    """Arrow-batched vectorized kernel computing ALL ``n_tables`` sign-
+    LSH bucket ids per vector in one pass: returns a pandas_udf mapping
+    an array<float> column to ``array<int>`` of length ``n_tables``.
+
+    Why a Pandas UDF here, against this repo's JVM-first rule: the pure
+    expression form (:func:`lsh_bucket_expr` per table) inlines
+    nbits×n_tables×dim ≈ 2048 ``± CAST(v[j] AS DOUBLE)`` terms into one
+    whole-stage-codegen ``processNext()`` — Janino's 64 KB method limit
+    ("Code grows beyond 64 KB"), so the WHOLE stage (scan + explode
+    included) silently fell back to row-at-a-time interpreted
+    evaluation at every config we ship. Expression-level method
+    splitting can't rescue it: the projection consumes scan-local
+    variables, which disables ``splitExpressionsWithCurrentInputs``.
+    The Arrow kernel keeps the rest of the stage compiled (the UDF is
+    an ArrowEvalPython boundary) and does the arithmetic as ~2048
+    numpy whole-batch vector ops — vectorized across rows, sequential
+    across dims.
+
+    Bit-exactness contract (the DuckDB oracle reproduces the exact
+    bucket ids): the accumulation is a SEQUENTIAL left-associated ±
+    chain over dims in float64, the same order as the SQL chain in
+    :func:`lsh_bucket_expr` / :func:`bucket_sql`. Starting the fold at
+    0.0 instead of ±x₀ differs only on ±0.0 intermediates, which can
+    never flip the final ``> 0`` sign test. float32→float64 is exact.
+    A production deployment that doesn't need cross-engine bit parity
+    can swap the dim loop for one ``E @ P.T`` matmul (BLAS reorders
+    the sums).
+
+    The closure captures only plain Python data (the ±1 plane lists)
+    and imports numpy/pandas inside the worker function, so cloudpickle
+    ships it BY VALUE — executors don't need this package installed."""
+    planes = _hyperplanes(dim, nbits * n_tables)
+
+    @F.pandas_udf("array<int>")
+    def _buckets(vecs):  # pd.Series of np.ndarray -> pd.Series of arrays
+        import numpy as np
+        import pandas as _pd
+
+        n = len(vecs)
+        out = np.empty(n, dtype=object)
+        if n:
+            mask = vecs.notna().to_numpy()
+            if mask.any():
+                E = np.stack(vecs[mask].to_numpy()).astype(np.float64)
+                m = E.shape[0]
+                buckets = np.zeros((m, n_tables), dtype=np.int32)
+                for t in range(n_tables):
+                    bits = np.zeros(m, dtype=np.int32)
+                    for i in range(nbits):
+                        plane = planes[t * nbits + i]
+                        acc = np.zeros(m, dtype=np.float64)
+                        for j in range(dim):
+                            if plane[j] > 0.0:
+                                acc += E[:, j]
+                            else:
+                                acc -= E[:, j]
+                        bits |= (acc > 0.0).astype(np.int32) << i
+                    buckets[:, t] = bits
+                for r, row in zip(np.nonzero(mask)[0], buckets):
+                    out[r] = row
+        return _pd.Series(out)
+
+    return _buckets
+
+
 def lsh_banded(
     base: DataFrame,
     id_col: str,
@@ -145,33 +219,15 @@ def lsh_banded(
     source. Callers persist it when it feeds multiple consumers (the
     hyperplane dot products then run once per vector).
 
-    ``vec_col`` must be the RAW stored array column, not a computed
-    one — see :func:`lsh_bucket_expr` (lambda-inlining trap).
-
-    Shape note: the per-table buckets are computed as SEPARATE
-    projection columns and only then exploded. Fusing all tables into
-    one ``explode(array(struct(…bucket-expr…)))`` makes the generator
-    input a single expression too large for whole-stage codegen
-    (method-size limit) — the whole stage silently falls back to
-    interpreted evaluation, measured ~15× slower. As independent
-    columns each bucket expression codegens into its own method, and
-    the Generate boundary keeps CollapseProject from re-fusing them."""
-    with_buckets = base.select(
-        id_col,
-        *[
-            lsh_bucket_expr(vec_col, dim, nbits, table=t).alias(f"_b{t}")
-            for t in range(n_tables)
-        ],
-    )
-    tables = F.array(
-        *[
-            F.struct(F.lit(t).alias("tbl"), F.col(f"_b{t}").alias("bucket"))
-            for t in range(n_tables)
-        ]
-    )
-    return with_buckets.select(id_col, F.explode(tables).alias("tb")).select(
-        id_col, F.col("tb.tbl").alias("tbl"), F.col("tb.bucket").alias("bucket")
-    )
+    Signatures come from the Arrow-batched kernel
+    (:func:`lsh_signatures_udf` — see its docstring for why the pure
+    expression form can't compile); the explode into one row per table
+    is a JVM ``posexplode``, so everything except the signature
+    arithmetic stays in whole-stage codegen."""
+    sig = lsh_signatures_udf(dim, nbits, n_tables)
+    return base.select(
+        F.col(id_col), sig(F.col(vec_col)).alias("_bs")
+    ).select(id_col, F.posexplode("_bs").alias("tbl", "bucket"))
 
 
 def plane_chain_sql(plane: list[float]) -> str:

@@ -67,3 +67,32 @@ def test_embedding_neardup_lsh_finds_planted_duplicates(spark):
     lsh = {tuple(r) for r in dedup.embedding_neardup_lsh(emb, 50).collect()}
     recall = len(lsh & planted) / len(planted)
     assert recall >= 0.9, f"bucketed near-dup recall degraded: {recall:.2f}"
+
+
+def test_lsh_signature_kernel_bit_parity(spark):
+    """The Arrow kernel (production path) must produce EXACTLY the
+    bucket ids of the pure-SQL reference expression (lsh_bucket_expr)
+    at every shipped config — the DuckDB oracles reproduce the SQL
+    chain, so any drift here silently breaks three declared queries."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF, "embeddings").select("vec_id", "embedding")
+    for nbits, n_tables in ((4, 8), (8, 4)):
+        got = {
+            (r.vec_id, r.tbl): r.bucket
+            for r in similarity.lsh_banded(
+                emb, "vec_id", "embedding", 64, nbits, n_tables
+            ).collect()
+        }
+        ref_cols = emb.select(
+            "vec_id",
+            *[
+                similarity.lsh_bucket_expr("embedding", 64, nbits, table=t).alias(f"b{t}")
+                for t in range(n_tables)
+            ],
+        )
+        want = {}
+        for r in ref_cols.collect():
+            for t in range(n_tables):
+                want[(r.vec_id, t)] = r[f"b{t}"]
+        assert got == want, f"bucket drift at nbits={nbits} n_tables={n_tables}"
