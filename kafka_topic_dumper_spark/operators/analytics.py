@@ -10,6 +10,15 @@ most recent right-side row with an IGNORE NULLS running last() — the
 same sort-merge shape DuckDB's native ASOF JOIN executes, but expressed
 with stock window functions so it also runs as a streaming
 applyInPandasWithState variant.
+
+Broadcast HINT policy (r5): explicit ``F.broadcast`` only on
+relations whose size is independent of scale factor (nation, 1-row /
+bounded aggregates like window bounds and cohort sizes). part,
+customer, and filtered-fact derivations (the "big orders" set) grow
+with SF and carry no hint — the planner broadcasts them from size
+stats at bench SF, and falls back to a shuffled join at 100× instead
+of OOMing. Docstrings describing "X broadcasts" document the plan
+observed at bench SF, not a forced hint.
 """
 
 from __future__ import annotations
@@ -134,7 +143,7 @@ def large_volume_orders(
         .filter(F.col("sum_qty") > min_qty)
     )
     return (
-        orders.join(F.broadcast(big), orders.o_orderkey == big.l_orderkey)
+        orders.join(big, orders.o_orderkey == big.l_orderkey)
         .join(customer, orders.o_custkey == customer.c_custkey)
         .select(
             "c_custkey",
@@ -618,7 +627,7 @@ def register(reg) -> None:
         )
         ep_cents = cents(F.col("l_extendedprice"))
         return (
-            li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            li.join(part, li.l_partkey == part.p_partkey)
             .join(thr, li.l_partkey == thr.t_partkey)
             .filter(F.col("l_quantity") < F.col("small_qty"))
             .agg((F.sum(ep_cents) / 100.0 / 7.0).alias("avg_yearly"))
@@ -641,7 +650,7 @@ def register(reg) -> None:
         li = load_table(spark, sf_dir, "lineitem")
         part = load_table(spark, sf_dir, "part")
         return (
-            li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            li.join(part, li.l_partkey == part.p_partkey)
             .groupBy("p_type")
             .agg(
                 F.countDistinct("l_suppkey").alias("n_suppliers"),
@@ -801,7 +810,7 @@ def register(reg) -> None:
         bps = pct_units(1 - F.col("l_discount"))
         return (
             li.join(orders, li.l_orderkey == orders.o_orderkey)
-            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
             .join(F.broadcast(nation), cust.c_nationkey == nation.n_nationkey)
             .groupBy("c_custkey", "c_name", "n_name")
             .agg((F.sum(ep_cents * bps) / 10000.0).alias("revenue"))
@@ -873,7 +882,7 @@ def register(reg) -> None:
         units = cents(F.col("l_extendedprice")) * pct_units(1 - F.col("l_discount"))
         promo = F.when(F.col("p_type").like("PROMO%"), units).otherwise(F.lit(0))
         return (
-            li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            li.join(part, li.l_partkey == part.p_partkey)
             .agg(
                 (F.lit(100.0) * F.sum(promo) / F.sum(units)).alias(
                     "promo_revenue_pct"
@@ -937,7 +946,7 @@ def register(reg) -> None:
         join; the full disjunction evaluates as the join residual."""
         li = load_table(spark, sf_dir, "lineitem")
         part = load_table(spark, sf_dir, "part")
-        joined = li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+        joined = li.join(part, li.l_partkey == part.p_partkey)
         arm = lambda brand, smax, qlo, qhi: (  # noqa: E731
             (F.col("p_brand") == brand)
             & F.col("p_size").between(1, smax)

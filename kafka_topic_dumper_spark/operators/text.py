@@ -306,15 +306,18 @@ def mean_token_df(docs: DataFrame) -> DataFrame:
     doc's tokens (high = built from common words, low = rare/noisy
     vocabulary) — a two-pass n-gram-LM stand-in that needs no model:
     pass 1 aggregates the token→df table (shuffle on token), pass 2
-    joins it back (broadcast at sane vocabulary sizes) and averages
-    per doc. Integer sums/counts only — no transcendentals, so the
+    joins it back and averages per doc. No broadcast hint on the df
+    table: vocabulary grows with the corpus (100M+ tokens at 100 TB),
+    so AQE decides from runtime stats — and the join key is the same
+    ``tok`` the aggregation shuffled on, so the shuffle-join path
+    reuses that exchange. Integer sums/counts only — no transcendentals, so the
     result is bit-identical across engines."""
     toks = docs.select(
         "doc_id", F.explode(F.array_distinct(_tokens())).alias("tok")
     )
     df_table = toks.groupBy("tok").agg(F.count("*").alias("df"))
     return (
-        toks.join(F.broadcast(df_table), "tok")
+        toks.join(df_table, "tok")
         .groupBy("doc_id")
         .agg(
             F.count("*").alias("n_distinct_tokens"),

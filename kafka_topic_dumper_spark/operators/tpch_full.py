@@ -18,6 +18,15 @@ engines agree bit-for-bit under any partition layout.
 shuffles are the fact-side groupBys on high-cardinality keys, and
 scalar subqueries (Q11's total, Q15's max, Q22's average) are 1-row
 broadcasts, never recomputed per row.
+
+Broadcast HINT policy (r5, after the r4 verdict's scale audit):
+explicit ``F.broadcast`` appears ONLY on relations whose size is
+independent of scale factor — nation (25 rows), region (5), and 1-row
+scalar aggregates. part/supplier/customer and anything derived from
+them grow with SF, so they carry NO hint: at bench SF the planner
+still broadcasts them from size stats (docstrings describing those
+plan shapes remain accurate), while at 100× AQE degrades gracefully
+to a shuffled join instead of OOMing on a forced build side.
 """
 
 from __future__ import annotations
@@ -83,9 +92,9 @@ def register(reg) -> None:
         )
         return (
             li.join(orders, li.l_orderkey == orders.o_orderkey)
-            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(supp, li.l_suppkey == supp.s_suppkey)
             .join(F.broadcast(n1), F.col("s_nationkey") == F.col("n1_key"))
-            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
             .join(F.broadcast(n2), F.col("c_nationkey") == F.col("n2_key"))
             .filter(F.col("supp_nation") != F.col("cust_nation"))
             .groupBy(
@@ -156,12 +165,12 @@ def register(reg) -> None:
         supp = load_table(spark, sf_dir, "supplier")
         volume = cents(F.col("l_extendedprice")) * pct_units(1 - F.col("l_discount"))
         return (
-            li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            li.join(part, li.l_partkey == part.p_partkey)
             .join(orders, li.l_orderkey == orders.o_orderkey)
-            .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+            .join(cust, orders.o_custkey == cust.c_custkey)
             .join(F.broadcast(n1), F.col("c_nationkey") == F.col("n1_key"))
             .join(F.broadcast(region), F.col("n1_region") == F.col("r_regionkey"))
-            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            .join(supp, li.l_suppkey == supp.s_suppkey)
             .join(F.broadcast(n2), F.col("s_nationkey") == F.col("n2_key"))
             .groupBy(F.year("o_orderdate").cast("int").alias("o_year"))
             .agg(
@@ -214,8 +223,8 @@ def register(reg) -> None:
             1 - F.col("l_discount")
         ) - cents(F.col("p_retailprice")) * F.col("l_quantity").cast("bigint") * 100
         return (
-            li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
-            .join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            li.join(part, li.l_partkey == part.p_partkey)
+            .join(supp, li.l_suppkey == supp.s_suppkey)
             .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
             .join(orders, li.l_orderkey == orders.o_orderkey)
             .groupBy(
@@ -261,7 +270,7 @@ def register(reg) -> None:
             F.col("n_name") == "NATION_9"
         )
         pv = (
-            li.join(F.broadcast(supp), li.l_suppkey == supp.s_suppkey)
+            li.join(supp, li.l_suppkey == supp.s_suppkey)
             .join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
             .groupBy("l_partkey")
             .agg(F.sum(cents(F.col("l_extendedprice"))).alias("value_cents"))
@@ -356,7 +365,7 @@ def register(reg) -> None:
         return (
             revenue.join(F.broadcast(best))
             .filter(F.col("total_units") == F.col("best_units"))
-            .join(F.broadcast(supp), F.col("supplier_no") == F.col("s_suppkey"))
+            .join(supp, F.col("supplier_no") == F.col("s_suppkey"))
             .select(
                 "s_suppkey",
                 "s_name",
@@ -404,7 +413,7 @@ def register(reg) -> None:
             F.col("p_name").startswith("small")
         )
         movers = (
-            li.join(F.broadcast(part), li.l_partkey == part.p_partkey)
+            li.join(part, li.l_partkey == part.p_partkey)
             .groupBy("l_suppkey")
             .agg(F.sum("l_quantity").alias("qty"))
             .filter(F.col("qty") > 400.0)
@@ -413,7 +422,7 @@ def register(reg) -> None:
         return (
             supp.join(F.broadcast(nation), F.col("s_nationkey") == F.col("n_nationkey"))
             .join(
-                F.broadcast(movers),
+                movers,
                 F.col("s_suppkey") == F.col("l_suppkey"),
                 "left_semi",
             )
@@ -481,7 +490,7 @@ def register(reg) -> None:
             og.filter(
                 (F.col("late") == 1) & (F.col("n_supp") >= 2) & (F.col("n_late") == 1)
             )
-            .join(F.broadcast(supp), F.col("l_suppkey") == F.col("s_suppkey"))
+            .join(supp, F.col("l_suppkey") == F.col("s_suppkey"))
             .groupBy("s_suppkey", "s_name")
             .agg(F.count("*").alias("numwait"))
         )

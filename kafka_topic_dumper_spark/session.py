@@ -83,7 +83,10 @@ def get_session(
         # pandas UDFs should lower this.
         .config("spark.sql.execution.arrow.maxRecordsPerBatch", "100000")
         .config("spark.sql.parquet.compression.codec", "gzip")
-        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # NOTE: no static nanosAsLong conf — sources/tables.load_table
+        # sets it at runtime only when a parquet footer actually needs
+        # it (the conf is runtime-settable, and the events testdata has
+        # drifted between TIMESTAMP(NANOS) and timestamp[us]).
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

@@ -95,7 +95,12 @@ def dedup_stream_against_corpus(
     Together: a continuously-ingesting pipeline admits each key once,
     whether the duplicate is historical or in-flight."""
     events = events.withColumn("ts", F.col("ts").cast("timestamp"))
-    fresh = events.join(F.broadcast(corpus_keys), key, "left_anti")
+    # No broadcast hint: corpus_keys is corpus-proportional, so a
+    # forced broadcast OOMs once the historical index outgrows executor
+    # memory — the planner picks broadcast from size stats while it
+    # fits and falls back to a per-batch shuffled join beyond that
+    # (stream-static anti-joins are stateless either way).
+    fresh = events.join(corpus_keys, key, "left_anti")
     return fresh.withWatermark("ts", watermark).dropDuplicatesWithinWatermark([key])
 
 

@@ -1,0 +1,172 @@
+"""Scale probe: run the engine's heaviest plans at R× the bench data.
+
+Addresses the standing verdict item (r2 #6): the 100 TB claims are
+argued in docstrings and plan tests — this script MEASURES them, as far
+as a single 32-core box allows, by replicating the sf0.1 tables R× in-
+plan (no files written) and running the most shuffle- and memory-
+intensive operators end-to-end. R=10 ≈ sf1, R=100 ≈ sf10 (60M lineitem
+rows) under the same 8 GiB driver heap the bench uses — an OOM, a
+runaway spill, or super-linear wall-time growth fails loudly here.
+
+Replication is NOT row duplication: every key column is remapped
+(``id*R + r``) so join fan-outs and group counts scale the way a real
+bigger dataset would, document text gets a per-replica suffix (10
+NEAR-duplicate variants per doc — a worst-realistic-case corpus for
+the LSH/minhash paths), and embeddings get a per-replica float
+perturbation so vectors are distinct.
+
+Usage: ``python scale_probe.py [R ...]`` (default ``1 10``). Prints one
+JSON line per (R, probe) with wall seconds, output rows, and JVM heap
+in use after the probe; a final line per R totals it. Results are
+summarized in SCALE_PROBE.md.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import Window
+
+
+def replicate(df: DataFrame, r: int, id_cols: list[str]) -> DataFrame:
+    """R× the table, remapping every key in ``id_cols`` to ``id*R + rep``
+    so keys stay unique and join relationships are preserved across
+    replicas (replica r of orders joins replica r of customer)."""
+    if r <= 1:
+        return df
+    rep = F.broadcast(SparkSession.active().range(r).select(F.col("id").alias("_rep")))
+    out = df.crossJoin(rep)
+    for c in id_cols:
+        out = out.withColumn(c, F.col(c) * r + F.col("_rep"))
+    return out
+
+
+def load_replicated(spark: SparkSession, sf_dir: str, r: int) -> dict[str, DataFrame]:
+    from kafka_topic_dumper_spark.sources.tables import load_table
+
+    t: dict[str, DataFrame] = {}
+    t["lineitem"] = replicate(
+        load_table(spark, sf_dir, "lineitem"), r, ["l_orderkey"]
+    )
+    t["orders"] = replicate(
+        load_table(spark, sf_dir, "orders"), r, ["o_orderkey", "o_custkey"]
+    )
+    t["customer"] = replicate(
+        load_table(spark, sf_dir, "customer"), r, ["c_custkey"]
+    )
+    ev = replicate(
+        load_table(spark, sf_dir, "events"), r, ["event_id", "user_id"]
+    )
+    # distinct wall-clock per replica so windows don't see R-way ties
+    t["events"] = ev.withColumn(
+        "ts", F.expr("timestampadd(SECOND, CAST(event_id % 7 AS INT), ts)")
+    )
+    docs = replicate(load_table(spark, sf_dir, "documents"), r, ["doc_id"])
+    # near-duplicate variants, not byte-identical copies: each replica
+    # appends a tiny suffix, so exact-dedup finds nothing while the
+    # shingle/minhash paths face R-sized near-dup clusters.
+    t["documents"] = docs.withColumn(
+        "text", F.concat(F.col("text"), F.lit(" r"), (F.col("doc_id") % r).cast("string"))
+    ) if r > 1 else docs
+    emb = replicate(load_table(spark, sf_dir, "embeddings"), r, ["vec_id"])
+    t["embeddings"] = emb.withColumn(
+        "embedding",
+        F.transform(
+            "embedding",
+            lambda x: (x.cast("double") + (F.col("vec_id") % r) * 1e-3).cast("float"),
+        ),
+    ) if r > 1 else emb
+    return t
+
+
+def probes(t: dict[str, DataFrame]):
+    from kafka_topic_dumper_spark.operators import dedup, packing, similarity
+
+    li, orders, cust = t["lineitem"], t["orders"], t["customer"]
+
+    def q1_agg():
+        return (
+            li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp_ntz"))
+            .groupBy("l_returnflag", "l_linestatus")
+            .agg(F.sum("l_quantity"), F.avg("l_extendedprice"), F.count("*"))
+        )
+
+    def q3_join():
+        cutoff = F.lit("1998-03-15 00:00:00").cast("timestamp_ntz")
+        return (
+            li.filter(F.col("l_shipdate") > cutoff)
+            .join(orders.filter(F.col("o_orderdate") < cutoff), li.l_orderkey == orders.o_orderkey)
+            .join(cust.filter(F.col("c_mktsegment") == "BUILDING"), orders.o_custkey == cust.c_custkey)
+            .groupBy("l_orderkey", "o_orderdate")
+            .agg(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue"))
+            .orderBy(F.col("revenue").desc())
+            .limit(10)
+        )
+
+    def flagship_window():
+        w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+        return (
+            t["events"].withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1).drop("rn")
+        )
+
+    def exact():
+        return dedup.exact_dedup(t["documents"])
+
+    def minhash():
+        return dedup.minhash_lsh_dedup(t["documents"])
+
+    def ngram():
+        return dedup.ngram_jaccard_pairs(t["documents"]).filter(F.col("jaccard") >= 0.8)
+
+    def ann_lsh():
+        qids = [int(x) for x in similarity.QUERY_IDS]
+        return similarity.cosine_topk_lsh(t["embeddings"], qids, 10)
+
+    def pack():
+        return packing.pack_sequences(t["documents"])
+
+    return {
+        "q1_agg": q1_agg,
+        "q3_join": q3_join,
+        "flagship_window": flagship_window,
+        "dedup_exact": exact,
+        "dedup_minhash_lsh": minhash,
+        "dedup_ngram_jaccard": ngram,
+        "similarity_topk_lsh": ann_lsh,
+        "pack_sequences": pack,
+    }
+
+
+def heap_mb(spark: SparkSession) -> int:
+    rt = spark._jvm.java.lang.Runtime.getRuntime()
+    return int((rt.totalMemory() - rt.freeMemory()) / (1 << 20))
+
+
+def main() -> None:
+    import os
+
+    sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    from kafka_topic_dumper_spark.session import get_session
+
+    rs = [int(a) for a in sys.argv[1:]] or [1, 10]
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    spark = get_session("scale_probe")
+    for r in rs:
+        t = load_replicated(spark, sf_dir, r)
+        total = 0.0
+        for name, fn in probes(t).items():
+            spark.catalog.clearCache()
+            t0 = time.monotonic()
+            rows = fn().count()
+            secs = round(time.monotonic() - t0, 2)
+            total += secs
+            print(json.dumps({"R": r, "probe": name, "sec": secs, "rows": rows, "heap_mb": heap_mb(spark)}), flush=True)
+        print(json.dumps({"R": r, "probe": "TOTAL", "sec": round(total, 2)}), flush=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -264,3 +264,36 @@ def test_no_broadcast_hint_on_sf_proportional_relations(spark, query, max_hints)
     physical plan broadcasts either way at test SF."""
     plan = _analyzed_plan_of(spark, query)
     assert plan.count("ResolvedHint") <= max_hints, plan
+
+
+def test_no_broadcast_hint_on_sf_proportional_sources():
+    """Source-level policy lint (r4 verdict, generalized in r5): an
+    explicit F.broadcast() is allowed ONLY on relations whose size is
+    independent of scale factor — nation/region, 1-row scalar
+    aggregates, query/probe sets, per-bucket metadata. Hints on
+    part/supplier/customer/fact-derived/vocabulary/corpus-sized
+    relations win at bench SF and OOM at 100×. This greps the package
+    so a reintroduced hint fails with the offending line."""
+    import pathlib
+
+    pkg = pathlib.Path(__file__).resolve().parents[1] / "kafka_topic_dumper_spark"
+    banned = (
+        "F.broadcast(part", "F.broadcast(supp", "F.broadcast(cust",
+        "F.broadcast(big", "F.broadcast(movers", "F.broadcast(df_table",
+        "F.broadcast(corpus_keys", "F.broadcast(ca", "F.broadcast(cb",
+        "F.broadcast(counts", "F.broadcast(orders", "F.broadcast(li",
+        "F.broadcast(lineitem", "F.broadcast(docs", "F.broadcast(emb",
+        "F.broadcast(events",
+    )
+    offenders = []
+    for path in pkg.rglob("*.py"):
+        for i, line in enumerate(path.read_text().splitlines(), 1):
+            if line.lstrip().startswith("#"):
+                continue
+            for pat in banned:
+                if pat in line:
+                    offenders.append(f"{path.name}:{i}: {line.strip()}")
+    assert not offenders, (
+        "scale-unsafe broadcast hint(s) on SF-proportional relations:\n"
+        + "\n".join(offenders)
+    )
