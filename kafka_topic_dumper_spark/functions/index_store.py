@@ -84,8 +84,8 @@ def cosine_topk_lsh_stored(
     scanned to discover the probes."""
     from kafka_topic_dumper_spark.operators.similarity import (
         _as_double_vec,
-        dot,
         lsh_banded,
+        pair_dot_udf,
     )
 
     spark = emb.sparkSession
@@ -132,7 +132,7 @@ def cosine_topk_lsh_stored(
         cand.join(F.broadcast(qv), "query_id")
         .join(base, "neighbor_id")
         .withColumn(
-            "cos", dot(F.col("va"), F.col("vb")) / (F.col("va_nrm") * F.col("vb_nrm"))
+            "cos", pair_dot_udf()(F.col("va"), F.col("vb")) / (F.col("va_nrm") * F.col("vb_nrm"))
         )
     )
     w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("neighbor_id"))

@@ -530,8 +530,8 @@ def embedding_neardup_lsh(
 
     from kafka_topic_dumper_spark.operators.similarity import (
         _as_double_vec,
-        dot,
         lsh_banded,
+        pair_dot_udf,
     )
 
     base = _as_double_vec(emb, "vec_id", "v")
@@ -563,7 +563,7 @@ def embedding_neardup_lsh(
     pairs = (
         cand.join(va, "vec_a")
         .join(vb, "vec_b")
-        .withColumn("cos", dot(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
+        .withColumn("cos", pair_dot_udf()(F.col("va"), F.col("vb")) / (F.col("na") * F.col("nb")))
     )
     return (
         pairs.orderBy(F.col("cos").desc(), "vec_a", "vec_b")

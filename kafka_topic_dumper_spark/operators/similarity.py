@@ -35,9 +35,65 @@ def _dsum(arr: Column) -> Column:
 
 
 def dot(a: Column, b: Column) -> Column:
-    """Dot product of two array<double> columns, sequential fold (stable
-    summation order — reproducible across engines)."""
+    """REFERENCE dot product of two array<double> columns, sequential
+    fold (stable summation order — reproducible across engines). Spark
+    higher-order functions are CodegenFallback, i.e. interpreted
+    expression-tree eval PER ROW — fine for probe-sized inputs, a real
+    tax on corpus-wide scoring passes, so the hot paths use
+    :func:`pair_dot_udf` / :func:`self_dot_udf` (bit-identical fold,
+    pinned by tests/test_ann_recall.py's parity test) and this stays
+    as the executable spec."""
     return _dsum(F.zip_with(a, b, lambda x, y: x * y))
+
+
+def pair_dot_udf():
+    """Arrow-batched dot product over two vector columns — the
+    vectorized twin of :func:`dot`. Per Arrow batch: stack both sides
+    to (n, dim) float64 and accumulate ``acc += A[:,j] * B[:,j]``
+    sequentially over j — per element the EXACT IEEE op sequence of
+    the ``aggregate(zip_with(a, b, *), 0.0, +)`` fold (products exact,
+    additions left-associated from 0.0), so results are bit-identical
+    to the HOF form and to the DuckDB oracle's equivalent chain.
+    Accepts float32 or float64 element types (upcast is exact). The
+    closure captures nothing module-level, so cloudpickle ships it by
+    value and executors don't need this package installed."""
+
+    @F.pandas_udf("double")
+    def _dot(a, b):
+        import numpy as np
+        import pandas as _pd
+
+        if not len(a):
+            return _pd.Series([], dtype="float64")
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        B = np.stack(b.to_numpy()).astype(np.float64)
+        acc = np.zeros(A.shape[0], dtype=np.float64)
+        for j in range(A.shape[1]):
+            acc += A[:, j] * B[:, j]
+        return _pd.Series(acc)
+
+    return _dot
+
+
+def self_dot_udf():
+    """Arrow-batched sum of squares (the norm² fold) — vectorized twin
+    of ``aggregate(transform(v, x -> x*x), 0.0, +)`` with the identical
+    sequential fold order; see :func:`pair_dot_udf`."""
+
+    @F.pandas_udf("double")
+    def _self(a):
+        import numpy as np
+        import pandas as _pd
+
+        if not len(a):
+            return _pd.Series([], dtype="float64")
+        A = np.stack(a.to_numpy()).astype(np.float64)
+        acc = np.zeros(A.shape[0], dtype=np.float64)
+        for j in range(A.shape[1]):
+            acc += A[:, j] * A[:, j]
+        return _pd.Series(acc)
+
+    return _self
 
 
 def _as_double_vec(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
@@ -46,7 +102,7 @@ def _as_double_vec(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
         F.col("vec_id").alias(id_alias), v.alias(vec_alias)
     ).withColumn(
         f"{vec_alias}_nrm",
-        F.sqrt(_dsum(F.transform(F.col(vec_alias), lambda x: x * x))),
+        F.sqrt(self_dot_udf()(F.col(vec_alias))),
     )
 
 
@@ -61,7 +117,7 @@ def cosine_topk_bruteforce(
     q = _as_double_vec(emb.filter(F.col("vec_id").isin(query_ids)), "query_id", "va")
     pairs = base.join(
         F.broadcast(q), F.col("query_id") != F.col("neighbor_id")
-    ).withColumn("cos", dot(F.col("va"), F.col("vb")) / (F.col("va_nrm") * F.col("vb_nrm")))
+    ).withColumn("cos", pair_dot_udf()(F.col("va"), F.col("vb")) / (F.col("va_nrm") * F.col("vb_nrm")))
     w = Window.partitionBy("query_id").orderBy(
         F.col("cos").desc(), F.col("neighbor_id")
     )
@@ -322,7 +378,7 @@ def cosine_topk_lsh(
         cand.join(F.broadcast(qv), "query_id")
         .join(base, "neighbor_id")
         .withColumn(
-            "cos", dot(F.col("va"), F.col("vb")) / (F.col("va_nrm") * F.col("vb_nrm"))
+            "cos", pair_dot_udf()(F.col("va"), F.col("vb")) / (F.col("va_nrm") * F.col("vb_nrm"))
         )
     )
     w = Window.partitionBy("query_id").orderBy(
@@ -359,7 +415,7 @@ def ivf_topk(
         F.col("v_nrm").alias("c_nrm"),
     )
     ac = base.crossJoin(F.broadcast(cents)).withColumn(
-        "cos_c", dot(F.col("v"), F.col("c")) / (F.col("v_nrm") * F.col("c_nrm"))
+        "cos_c", pair_dot_udf()(F.col("v"), F.col("c")) / (F.col("v_nrm") * F.col("c_nrm"))
     )
     # cell assignment = argmax over the ×n_centroids expansion, done as
     # a partial-aggregatable max_by (map-side combine shrinks the
@@ -393,7 +449,7 @@ def ivf_topk(
         .filter(F.col("vec_id") != F.col("query_id"))
         .join(F.broadcast(q), "query_id")
         .withColumn(
-            "cos", dot(F.col("qv"), F.col("v")) / (F.col("q_nrm") * F.col("v_nrm"))
+            "cos", pair_dot_udf()(F.col("qv"), F.col("v")) / (F.col("q_nrm") * F.col("v_nrm"))
         )
     )
     wr = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))

@@ -96,3 +96,30 @@ def test_lsh_signature_kernel_bit_parity(spark):
             for t in range(n_tables):
                 want[(r.vec_id, t)] = r[f"b{t}"]
         assert got == want, f"bucket drift at nbits={nbits} n_tables={n_tables}"
+
+
+def test_dot_kernel_bit_parity(spark):
+    """pair_dot_udf/self_dot_udf (Arrow production path) must equal the
+    HOF reference fold `dot()` bit-for-bit — the cosine oracles and
+    rank tie-breaks ride on exact equality, not approximate."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF, "embeddings")
+    v = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    a = v.select(F.col("vec_id").alias("ia"), F.col("v").alias("va"))
+    b = v.select(F.col("vec_id").alias("ib"), F.col("v").alias("vb"))
+    pairs = a.join(b, (F.col("ia") % 7 == F.col("ib") % 7) & (F.col("ia") < F.col("ib")))
+    both = pairs.select(
+        "ia",
+        "ib",
+        similarity.dot(F.col("va"), F.col("vb")).alias("ref"),
+        similarity.pair_dot_udf()(F.col("va"), F.col("vb")).alias("got"),
+        similarity.dot(F.col("va"), F.col("va")).alias("self_ref"),
+        similarity.self_dot_udf()(F.col("va")).alias("self_got"),
+    ).collect()
+    assert both, "empty parity sample"
+    for r in both:
+        assert r.ref == r.got, (r.ia, r.ib, r.ref, r.got)
+        assert r.self_ref == r.self_got, (r.ia, r.self_ref, r.self_got)
