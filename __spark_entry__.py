@@ -26,39 +26,19 @@ def entry(spark: SparkSession) -> DataFrame:
     return registry.QUERIES["flagship_latest_event_per_user"](spark, SMOKE_SF_DIR)
 
 
-# Verification-priority order. The round-1 and round-2 drivers each
-# checked exactly the FIRST 50 declared queries (registration order).
-# Round-3 rotation goal: after this round, no query's latest green row
-# predates the last commit touching its code path. Order: (a) queries
-# whose implementation changed in round 2 but whose green rows are
-# still from round 1 (the stale set the r2 verdict flagged), (b) the
-# rest of the r1-only-verified tail, (c) queries changed in round 3,
-# (d) round-2-green queries whose code is unchanged since their row.
+# Verification-priority order. Each round's driver checks the FIRST ~50
+# declared queries, so this list is rotated per round. Round-5 rotation
+# (per the r4 verdict, item 6): (a) the 16 in-window rows that ERRORED
+# in CORRECTNESS_r04 (all through the since-fixed events.ts defect at
+# sources/tables.py), (b) the 12 tail events-readers that were red in
+# the judge's differential for the same reason, (c) queries whose code
+# changed in round 5 (broadcast-policy sweep, LSH signature kernel,
+# Arrow dot kernels), (d) everything else, oldest green rows first.
 # This is ordering only — coverage is always the full set.
 _VERIFY_PRIORITY = [
-    # --- (a) changed in r2, last verified in r1 — stale rows first ---
-    "similarity_topk_lsh",
-    "similarity_topk_ivf",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "multimodal_binary_meta",
-    "multimodal_decode_stub",
-    "multimodal_frame_sample",
-    "multimodal_resize_stub",
-    # --- (b) rest of the r1-only-verified tail ---
-    "dedup_exact",
-    "dedup_canonical_mapping",
+    # --- (a) r4 in-window error rows (events.ts blast radius) ---
+    "flagship_latest_event_per_user",
     "events_hourly_rollup",
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_stats",
-    "text_source_profile",
-    "text_redact_pii",
-    "text_token_doc_frequency",
-    "text_mean_token_df",
-    "text_repetition_quality",
-    "text_lang_corpus_stats",
-    "text_fingerprint",
     "p1_project_key_value",
     "p3_hot_reload_predicate",
     "a1_latest_dump_id",
@@ -67,34 +47,67 @@ _VERIFY_PRIORITY = [
     "a4_offset_clamp",
     "o1_sorted_file_plan",
     "o2_tail_k_per_partition",
-    "o3_limit_top_orders",
     "b1_chunk_plan",
+    "cube_event_activity",
+    "window_event_metrics",
+    "asof_join_last_purchase",
+    "funnel_conversion",
+    "f_scalar_surface",
+    # --- (b) tail events-readers red in the r4 differential ---
+    "approx_aggregates",
+    "asof_join_next_purchase",
+    "cohort_retention",
+    "join_full_outer_reconcile",
+    "join_range_interval",
+    "pivot_user_event_matrix",
+    "sessionize_events",
+    "stats_numeric_profile",
+    "stats_value_histogram",
+    "timeseries_gap_fill",
+    "window_distribution_metrics",
+    "window_rolling_hour",
+    # --- (c) code changed in round 5 (kernels + broadcast policy) ---
+    "similarity_topk_lsh",
+    "similarity_topk_lsh_stored",
+    "similarity_topk_ivf",
+    "similarity_topk_bruteforce",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_incremental",
     "q3_shipping_priority",
     "q5_region_revenue",
     "q18_large_volume_orders",
+    "text_contamination_overlap",
+    "text_mean_token_df",
+    # --- (d) unchanged, oldest rows first ---
+    "dedup_exact",
+    "dedup_canonical_mapping",
+    "multimodal_binary_meta",
+    "multimodal_decode_stub",
+    "multimodal_frame_sample",
+    "multimodal_resize_stub",
+    "multimodal_feature_stub",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_stats",
+    "text_source_profile",
+    "text_redact_pii",
+    "text_token_doc_frequency",
+    "text_repetition_quality",
+    "text_lang_corpus_stats",
+    "text_fingerprint",
+    "text_winnowing_fingerprints",
+    "o3_limit_top_orders",
+    "q1_pricing_summary",
     "rollup_order_revenue",
-    "cube_event_activity",
     "setops_customer_cohorts",
-    "window_event_metrics",
     "join_semi_anti_customers",
     "sample_stratified_by_lang",
     "sample_train_val_test_split",
-    "asof_join_last_purchase",
-    "similarity_topk_bruteforce",
-    # --- (c) changed in round 3 (need fresh rows) ---
-    "funnel_conversion",
-    "dedup_ngram_jaccard",
-    # --- (d) r2-green, unchanged since their r2 rows ---
-    "q1_pricing_summary",
-    "flagship_latest_event_per_user",
-    "dedup_embedding_cosine",
-    "text_winnowing_fingerprints",
-    "f_scalar_surface",
-    "multimodal_feature_stub",
-    "sessionize_events",
     "q17_small_quantity_revenue",
     "q16_supplier_diversity",
-    "window_rolling_hour",
     "embedding_corpus_stats",
     "q4_order_priority_check",
     "q10_returned_items",
@@ -102,13 +115,7 @@ _VERIFY_PRIORITY = [
     "q14_promo_revenue",
     "q6_forecast_revenue",
     "q19_disjunctive_predicates",
-    "window_distribution_metrics",
     "q2_cheapest_supplier",
-    "pivot_user_event_matrix",
-    "stats_numeric_profile",
-    "join_range_interval",
-    "join_full_outer_reconcile",
-    "approx_aggregates",
     "join_salted_skew",
     "q7_nation_volume_shipping",
     "q8_nation_market_share",
@@ -120,19 +127,13 @@ _VERIFY_PRIORITY = [
     "q21_late_shipping_suppliers",
     "q22_dormant_customers",
     "dedup_cluster_components",
-    "text_contamination_overlap",
     "stats_exact_percentiles",
     "grouping_sets_order_matrix",
     "pack_training_sequences",
     "sample_domain_mixture",
     "pipeline_clean_dedup_pack",
-    "dedup_incremental",
-    "timeseries_gap_fill",
-    "cohort_retention",
-    "multimodal_phash_neardup",
     "stats_key_skew_profile",
-    "stats_value_histogram",
-    "asof_join_next_purchase",
+    "multimodal_phash_neardup",
 ]
 
 

@@ -102,7 +102,14 @@ def _as_double_vec(df: DataFrame, id_alias: str, vec_alias: str) -> DataFrame:
         F.col("vec_id").alias(id_alias), v.alias(vec_alias)
     ).withColumn(
         f"{vec_alias}_nrm",
-        F.sqrt(self_dot_udf()(F.col(vec_alias))),
+        # JVM HOF fold, NOT self_dot_udf: the norm column chains into
+        # the pair_dot_udf projection downstream, and a second
+        # ArrowEvalPython stage on the same rows measurably loses to
+        # the interpreted fold (A/B min-of-3 at sf0.1, bruteforce:
+        # arrow-dot+HOF-norm 0.54s, arrow-dot+arrow-norm 0.80s —
+        # stage-chaining overhead exceeds the fold cost; a standalone
+        # corpus-wide norm pass is where self_dot_udf wins instead).
+        F.sqrt(_dsum(F.transform(F.col(vec_alias), lambda x: x * x))),
     )
 
 
@@ -500,9 +507,7 @@ def register(reg) -> None:
     banded_sql = banded_union_sql("n", "vec_id", 64, 4, N_LSH_TABLES)
     qids = ", ".join(str(q) for q in QUERY_IDS)
 
-    @reg(
-        "similarity_topk_lsh",
-        f"""
+    _LSH_ORACLE = f"""
         WITH v AS (
             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
             FROM embeddings
@@ -529,12 +534,45 @@ def register(reg) -> None:
                     ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
         FROM pairs
         QUALIFY rank <= 10
-        """,
-    )
+        """
+
+    @reg("similarity_topk_lsh", _LSH_ORACLE)
     def similarity_topk_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Multi-table sign-LSH ANN top-10 for query vectors 0..4
         (deterministic hyperplanes ⇒ exact-match oracle)."""
         return cosine_topk_lsh(load_table(spark, sf_dir, "embeddings"), QUERY_IDS, 10)
+
+    # Same hyperplanes + candidate semantics as similarity_topk_lsh, so
+    # the SAME oracle applies — what this row additionally proves is the
+    # build→write→prune→probe cycle of the MATERIALIZED index (the
+    # 100 TB path: the corpus is banded once, written partitioned by
+    # (tbl, bucket), and every probe prunes to its buckets at the
+    # source — asserted scan-level in tests/test_index_store.py).
+    @reg("similarity_topk_lsh_stored", _LSH_ORACLE)
+    def similarity_topk_lsh_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """ANN top-10 through a freshly materialized on-disk banded
+        index: build + write + pruned probe in one call."""
+        import tempfile
+
+        from kafka_topic_dumper_spark.functions.index_store import (
+            cosine_topk_lsh_stored,
+            write_banded_index,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        path = tempfile.mkdtemp(prefix="lsh_index_") + "/banded"
+        write_banded_index(
+            lsh_banded(
+                emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+                "neighbor_id",
+                "embedding",
+                64,
+                4,
+                N_LSH_TABLES,
+            ),
+            path,
+        )
+        return cosine_topk_lsh_stored(emb, QUERY_IDS, path, 10)
 
     @reg(
         "similarity_topk_ivf",
