@@ -69,6 +69,7 @@ _VERIFY_PRIORITY = [
     # --- (c) code changed in round 5 (kernels + broadcast policy) ---
     "similarity_topk_lsh",
     "similarity_topk_lsh_stored",
+    "embedding_quantize_int8",
     "similarity_topk_ivf",
     "similarity_topk_bruteforce",
     "dedup_embedding_cosine",
@@ -80,6 +81,7 @@ _VERIFY_PRIORITY = [
     "q5_region_revenue",
     "q18_large_volume_orders",
     "text_contamination_overlap",
+    "text_bigram_lm_quality",
     "text_mean_token_df",
     # --- (d) unchanged, oldest rows first ---
     "dedup_exact",

@@ -467,6 +467,59 @@ def ivf_topk(
     )
 
 
+def quantize_int8(emb: DataFrame) -> DataFrame:
+    """Symmetric per-vector int8 scalar quantization of the embedding
+    column, with the reconstruction-quality stats a vector-store
+    compaction job reports: the per-vector scale, saturation count, and
+    the quantization residuals measured in STEP units (x/scale − q,
+    range [−0.5, 0.5] — step units instead of absolute error so the
+    numbers stay meaningful regardless of embedding magnitude).
+
+    Deliberately cross-engine-exact arithmetic: q = floor(x/scale + 0.5)
+    rather than round() — round()'s half-way tie behavior differs
+    between engines, while floor/÷/× are correctly-rounded IEEE ops
+    everywhere, so the oracle reproduces every q bit-for-bit. The
+    all-zero vector (scale = 0) short-circuits to q = 0, residual 0.
+
+    Plan shape: one projection pass over the corpus — no shuffle, no
+    Python; at 100 TB this is a pure map stage that scales with input
+    splits, exactly like the reference's per-record serializer pass
+    (kafka_client.py:215-224) but columnar."""
+    v = F.transform(F.col("embedding"), lambda x: x.cast("double"))
+    base = emb.select("vec_id", v.alias("v"))
+    amax = F.array_max(F.transform(F.col("v"), F.abs))
+    base = base.withColumn("scale", amax / F.lit(127.0))
+    q = F.when(
+        F.col("scale") == 0.0,
+        F.transform(F.col("v"), lambda x: F.lit(0).cast("int")),
+    ).otherwise(
+        F.transform(
+            F.col("v"),
+            lambda x: F.floor(x / F.col("scale") + F.lit(0.5)).cast("int"),
+        )
+    )
+    base = base.withColumn("q", q)
+    resid = F.when(
+        F.col("scale") == 0.0,
+        F.transform(F.col("v"), lambda x: F.lit(0.0)),
+    ).otherwise(
+        F.zip_with(F.col("v"), F.col("q"), lambda x, qq: x / F.col("scale") - qq)
+    )
+    base = base.withColumn("r", resid)
+    n_sat = F.size(F.filter(F.col("q"), lambda qq: F.abs(qq) >= 127)).cast("int")
+    return base.select(
+        "vec_id",
+        F.round(F.col("scale"), 6).alias("scale"),
+        n_sat.alias("n_saturated"),
+        F.round(
+            _dsum(F.transform(F.col("r"), lambda x: x * x)) / F.size(F.col("r")), 6
+        ).alias("mean_sq_step_err"),
+        F.round(F.array_max(F.transform(F.col("r"), F.abs)), 6).alias(
+            "max_abs_step_err"
+        ),
+    )
+
+
 QUERY_IDS = [0, 1, 2, 3, 4]
 
 
@@ -499,6 +552,48 @@ def register(reg) -> None:
         return cosine_topk_bruteforce(
             load_table(spark, sf_dir, "embeddings"), QUERY_IDS, 10
         )
+
+    @reg(
+        "embedding_quantize_int8",
+        """
+        WITH v AS (
+            SELECT vec_id,
+                   list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), s AS (
+            SELECT vec_id, v,
+                   list_max(list_transform(v, x -> abs(x))) / 127.0 AS scale
+            FROM v
+        ), qd AS (
+            SELECT vec_id, v, scale,
+                   CASE WHEN scale = 0
+                        THEN list_transform(v, x -> 0)
+                        ELSE list_transform(v, x -> CAST(floor(x / scale + 0.5) AS INTEGER))
+                   END AS q
+            FROM s
+        ), rd AS (
+            SELECT vec_id, scale, q,
+                   CASE WHEN scale = 0
+                        THEN list_transform(v, x -> 0.0)
+                        ELSE list_transform(range(1, len(v) + 1),
+                                            i -> v[i] / scale - q[i])
+                   END AS r
+            FROM qd
+        )
+        SELECT vec_id,
+               round(scale, 6) AS scale,
+               CAST(len(list_filter(q, x -> abs(x) >= 127)) AS INTEGER)
+                   AS n_saturated,
+               round(list_sum(list_transform(r, x -> x * x)) / len(r), 6)
+                   AS mean_sq_step_err,
+               round(list_max(list_transform(r, x -> abs(x))), 6)
+                   AS max_abs_step_err
+        FROM rd
+        """,
+    )
+    def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-vector int8 quantization + reconstruction residuals."""
+        return quantize_int8(load_table(spark, sf_dir, "embeddings"))
 
     # Sign-LSH oracle: the hyperplanes are deterministic ±1 literals, so
     # the bucket assignment — and therefore the exact ANN result set —

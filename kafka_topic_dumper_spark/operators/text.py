@@ -372,6 +372,59 @@ def repetition_quality(docs: DataFrame) -> DataFrame:
     )
 
 
+def bigram_lm_quality(docs: DataFrame) -> DataFrame:
+    """Perplexity-proxy quality score: a word-bigram language model is
+    estimated FROM the corpus itself (add-one smoothing over the
+    observed successor vocabulary), then every document is scored by
+    its mean negative log2 bigram probability — the CCNet/Gopher-style
+    "how surprising is this document relative to the corpus" filter
+    signal. High bits_per_bigram ⇒ token sequences the corpus rarely
+    produces (gibberish, boilerplate soup, wrong-language fragments).
+
+    Plan shape, corpus-scale reasoning:
+    - the exploded bigram stream shuffles ONCE into the
+      (prev, cur)-count aggregation (map-side partial combine);
+      the context totals are then a MODEL-sized rollup of those
+      counts, never a second pass over the corpus;
+    - the model (distinct-bigram-sized ≪ corpus-sized) joins back to
+      the bigram stream on (prev, cur); the Zipf head ("the", …) is
+      the classic skew key — that is AQE skew-join territory, and the
+      join stays declarative so the runtime can split hot partitions;
+    - the smoothing vocabulary size is a 1-row aggregate broadcast —
+      constant, not SF-proportional;
+    - per-doc scoring is one last hash aggregation on doc_id.
+    Mirrors the reference's derive-then-apply bookkeeping pattern
+    (kafka_client.py:168-176) at training-pipeline scale."""
+    bg = docs.select(
+        "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("tk")
+    ).select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                "transform(slice(tk, 1, greatest(0, size(tk) - 1)), "
+                "(p, i) -> struct(p AS prev, element_at(tk, i + 2) AS cur))"
+            )
+        ).alias("z"),
+    ).select("doc_id", "z.prev", "z.cur")
+    pair_counts = bg.groupBy("prev", "cur").agg(F.count("*").alias("c_pc"))
+    ctx_counts = pair_counts.groupBy("prev").agg(F.sum("c_pc").alias("c_p"))
+    vocab = pair_counts.agg(F.countDistinct("cur").alias("v"))
+    model = pair_counts.join(ctx_counts, "prev").crossJoin(F.broadcast(vocab))
+    scored = bg.join(model, ["prev", "cur"]).withColumn(
+        "nlp", -F.log2((F.col("c_pc") + F.lit(1.0)) / (F.col("c_p") + F.col("v")))
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count("*").alias("n"), F.avg("nlp").alias("avg_nlp"))
+        .select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_bigrams"),
+            F.round(F.col("avg_nlp"), 4).alias("bits_per_bigram"),
+            F.round(F.pow(F.lit(2.0), F.col("avg_nlp")), 4).alias("ppl_proxy"),
+        )
+    )
+
+
 # PII-ish patterns: email-like tokens and long digit runs (IDs, phone
 # fragments). Deliberately simple — the operator demonstrates the
 # redact-and-account plan shape; production swaps in a fuller ruleset.
@@ -604,6 +657,39 @@ def register(reg) -> None:
     def sample_train_val_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Deterministic 90/5/5 train/val/test assignment by id hash."""
         return train_val_test_split(load_table(spark, sf_dir, "documents"))
+
+    @reg(
+        "text_bigram_lm_quality",
+        r"""
+        WITH t AS (
+            SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+            FROM documents
+        ), bg AS (
+            SELECT doc_id, z[1] AS prev, z[2] AS cur FROM (
+                SELECT doc_id, unnest(list_zip(toks[:-2], toks[2:])) AS z
+                FROM t
+            )
+        ), pc AS (
+            SELECT prev, cur, count(*) AS c_pc FROM bg GROUP BY prev, cur
+        ), p AS (
+            SELECT prev, sum(c_pc) AS c_p FROM pc GROUP BY prev
+        ), v AS (
+            SELECT count(DISTINCT cur) AS v FROM pc
+        ), scored AS (
+            SELECT bg.doc_id,
+                   -log2((pc.c_pc + 1.0) / (p.c_p + v.v)) AS nlp
+            FROM bg JOIN pc USING (prev, cur) JOIN p USING (prev), v
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(nlp), 4) AS bits_per_bigram,
+               round(pow(2.0, avg(nlp)), 4) AS ppl_proxy
+        FROM scored GROUP BY doc_id
+        """,
+    )
+    def text_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Corpus-trained bigram-LM perplexity proxy per document."""
+        return bigram_lm_quality(load_table(spark, sf_dir, "documents"))
 
     @reg(
         "text_token_doc_frequency",

@@ -7,7 +7,7 @@ from __future__ import annotations
 
 import pytest
 
-from kafka_topic_dumper_spark.operators import dedup, text
+from kafka_topic_dumper_spark.operators import dedup, similarity, text
 from kafka_topic_dumper_spark.operators.analytics import sessionize
 from kafka_topic_dumper_spark.operators.relational import salted_join
 
@@ -61,6 +61,39 @@ def test_short_docs_produce_no_shingles_but_valid_rows(spark, tiny_docs):
     assert rows[3].dup_2gram_frac == 0.0
     assert rows[2].dup_2gram_frac == 0.0
     assert rows[3].mean_word_len == 1.0
+
+
+def test_bigram_lm_short_and_empty_docs(spark, empty_docs, tiny_docs):
+    # empty corpus: model build over zero bigrams must not divide by
+    # zero or error — just an empty result
+    assert text.bigram_lm_quality(empty_docs).count() == 0
+    # single-token and empty-ish docs emit no bigrams and are absent
+    # from the output (same inner-join semantics as the DuckDB oracle);
+    # the 2-token doc scores exactly one bigram
+    rows = {r.doc_id: r for r in text.bigram_lm_quality(tiny_docs).collect()}
+    assert 3 not in rows
+    assert rows[2].n_bigrams == 1
+    # degenerate model: "two" is the ONLY successor ever observed, so
+    # smoothed P("two"|"one") = (1+1)/(1+1) = 1 → exactly 0 bits
+    assert rows[2].bits_per_bigram == 0.0
+    assert rows[2].ppl_proxy == 1.0
+
+
+def test_quantize_int8_zero_vector_and_saturation(spark):
+    emb = spark.createDataFrame(
+        [
+            (1, [0.0, 0.0, 0.0]),          # all-zero: scale 0 branch
+            (2, [127.0, -127.0, 1.0]),     # extremes saturate exactly
+            (3, [1.0, 0.5, -0.25]),
+        ],
+        schema="vec_id long, embedding array<float>",
+    )
+    rows = {r.vec_id: r for r in similarity.quantize_int8(emb).collect()}
+    assert rows[1].scale == 0.0
+    assert rows[1].n_saturated == 0
+    assert rows[1].mean_sq_step_err == 0.0
+    assert rows[2].n_saturated == 2  # the two ±max components hit ±127
+    assert rows[3].max_abs_step_err <= 0.5  # residuals bounded by half a step
 
 
 def test_sessionize_single_event_and_empty(spark):
