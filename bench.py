@@ -71,6 +71,15 @@ HEADLINE_V2 = [
 ]
 
 
+# v3 set: the round-5 additions (stored-index ANN probe cycle, corpus
+# bigram-LM scoring, int8 quantization) — tracked from round 5 on.
+HEADLINE_V3 = [
+    "similarity_topk_lsh_stored",
+    "text_bigram_lm_quality",
+    "embedding_quantize_int8",
+]
+
+
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -137,6 +146,7 @@ def main() -> int:
 
     timings = time_set(HEADLINE)
     timings_v2 = time_set(HEADLINE_V2)
+    timings_v3 = time_set(HEADLINE_V3)
 
     # dump-pipeline throughput: the reference's core workload
     tmp = tempfile.mkdtemp(prefix="bench_dump_")
@@ -169,6 +179,8 @@ def main() -> int:
                 "queries": timings,
                 "queries_v2": timings_v2,
                 "value_v2": round(sum(timings_v2.values()), 3),
+                "queries_v3": timings_v3,
+                "value_v3": round(sum(timings_v3.values()), 3),
                 "n_runs": N_RUNS,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -406,7 +406,16 @@ def bigram_lm_quality(docs: DataFrame) -> DataFrame:
             )
         ).alias("z"),
     ).select("doc_id", "z.prev", "z.cur")
-    pair_counts = bg.groupBy("prev", "cur").agg(F.count("*").alias("c_pc"))
+    from kafka_topic_dumper_spark.functions.caching import tracked_persist
+
+    # the bigram-count table feeds THREE consumers (context rollup,
+    # vocab size, scoring join) and Catalyst does not reuse the
+    # exchange across them (measured: 4 corpus scans without this, 2
+    # with) — persist the MODEL-sized relation, never the exploded
+    # corpus stream
+    pair_counts = tracked_persist(
+        bg.groupBy("prev", "cur").agg(F.count("*").alias("c_pc"))
+    )
     ctx_counts = pair_counts.groupBy("prev").agg(F.sum("c_pc").alias("c_p"))
     vocab = pair_counts.agg(F.countDistinct("cur").alias("v"))
     model = pair_counts.join(ctx_counts, "prev").crossJoin(F.broadcast(vocab))

@@ -129,6 +129,11 @@ def probes(t: dict[str, DataFrame]):
     def pack():
         return packing.pack_sequences(t["documents"])
 
+    def bigram_lm():
+        from kafka_topic_dumper_spark.operators import text
+
+        return text.bigram_lm_quality(t["documents"])
+
     return {
         "q1_agg": q1_agg,
         "q3_join": q3_join,
@@ -138,6 +143,7 @@ def probes(t: dict[str, DataFrame]):
         "dedup_ngram_jaccard": ngram,
         "similarity_topk_lsh": ann_lsh,
         "pack_sequences": pack,
+        "bigram_lm_quality": bigram_lm,
     }
 
 
