@@ -159,12 +159,15 @@ def main() -> None:
     from kafka_topic_dumper_spark.session import get_session
 
     rs = [int(a) for a in sys.argv[1:]] or [1, 10]
+    only = {p for p in os.environ.get("SPARK_GRAFT_PROBES", "").split(",") if p}
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     spark = get_session("scale_probe")
     for r in rs:
         t = load_replicated(spark, sf_dir, r)
         total = 0.0
         for name, fn in probes(t).items():
+            if only and name not in only:
+                continue
             spark.catalog.clearCache()
             t0 = time.monotonic()
             rows = fn().count()

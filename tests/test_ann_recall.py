@@ -123,3 +123,47 @@ def test_dot_kernel_bit_parity(spark):
     for r in both:
         assert r.ref == r.got, (r.ia, r.ib, r.ref, r.got)
         assert r.self_ref == r.self_got, (r.ia, r.self_ref, r.self_got)
+
+
+import numpy as np
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+
+@settings(max_examples=5, deadline=None, suppress_health_check=list(HealthCheck))
+@given(
+    vecs=st.lists(
+        st.lists(
+            st.floats(
+                min_value=-1e6,
+                max_value=1e6,
+                allow_nan=False,
+                allow_infinity=False,
+                width=32,
+            ),
+            min_size=4,
+            max_size=8,
+        ),
+        min_size=1,
+        max_size=32,
+    )
+)
+def test_quantize_int8_residual_bound_property(spark, vecs):
+    """floor(x/s + 0.5) guarantees every residual lies in [-0.5, 0.5]
+    steps, codes saturate only at ±127, and the per-vector scale is
+    max|x|/127 — over arbitrary float32 vectors, zero vectors
+    included."""
+    from kafka_topic_dumper_spark.operators.similarity import quantize_int8
+
+    emb = spark.createDataFrame(
+        [(i, v) for i, v in enumerate(vecs)],
+        schema="vec_id long, embedding array<float>",
+    )
+    for r in quantize_int8(emb).collect():
+        x = [float(np.float32(t)) for t in vecs[r.vec_id]]
+        amax = max(abs(t) for t in x)
+        assert abs(r.scale - round(amax / 127.0, 6)) <= 1e-9
+        assert r.max_abs_step_err <= 0.500001
+        assert 0 <= r.n_saturated <= len(x)
+        if amax == 0.0:
+            assert r.mean_sq_step_err == 0.0 and r.n_saturated == 0

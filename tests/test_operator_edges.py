@@ -151,6 +151,33 @@ def test_decimal_money_flag_survives_int64_overflow_scale(spark):
     assert int(got) == expected
 
 
+def test_connected_components_reliable_checkpoint(spark, tmp_path):
+    """With a checkpoint dir configured, label propagation must take
+    the RELIABLE checkpoint branch (cluster-fault-tolerant lineage
+    truncation) and produce identical components. The dir stays set
+    for the session afterwards — both branches tolerate that."""
+    from kafka_topic_dumper_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(2, 1), (2, 3), (3, 4), (10, 11)], ["src", "dst"]
+    )
+    sc = spark.sparkContext
+    assert sc.getCheckpointDir() is None  # precondition: local branch so far
+    want = {
+        (r.node, r.component_id)
+        for r in connected_components(edges, "src", "dst").collect()
+    }
+    sc.setCheckpointDir(str(tmp_path / "ckpt"))
+    assert sc.getCheckpointDir() is not None
+    got = {
+        (r.node, r.component_id)
+        for r in connected_components(edges, "src", "dst").collect()
+    }
+    assert got == want
+    import os
+    assert os.listdir(str(tmp_path / "ckpt"))  # reliable path actually wrote
+
+
 def test_connected_components_basic(spark):
     from kafka_topic_dumper_spark.operators.graph import connected_components
 
