@@ -82,6 +82,7 @@ _VERIFY_PRIORITY = [
     "q18_large_volume_orders",
     "text_contamination_overlap",
     "text_bigram_lm_quality",
+    "pipeline_quality_dedup_pack",
     "text_mean_token_df",
     # --- (d) unchanged, oldest rows first ---
     "dedup_exact",

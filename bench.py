@@ -77,6 +77,7 @@ HEADLINE_V3 = [
     "similarity_topk_lsh_stored",
     "text_bigram_lm_quality",
     "embedding_quantize_int8",
+    "pipeline_quality_dedup_pack",
 ]
 
 

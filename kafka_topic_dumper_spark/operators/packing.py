@@ -296,6 +296,67 @@ def clean_dedup_pack_oracle_sql(lang: str = "en", seq_len: int = DEFAULT_SEQ_LEN
         ), {pack_oracle_ctes(seq_len, 'cleaned')}{pack_oracle_select(seq_len)}"""
 
 
+QUALITY_MAX_BITS = 4.91
+
+
+def quality_dedup_pack(
+    docs: DataFrame,
+    max_bits: float = QUALITY_MAX_BITS,
+    seq_len: int = DEFAULT_SEQ_LEN,
+    buckets: int = 32,
+) -> DataFrame:
+    """The full training-data prep statement: corpus-trained bigram-LM
+    quality filter (keep documents the corpus model finds unsurprising,
+    ``bits_per_bigram <= max_bits``) → canonical exact dedup → sequence
+    packing, one declarative plan. The LM is trained on the UNFILTERED
+    corpus — scoring must not depend on what later stages drop.
+    Documents with fewer than two tokens carry no bigram evidence and
+    are filtered with the low-quality tail (inner join semantics, same
+    as the oracle). Scale: the quality stage adds the bigram model's
+    one corpus shuffle (see text.bigram_lm_quality); the score join is
+    doc_id-keyed; dedup + packing are unchanged."""
+    from kafka_topic_dumper_spark.operators.text import bigram_lm_quality
+
+    keep = (
+        bigram_lm_quality(docs)
+        .filter(F.col("bits_per_bigram") <= max_bits)
+        .select("doc_id")
+    )
+    norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
+    w = Window.partitionBy("fp")
+    survivors = (
+        docs.join(keep, "doc_id")
+        .select("doc_id", "text", F.md5(norm).alias("fp"))
+        .withColumn("k", F.min("doc_id").over(w))
+        .filter(F.col("doc_id") == F.col("k"))
+        .select("doc_id", "text")
+    )
+    return pack_sequences(survivors, seq_len=seq_len, buckets=buckets)
+
+
+def quality_dedup_pack_oracle_sql(
+    max_bits: float = QUALITY_MAX_BITS, seq_len: int = DEFAULT_SEQ_LEN
+) -> str:
+    from kafka_topic_dumper_spark.operators.text import bigram_lm_oracle_ctes
+
+    return rf"""
+        WITH {bigram_lm_oracle_ctes()}, kept AS (
+            SELECT d.doc_id, d.text
+            FROM documents d JOIN lmq USING (doc_id)
+            WHERE lmq.bits_per_bigram <= {max_bits}
+        ), f2 AS (
+            SELECT doc_id, text,
+                   md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g'))) AS fp
+            FROM kept
+        ), cleaned AS (
+            SELECT doc_id, text FROM (
+                SELECT doc_id, text,
+                       min(doc_id) OVER (PARTITION BY fp) AS k
+                FROM f2
+            ) WHERE doc_id = k
+        ), {pack_oracle_ctes(seq_len, 'cleaned')}{pack_oracle_select(seq_len)}"""
+
+
 def register(reg) -> None:
     from pyspark.sql import SparkSession
 
@@ -315,6 +376,17 @@ def register(reg) -> None:
         """Deterministic token-weighted domain mixing over three
         sources (50/30/20 target)."""
         return sample_domain_mixture(load_table(spark, sf_dir, "documents"))
+
+    @reg("pipeline_quality_dedup_pack", quality_dedup_pack_oracle_sql(QUALITY_MAX_BITS, 512))
+    def pipeline_quality_dedup_pack(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Composed pipeline: bigram-LM quality filter -> canonical
+        dedup -> 512-token packing, one declarative plan."""
+        return quality_dedup_pack(
+            load_table(spark, sf_dir, "documents"),
+            QUALITY_MAX_BITS,
+            512,
+            buckets=8,
+        )
 
     @reg("pipeline_clean_dedup_pack", clean_dedup_pack_oracle_sql("en", 512))
     def pipeline_clean_dedup_pack(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -434,6 +434,38 @@ def bigram_lm_quality(docs: DataFrame) -> DataFrame:
     )
 
 
+def bigram_lm_oracle_ctes(src: str = "documents") -> str:
+    """DuckDB CTE chain mirroring :func:`bigram_lm_quality` over table
+    ``src``, terminating in per-doc scores as ``lmq(doc_id, n_bigrams,
+    bits_per_bigram, ppl_proxy)`` — shared by the standalone query and
+    the composed quality→dedup→pack pipeline oracle."""
+    return rf"""lm_t AS (
+            SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+            FROM {src}
+        ), lm_bg AS (
+            SELECT doc_id, z[1] AS prev, z[2] AS cur FROM (
+                SELECT doc_id, unnest(list_zip(toks[:-2], toks[2:])) AS z
+                FROM lm_t
+            )
+        ), lm_pc AS (
+            SELECT prev, cur, count(*) AS c_pc FROM lm_bg GROUP BY prev, cur
+        ), lm_p AS (
+            SELECT prev, sum(c_pc) AS c_p FROM lm_pc GROUP BY prev
+        ), lm_v AS (
+            SELECT count(DISTINCT cur) AS v FROM lm_pc
+        ), lm_scored AS (
+            SELECT lm_bg.doc_id,
+                   -log2((lm_pc.c_pc + 1.0) / (lm_p.c_p + lm_v.v)) AS nlp
+            FROM lm_bg JOIN lm_pc USING (prev, cur) JOIN lm_p USING (prev), lm_v
+        ), lmq AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_bigrams,
+                   round(avg(nlp), 4) AS bits_per_bigram,
+                   round(pow(2.0, avg(nlp)), 4) AS ppl_proxy
+            FROM lm_scored GROUP BY doc_id
+        )"""
+
+
 # PII-ish patterns: email-like tokens and long digit runs (IDs, phone
 # fragments). Deliberately simple — the operator demonstrates the
 # redact-and-account plan shape; production swaps in a fuller ruleset.
@@ -669,31 +701,9 @@ def register(reg) -> None:
 
     @reg(
         "text_bigram_lm_quality",
-        r"""
-        WITH t AS (
-            SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
-            FROM documents
-        ), bg AS (
-            SELECT doc_id, z[1] AS prev, z[2] AS cur FROM (
-                SELECT doc_id, unnest(list_zip(toks[:-2], toks[2:])) AS z
-                FROM t
-            )
-        ), pc AS (
-            SELECT prev, cur, count(*) AS c_pc FROM bg GROUP BY prev, cur
-        ), p AS (
-            SELECT prev, sum(c_pc) AS c_p FROM pc GROUP BY prev
-        ), v AS (
-            SELECT count(DISTINCT cur) AS v FROM pc
-        ), scored AS (
-            SELECT bg.doc_id,
-                   -log2((pc.c_pc + 1.0) / (p.c_p + v.v)) AS nlp
-            FROM bg JOIN pc USING (prev, cur) JOIN p USING (prev), v
-        )
-        SELECT doc_id,
-               CAST(count(*) AS BIGINT) AS n_bigrams,
-               round(avg(nlp), 4) AS bits_per_bigram,
-               round(pow(2.0, avg(nlp)), 4) AS ppl_proxy
-        FROM scored GROUP BY doc_id
+        f"""
+        WITH {bigram_lm_oracle_ctes()}
+        SELECT doc_id, n_bigrams, bits_per_bigram, ppl_proxy FROM lmq
         """,
     )
     def text_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
