@@ -134,6 +134,19 @@ def probes(t: dict[str, DataFrame]):
 
         return text.bigram_lm_quality(t["documents"])
 
+    def ivf():
+        qids = [int(x) for x in similarity.QUERY_IDS]
+        return similarity.ivf_topk(t["embeddings"], qids, 10)
+
+    def quality_pipeline():
+        # max_bits loosened vs the registry default: the replica suffix
+        # adds one rare bigram per doc, shifting every score ~+0.1 bits
+        # — at 4.91 the filter would drop the whole synthetic corpus
+        # and the dedup/pack stages would probe nothing
+        return packing.quality_dedup_pack(
+            t["documents"], max_bits=5.5, seq_len=512, buckets=32
+        )
+
     return {
         "q1_agg": q1_agg,
         "q3_join": q3_join,
@@ -144,6 +157,8 @@ def probes(t: dict[str, DataFrame]):
         "similarity_topk_lsh": ann_lsh,
         "pack_sequences": pack,
         "bigram_lm_quality": bigram_lm,
+        "similarity_topk_ivf": ivf,
+        "quality_pipeline": quality_pipeline,
     }
 
 
