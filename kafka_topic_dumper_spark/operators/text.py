@@ -372,6 +372,49 @@ def repetition_quality(docs: DataFrame) -> DataFrame:
     )
 
 
+def bigram_rows(docs: DataFrame) -> DataFrame:
+    """(doc_id, prev, cur) word-bigram stream — whitespace-lowered
+    tokens, one row per adjacent pair, short docs emit nothing. Pure
+    JVM expressions, so it applies unchanged to batch relations AND
+    unbounded streaming relations (the streaming quality scorer
+    reuses it)."""
+    return (
+        docs.withColumn("tk", F.split(F.lower(F.col("text")), r"\s+"))
+        .withColumn(
+            "z",
+            F.explode(
+                F.expr(
+                    "transform(slice(tk, 1, greatest(0, size(tk) - 1)), "
+                    "(p, i) -> struct(p AS prev, element_at(tk, i + 2) AS cur))"
+                )
+            ),
+        )
+        .select(*docs.columns, "z.prev", "z.cur")
+        .drop("text")
+    )
+
+
+def bigram_lm_model(docs: DataFrame):
+    """Train the corpus bigram LM once: returns
+    ``(pair_counts(prev, cur, c_pc), ctx_counts(prev, c_p),
+    vocab(v))`` — all MODEL-sized relations. pair_counts is persisted:
+    it feeds three consumers (context rollup, vocab size, scoring
+    join) and Catalyst does not reuse the exchange across them
+    (measured: 4 corpus scans without the persist, 2 with). The
+    persisted relation is model-sized, never the exploded corpus
+    stream. The streaming scorer consumes this triple as its STATIC
+    side."""
+    from kafka_topic_dumper_spark.functions.caching import tracked_persist
+
+    bg = bigram_rows(docs.select("doc_id", "text"))
+    pair_counts = tracked_persist(
+        bg.groupBy("prev", "cur").agg(F.count("*").alias("c_pc"))
+    )
+    ctx_counts = pair_counts.groupBy("prev").agg(F.sum("c_pc").alias("c_p"))
+    vocab = pair_counts.agg(F.countDistinct("cur").alias("v"))
+    return pair_counts, ctx_counts, vocab
+
+
 def bigram_lm_quality(docs: DataFrame) -> DataFrame:
     """Perplexity-proxy quality score: a word-bigram language model is
     estimated FROM the corpus itself (add-one smoothing over the
@@ -395,29 +438,8 @@ def bigram_lm_quality(docs: DataFrame) -> DataFrame:
     - per-doc scoring is one last hash aggregation on doc_id.
     Mirrors the reference's derive-then-apply bookkeeping pattern
     (kafka_client.py:168-176) at training-pipeline scale."""
-    bg = docs.select(
-        "doc_id", F.split(F.lower(F.col("text")), r"\s+").alias("tk")
-    ).select(
-        "doc_id",
-        F.explode(
-            F.expr(
-                "transform(slice(tk, 1, greatest(0, size(tk) - 1)), "
-                "(p, i) -> struct(p AS prev, element_at(tk, i + 2) AS cur))"
-            )
-        ).alias("z"),
-    ).select("doc_id", "z.prev", "z.cur")
-    from kafka_topic_dumper_spark.functions.caching import tracked_persist
-
-    # the bigram-count table feeds THREE consumers (context rollup,
-    # vocab size, scoring join) and Catalyst does not reuse the
-    # exchange across them (measured: 4 corpus scans without this, 2
-    # with) — persist the MODEL-sized relation, never the exploded
-    # corpus stream
-    pair_counts = tracked_persist(
-        bg.groupBy("prev", "cur").agg(F.count("*").alias("c_pc"))
-    )
-    ctx_counts = pair_counts.groupBy("prev").agg(F.sum("c_pc").alias("c_p"))
-    vocab = pair_counts.agg(F.countDistinct("cur").alias("v"))
+    bg = bigram_rows(docs.select("doc_id", "text"))
+    pair_counts, ctx_counts, vocab = bigram_lm_model(docs)
     model = pair_counts.join(ctx_counts, "prev").crossJoin(F.broadcast(vocab))
     scored = bg.join(model, ["prev", "cur"]).withColumn(
         "nlp", -F.log2((F.col("c_pc") + F.lit(1.0)) / (F.col("c_p") + F.col("v")))

@@ -104,6 +104,68 @@ def dedup_stream_against_corpus(
     return fresh.withWatermark("ts", watermark).dropDuplicatesWithinWatermark([key])
 
 
+def score_stream_against_model(
+    docs: DataFrame,
+    pair_counts: DataFrame,
+    ctx_counts: DataFrame,
+    vocab_size: int,
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Streaming twin of ``operators/text.bigram_lm_quality``: score a
+    live document stream against a bigram LM trained on the HISTORICAL
+    corpus (``operators/text.bigram_lm_model`` — its pair/context
+    tables are the static sides here; ``vocab_size`` is the collected
+    1-row vocab aggregate, metadata-plane by definition).
+
+    Unlike the batch operator (model trained on the corpus it scores,
+    every bigram guaranteed present → inner joins), a live stream
+    carries NOVEL bigrams, so both model joins are left-outer with
+    add-one fallbacks: unseen (prev, cur) → c_pc = 0; unseen prev →
+    c_p = 0, giving P = 1/(c_p + V) and P = 1/V respectively — the
+    natural add-one extension, and the reason this function does not
+    simply reuse the batch plan.
+
+    State story at 100 TB/day: the model joins are stream-static —
+    STATELESS, re-resolved per micro-batch (a nightly model refresh
+    applies at the next trigger; no broadcast hint, the planner
+    decides from size stats exactly as dedup_stream_against_corpus
+    documents). The only stateful operator is the per-doc aggregation,
+    and every bigram of a document carries the document's single
+    event-time — so each group lives entirely inside one event-time
+    window and finalizes (append mode, exactly once) as soon as the
+    watermark passes it. State is bounded by the watermark horizon,
+    never by stream history."""
+    docs = docs.withColumn("ts", F.col("ts").cast("timestamp"))
+    from kafka_topic_dumper_spark.operators.text import bigram_rows
+
+    bg = bigram_rows(docs.select("doc_id", "ts", "text"))
+    scored = (
+        bg.join(pair_counts, ["prev", "cur"], "left")
+        .join(ctx_counts, ["prev"], "left")
+        .withColumn(
+            "nlp",
+            -F.log2(
+                (F.coalesce(F.col("c_pc"), F.lit(0)) + F.lit(1.0))
+                / (F.coalesce(F.col("c_p"), F.lit(0)) + F.lit(vocab_size))
+            ),
+        )
+    )
+    return (
+        scored.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", "1 hour").alias("win"), "doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_bigrams"),
+            F.round(F.avg("nlp"), 4).alias("bits_per_bigram"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            "doc_id",
+            "n_bigrams",
+            "bits_per_bigram",
+        )
+    )
+
+
 def interval_join_stream(
     left: DataFrame,
     right: DataFrame,

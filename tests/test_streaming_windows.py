@@ -185,3 +185,75 @@ def test_enrich_stream_matches_batch_join(spark, events_stream_path):
         .collect()
     )
     assert got == expected
+
+
+def test_score_stream_against_model_matches_batch(spark, tmp_path):
+    """Stream docs (seen + novel bigrams) scored against a model
+    trained on the historical corpus must equal the identical
+    left-join formula computed in batch — including the add-one
+    fallbacks for bigrams/contexts the model never saw."""
+    from kafka_topic_dumper_spark.operators.text import bigram_lm_model, bigram_rows
+    from kafka_topic_dumper_spark.streaming.windows import score_stream_against_model
+
+    hist = load_table(spark, SF, "documents")
+    pair_counts, ctx_counts, vocab = bigram_lm_model(hist)
+    v = vocab.collect()[0]["v"]
+
+    # live docs: two drawn from the corpus, two fully novel
+    corpus_rows = [
+        (int(r.doc_id) + 10_000, r.text)
+        for r in hist.orderBy("doc_id").limit(2).collect()
+    ]
+    live = corpus_rows + [
+        (20_001, "zzqx wvut zzqx plumf"),  # every bigram novel
+        (20_002, "one"),  # single token: no bigrams, absent from output
+    ]
+    stream_dir = str(tmp_path / "docs_stream")
+    rows = [(d, t, "2024-01-01 06:30:00") for d, t in live]
+    # watermark-advancing marker: append mode only emits a window once
+    # the watermark passes its END, so a later row must exist; its own
+    # window stays open and is never emitted
+    rows.append((99_999, "watermark advance marker", "2024-01-01 12:00:00"))
+    spark.createDataFrame(
+        rows, schema="doc_id long, text string, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp")).write.parquet(stream_dir)
+
+    stream = spark.readStream.schema("doc_id long, text string, ts timestamp").parquet(
+        stream_dir
+    )
+    out = _run_stream(
+        spark,
+        score_stream_against_model(stream, pair_counts, ctx_counts, int(v)),
+        "lm_score_stream",
+    )
+    got = {r.doc_id: (r.n_bigrams, r.bits_per_bigram) for r in out.collect()}
+    assert 99_999 not in got  # the marker's own window never finalized
+
+    batch_docs = spark.createDataFrame(
+        [(d, t) for d, t in live], schema="doc_id long, text string"
+    )
+    expected_df = (
+        bigram_rows(batch_docs)
+        .join(pair_counts, ["prev", "cur"], "left")
+        .join(ctx_counts, ["prev"], "left")
+        .withColumn(
+            "nlp",
+            -F.log2(
+                (F.coalesce(F.col("c_pc"), F.lit(0)) + F.lit(1.0))
+                / (F.coalesce(F.col("c_p"), F.lit(0)) + F.lit(int(v)))
+            ),
+        )
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n"),
+            F.round(F.avg("nlp"), 4).alias("bits"),
+        )
+    )
+    expected = {r.doc_id: (r.n, r.bits) for r in expected_df.collect()}
+    assert got == expected
+    assert 20_001 in got and 20_002 not in got
+    # novel-everything doc scores the unseen-context fallback exactly:
+    # every bigram P = 1/(0 + V) -> bits = log2(V)
+    import math
+
+    assert got[20_001][1] == round(math.log2(int(v)), 4)
