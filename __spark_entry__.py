@@ -69,6 +69,7 @@ _VERIFY_PRIORITY = [
     # --- (c) code changed in round 5 (kernels + broadcast policy) ---
     "similarity_topk_lsh",
     "similarity_topk_lsh_stored",
+    "similarity_topk_ivf_stored",
     "embedding_quantize_int8",
     "similarity_topk_ivf",
     "similarity_topk_bruteforce",

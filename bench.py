@@ -75,6 +75,7 @@ HEADLINE_V2 = [
 # bigram-LM scoring, int8 quantization) — tracked from round 5 on.
 HEADLINE_V3 = [
     "similarity_topk_lsh_stored",
+    "similarity_topk_ivf_stored",
     "text_bigram_lm_quality",
     "embedding_quantize_int8",
     "pipeline_quality_dedup_pack",

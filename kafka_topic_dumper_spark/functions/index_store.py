@@ -141,3 +141,86 @@ def cosine_topk_lsh_stored(
         .filter(F.col("rank") <= k)
         .select("query_id", "neighbor_id", "rank")
     )
+
+
+def write_ivf_index(assigned: DataFrame, path: str) -> None:
+    """Materialize an IVF inverted file (from ``similarity.ivf_assign``):
+    (vec_id, v, v_nrm, cell) hive-partitioned by ``cell`` — one
+    directory per coarse cell (bounded by the codebook size, never
+    SF-proportional), vec_id-sorted within files. A probe reads only
+    its nprobe cells' directories; the vectors AND norms live in the
+    index, so the probe path never rescans the base table for
+    candidates."""
+    from kafka_topic_dumper_spark.sinks.layout import write_layout
+
+    write_layout(assigned, path, ["cell"], sort_cols=["vec_id"])
+
+
+def ivf_topk_stored(
+    emb: DataFrame,
+    query_ids: list[int],
+    index_path: str,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+) -> DataFrame:
+    """IVF ANN top-k against a MATERIALIZED inverted file. Must produce
+    exactly ``similarity.ivf_topk``'s output — asserted in
+    tests/test_index_store.py. Shape mirrors ``cosine_topk_lsh_stored``:
+
+    - probe cells come from re-running the SAME assignment kernel over
+      the query ids' embedding rows (pushed vec_id filter on the base
+      table — |queries| rows, metadata-sized); the index is never
+      scanned to find the probes;
+    - the candidate scan filters on LITERAL cell values → directory-
+      level partition pruning; candidate vectors and norms come from
+      the index itself, no base-table rescan;
+    - exact cosine (the bit-parity Arrow dot kernel) ranks candidates
+      only."""
+    from kafka_topic_dumper_spark.operators.similarity import (
+        _as_double_vec,
+        cell_ranks_udf,
+        ivf_codebook,
+        pair_dot_udf,
+    )
+
+    spark = emb.sparkSession
+    ranks = cell_ranks_udf(*ivf_codebook(emb, n_centroids))
+    qrows = (
+        _as_double_vec(
+            emb.filter(F.col("vec_id").isin(query_ids)), "query_id", "qv"
+        )
+        .withColumn("cells", F.slice(ranks(F.col("qv"), F.col("qv_nrm")), 1, nprobe))
+        .collect()
+    )
+    if not qrows:
+        raise ValueError(
+            f"none of the query ids {sorted(query_ids)} exist in the "
+            "embedding table — cannot derive probe cells"
+        )
+    probe_cells = sorted({int(c) for r in qrows for c in r.cells})
+    probes = spark.createDataFrame(
+        [(int(r.query_id), int(c)) for r in qrows for c in r.cells],
+        "query_id long, cell bigint",
+    )
+    qv = spark.createDataFrame(
+        [(int(r.query_id), list(r.qv), float(r.qv_nrm)) for r in qrows],
+        "query_id long, qv array<double>, q_nrm double",
+    )
+    idx = spark.read.parquet(index_path)
+    cand = (
+        idx.filter(F.col("cell").isin(probe_cells))
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(qv), "query_id")
+        .withColumn(
+            "cos",
+            pair_dot_udf()(F.col("qv"), F.col("v")) / (F.col("q_nrm") * F.col("v_nrm")),
+        )
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("cos").desc(), F.col("vec_id"))
+    return (
+        cand.withColumn("rank", F.row_number().over(w).cast("integer"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
+    )

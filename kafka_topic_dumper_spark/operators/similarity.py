@@ -437,6 +437,35 @@ def cell_ranks_udf(cids: list[int], cmat: list[list[float]], cnrm: list[float]):
     return _ranks
 
 
+def ivf_codebook(emb: DataFrame, n_centroids: int = 16):
+    """Collect the coarse codebook (``(cids, vectors, norms)`` plain
+    lists, cid-ascending) — the one deliberate driver round-trip of the
+    IVF paths; metadata-sized by definition. Centroid selection is the
+    deterministic ``vec_id < n_centroids`` sample (SQL-expressible for
+    the oracle; pluggable for a k-means pass in production)."""
+    crows = sorted(
+        _as_double_vec(emb.filter(F.col("vec_id") < n_centroids), "cid", "c").collect(),
+        key=lambda r: r.cid,
+    )
+    return (
+        [int(r.cid) for r in crows],
+        [[float(x) for x in r.c] for r in crows],
+        [float(r.c_nrm) for r in crows],
+    )
+
+
+def ivf_assign(emb: DataFrame, n_centroids: int = 16) -> DataFrame:
+    """(vec_id, v, v_nrm, cell) — every vector assigned to its nearest
+    centroid by the map-stage kernel. This is the relation a stored IVF
+    index materializes (partitioned by cell; see
+    functions/index_store.py)."""
+    base = _as_double_vec(emb, "vec_id", "v")
+    ranks = cell_ranks_udf(*ivf_codebook(emb, n_centroids))
+    return base.withColumn(
+        "cell", ranks(F.col("v"), F.col("v_nrm"))[0]
+    )
+
+
 def ivf_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -458,21 +487,7 @@ def ivf_topk(
     the source instead of re-assigning.
     """
     base = _as_double_vec(emb, "vec_id", "v")
-    crows = sorted(
-        base.filter(F.col("vec_id") < n_centroids)
-        .select(
-            F.col("vec_id").alias("cid"),
-            F.col("v").alias("c"),
-            F.col("v_nrm").alias("c_nrm"),
-        )
-        .collect(),
-        key=lambda r: r.cid,
-    )
-    ranks = cell_ranks_udf(
-        [int(r.cid) for r in crows],
-        [[float(x) for x in r.c] for r in crows],
-        [float(r.c_nrm) for r in crows],
-    )
+    ranks = cell_ranks_udf(*ivf_codebook(emb, n_centroids))
     ranked = base.withColumn("cells", ranks(F.col("v"), F.col("v_nrm")))
     assigned = ranked.select(
         "vec_id", "v", "v_nrm", F.col("cells")[0].alias("cell")
@@ -707,9 +722,7 @@ def register(reg) -> None:
         )
         return cosine_topk_lsh_stored(emb, QUERY_IDS, path, 10)
 
-    @reg(
-        "similarity_topk_ivf",
-        f"""
+    _IVF_ORACLE = f"""
         WITH v AS (
             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
             FROM embeddings
@@ -749,9 +762,31 @@ def register(reg) -> None:
                     ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
         FROM cand
         QUALIFY rank <= 10
-        """,
-    )
+        """
+
+    @reg("similarity_topk_ivf", _IVF_ORACLE)
     def similarity_topk_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
         """IVF ANN top-10 for query vectors 0..4 (16 cells, nprobe=2;
         deterministic centroids ⇒ exact-match oracle)."""
         return ivf_topk(load_table(spark, sf_dir, "embeddings"), QUERY_IDS, 10)
+
+    # Same codebook + assignment + probe semantics as
+    # similarity_topk_ivf, so the SAME oracle applies — this row proves
+    # the materialized inverted file: assign → cell-partitioned write →
+    # directory-pruned probe in one call (pruning plan-asserted in
+    # tests/test_index_store.py).
+    @reg("similarity_topk_ivf_stored", _IVF_ORACLE)
+    def similarity_topk_ivf_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """IVF ANN top-10 through a freshly materialized inverted
+        file: assign + write + pruned probe in one call."""
+        import tempfile
+
+        from kafka_topic_dumper_spark.functions.index_store import (
+            ivf_topk_stored,
+            write_ivf_index,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        path = tempfile.mkdtemp(prefix="ivf_index_") + "/ivf"
+        write_ivf_index(ivf_assign(emb), path)
+        return ivf_topk_stored(emb, QUERY_IDS, path, 10)

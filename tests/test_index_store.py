@@ -101,3 +101,62 @@ def test_index_files_sorted_by_bucket(spark, tmp_path):
     assert len(files) == N_LSH_TABLES  # one file per table partition
     col = pq.read_table(files[0], columns=["bucket"])["bucket"].to_pylist()
     assert col == sorted(col)
+
+
+def _build_ivf(spark, tmp_path) -> str:
+    from kafka_topic_dumper_spark.functions.index_store import write_ivf_index
+    from kafka_topic_dumper_spark.operators.similarity import ivf_assign
+
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "ivf_index")
+    write_ivf_index(ivf_assign(emb), path)
+    return path
+
+
+def test_ivf_stored_matches_in_memory_operator(spark, tmp_path):
+    from kafka_topic_dumper_spark.functions.index_store import ivf_topk_stored
+    from kafka_topic_dumper_spark.operators.similarity import ivf_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    path = _build_ivf(spark, tmp_path)
+    stored = sorted(map(tuple, ivf_topk_stored(emb, QUERY_IDS, path, 10).collect()))
+    live = sorted(map(tuple, ivf_topk(emb, QUERY_IDS, 10).collect()))
+    assert stored == live
+    assert len(stored) > 0
+
+
+def test_ivf_stored_probe_prunes_cells(spark, tmp_path):
+    """The candidate scan must read only the probed cells' partitions:
+    the literal cell filter appears as a partition filter, and the
+    scanned partition count is <= |probe cells| (< n_centroids)."""
+    from kafka_topic_dumper_spark.functions.index_store import ivf_topk_stored
+
+    emb = load_table(spark, SF, "embeddings")
+    path = _build_ivf(spark, tmp_path)
+    import re
+
+    df = ivf_topk_stored(emb, QUERY_IDS, path, 10)
+    plan = df._jdf.queryExecution().executedPlan().toString()
+    # identify the index scan by schema (the store's path string is
+    # truncated by spark.sql.maxMetadataStringLength): it is the only
+    # FileScan exposing the cell partition column
+    idx_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln and re.search(r"\[[^\]]*cell#\d+", ln)
+    ]
+    assert len(idx_scans) == 1, f"expected exactly one index scan:\n{plan}"
+    assert re.search(r"PartitionFilters: \[[^\]]*cell#\d+ IN \(", idx_scans[0]), (
+        "literal cell filter not pushed to partition pruning:\n" + idx_scans[0]
+    )
+
+
+def test_ivf_stored_unknown_query_ids_raise(spark, tmp_path):
+    import pytest as _pytest
+
+    from kafka_topic_dumper_spark.functions.index_store import ivf_topk_stored
+
+    emb = load_table(spark, SF, "embeddings")
+    path = _build_ivf(spark, tmp_path)
+    with _pytest.raises(ValueError, match="cannot derive probe cells"):
+        ivf_topk_stored(emb, [10**9], path, 10)
