@@ -87,6 +87,11 @@ def get_session(
         # sets it at runtime only when a parquet footer actually needs
         # it (the conf is runtime-settable, and the events testdata has
         # drifted between TIMESTAMP(NANOS) and timestamp[us]).
+        # Reliable checkpoints (operators/graph.py writes one per
+        # label-propagation sweep) are GC'd once their RDD is
+        # unreferenced instead of accumulating a labels snapshot per
+        # iteration in the checkpoint dir (ADVICE r5).
+        .config("spark.cleaner.referenceTracking.cleanCheckpoints", "true")
         .config("spark.ui.enabled", "false")
         .config("spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g"))
     )

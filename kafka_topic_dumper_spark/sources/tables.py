@@ -36,14 +36,16 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     on the dtype Spark actually read:
 
     - ``TimestampNTZType`` — already what we want; pass through.
-    - ``TimestampType`` (LTZ) — cast to NTZ (parquet µs with
-      ``isAdjustedToUTC`` set; wall time preserved under a UTC session).
+    - ``TimestampType`` (LTZ) — rebuild NTZ from the stored instant:
+      ``unix_micros(ts)`` extracts the parquet µs value regardless of
+      session timezone, then we add it to the NTZ epoch literal.  (A
+      bare LTZ→NTZ *cast* renders wall time in the SESSION timezone,
+      so under a non-UTC externally-created session every ts would
+      shift — this construction matches DuckDB's timezone-independent
+      read of isAdjustedToUTC µs footers.)
     - ``LongType`` — raw nanos under the legacy ``nanosAsLong`` conf;
-      truncate to µs and add to the NTZ epoch literal — a timezone-
-      independent construction.  (``timestamp_micros()`` would yield
-      TIMESTAMP_LTZ, and LTZ→NTZ casts render wall time in the SESSION
-      timezone: under a non-UTC externally-created session every ts
-      would shift.)
+      truncate to µs and add to the NTZ epoch literal — the same
+      timezone-independent construction.
 
     A TIMESTAMP(NANOS) footer makes the plain read raise before we can
     inspect the dtype, so on failure we retry once under the legacy
@@ -64,7 +66,13 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         if isinstance(ts_type, T.TimestampNTZType):
             return df
         if isinstance(ts_type, T.TimestampType):
-            return df.withColumn("ts", F.col("ts").cast(T.TimestampNTZType()))
+            return df.withColumn(
+                "ts",
+                F.expr(
+                    "timestampadd(MICROSECOND, unix_micros(ts),"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+            )
         if isinstance(ts_type, T.LongType):
             return df.withColumn(
                 "ts",

@@ -208,12 +208,18 @@ def interval_join_stream(
 def enrich_stream(events: DataFrame, dim: DataFrame, on_left: str, on_right: str) -> DataFrame:
     """Stream-static enrichment join: attach dimension attributes to a
     live stream — the most common production streaming shape (events ⋈
-    user/customer/product table). Stateless: Spark plans a broadcast
-    (or locality-respecting) join per micro-batch, re-resolving the
-    static side each batch, so a dimension UPDATE is picked up on the
-    next trigger without restarting the query; no streaming state is
-    kept at all. Left join keeps stream rows with no dim match
-    (nulls), never drops stream data."""
-    return events.join(
-        F.broadcast(dim), events[on_left] == dim[on_right], "left"
-    )
+    user/customer/product table). Stateless: Spark re-resolves the
+    static side each micro-batch, so a dimension UPDATE is picked up on
+    the next trigger without restarting the query; no streaming state
+    is kept at all. Left join keeps stream rows with no dim match
+    (nulls), never drops stream data.
+
+    No broadcast hint, by this repo's policy (operators/analytics.py):
+    a user/customer dimension is an UNBOUNDED relation — at event scale
+    it can be arbitrarily large, and a forced broadcast OOMs the driver
+    exactly like the corpus case documented in
+    :func:`dedup_stream_against_corpus`. The planner broadcasts from
+    stats when the dim actually fits (autoBroadcastJoinThreshold) and
+    shuffles otherwise — per micro-batch, so the decision tracks dim
+    growth (r5 verdict item 2)."""
+    return events.join(dim, events[on_left] == dim[on_right], "left")

@@ -125,6 +125,38 @@ def test_dot_kernel_bit_parity(spark):
         assert r.self_ref == r.self_got, (r.ia, r.self_ref, r.self_got)
 
 
+def test_dot_kernels_null_safe(spark):
+    """A NULL embedding must yield NULL — not crash the Arrow stage —
+    matching the HOF fold the kernels replace (ADVICE r5: np.stack over
+    None raised before the notna() masks)."""
+    from pyspark.sql import functions as F
+
+    df = spark.createDataFrame(
+        [(0, [1.0, 2.0], [3.0, 4.0]), (1, None, [1.0, 1.0]), (2, [5.0, 6.0], None)],
+        "id long, a array<double>, b array<double>",
+    )
+    rows = {
+        r.id: r
+        for r in df.select(
+            "id",
+            similarity.pair_dot_udf()(F.col("a"), F.col("b")).alias("d"),
+            similarity.self_dot_udf()(F.col("a")).alias("s"),
+        ).collect()
+    }
+    assert rows[0].d == 11.0 and rows[0].s == 5.0
+    assert rows[1].d is None and rows[1].s is None
+    assert rows[2].d is None and rows[2].s == 61.0
+    # cell_ranks_udf: null vector → null rank list, others unaffected
+    ranks = similarity.cell_ranks_udf([0, 1], [[1.0, 0.0], [0.0, 1.0]], [1.0, 1.0])
+    got = {
+        r.id: r.rk
+        for r in df.select(
+            "id", ranks(F.col("a"), similarity.self_dot_udf()(F.col("a"))).alias("rk")
+        ).collect()
+    }
+    assert got[1] is None and got[0] is not None and len(got[0]) == 2
+
+
 import numpy as np
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st

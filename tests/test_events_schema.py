@@ -56,6 +56,40 @@ def test_events_ts_values_match_duckdb(spark):
     )
 
 
+def test_events_ltz_branch_is_timezone_independent(spark, tmp_path):
+    """The TimestampType (LTZ) branch must rebuild NTZ from the stored
+    instant, not via a bare cast: a cast renders wall time in the
+    SESSION timezone, so an externally-created non-UTC session would
+    silently shift every ts (ADVICE r5, medium).  We synthesize an
+    events.parquet whose footer is isAdjustedToUTC µs (Spark's default
+    TimestampType write) and assert identical wall-clock values under
+    a UTC and a UTC+14 session."""
+    src = tmp_path / "tzcase"
+    src.mkdir()
+    spark.sql(
+        "SELECT 1 AS event_id, timestamp'2024-03-01 12:34:56.789' AS ts"
+    ).write.parquet(str(src / "events.parquet"))
+    tz0 = spark.conf.get("spark.sql.session.timeZone")
+    try:
+        spark.conf.set("spark.sql.session.timeZone", "UTC")
+        utc_row = load_table(spark, str(src), "events").first()["ts"]
+        spark.conf.set("spark.sql.session.timeZone", "Pacific/Kiritimati")
+        far_row = load_table(spark, str(src), "events").first()["ts"]
+    finally:
+        spark.conf.set("spark.sql.session.timeZone", tz0)
+    assert utc_row == far_row, (
+        f"LTZ→NTZ normalization is session-timezone-dependent: "
+        f"UTC={utc_row!r} vs UTC+14={far_row!r} — tables.py must use the "
+        "unix_micros() construction, not a bare cast."
+    )
+    want = duckdb.sql(
+        f"SELECT ts FROM '{src}/events.parquet/*.parquet'"
+    ).fetchone()[0]
+    if isinstance(want, datetime.datetime) and want.tzinfo is not None:
+        want = want.replace(tzinfo=None)
+    assert utc_row == want
+
+
 def test_events_load_is_pushdown_friendly(spark):
     """The normalization must not block column pruning: selecting two
     columns should read only those from parquet."""

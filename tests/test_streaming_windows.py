@@ -159,8 +159,8 @@ def test_interval_join_stream_matches_batch(spark, events_stream_path):
 
 
 def test_enrich_stream_matches_batch_join(spark, events_stream_path):
-    """Stream-static enrichment: per-microbatch broadcast join against
-    a static dimension equals the batch left join, row for row."""
+    """Stream-static enrichment: per-microbatch join against a static
+    dimension equals the batch left join, row for row."""
     from kafka_topic_dumper_spark.streaming.windows import enrich_stream
 
     batch = load_table(spark, SF, "events")
@@ -185,6 +185,24 @@ def test_enrich_stream_matches_batch_join(spark, events_stream_path):
         .collect()
     )
     assert got == expected
+
+
+def test_enrich_stream_join_is_planner_chosen(spark):
+    """enrich_stream must NOT force-broadcast the dimension: a
+    user/customer dim is an unbounded relation, and a forced broadcast
+    of a grown dim OOMs the driver (r5 verdict item 1; policy at
+    operators/analytics.py). The join strategy is the planner's call
+    from stats, per micro-batch — so the analyzed plan must carry no
+    broadcast hint."""
+    from kafka_topic_dumper_spark.streaming.windows import enrich_stream
+
+    ev = load_table(spark, SF, "events")
+    dim = load_table(spark, SF, "customer").select("c_custkey", "c_name")
+    out = enrich_stream(ev, dim, "user_id", "c_custkey")
+    analyzed = out._jdf.queryExecution().analyzed().toString()
+    assert "ResolvedHint" not in analyzed and "UnresolvedHint" not in analyzed, (
+        f"enrich_stream carries a join hint on the dimension side:\n{analyzed}"
+    )
 
 
 def test_score_stream_against_model_matches_batch(spark, tmp_path):
