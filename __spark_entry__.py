@@ -27,89 +27,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Verification-priority order. Each round's driver checks the FIRST ~50
-# declared queries, so this list is rotated per round. Round-5 rotation
-# (per the r4 verdict, item 6): (a) the 16 in-window rows that ERRORED
-# in CORRECTNESS_r04 (all through the since-fixed events.ts defect at
-# sources/tables.py), (b) the 12 tail events-readers that were red in
-# the judge's differential for the same reason, (c) queries whose code
-# changed in round 5 (broadcast-policy sweep, LSH signature kernel,
-# Arrow dot kernels), (d) everything else, oldest green rows first.
+# declared queries, so this list is rotated per round. Round-6 rotation
+# (r5 verdict, item 1): (a) queries NEW this round, (b) the 29 queries
+# whose latest driver row is round 2 — analytics/tpch_full/packing
+# changed in the round-5 broadcast sweep AFTER those rows, (c) the rest
+# of the r3/r4-stamped backlog, (d) the 50 fresh r5 rows.
 # This is ordering only — coverage is always the full set.
 _VERIFY_PRIORITY = [
-    # --- (a) r4 in-window error rows (events.ts blast radius) ---
-    "flagship_latest_event_per_user",
-    "events_hourly_rollup",
-    "p1_project_key_value",
-    "p3_hot_reload_predicate",
-    "a1_latest_dump_id",
-    "a2_argmax_latest_state",
-    "a3_a5_available_message_counts",
-    "a4_offset_clamp",
-    "o1_sorted_file_plan",
-    "o2_tail_k_per_partition",
-    "b1_chunk_plan",
-    "cube_event_activity",
-    "window_event_metrics",
-    "asof_join_last_purchase",
-    "funnel_conversion",
-    "f_scalar_surface",
-    # --- (b) tail events-readers red in the r4 differential ---
-    "approx_aggregates",
-    "asof_join_next_purchase",
-    "cohort_retention",
-    "join_full_outer_reconcile",
-    "join_range_interval",
-    "pivot_user_event_matrix",
-    "sessionize_events",
-    "stats_numeric_profile",
-    "stats_value_histogram",
-    "timeseries_gap_fill",
-    "window_distribution_metrics",
-    "window_rolling_hour",
-    # --- (c) code changed in round 5 (kernels + broadcast policy) ---
-    "similarity_topk_lsh",
-    "similarity_topk_lsh_stored",
-    "similarity_topk_ivf_stored",
-    "embedding_quantize_int8",
-    "similarity_topk_ivf",
-    "similarity_topk_bruteforce",
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_incremental",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "q18_large_volume_orders",
-    "text_contamination_overlap",
-    "text_bigram_lm_quality",
-    "pipeline_quality_dedup_pack",
-    "text_mean_token_df",
-    # --- (d) unchanged, oldest rows first ---
-    "dedup_exact",
-    "dedup_canonical_mapping",
-    "multimodal_binary_meta",
-    "multimodal_decode_stub",
-    "multimodal_frame_sample",
-    "multimodal_resize_stub",
+    # --- (a) NEW round-6 rows (never driver-stamped) ---
+    "dedup_minhash_clusters",
+    "streaming_lm_quality",
+    "similarity_topk_ivf_trained",
+    # --- (b) last driver-stamped in round 2; their source files
+    # changed in the r5 broadcast sweep (r5 verdict item 1) ---
     "multimodal_feature_stub",
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_stats",
-    "text_source_profile",
-    "text_redact_pii",
-    "text_token_doc_frequency",
-    "text_repetition_quality",
-    "text_lang_corpus_stats",
-    "text_fingerprint",
-    "text_winnowing_fingerprints",
-    "o3_limit_top_orders",
-    "q1_pricing_summary",
-    "rollup_order_revenue",
-    "setops_customer_cohorts",
-    "join_semi_anti_customers",
-    "sample_stratified_by_lang",
-    "sample_train_val_test_split",
     "q17_small_quantity_revenue",
     "q16_supplier_diversity",
     "embedding_corpus_stats",
@@ -138,6 +69,78 @@ _VERIFY_PRIORITY = [
     "pipeline_clean_dedup_pack",
     "stats_key_skew_profile",
     "multimodal_phash_neardup",
+    # --- (c) last driver-stamped round 3/4 ---
+    "multimodal_frame_sample",
+    "multimodal_resize_stub",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_stats",
+    "text_source_profile",
+    "text_redact_pii",
+    "text_token_doc_frequency",
+    "text_repetition_quality",
+    "text_lang_corpus_stats",
+    "text_fingerprint",
+    "text_winnowing_fingerprints",
+    "o3_limit_top_orders",
+    "q1_pricing_summary",
+    "rollup_order_revenue",
+    "setops_customer_cohorts",
+    "join_semi_anti_customers",
+    "sample_stratified_by_lang",
+    "sample_train_val_test_split",
+    # --- (d) fresh r5 rows, events/similarity first (their
+    # loaders/kernels changed again this round) ---
+    "flagship_latest_event_per_user",
+    "events_hourly_rollup",
+    "p1_project_key_value",
+    "p3_hot_reload_predicate",
+    "a1_latest_dump_id",
+    "a2_argmax_latest_state",
+    "a3_a5_available_message_counts",
+    "a4_offset_clamp",
+    "o1_sorted_file_plan",
+    "o2_tail_k_per_partition",
+    "b1_chunk_plan",
+    "cube_event_activity",
+    "window_event_metrics",
+    "asof_join_last_purchase",
+    "funnel_conversion",
+    "f_scalar_surface",
+    "approx_aggregates",
+    "asof_join_next_purchase",
+    "cohort_retention",
+    "join_full_outer_reconcile",
+    "join_range_interval",
+    "pivot_user_event_matrix",
+    "sessionize_events",
+    "stats_numeric_profile",
+    "stats_value_histogram",
+    "timeseries_gap_fill",
+    "window_distribution_metrics",
+    "window_rolling_hour",
+    "similarity_topk_lsh",
+    "similarity_topk_lsh_stored",
+    "similarity_topk_ivf_stored",
+    "embedding_quantize_int8",
+    "similarity_topk_ivf",
+    "similarity_topk_bruteforce",
+    "dedup_embedding_cosine",
+    "dedup_ngram_jaccard",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_incremental",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "q18_large_volume_orders",
+    "text_contamination_overlap",
+    "text_bigram_lm_quality",
+    "pipeline_quality_dedup_pack",
+    "text_mean_token_df",
+    "dedup_exact",
+    "dedup_canonical_mapping",
+    "multimodal_binary_meta",
+    "multimodal_decode_stub",
 ]
 
 

@@ -150,6 +150,59 @@ def main() -> int:
     timings_v2 = time_set(HEADLINE_V2)
     timings_v3 = time_set(HEADLINE_V3)
 
+    # Build-vs-probe split for the stored-index rows (r6, per the r5
+    # verdict): the stored queries now build their on-disk index ONCE
+    # per (process, sf_dir) — see similarity._stored_index_path — so
+    # the min-of-N rows above price the steady-state PRUNED PROBE (the
+    # amortized 100 TB shape), while the rows below price one full
+    # build + partitioned write to a fresh directory per repetition.
+    def time_stored_builds() -> dict[str, float]:
+        from pyspark.sql import functions as F
+
+        from kafka_topic_dumper_spark.functions.index_store import (
+            write_banded_index,
+            write_ivf_index,
+        )
+        from kafka_topic_dumper_spark.operators.similarity import (
+            N_LSH_TABLES,
+            ivf_assign,
+            lsh_banded,
+        )
+
+        emb = load_table(spark, SF_DIR, "embeddings")
+        builds = {
+            "similarity_topk_lsh_stored_build": lambda path: write_banded_index(
+                lsh_banded(
+                    emb.select(F.col("vec_id").alias("neighbor_id"), "embedding"),
+                    "neighbor_id",
+                    "embedding",
+                    64,
+                    4,
+                    N_LSH_TABLES,
+                ),
+                path,
+            ),
+            "similarity_topk_ivf_stored_build": lambda path: write_ivf_index(
+                ivf_assign(emb), path
+            ),
+        }
+        out: dict[str, float] = {}
+        for name, build in builds.items():
+            best = None
+            for _ in range(N_RUNS):
+                d = tempfile.mkdtemp(prefix="bench_idx_")
+                try:
+                    t0 = time.perf_counter()
+                    build(os.path.join(d, "idx"))
+                    dt = time.perf_counter() - t0
+                finally:
+                    shutil.rmtree(d, ignore_errors=True)
+                best = dt if best is None else min(best, dt)
+            out[name] = round(best, 3)
+        return out
+
+    timings_v3.update(time_stored_builds())
+
     # dump-pipeline throughput: the reference's core workload
     tmp = tempfile.mkdtemp(prefix="bench_dump_")
     try:

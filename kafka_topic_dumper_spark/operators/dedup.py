@@ -236,12 +236,11 @@ def minhash_signatures(docs: DataFrame, k: int = 32, portable: bool = True) -> D
     )
 
 
-def minhash_lsh_candidates(
+def minhash_band_keys(
     sig: DataFrame, bands: int = 8, rows_per_band: int = 4
 ) -> DataFrame:
-    """Band the signature and bucket-join: docs sharing any band land in
-    the same bucket. One explode (×bands) + one self-join keyed by
-    (band, band_key) — never all-pairs. The band key is
+    """(doc_id, band, band_key): the signature split into ``bands``
+    keys — one explode (×bands), no join. The band key is
     md5(concat_ws(',', band-slice)) — fixed-width, engine-portable."""
     band_cols = [
         F.struct(
@@ -258,9 +257,20 @@ def minhash_lsh_candidates(
         )
         for bi in range(bands)
     ]
-    banded = sig.select(
+    return sig.select(
         "doc_id", F.explode(F.array(*band_cols)).alias("bk")
     ).select("doc_id", F.col("bk.band").alias("band"), F.col("bk.band_key").alias("band_key"))
+
+
+def minhash_lsh_candidates(
+    sig: DataFrame, bands: int = 8, rows_per_band: int = 4
+) -> DataFrame:
+    """Banded bucket-join: docs sharing any band land in the same
+    bucket — a self-join keyed by (band, band_key), never all-pairs.
+    NOTE the output is still quadratic IN EACH BUCKET; for the
+    cluster-assignment consumer that only needs connectivity, use
+    :func:`minhash_cluster_dedup`'s star-edge form instead."""
+    banded = minhash_band_keys(sig, bands, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
     return (
@@ -324,6 +334,57 @@ def minhash_lsh_dedup(docs: DataFrame, k: int = 32, bands: int = 8) -> DataFrame
     space."""
     cand = minhash_lsh_candidates(minhash_signatures(docs, k), bands, k // bands)
     return verify_pairs_exact_jaccard(docs, cand)
+
+
+def minhash_star_edges(docs: DataFrame, k: int = 32, bands: int = 8) -> DataFrame:
+    """(src, dst) star edges per LSH bucket: every bucket member links
+    to the bucket's MIN doc_id instead of to every other member. The
+    transitive closure of bucket co-membership is IDENTICAL to the
+    all-pairs bucket join's (a,b share a bucket ⇒ a–min–b is a path),
+    but edge count is ≤ rows×bands — LINEAR in the corpus — where the
+    pair form is quadratic per bucket (the r5 scale probe measured
+    132 M pairs / 18 GB peak heap at R=100 from exactly this blowup).
+
+    groupBy-min + equi-join back rather than a min-over-window: the
+    partial min combines map-side, and a degenerate hot bucket (e.g.
+    empty-text docs all hashing together) hits AQE's skew-join
+    splitting instead of a single window-sort task."""
+    banded = minhash_band_keys(minhash_signatures(docs, k), bands, k // bands)
+    mins = banded.groupBy("band", "band_key").agg(F.min("doc_id").alias("src"))
+    return (
+        banded.join(mins, ["band", "band_key"])
+        .filter(F.col("doc_id") != F.col("src"))
+        .select("src", F.col("doc_id").alias("dst"))
+        .distinct()
+    )
+
+
+def minhash_cluster_dedup(docs: DataFrame, k: int = 32, bands: int = 8) -> DataFrame:
+    """Quadratic-free MinHash dedup output: (survivor_id, n_members) —
+    one row per near-dup CLUSTER, keyed by the canonical survivor (min
+    doc_id in the cluster; singletons survive themselves). This is the
+    shape a training-data pipeline actually consumes (keep the
+    survivors, count the drops), composed as
+    star-edges → connected components → survivor rollup so no stage
+    materializes a per-pair relation (r5 verdict item 4).
+
+    Semantics note: clusters are the closure of LSH bucket
+    CO-MEMBERSHIP (the SlimPajama/RefinedWeb-style dedup criterion) —
+    deliberately NOT the exact-Jaccard-verified pair set of
+    :func:`minhash_lsh_dedup`, whose verification cost is what the
+    quadratic mode pays. Both are registered; pick by budget."""
+    from kafka_topic_dumper_spark.operators.graph import connected_components
+
+    edges = minhash_star_edges(docs, k, bands)
+    comp = connected_components(edges, "src", "dst")
+    assigned = (
+        docs.select("doc_id")
+        .join(comp, docs["doc_id"] == comp["node"], "left")
+        .select(
+            F.coalesce("component_id", "doc_id").alias("survivor_id"),
+        )
+    )
+    return assigned.groupBy("survivor_id").agg(F.count("*").alias("n_members"))
 
 
 # --- SimHash ---------------------------------------------------------------
@@ -697,8 +758,9 @@ def register(reg) -> None:
         for bi in range(bands)
     )
 
-    minhash_pairs_sql = f"""
-        WITH toks AS (
+    # Shared CTE prefix: tokens → shingles → portable hash → signature
+    # → banded keys. Reused by the pair, cluster, and star-edge oracles.
+    minhash_banded_cte = f"""toks AS (
             SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
             FROM documents
         ), sh AS (
@@ -715,7 +777,10 @@ def register(reg) -> None:
             FROM hashed GROUP BY doc_id
         ), banded AS (
             {band_selects}
-        ), cand AS (
+        )"""
+
+    minhash_pairs_sql = f"""
+        WITH {minhash_banded_cte}, cand AS (
             SELECT DISTINCT a.doc_id AS doc_a, b.doc_id AS doc_b
             FROM banded a JOIN banded b
               ON a.band = b.band AND a.band_key = b.band_key
@@ -794,6 +859,43 @@ def register(reg) -> None:
                 F.coalesce("component_id", "doc_id").alias("component_id"),
             )
         )
+
+    @reg(
+        "dedup_minhash_clusters",
+        f"""
+        WITH RECURSIVE {minhash_banded_cte}, mins AS (
+            SELECT band, band_key, min(doc_id) AS s
+            FROM banded GROUP BY band, band_key
+        ), edges AS (
+            SELECT DISTINCT m.s, b.doc_id AS d
+            FROM banded b
+            JOIN mins m ON m.band = b.band AND m.band_key = b.band_key
+            WHERE b.doc_id != m.s
+        ), sym AS (
+            SELECT s, d FROM edges UNION SELECT d, s FROM edges
+        ), reach(node, label) AS (
+            SELECT s, s FROM sym
+            UNION
+            SELECT e.d, r.label FROM reach r JOIN sym e ON e.s = r.node
+        ), comp AS (
+            SELECT node, min(label) AS component_id FROM reach GROUP BY node
+        ), assigned AS (
+            SELECT coalesce(c.component_id, d.doc_id) AS survivor_id
+            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+        )
+        SELECT survivor_id, count(*) AS n_members
+        FROM assigned GROUP BY survivor_id
+        """,
+    )
+    def dedup_minhash_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Quadratic-free MinHash dedup (r5 verdict item 4): LSH bucket
+        co-membership closed into clusters via star edges (each bucket
+        member → bucket-min), never materializing a per-pair relation;
+        output is one (survivor_id, n_members) row per cluster — the
+        keep-list a training pipeline consumes. The oracle reproduces
+        the identical star-edge closure with a recursive CTE over the
+        same portable-hash banding."""
+        return minhash_cluster_dedup(load_table(spark, sf_dir, "documents"))
 
     simhash_bands = "\n            UNION ALL\n            ".join(
         f"SELECT doc_id, simhash, {i} AS band,"

@@ -470,13 +470,72 @@ def ivf_codebook(emb: DataFrame, n_centroids: int = 16):
     )
 
 
-def ivf_assign(emb: DataFrame, n_centroids: int = 16) -> DataFrame:
+def ivf_codebook_trained(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    sample_cap: int = 4096,
+    iters: int = 20,
+):
+    """K-means-trained coarse codebook behind :func:`ivf_codebook`'s
+    pluggable seam (r5 verdict item 3): the deterministic
+    ``vec_id < n_centroids`` sample keeps cell occupancy hostage to
+    insertion order — on a real corpus that skews cells badly, hurting
+    both recall and the stored index's probe-pruning ratio. This path
+    trains Lloyd's k-means (spherical: cosine distance via normalized
+    dot) the way production IVF builds do — on a BOUNDED sample:
+
+    - sample selection is a deterministic hash-ordered top-``sample_cap``
+      (one distributed TopK, no full sort), so the training set — like
+      the codebook itself — is metadata-sized regardless of corpus
+      scale; FAISS trains IVF coarse quantizers on ~(39×k..256k)
+      samples for exactly this reason;
+    - Lloyd's runs driver-side in float64 numpy over the collected
+      sample (k×dim×iters flops — metadata-plane work), with
+      deterministic init (first k sample rows in hash order) and
+      empty-cluster carry-over, so the result is reproducible
+      run-to-run on the same data;
+    - the DISTRIBUTED part — assigning every corpus vector — is the
+      same single map stage (:func:`cell_ranks_udf`) regardless of how
+      the codebook was produced.
+
+    Returns the same ``(cids, vectors, norms)`` triple as
+    :func:`ivf_codebook` (cids are 0..k-1)."""
+    import numpy as np
+
+    sample = (
+        emb.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(sample_cap)
+        .collect()
+    )
+    X = np.asarray([r.v for r in sample], dtype=np.float64)
+    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    C = Xn[:n_centroids].copy()
+    for _ in range(iters):
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        assign = np.argmax(Xn @ Cn.T, axis=1)
+        for c in range(n_centroids):
+            members = Xn[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+            # else: empty cluster keeps its previous centroid
+    norms = np.linalg.norm(C, axis=1)
+    return (
+        list(range(n_centroids)),
+        [[float(x) for x in row] for row in C],
+        [float(n) for n in norms],
+    )
+
+
+def ivf_assign(emb: DataFrame, n_centroids: int = 16, codebook=None) -> DataFrame:
     """(vec_id, v, v_nrm, cell) — every vector assigned to its nearest
     centroid by the map-stage kernel. This is the relation a stored IVF
     index materializes (partitioned by cell; see
-    functions/index_store.py)."""
+    functions/index_store.py). ``codebook`` defaults to the
+    deterministic-sample :func:`ivf_codebook` (oracle-exact); pass
+    :func:`ivf_codebook_trained`'s triple for the k-means path."""
     base = _as_double_vec(emb, "vec_id", "v")
-    ranks = cell_ranks_udf(*ivf_codebook(emb, n_centroids))
+    ranks = cell_ranks_udf(*(codebook or ivf_codebook(emb, n_centroids)))
     return base.withColumn(
         "cell", ranks(F.col("v"), F.col("v_nrm"))[0]
     )
@@ -488,14 +547,16 @@ def ivf_topk(
     k: int = 10,
     n_centroids: int = 16,
     nprobe: int = 2,
+    codebook=None,
 ) -> DataFrame:
     """IVF-style ANN: vectors are assigned to the nearest of
     ``n_centroids`` coarse centroids (the inverted file); a query probes
     only its ``nprobe`` nearest cells, so the search touches
     ~nprobe/n_centroids of the table. Centroid selection is pluggable —
-    a deterministic sample (vec_id < n_centroids) stands in for a
-    k-means pass here, which keeps the whole operator SQL-expressible
-    for the oracle. At 100 TB: the centroid codebook is metadata-sized
+    the default deterministic sample (vec_id < n_centroids) keeps the
+    whole operator SQL-expressible for the oracle, while
+    :func:`ivf_codebook_trained` supplies the production k-means
+    codebook through the same seam. At 100 TB: the centroid codebook is metadata-sized
     and collected once (the one deliberate driver round-trip); the
     assignment is a pure MAP stage — one Arrow pass per vector, no
     ×n_centroids expansion, no shuffle (see :func:`cell_ranks_udf`);
@@ -503,7 +564,7 @@ def ivf_topk(
     the source instead of re-assigning.
     """
     base = _as_double_vec(emb, "vec_id", "v")
-    ranks = cell_ranks_udf(*ivf_codebook(emb, n_centroids))
+    ranks = cell_ranks_udf(*(codebook or ivf_codebook(emb, n_centroids)))
     ranked = base.withColumn("cells", ranks(F.col("v"), F.col("v_nrm")))
     assigned = ranked.select(
         "vec_id", "v", "v_nrm", F.col("cells")[0].alias("cell")
@@ -829,3 +890,18 @@ def register(reg) -> None:
             "ivf", sf_dir, "ivf", lambda p: write_ivf_index(ivf_assign(emb), p)
         )
         return ivf_topk_stored(emb, QUERY_IDS, path, 10)
+
+    # Rows-only row (no SQL oracle): the k-means training loop is not
+    # SQL-expressible, so the driver records the weaker check here —
+    # the deterministic-sample rows above stay the exact-match oracle
+    # for the identical plan, and tests/test_ann_recall.py pins this
+    # path's recall and cell-occupancy balance against them.
+    @reg("similarity_topk_ivf_trained", None)
+    def similarity_topk_ivf_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """IVF ANN top-10 under the k-means-trained codebook
+        (ivf_codebook_trained) — the production-quality centroid path
+        riding the same assignment kernel and probe plan."""
+        emb = load_table(spark, sf_dir, "embeddings")
+        return ivf_topk(
+            emb, QUERY_IDS, 10, codebook=ivf_codebook_trained(emb)
+        )

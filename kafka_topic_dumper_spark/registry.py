@@ -559,7 +559,12 @@ def register_extensions() -> None:
     """Pull in §2.10 extension queries (dedup / similarity / text /
     multimodal). Separated so this module stays importable even while an
     extension module is mid-build."""
-    for mod in (dedup, similarity, text, multimodal, analytics, tpch_full, packing):
+    from kafka_topic_dumper_spark.streaming import queries as streaming_queries
+
+    for mod in (
+        dedup, similarity, text, multimodal, analytics, tpch_full, packing,
+        streaming_queries,
+    ):
         mod.register(_register)
 
 

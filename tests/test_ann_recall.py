@@ -125,6 +125,64 @@ def test_dot_kernel_bit_parity(spark):
         assert r.self_ref == r.self_got, (r.ia, r.self_ref, r.self_got)
 
 
+def test_ivf_trained_codebook_recall_and_balance(spark):
+    """K-means codebook (r5 verdict item 3): measured at R=1 on the
+    synthetic embeddings —
+
+    ==========  ========  =========  =====
+    codebook    recall@10 max share  cv
+    ==========  ========  =========  =====
+    sample      0.82      0.084      0.194
+    trained     0.38      0.080      0.154
+    ==========  ========  =========  =====
+
+    Cell-occupancy balance (cv = stddev/mean of cell sizes) improves
+    under training — the property that protects the stored index's
+    probe-pruning ratio at scale. Recall READS worse here, but the
+    comparison is biased by construction: the testdata plants near-dup
+    clusters around vec_ids 0..4 and the sample codebook uses exactly
+    those vectors as centroids, so each query probes its own planted
+    cell. The floors below pin both paths against silent regression
+    rather than declaring a winner on planted data."""
+    from pyspark.sql import functions as F
+
+    emb = load_table(spark, SF, "embeddings")
+    n = emb.count()
+    exact = _topk_sets(
+        similarity.cosine_topk_bruteforce(emb, similarity.QUERY_IDS, 10)
+    )
+
+    def stats(codebook):
+        rec = _mean_recall(
+            _topk_sets(
+                similarity.ivf_topk(emb, similarity.QUERY_IDS, 10, codebook=codebook)
+            ),
+            exact,
+        )
+        counts = [
+            r.c
+            for r in similarity.ivf_assign(emb, codebook=codebook)
+            .groupBy("cell")
+            .agg(F.count("*").alias("c"))
+            .collect()
+        ]
+        counts += [0] * (16 - len(counts))
+        mean = sum(counts) / len(counts)
+        cv = (sum((c - mean) ** 2 for c in counts) / len(counts)) ** 0.5 / mean
+        return rec, max(counts) / n, cv
+
+    rec_s, _share_s, cv_s = stats(similarity.ivf_codebook(emb))
+    rec_t, share_t, cv_t = stats(similarity.ivf_codebook_trained(emb))
+    assert rec_s >= 0.65, f"sample-codebook recall regressed: {rec_s}"
+    assert rec_t >= 0.25, f"trained-codebook recall regressed: {rec_t}"
+    assert cv_t <= cv_s + 1e-9, (
+        f"training no longer improves occupancy balance: cv {cv_t} vs {cv_s}"
+    )
+    assert share_t <= 0.25, f"trained codebook has a hot cell: {share_t}"
+    # determinism: same data → bit-identical codebook
+    assert similarity.ivf_codebook_trained(emb) == similarity.ivf_codebook_trained(emb)
+
+
 def test_dot_kernels_null_safe(spark):
     """A NULL embedding must yield NULL — not crash the Arrow stage —
     matching the HOF fold the kernels replace (ADVICE r5: np.stack over
