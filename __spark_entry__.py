@@ -38,6 +38,7 @@ _VERIFY_PRIORITY = [
     "dedup_minhash_clusters",
     "streaming_lm_quality",
     "similarity_topk_ivf_trained",
+    "streaming_hourly_rollup",
     # --- (b) last driver-stamped in round 2; their source files
     # changed in the r5 broadcast sweep (r5 verdict item 1) ---
     "multimodal_feature_stub",

@@ -58,14 +58,87 @@ def _lm_stream_input(spark: SparkSession, sf_dir: str) -> str:
     return _STREAM_INPUT_CACHE[key]
 
 
+def _events_stream_input(spark: SparkSession, sf_dir: str) -> str:
+    """Events re-materialized as ONE parquet file: a single source file
+    ⇒ a single data micro-batch ⇒ no event can arrive behind an
+    already-advanced watermark mid-replay, so append-mode output is a
+    pure function of the data (the final no-data batch emits every
+    window whose end the terminal watermark passed)."""
+    key = ("events", sf_dir)
+    if key not in _STREAM_INPUT_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="stream_input_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        path = f"{root}/events"
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "event_type", "value", "ts"
+        ).coalesce(1).write.parquet(path)
+        _STREAM_INPUT_CACHE[key] = path
+    return _STREAM_INPUT_CACHE[key]
+
+
+def _drain(stream_df: DataFrame, name: str):
+    q = (
+        stream_df.writeStream.format("memory")
+        .queryName(name)
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(300)
+
+
 def register(reg) -> None:
     from kafka_topic_dumper_spark.operators.text import (
         bigram_lm_model,
         bigram_lm_oracle_ctes,
     )
     from kafka_topic_dumper_spark.streaming.windows import (
+        hourly_rollup_stream,
         score_stream_against_model,
     )
+
+    # The streaming twin of events_hourly_rollup, driver-stamped: the
+    # REAL events table replayed as a stream. Append mode only emits
+    # windows the terminal watermark (max ts − 2 h) has passed, so the
+    # oracle applies the identical cutoff to the batch rollup; the
+    # newest ≈3 wall-hours of windows are the held-back streaming state
+    # — asserted non-empty difference in test_streaming_windows.py.
+    # window_start is cast back to NTZ (wall time round-trips through
+    # the internal LTZ for any whole-hour session offset; fractional
+    # offsets like +05:45 would shift hour ALIGNMENT — a documented
+    # presentation caveat, not a data one).
+    @reg(
+        "streaming_hourly_rollup",
+        """
+        WITH mx AS (SELECT max(ts) AS m FROM events),
+        agg AS (
+            SELECT date_trunc('hour', ts) AS window_start, event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM events GROUP BY 1, 2
+        )
+        SELECT window_start, event_type, n_events, sum_value
+        FROM agg, mx
+        WHERE window_start + INTERVAL 1 HOUR <= mx.m - INTERVAL 2 HOUR
+        """,
+    )
+    def streaming_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Tumbling 1-hour windowed aggregate over the events table
+        replayed through a real file stream (watermark 2 h, append
+        mode, Trigger.AvailableNow) — proves watermark-gated window
+        finalization against the batch rollup under the same cutoff."""
+        stream = spark.readStream.schema(
+            "event_id long, event_type string, value double, ts timestamp_ntz"
+        ).parquet(_events_stream_input(spark, sf_dir))
+        name = f"streaming_hourly_rollup_sink_{next(_SINK_SEQ)}"
+        _drain(hourly_rollup_stream(stream), name)
+        return spark.table(name).withColumn(
+            "window_start", F.col("window_start").cast("timestamp_ntz")
+        )
 
     # The model is trained on the same corpus the stream replays, so the
     # streaming scorer's left-join add-one fallbacks reduce to the batch
@@ -95,13 +168,5 @@ def register(reg) -> None:
             "doc_id long, text string, ts timestamp_ntz"
         ).parquet(_lm_stream_input(spark, sf_dir))
         name = f"streaming_lm_quality_sink_{next(_SINK_SEQ)}"
-        q = (
-            score_stream_against_model(stream, pair_counts, ctx_counts, v)
-            .writeStream.format("memory")
-            .queryName(name)
-            .outputMode("append")
-            .trigger(availableNow=True)
-            .start()
-        )
-        q.awaitTermination(300)
+        _drain(score_stream_against_model(stream, pair_counts, ctx_counts, v), name)
         return spark.table(name).select("doc_id", "n_bigrams", "bits_per_bigram")

@@ -119,6 +119,14 @@ def probes(t: dict[str, DataFrame]):
     def minhash():
         return dedup.minhash_lsh_dedup(t["documents"])
 
+    def minhash_clusters():
+        # the quadratic-free output mode: same banding as minhash, but
+        # star edges → connected components → per-cluster survivor row;
+        # the R=100 contrast with dedup_minhash_lsh (pair output) is
+        # the point — output stays corpus-linear while pairs go
+        # quadratic in the planted R-sized near-dup clusters
+        return dedup.minhash_cluster_dedup(t["documents"])
+
     def ngram():
         return dedup.ngram_jaccard_pairs(t["documents"]).filter(F.col("jaccard") >= 0.8)
 
@@ -153,6 +161,7 @@ def probes(t: dict[str, DataFrame]):
         "flagship_window": flagship_window,
         "dedup_exact": exact,
         "dedup_minhash_lsh": minhash,
+        "dedup_minhash_clusters": minhash_clusters,
         "dedup_ngram_jaccard": ngram,
         "similarity_topk_lsh": ann_lsh,
         "pack_sequences": pack,

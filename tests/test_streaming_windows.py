@@ -187,6 +187,34 @@ def test_enrich_stream_matches_batch_join(spark, events_stream_path):
     assert got == expected
 
 
+def test_streaming_hourly_rollup_row_holds_back_open_windows(spark):
+    """The registry's streaming_hourly_rollup row must emit exactly the
+    batch rollup RESTRICTED to watermark-passed windows — and the
+    restriction must be REAL (the newest windows held back as open
+    state), or the row would be indistinguishable from batch."""
+    from kafka_topic_dumper_spark.registry import QUERIES
+
+    got = {tuple(r) for r in QUERIES["streaming_hourly_rollup"](spark, SF).collect()}
+    batch = load_table(spark, SF, "events")
+    full = {
+        tuple(r)
+        for r in batch.groupBy(
+            F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        )
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .collect()
+    }
+    assert got < full, "streaming output should be a strict subset"
+    held = {r[0] for r in full - got}
+    newest = max(r[0] for r in full)
+    assert all((newest - ws).total_seconds() <= 4 * 3600 for ws in held), (
+        f"held-back windows should only be the newest ~3 hours: {sorted(held)}"
+    )
+
+
 def test_enrich_stream_join_is_planner_chosen(spark):
     """enrich_stream must NOT force-broadcast the dimension: a
     user/customer dim is an unbounded relation, and a forced broadcast
