@@ -64,19 +64,28 @@ def pair_dot_udf():
         import pandas as _pd
 
         n = len(a)
+        if not n:
+            return _pd.Series([], dtype="float64")
+        # NULL-mask like lsh_signatures_udf: np.stack over a None
+        # raises, and the HOF fold this kernel replaces yields NULL
+        # for a NULL input — preserve that (ADVICE r5). The all-valid
+        # batch (the hot path) skips the object-dtype detour entirely.
+        mask = (a.notna() & b.notna()).to_numpy()
+        if mask.all():
+            A = np.stack(a.to_numpy()).astype(np.float64)
+            B = np.stack(b.to_numpy()).astype(np.float64)
+            acc = np.zeros(n, dtype=np.float64)
+            for j in range(A.shape[1]):
+                acc += A[:, j] * B[:, j]
+            return _pd.Series(acc)
         out = np.empty(n, dtype=object)
-        if n:
-            # NULL-mask like lsh_signatures_udf: np.stack over a None
-            # raises, and the HOF fold this kernel replaces yields NULL
-            # for a NULL input — preserve that (ADVICE r5).
-            mask = (a.notna() & b.notna()).to_numpy()
-            if mask.any():
-                A = np.stack(a[mask].to_numpy()).astype(np.float64)
-                B = np.stack(b[mask].to_numpy()).astype(np.float64)
-                acc = np.zeros(A.shape[0], dtype=np.float64)
-                for j in range(A.shape[1]):
-                    acc += A[:, j] * B[:, j]
-                out[np.nonzero(mask)[0]] = acc
+        if mask.any():
+            A = np.stack(a[mask].to_numpy()).astype(np.float64)
+            B = np.stack(b[mask].to_numpy()).astype(np.float64)
+            acc = np.zeros(A.shape[0], dtype=np.float64)
+            for j in range(A.shape[1]):
+                acc += A[:, j] * B[:, j]
+            out[np.nonzero(mask)[0]] = acc
         return _pd.Series(out)
 
     return _dot
@@ -93,15 +102,22 @@ def self_dot_udf():
         import pandas as _pd
 
         n = len(a)
+        if not n:
+            return _pd.Series([], dtype="float64")
+        mask = a.notna().to_numpy()
+        if mask.all():
+            A = np.stack(a.to_numpy()).astype(np.float64)
+            acc = np.zeros(n, dtype=np.float64)
+            for j in range(A.shape[1]):
+                acc += A[:, j] * A[:, j]
+            return _pd.Series(acc)
         out = np.empty(n, dtype=object)
-        if n:
-            mask = a.notna().to_numpy()
-            if mask.any():
-                A = np.stack(a[mask].to_numpy()).astype(np.float64)
-                acc = np.zeros(A.shape[0], dtype=np.float64)
-                for j in range(A.shape[1]):
-                    acc += A[:, j] * A[:, j]
-                out[np.nonzero(mask)[0]] = acc
+        if mask.any():
+            A = np.stack(a[mask].to_numpy()).astype(np.float64)
+            acc = np.zeros(A.shape[0], dtype=np.float64)
+            for j in range(A.shape[1]):
+                acc += A[:, j] * A[:, j]
+            out[np.nonzero(mask)[0]] = acc
         return _pd.Series(out)
 
     return _self
