@@ -39,6 +39,12 @@ _VERIFY_PRIORITY = [
     "streaming_lm_quality",
     "similarity_topk_ivf_trained",
     "streaming_hourly_rollup",
+    "dedup_semantic",
+    "dedup_semantic_trained",
+    "chunk_documents_sliding",
+    "epoch_shuffle_order",
+    "sample_stratified_per_group",
+    "streaming_dedup_exact",
     # --- (b) last driver-stamped in round 2; their source files
     # changed in the r5 broadcast sweep (r5 verdict item 1) ---
     "multimodal_feature_stub",

@@ -633,6 +633,80 @@ def embedding_neardup_lsh(
     )
 
 
+def semantic_dedup(
+    emb: DataFrame,
+    n_centroids: int = 16,
+    threshold: float = 0.98,
+    codebook=None,
+) -> DataFrame:
+    """SemDeDup-style semantic deduplication (Abbas et al. 2023):
+    cluster embeddings into ``n_centroids`` coarse cells, then within
+    each cell drop every vector whose cosine to ANY lower-``vec_id``
+    cell-mate is ≥ ``threshold``. Returns the kept ``(vec_id, cell)``
+    keep-list — the shape a training pipeline consumes.
+
+    Determinism deviation from the paper (documented): the paper keeps
+    the member farthest from the centroid per semantic group; this
+    implementation keeps the lowest ``vec_id``, which makes the output
+    a pure function of the data (cross-engine oracle-able) and is the
+    same canonical-survivor convention every other dedup mode here
+    uses.
+
+    Scale shape (the 100 TB argument):
+
+    - cell assignment is ONE map stage (:func:`similarity.ivf_assign`'s
+      Arrow kernel, bit-identical to the oracle's argmax) — the
+      codebook is metadata-sized and ships by value;
+    - the pairwise stage is an equi-join on ``cell`` — a hash
+      shuffle-join keyed on the cell id, NEVER a crossJoin. Its cost is
+      O(Σ|cell|²), which is the intrinsic SemDeDup cost; production
+      runs keep it bounded by scaling k with the corpus (the paper uses
+      k≈11k for LAION) so E[|cell|] stays constant — here k=16 plays
+      that role at test SF;
+    - cosines are computed by the Arrow pair-dot kernel whose IEEE op
+      order matches the DuckDB oracle exactly, so the ``>= threshold``
+      comparison is bit-safe cross-engine.
+
+    Pass :func:`similarity.ivf_codebook_trained`'s triple as
+    ``codebook`` for the production path (balanced cells ⇒ the
+    quadratic term shrinks); the deterministic sample codebook stays
+    the oracle row."""
+    from kafka_topic_dumper_spark.functions.caching import tracked_persist
+    from kafka_topic_dumper_spark.operators.similarity import (
+        ivf_assign,
+        pair_dot_udf,
+    )
+
+    # (vec_id, v, v_nrm, cell): persist — it feeds both join sides and
+    # the final anti-join, and re-deriving it would re-run the
+    # assignment kernel three times.
+    assigned = tracked_persist(ivf_assign(emb, n_centroids, codebook=codebook))
+    hi = assigned.select(
+        "cell",
+        F.col("vec_id").alias("id_hi"),
+        F.col("v").alias("v_hi"),
+        F.col("v_nrm").alias("n_hi"),
+    )
+    lo = assigned.select(
+        "cell",
+        F.col("vec_id").alias("id_lo"),
+        F.col("v").alias("v_lo"),
+        F.col("v_nrm").alias("n_lo"),
+    )
+    dropped = (
+        hi.join(lo, "cell")
+        .where(F.col("id_hi") > F.col("id_lo"))
+        .where(
+            pair_dot_udf()(F.col("v_hi"), F.col("v_lo"))
+            / (F.col("n_hi") * F.col("n_lo"))
+            >= F.lit(threshold)
+        )
+        .select(F.col("id_hi").alias("vec_id"))
+        .distinct()
+    )
+    return assigned.join(dropped, "vec_id", "left_anti").select("vec_id", "cell")
+
+
 # --- registry entries -------------------------------------------------------
 
 
@@ -979,3 +1053,69 @@ def register(reg) -> None:
         bucket candidates (4 tables × 8 bits; deterministic hyperplanes
         ⇒ exact-match oracle). The bucketed plan — never all-pairs."""
         return embedding_neardup_lsh(load_table(spark, sf_dir, "embeddings"))
+
+    # SemDeDup keep-list: the oracle reproduces the identical coarse
+    # assignment (argmax cosine over the 16 deterministic centroids,
+    # cid tie-break — same CTE chain as similarity._IVF_ORACLE) and the
+    # same lowest-id-survives rule. Threshold comparison is bit-safe:
+    # both engines compute cosine with the identical left-folded IEEE
+    # op sequence (see similarity.pair_dot_udf).
+    @reg(
+        "dedup_semantic",
+        """
+        WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), n AS (
+            SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+            FROM v
+        ), c AS (
+            SELECT vec_id AS cid, v AS c, nrm AS c_nrm FROM n WHERE vec_id < 16
+        ), ac AS (
+            SELECT n.vec_id, n.v, n.nrm, c.cid,
+                   list_sum(list_transform(range(1, 65), i -> n.v[i] * c.c[i]))
+                       / (n.nrm * c.c_nrm) AS cos_c
+            FROM n, c
+        ), assigned AS (
+            SELECT vec_id, v, nrm, cid AS cell FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                           ORDER BY cos_c DESC, cid) AS rn
+                FROM ac
+            ) WHERE rn = 1
+        ), dropped AS (
+            SELECT DISTINCT hi.vec_id
+            FROM assigned hi JOIN assigned lo
+              ON hi.cell = lo.cell AND hi.vec_id > lo.vec_id
+            WHERE list_sum(list_transform(range(1, 65),
+                      i -> hi.v[i] * lo.v[i])) / (hi.nrm * lo.nrm) >= 0.40
+        )
+        SELECT vec_id, cell FROM assigned
+        WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+        """,
+    )
+    def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """SemDeDup keep-list over 16 deterministic coarse cells —
+        kept (vec_id, cell) rows; per-cell equi-join, never all-pairs.
+        τ=0.40 here (not the production ~0.95+): the synthetic
+        embeddings have no planted near-dups (max pairwise cosine
+        ≈0.51 at sf0.01), so a production τ would never exercise the
+        drop path — 0.40 drops 11/500, proving both branches."""
+        return semantic_dedup(load_table(spark, sf_dir, "embeddings"), threshold=0.40)
+
+    # Rows-only (k-means is not SQL-expressible): the production
+    # codebook path — balanced cells shrink the per-cell quadratic
+    # term. The deterministic-sample row above stays the exact-match
+    # oracle for the identical plan.
+    @reg("dedup_semantic_trained", None)
+    def dedup_semantic_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """SemDeDup keep-list under the k-means-trained codebook
+        (similarity.ivf_codebook_trained) riding the same assignment
+        kernel and per-cell join plan."""
+        from kafka_topic_dumper_spark.operators.similarity import (
+            ivf_codebook_trained,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+        return semantic_dedup(
+            emb, threshold=0.40, codebook=ivf_codebook_trained(emb)
+        )

@@ -357,6 +357,152 @@ def quality_dedup_pack_oracle_sql(
         ), {pack_oracle_ctes(seq_len, 'cleaned')}{pack_oracle_select(seq_len)}"""
 
 
+def chunk_documents(
+    docs: DataFrame, window: int = 64, stride: int = 32
+) -> DataFrame:
+    """RAG/training-style sliding-window chunking: each document's
+    whitespace token stream is cut into ``window``-token chunks every
+    ``stride`` tokens (overlapping when stride < window). Output is
+    one row per (doc_id, chunk_id) with the chunk text and its true
+    token count (the final chunk is short when the document doesn't
+    divide evenly); documents with zero tokens yield zero chunks.
+
+    Scale shape: a pure map stage — tokenize, generate the start
+    offsets with ``sequence``, ``posexplode``, ``slice`` — all JVM
+    expressions inside one WholeStageCodegen span, no shuffle, no
+    Python. Chunk rows inherit the input partitioning, so a 100 TB
+    corpus chunks at scan parallelism with text read exactly once."""
+    toks = docs.select(
+        "doc_id",
+        F.expr(f"filter({TOKENS_SQL}, t -> t != '')").alias("toks"),
+    ).withColumn("n", F.size("toks"))
+    # sequence(0, n-1, stride) DESCENDS when n = 0 (start > stop) —
+    # guard empty docs to an empty start list (= DuckDB range(0,0,s)).
+    starts = F.when(
+        F.col("n") > 0,
+        F.sequence(F.lit(0), F.col("n") - 1, F.lit(stride)),
+    ).otherwise(F.expr("CAST(array() AS array<int>)"))
+    return (
+        toks.select("doc_id", "toks", "n", F.posexplode(starts).alias("chunk_id", "start"))
+        .select(
+            "doc_id",
+            F.col("chunk_id").cast("integer").alias("chunk_id"),
+            F.least(F.lit(window), F.col("n") - F.col("start"))
+            .cast("integer")
+            .alias("n_tokens"),
+            F.array_join(
+                F.slice(F.col("toks"), F.col("start") + 1, F.lit(window)), " "
+            ).alias("chunk_text"),
+        )
+    )
+
+
+def chunk_documents_oracle_sql(window: int = 64, stride: int = 32) -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> t != '') AS toks
+            FROM documents
+        ), st AS (
+            SELECT doc_id, toks, len(toks) AS n,
+                   unnest(range(0, len(toks), {stride})) AS start
+            FROM toks
+        )
+        SELECT doc_id,
+               CAST(start // {stride} AS INTEGER) AS chunk_id,
+               CAST(least({window}, n - start) AS INTEGER) AS n_tokens,
+               array_to_string(list_slice(toks, start + 1, start + {window}), ' ')
+                   AS chunk_text
+        FROM st
+    """
+
+
+def epoch_shuffle(docs: DataFrame, n_epochs: int = 3) -> DataFrame:
+    """Deterministic per-epoch global shuffle order — the reproducible
+    data-order contract of a training run: epoch e's order is the sort
+    of ``md5(e || ':' || doc_id)``, so any engine (and any re-run after
+    preemption) derives the identical (epoch, position → doc_id) map
+    without a stored permutation table.
+
+    Scale shape: the per-epoch order is a global sort on the hash key —
+    Spark's range-partitioned distributed sort (sample boundaries,
+    sort-within-partition), the scalable form. ``row_number`` over the
+    epoch partition is NOT the single-task trap here only because the
+    partitionBy key (epoch) bounds each window to one epoch; for the
+    production shard layout you'd instead write
+    ``repartitionByRange(epoch, key).sortWithinPartitions`` and let
+    file order carry the position — this queryable form materializes
+    the explicit position column the oracle can check."""
+    epochs = docs.select(
+        "doc_id",
+        F.explode(F.sequence(F.lit(0), F.lit(n_epochs - 1))).alias("epoch"),
+    ).withColumn(
+        "shuffle_key",
+        F.md5(F.concat_ws(":", F.col("epoch"), F.col("doc_id"))),
+    )
+    w = Window.partitionBy("epoch").orderBy("shuffle_key", "doc_id")
+    return epochs.select(
+        F.col("epoch").cast("integer").alias("epoch"),
+        F.row_number().over(w).cast("integer").alias("position"),
+        "doc_id",
+    )
+
+
+def epoch_shuffle_oracle_sql(n_epochs: int = 3) -> str:
+    return f"""
+        WITH e AS (
+            SELECT doc_id, unnest(range(0, {n_epochs})) AS epoch
+            FROM documents
+        ), keyed AS (
+            SELECT doc_id, epoch,
+                   md5(CAST(epoch AS VARCHAR) || ':' ||
+                       CAST(doc_id AS VARCHAR)) AS shuffle_key
+            FROM e
+        )
+        SELECT CAST(epoch AS INTEGER) AS epoch,
+               CAST(row_number() OVER (PARTITION BY epoch
+                    ORDER BY shuffle_key, doc_id) AS INTEGER) AS position,
+               doc_id
+        FROM keyed
+    """
+
+
+def stratified_sample(docs: DataFrame, k: int = 5) -> DataFrame:
+    """Deterministic stratified sample: the k hash-smallest documents
+    per (lang, source) stratum — uniform within the stratum because
+    md5(doc_id) order is independent of every document attribute, and
+    reproducible because it's a pure function of the ids (the same
+    portable-hash membership idea as ``sample_domain_mixture``, but
+    producing an exact per-stratum count instead of a rate).
+
+    Scale shape: one shuffle on the stratum key; the rank ≤ k filter
+    is the pattern Spark's WindowGroupLimit rule (3.5+) rewrites into
+    a partial top-k on the map side, so each task forwards at most k
+    rows per stratum and the shuffled volume is O(strata × k), not the
+    corpus."""
+    w = Window.partitionBy("lang", "source").orderBy(
+        F.md5(F.col("doc_id").cast("string")), "doc_id"
+    )
+    return (
+        docs.withColumn("sample_rank", F.row_number().over(w).cast("integer"))
+        .where(F.col("sample_rank") <= k)
+        .select("lang", "source", "sample_rank", "doc_id")
+    )
+
+
+def stratified_sample_oracle_sql(k: int = 5) -> str:
+    return f"""
+        SELECT lang, source,
+               CAST(row_number() OVER (PARTITION BY lang, source
+                    ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id)
+                    AS INTEGER) AS sample_rank,
+               doc_id
+        FROM documents
+        QUALIFY sample_rank <= {k}
+    """
+
+
 def register(reg) -> None:
     from pyspark.sql import SparkSession
 
@@ -387,6 +533,24 @@ def register(reg) -> None:
             512,
             buckets=8,
         )
+
+    @reg("chunk_documents_sliding", chunk_documents_oracle_sql(64, 32))
+    def chunk_documents_sliding(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Sliding-window chunking of the documents corpus (64-token
+        windows, 32-token stride) — one map stage, no shuffle."""
+        return chunk_documents(load_table(spark, sf_dir, "documents"), 64, 32)
+
+    @reg("epoch_shuffle_order", epoch_shuffle_oracle_sql(3))
+    def epoch_shuffle_order(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Reproducible 3-epoch global shuffle order (hash-keyed
+        distributed sort per epoch)."""
+        return epoch_shuffle(load_table(spark, sf_dir, "documents"), 3)
+
+    @reg("sample_stratified_per_group", stratified_sample_oracle_sql(5))
+    def sample_stratified_per_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Deterministic 5-per-(lang,source) stratified sample via
+        hash-order TopK per stratum."""
+        return stratified_sample(load_table(spark, sf_dir, "documents"), 5)
 
     @reg("pipeline_clean_dedup_pack", clean_dedup_pack_oracle_sql("en", 512))
     def pipeline_clean_dedup_pack(spark: SparkSession, sf_dir: str) -> DataFrame:

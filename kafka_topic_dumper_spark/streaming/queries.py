@@ -80,15 +80,36 @@ def _events_stream_input(spark: SparkSession, sf_dir: str) -> str:
     return _STREAM_INPUT_CACHE[key]
 
 
-def _drain(stream_df: DataFrame, name: str):
+def _drain(stream_df: DataFrame, name: str, output_mode: str = "append"):
     q = (
         stream_df.writeStream.format("memory")
         .queryName(name)
-        .outputMode("append")
+        .outputMode(output_mode)
         .trigger(availableNow=True)
         .start()
     )
     q.awaitTermination(300)
+
+
+def _docs_split_stream_input(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    """Documents re-materialized as ``n_files`` parquet files so a
+    ``maxFilesPerTrigger=1`` reader replays them as n_files separate
+    micro-batches — the state-merge path (not a single-batch degenerate
+    run) is what the streaming-dedup row exercises."""
+    key = ("docs_split", sf_dir, n_files)
+    if key not in _STREAM_INPUT_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="stream_input_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        path = f"{root}/docs_split"
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        ).repartition(n_files).write.parquet(path)
+        _STREAM_INPUT_CACHE[key] = path
+    return _STREAM_INPUT_CACHE[key]
 
 
 def register(reg) -> None:
@@ -170,3 +191,38 @@ def register(reg) -> None:
         name = f"streaming_lm_quality_sink_{next(_SINK_SEQ)}"
         _drain(score_stream_against_model(stream, pair_counts, ctx_counts, v), name)
         return spark.table(name).select("doc_id", "n_bigrams", "bits_per_bigram")
+
+    # Streaming exact dedup: an unbounded global aggregation (no
+    # watermark, complete mode) — the streaming-state twin of
+    # dedup_exact. The final complete-mode table is a pure function of
+    # the data regardless of arrival order (min/count are
+    # order-insensitive), which is what makes a multi-batch replay
+    # oracle-able; maxFilesPerTrigger=1 over a 4-file input forces 4
+    # micro-batches so the row proves cross-batch state MERGE, not a
+    # single-batch pass.
+    @reg(
+        "streaming_dedup_exact",
+        """
+        SELECT md5(text) AS digest,
+               min(doc_id) AS keep_doc_id,
+               CAST(count(*) AS BIGINT) AS n_copies
+        FROM documents GROUP BY md5(text)
+        """,
+    )
+    def streaming_dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Exact content-digest dedup as a stateful streaming
+        aggregation: documents replayed one file per micro-batch,
+        digest-keyed state merged across batches, complete-mode memory
+        sink drained with Trigger.AvailableNow."""
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(_docs_split_stream_input(spark, sf_dir))
+        )
+        agg = stream.groupBy(F.md5("text").alias("digest")).agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        name = f"streaming_dedup_exact_sink_{next(_SINK_SEQ)}"
+        _drain(agg, name, output_mode="complete")
+        return spark.table(name)

@@ -303,3 +303,52 @@ def test_score_stream_against_model_matches_batch(spark, tmp_path):
     import math
 
     assert got[20_001][1] == round(math.log2(int(v)), 4)
+
+
+def test_streaming_dedup_state_merges_across_micro_batches(spark, tmp_path):
+    """streaming_dedup_exact's contract: a digest-keyed unbounded agg
+    replayed one file per trigger must (a) actually run > 1 micro-batch
+    and (b) produce exactly the batch groupBy result — min/count state
+    merged across batches, order-insensitive."""
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents").select(
+        "doc_id", "text"
+    )
+    src = str(tmp_path / "docs_split")
+    docs.repartition(3).write.parquet(src)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    agg = stream.groupBy(F.md5("text").alias("digest")).agg(
+        F.min("doc_id").alias("keep_doc_id"),
+        F.count(F.lit(1)).alias("n_copies"),
+    )
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("dedup_state_merge_sink")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    n_data_batches = sum(
+        1 for p in q.recentProgress if p["numInputRows"] > 0
+    )
+    assert n_data_batches >= 3, [p["numInputRows"] for p in q.recentProgress]
+
+    got = sorted(
+        (r.digest, r.keep_doc_id, r.n_copies)
+        for r in spark.table("dedup_state_merge_sink").collect()
+    )
+    want = sorted(
+        (r.digest, r.keep_doc_id, r.n_copies)
+        for r in docs.groupBy(F.md5("text").alias("digest"))
+        .agg(
+            F.min("doc_id").alias("keep_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+        .collect()
+    )
+    assert got == want

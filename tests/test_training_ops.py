@@ -1,0 +1,158 @@
+"""Round-6 training-pipeline operators: SemDeDup semantic dedup,
+sliding-window chunking, reproducible epoch shuffle, stratified
+sampling. Each test checks the operator's SEMANTIC contract with an
+independent (numpy / python) recomputation at smoke SF — the DuckDB
+differential for the same rows runs in test_registry_differential.py.
+"""
+
+from __future__ import annotations
+
+import hashlib
+
+import numpy as np
+from pyspark.sql import functions as F
+
+from kafka_topic_dumper_spark.operators.dedup import semantic_dedup
+from kafka_topic_dumper_spark.operators.packing import (
+    chunk_documents,
+    epoch_shuffle,
+    stratified_sample,
+)
+from kafka_topic_dumper_spark.sources.tables import load_table
+
+SF = "/root/testdata/sf0.001"
+
+
+def _emb_matrix(spark):
+    rows = (
+        load_table(spark, SF, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    )
+    ids = np.array([r.vec_id for r in rows])
+    X = np.array([r.embedding for r in rows], dtype=np.float64)
+    return ids, X
+
+
+def test_semantic_dedup_drop_rule_matches_numpy(spark):
+    """dropped(i) ⇔ ∃ j in cell(i), j < i, cos(i,j) ≥ τ — recomputed
+    independently in numpy over the same deterministic codebook."""
+    tau = 0.35  # drops a non-trivial set at smoke SF
+    emb = load_table(spark, SF, "embeddings")
+    kept = {
+        r.vec_id: r.cell for r in semantic_dedup(emb, threshold=tau).collect()
+    }
+
+    ids, X = _emb_matrix(spark)
+    order = np.argsort(ids)
+    ids, X = ids[order], X[order]
+    nrm = np.linalg.norm(X, axis=1)
+    cidx = np.nonzero(ids < 16)[0]
+    cos_c = (X @ X[cidx].T) / np.outer(nrm, nrm[cidx])
+    # argmax with cid (=vec_id ascending) tie-break, as the kernel does
+    cell = ids[cidx][np.argmax(cos_c, axis=1)]
+    cos = (X @ X.T) / np.outer(nrm, nrm)
+    expect_kept = {}
+    for i, vid in enumerate(ids):
+        mates = np.nonzero((cell == cell[i]) & (ids < vid))[0]
+        if not (len(mates) and (cos[i, mates] >= tau).any()):
+            expect_kept[int(vid)] = int(cell[i])
+    assert kept == expect_kept
+    assert len(kept) < len(ids), "threshold must exercise the drop path"
+
+
+def test_semantic_dedup_trained_codebook_same_drop_rule(spark):
+    """The trained-codebook path obeys the identical drop rule under
+    ITS assignment: every dropped id has a lower-id cell-mate at ≥ τ,
+    every kept id has none."""
+    from kafka_topic_dumper_spark.operators.similarity import (
+        ivf_assign,
+        ivf_codebook_trained,
+    )
+
+    tau = 0.35
+    emb = load_table(spark, SF, "embeddings")
+    cb = ivf_codebook_trained(emb)
+    kept_ids = {
+        r.vec_id for r in semantic_dedup(emb, threshold=tau, codebook=cb).collect()
+    }
+    assign = {r.vec_id: r.cell for r in ivf_assign(emb, codebook=cb).collect()}
+
+    ids, X = _emb_matrix(spark)
+    nrm = np.linalg.norm(X, axis=1)
+    cos = (X @ X.T) / np.outer(nrm, nrm)
+    pos = {int(v): i for i, v in enumerate(ids)}
+    for vid, cell in assign.items():
+        mates = [
+            u for u, c in assign.items() if c == cell and u < vid
+        ]
+        has_dup = any(cos[pos[vid], pos[u]] >= tau for u in mates)
+        assert (vid in kept_ids) == (not has_dup), vid
+
+
+def test_chunk_documents_reconstructs_token_stream(spark):
+    docs = load_table(spark, SF, "documents")
+    out = chunk_documents(docs, window=16, stride=8).collect()
+    texts = {r.doc_id: r.text for r in docs.collect()}
+    by_doc: dict[int, list] = {}
+    for r in out:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    for doc_id, text in texts.items():
+        toks = [t for t in text.lower().split() if t]
+        chunks = sorted(by_doc.get(doc_id, []), key=lambda r: r.chunk_id)
+        if not toks:
+            assert chunks == []
+            continue
+        starts = list(range(0, len(toks), 8))
+        assert [c.chunk_id for c in chunks] == list(range(len(starts)))
+        for c, s in zip(chunks, starts):
+            want = toks[s : s + 16]
+            assert c.chunk_text.split(" ") == want
+            assert c.n_tokens == len(want)
+
+
+def test_epoch_shuffle_is_md5_order_and_reproducible(spark):
+    docs = load_table(spark, SF, "documents")
+    out = epoch_shuffle(docs, n_epochs=2).collect()
+    doc_ids = [r.doc_id for r in docs.select("doc_id").collect()]
+    for epoch in (0, 1):
+        got = sorted(
+            ((r.position, r.doc_id) for r in out if r.epoch == epoch)
+        )
+        want = sorted(
+            doc_ids,
+            key=lambda d: (hashlib.md5(f"{epoch}:{d}".encode()).hexdigest(), d),
+        )
+        assert [d for _, d in got] == want
+        assert [p for p, _ in got] == list(range(1, len(doc_ids) + 1))
+    # epochs genuinely reorder relative to each other
+    o0 = [d for _, d in sorted((r.position, r.doc_id) for r in out if r.epoch == 0)]
+    o1 = [d for _, d in sorted((r.position, r.doc_id) for r in out if r.epoch == 1)]
+    assert o0 != o1
+
+
+def test_stratified_sample_counts_and_determinism(spark):
+    docs = load_table(spark, SF, "documents")
+    out = stratified_sample(docs, k=3)
+    got = out.collect()
+    sizes = {
+        (r.lang, r.source): r.n
+        for r in docs.groupBy("lang", "source").agg(F.count("*").alias("n")).collect()
+    }
+    per_stratum: dict[tuple, list] = {}
+    for r in got:
+        per_stratum.setdefault((r.lang, r.source), []).append(r)
+    assert set(per_stratum) == set(sizes)
+    for key, rows in per_stratum.items():
+        assert len(rows) == min(3, sizes[key])
+        assert sorted(r.sample_rank for r in rows) == list(range(1, len(rows) + 1))
+    # deterministic across invocations
+    again = sorted((r.lang, r.source, r.sample_rank, r.doc_id) for r in out.collect())
+    assert again == sorted((r.lang, r.source, r.sample_rank, r.doc_id) for r in got)
+
+
+def test_chunk_documents_plan_has_no_shuffle(spark):
+    """Chunking must stay a pure map stage — no Exchange in the plan."""
+    docs = load_table(spark, SF, "documents")
+    plan = chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
+    assert "Exchange" not in plan, plan
