@@ -45,6 +45,7 @@ _VERIFY_PRIORITY = [
     "epoch_shuffle_order",
     "sample_stratified_per_group",
     "streaming_dedup_exact",
+    "dedup_duplicate_spans",
     # --- (b) last driver-stamped in round 2; their source files
     # changed in the r5 broadcast sweep (r5 verdict item 1) ---
     "multimodal_feature_stub",

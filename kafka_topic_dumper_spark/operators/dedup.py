@@ -707,6 +707,109 @@ def semantic_dedup(
     return assigned.join(dropped, "vec_id", "left_anti").select("vec_id", "cell")
 
 
+def duplicate_spans(
+    docs: DataFrame, gram_len: int = 16, min_count: int = 2
+) -> DataFrame:
+    """Substring-level exact dedup (the Lee et al. 2021 "Deduplicating
+    Training Data Makes Language Models Better" operation): find every
+    MAXIMAL token span that appears (as an exact ``gram_len``-token
+    sequence) at least ``min_count`` times in the corpus — the spans a
+    training pipeline cuts out of otherwise-unique documents
+    (boilerplate, licenses, templated headers). Output is one row per
+    maximal span occurrence: (doc_id, span_start, span_end, n_grams),
+    token positions 1-based inclusive.
+
+    The paper builds a suffix array; the distributed-friendly
+    equivalent here is the rolling-gram inverted index:
+
+    1. map stage — every ``gram_len``-token window is hashed (md5 of
+       the joined window). The gram TEXT never leaves the map task;
+       only (doc_id, pos, 16-byte hash) enters the shuffle, so the
+       shuffled volume is ~24 B/token regardless of gram_len;
+    2. one hash-shuffle counts gram frequency (partial aggregation
+       applies — map-side combine collapses within-task repeats);
+       grams at ≥ min_count survive via a semi-join back;
+    3. adjacent duplicated window starts merge into maximal spans with
+       the gaps-and-islands window (pos − row_number per doc) — a
+       per-doc window, bounded by document length, never global.
+
+    At 100 TB: two shuffles (gram count, doc re-group), both carrying
+    fixed-width rows; the Zipf head (one viral boilerplate gram) is a
+    skew unit AQE splits, and min_count semantics are unaffected by
+    the split because the count is associative."""
+    toks = docs.select(
+        "doc_id",
+        F.expr(f"filter({_TOKENS}, t -> t != '')").alias("t"),
+    ).withColumn("n", F.size("t"))
+    grams = (
+        toks.where(F.col("n") >= gram_len)
+        .select(
+            "doc_id",
+            F.explode(
+                F.sequence(F.lit(1), F.col("n") - gram_len + 1)
+            ).alias("pos"),
+            "t",
+        )
+        .select(
+            "doc_id",
+            F.col("pos").cast("integer").alias("pos"),
+            F.md5(
+                F.array_join(F.slice(F.col("t"), F.col("pos"), gram_len), " ")
+            ).alias("g"),
+        )
+    )
+    from kafka_topic_dumper_spark.functions.caching import tracked_persist
+
+    grams = tracked_persist(grams)
+    hot = (
+        grams.groupBy("g")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .where(F.col("c") >= min_count)
+        .select("g")
+    )
+    dup = grams.join(hot, "g", "left_semi").select("doc_id", "pos")
+    w = Window.partitionBy("doc_id").orderBy("pos")
+    isl = dup.withColumn("k", F.col("pos") - F.row_number().over(w))
+    return isl.groupBy("doc_id", "k").agg(
+        F.min("pos").alias("span_start"),
+        (F.max("pos") + F.lit(gram_len - 1)).cast("integer").alias("span_end"),
+        F.count(F.lit(1)).alias("n_grams"),
+    ).select("doc_id", "span_start", "span_end", "n_grams")
+
+
+def duplicate_spans_oracle_sql(gram_len: int = 16, min_count: int = 2) -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> t != '') AS t
+            FROM documents
+        ), posd AS (
+            SELECT doc_id, t,
+                   unnest(range(1, len(t) - {gram_len} + 2)) AS pos
+            FROM toks WHERE len(t) >= {gram_len}
+        ), grams AS (
+            SELECT doc_id, CAST(pos AS INTEGER) AS pos,
+                   md5(array_to_string(
+                       list_slice(t, pos, pos + {gram_len} - 1), ' ')) AS g
+            FROM posd
+        ), hot AS (
+            SELECT g FROM grams GROUP BY g HAVING count(*) >= {min_count}
+        ), dup AS (
+            SELECT doc_id, pos FROM grams WHERE g IN (SELECT g FROM hot)
+        ), isl AS (
+            SELECT doc_id, pos,
+                   pos - row_number() OVER (PARTITION BY doc_id
+                                            ORDER BY pos) AS k
+            FROM dup
+        )
+        SELECT doc_id, min(pos) AS span_start,
+               CAST(max(pos) + {gram_len} - 1 AS INTEGER) AS span_end,
+               CAST(count(*) AS BIGINT) AS n_grams
+        FROM isl GROUP BY doc_id, k
+    """
+
+
 # --- registry entries -------------------------------------------------------
 
 
@@ -1053,6 +1156,13 @@ def register(reg) -> None:
         bucket candidates (4 tables × 8 bits; deterministic hyperplanes
         ⇒ exact-match oracle). The bucketed plan — never all-pairs."""
         return embedding_neardup_lsh(load_table(spark, sf_dir, "embeddings"))
+
+    @reg("dedup_duplicate_spans", duplicate_spans_oracle_sql(16, 2))
+    def dedup_duplicate_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Maximal duplicated 16-token spans across the corpus
+        (Lee-et-al substring dedup via rolling-gram inverted index +
+        gaps-and-islands merge)."""
+        return duplicate_spans(load_table(spark, sf_dir, "documents"), 16, 2)
 
     # SemDeDup keep-list: the oracle reproduces the identical coarse
     # assignment (argmax cosine over the 16 deterministic centroids,

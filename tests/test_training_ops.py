@@ -156,3 +156,46 @@ def test_chunk_documents_plan_has_no_shuffle(spark):
     docs = load_table(spark, SF, "documents")
     plan = chunk_documents(docs)._jdf.queryExecution().executedPlan().toString()
     assert "Exchange" not in plan, plan
+
+
+def test_duplicate_spans_match_bruteforce(spark):
+    """Maximal-span semantics recomputed brute-force in python: hash
+    every 8-gram, keep grams occurring >= 2 times corpus-wide, merge
+    consecutive duplicated starts per doc into maximal spans."""
+    from kafka_topic_dumper_spark.operators.dedup import duplicate_spans
+
+    L = 8
+    docs = load_table(spark, SF, "documents")
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.n_grams)
+        for r in duplicate_spans(docs, gram_len=L, min_count=2).collect()
+    )
+
+    toks = {
+        r.doc_id: [t for t in r.text.lower().split() if t]
+        for r in docs.collect()
+    }
+    from collections import Counter
+
+    counts = Counter()
+    positions = {}
+    for d, t in toks.items():
+        for i in range(len(t) - L + 1):
+            g = " ".join(t[i : i + L])
+            counts[g] += 1
+            positions.setdefault(d, []).append((i + 1, g))
+    want = []
+    for d, plist in positions.items():
+        dup = [p for p, g in plist if counts[g] >= 2]
+        run = []
+        for p in dup:
+            if run and p == run[-1] + 1:
+                run.append(p)
+            else:
+                if run:
+                    want.append((d, run[0], run[-1] + L - 1, len(run)))
+                run = [p]
+        if run:
+            want.append((d, run[0], run[-1] + L - 1, len(run)))
+    assert got == sorted(want)
+    assert got, "smoke corpus must contain duplicated spans"
