@@ -46,6 +46,8 @@ _VERIFY_PRIORITY = [
     "sample_stratified_per_group",
     "streaming_dedup_exact",
     "dedup_duplicate_spans",
+    "similarity_topk_pq",
+    "similarity_topk_pq_trained",
     # --- (b) last driver-stamped in round 2; their source files
     # changed in the r5 broadcast sweep (r5 verdict item 1) ---
     "multimodal_feature_stub",

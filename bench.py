@@ -82,6 +82,20 @@ HEADLINE_V3 = [
 ]
 
 
+# v4 set: the round-6 additions (semantic dedup, substring-span dedup,
+# chunking, epoch shuffle, stratified sampling, quadratic-free minhash
+# clustering) — tracked from round 6 on; baselines in BENCH_BASELINE.md.
+HEADLINE_V4 = [
+    "similarity_topk_pq",
+    "dedup_semantic",
+    "dedup_duplicate_spans",
+    "dedup_minhash_clusters",
+    "chunk_documents_sliding",
+    "epoch_shuffle_order",
+    "sample_stratified_per_group",
+]
+
+
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -149,6 +163,7 @@ def main() -> int:
     timings = time_set(HEADLINE)
     timings_v2 = time_set(HEADLINE_V2)
     timings_v3 = time_set(HEADLINE_V3)
+    timings_v4 = time_set(HEADLINE_V4)
 
     # Build-vs-probe split for the stored-index rows (r6, per the r5
     # verdict): the stored queries now build their on-disk index ONCE
@@ -236,6 +251,8 @@ def main() -> int:
                 "value_v2": round(sum(timings_v2.values()), 3),
                 "queries_v3": timings_v3,
                 "value_v3": round(sum(timings_v3.values()), 3),
+                "queries_v4": timings_v4,
+                "value_v4": round(sum(timings_v4.values()), 3),
                 "n_runs": N_RUNS,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -670,41 +670,48 @@ def semantic_dedup(
     Pass :func:`similarity.ivf_codebook_trained`'s triple as
     ``codebook`` for the production path (balanced cells ⇒ the
     quadratic term shrinks); the deterministic sample codebook stays
-    the oracle row."""
-    from kafka_topic_dumper_spark.functions.caching import tracked_persist
-    from kafka_topic_dumper_spark.operators.similarity import (
-        ivf_assign,
-        pair_dot_udf,
-    )
+    the oracle row.
 
-    # (vec_id, v, v_nrm, cell): persist — it feeds both join sides and
-    # the final anti-join, and re-deriving it would re-run the
-    # assignment kernel three times.
-    assigned = tracked_persist(ivf_assign(emb, n_centroids, codebook=codebook))
-    hi = assigned.select(
-        "cell",
-        F.col("vec_id").alias("id_hi"),
-        F.col("v").alias("v_hi"),
-        F.col("v_nrm").alias("n_hi"),
-    )
-    lo = assigned.select(
-        "cell",
-        F.col("vec_id").alias("id_lo"),
-        F.col("v").alias("v_lo"),
-        F.col("v_nrm").alias("n_lo"),
-    )
-    dropped = (
-        hi.join(lo, "cell")
-        .where(F.col("id_hi") > F.col("id_lo"))
-        .where(
-            pair_dot_udf()(F.col("v_hi"), F.col("v_lo"))
-            / (F.col("n_hi") * F.col("n_lo"))
-            >= F.lit(threshold)
-        )
-        .select(F.col("id_hi").alias("vec_id"))
-        .distinct()
-    )
-    return assigned.join(dropped, "vec_id", "left_anti").select("vec_id", "cell")
+    Plan note: the pairwise stage is ONE ``groupBy(cell).applyInPandas``
+    — each vector crosses the shuffle exactly once (cell-partitioned),
+    and the within-cell Gram matrix computes in-kernel. The earlier
+    hi/lo self-join form shuffled TWO full vectors per candidate pair
+    (O(Σ|cell|²) × 2 × vector width on the wire) and paid a second
+    Arrow stage for the pair dots; this form's shuffle is corpus-linear
+    and the quadratic work is pure in-kernel float64 flops. Kernel
+    memory is O(|cell|²) doubles — bounded by the same cell-size cap
+    that bounds the flops (k scales with the corpus)."""
+    from kafka_topic_dumper_spark.operators.similarity import ivf_assign
+
+    assigned = ivf_assign(emb, n_centroids, codebook=codebook)
+
+    def _keep(pdf):
+        import numpy as np
+        import pandas as _pd
+
+        # null vectors (no assignable cell) are kept verbatim — no
+        # cosine is defined for them, matching the oracle where a NULL
+        # cos never satisfies >= tau.
+        valid = pdf["v"].notna()
+        body = pdf[valid].sort_values("vec_id")
+        if len(body) <= 1:
+            return pdf[["vec_id", "cell"]]
+        X = np.stack(body["v"].to_numpy()).astype(np.float64)
+        nrm = body["v_nrm"].to_numpy().astype(np.float64)
+        n, dim = X.shape
+        # LEFT-FOLDED accumulation over dims — the exact IEEE op order
+        # of the oracle's list_sum(list_transform(...)) chain and of
+        # pair_dot_udf, so the >= tau comparison is bit-safe.
+        acc = np.zeros((n, n), dtype=np.float64)
+        for d in range(dim):
+            acc += X[:, d, None] * X[None, :, d]
+        cos = acc / np.outer(nrm, nrm)
+        tril = np.tril(cos >= threshold, k=-1)  # j < i strictly
+        kept_mask = ~tril.any(axis=1)
+        kept = body[kept_mask][["vec_id", "cell"]]
+        return _pd.concat([kept, pdf[~valid][["vec_id", "cell"]]])
+
+    return assigned.groupBy("cell").applyInPandas(_keep, "vec_id long, cell bigint")
 
 
 def duplicate_spans(

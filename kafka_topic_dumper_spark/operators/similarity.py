@@ -613,6 +613,182 @@ def ivf_topk(
     )
 
 
+def pq_codebook(emb: DataFrame, m: int = 16, ksub: int = 16):
+    """Product-quantization codebook, deterministic form: subspace j's
+    ``ksub`` centroids are the j-th subvectors of the first ``ksub``
+    vectors (``vec_id < ksub``) — the same SQL-expressible selection
+    rule as :func:`ivf_codebook`, so the whole PQ pipeline has an
+    exact DuckDB oracle. Returns ``cb[j][c][d]`` as plain nested
+    lists (metadata-sized: m × ksub × dim/m doubles). Pluggable for
+    :func:`pq_codebook_trained` in production."""
+    rows = sorted(
+        _as_double_vec(emb.filter(F.col("vec_id") < ksub), "cid", "c").collect(),
+        key=lambda r: r.cid,
+    )
+    dim = len(rows[0].c)
+    dsub = dim // m
+    return [
+        [[float(x) for x in r.c[j * dsub : (j + 1) * dsub]] for r in rows]
+        for j in range(m)
+    ]
+
+
+def pq_codebook_trained(
+    emb: DataFrame,
+    m: int = 16,
+    ksub: int = 16,
+    sample_cap: int = 4096,
+    iters: int = 20,
+):
+    """Per-subspace Lloyd's k-means PQ codebook — the production path
+    (FAISS-style): each subspace is clustered INDEPENDENTLY on the
+    same deterministic hash-bounded sample :func:`ivf_codebook_trained`
+    uses, so training cost is metadata-plane (m × k × dsub × iters
+    flops driver-side) regardless of corpus scale. Plain-L2 Lloyd's
+    (not spherical — PQ quantizes residual geometry, not direction),
+    deterministic init (first k sample subvectors in hash order),
+    empty-cluster carry-over. Same ``cb[j][c][d]`` shape as
+    :func:`pq_codebook`."""
+    import numpy as np
+
+    sample = (
+        emb.select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        )
+        .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
+        .limit(sample_cap)
+        .collect()
+    )
+    X = np.asarray([r.v for r in sample], dtype=np.float64)
+    dsub = X.shape[1] // m
+    cb = []
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        C = S[:ksub].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(ksub):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        cb.append([[float(x) for x in row] for row in C])
+    return cb
+
+
+def pq_codes_udf(cb):
+    """Arrow-batched PQ encoder: each vector → ``m`` centroid codes
+    (argmin squared-L2 per subspace, lowest-cid tie-break). Per (row
+    batch, subspace): the distance accumulates LEFT-FOLDED over the
+    subspace dims (``acc += (V[:,d]-C[:,d])²`` ascending d) — the
+    exact IEEE op sequence of the oracle's
+    ``list_sum(list_transform(range(1,dsub+1), d -> (sv[d]-cv[d])²))``
+    chain, so the argmin comparisons see bit-identical doubles on both
+    engines. ``np.argmin`` returns the FIRST minimum = lowest cid, the
+    oracle's ``ORDER BY dist, cid`` tie-break. The closure captures
+    the codebook by value (plain lists), so cloudpickle ships it
+    without needing this package on executors."""
+
+    @F.pandas_udf("array<int>")
+    def _codes(v):
+        import numpy as np
+        import pandas as _pd
+
+        n = len(v)
+        out = np.empty(n, dtype=object)
+        if n:
+            mask = v.notna().to_numpy()
+            if mask.any():
+                V = np.stack(v[mask].to_numpy()).astype(np.float64)
+                C = np.asarray(cb, dtype=np.float64)  # (m, ksub, dsub)
+                m, ksub, dsub = C.shape
+                codes = np.empty((V.shape[0], m), dtype=np.int64)
+                for j in range(m):
+                    acc = np.zeros((V.shape[0], ksub), dtype=np.float64)
+                    for d in range(dsub):
+                        diff = V[:, j * dsub + d, None] - C[j, None, :, d]
+                        acc += diff * diff
+                    codes[:, j] = np.argmin(acc, axis=1)
+                for r, row in zip(np.nonzero(mask)[0], codes):
+                    out[r] = [int(x) for x in row]
+        return _pd.Series(out)
+
+    return _codes
+
+
+def pq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    m: int = 16,
+    ksub: int = 16,
+    codebook=None,
+) -> DataFrame:
+    """Product-quantization ANN with asymmetric distance computation
+    (ADC) — the FAISS IVF-PQ memory-scale path re-expressed in Spark:
+
+    1. ENCODE (map stage, once per corpus): every vector compresses to
+       ``m`` one-byte codes via :func:`pq_codes_udf` — at 100 TB the
+       searchable index is m bytes/vector (64 B here vs 256 B raw), and
+       in production the codes relation is what you materialize, not
+       the vectors;
+    2. ADC TABLES (driver, metadata-plane): per query, the m × ksub
+       table of squared-L2 distances from the query's subvectors to
+       every centroid — computed in float64 with the same left-folded
+       op order as the encoder so the oracle's floats match bit-exactly;
+    3. SCORE (map stage): approx distance = the left fold over
+       subspaces of table lookups ``acc + t[j*ksub + codes[j]]`` — a
+       pure JVM ``aggregate`` over the broadcast (query_id, table)
+       relation; no Python in the scoring path, no shuffle until the
+       per-query top-k window.
+
+    Scoring never touches raw vectors — that asymmetry is the PQ
+    trade: O(m) adds per candidate against an m-byte code. Output
+    (query_id, neighbor_id, rank), rank by (approx distance asc,
+    neighbor_id) — ties bit-stable cross-engine because every term in
+    the fold is bit-identical by construction."""
+    import numpy as np
+
+    cb = codebook or pq_codebook(emb, m, ksub)
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    codes = base.withColumn("codes", pq_codes_udf(cb)(F.col("v"))).select(
+        "vec_id", "codes"
+    )
+    qrows = {
+        r.vec_id: r.v for r in base.filter(F.col("vec_id").isin(query_ids)).collect()
+    }
+    C = np.asarray(cb, dtype=np.float64)
+    _, _, dsub = C.shape
+    tables = []
+    for qid in sorted(qrows):
+        qv = np.asarray(qrows[qid], dtype=np.float64)
+        flat = []
+        for j in range(m):
+            acc = np.zeros(ksub, dtype=np.float64)
+            for d in range(dsub):
+                diff = qv[j * dsub + d] - C[j, :, d]
+                acc += diff * diff
+            flat.extend(float(x) for x in acc)
+        tables.append((int(qid), flat))
+    tdf = emb.sparkSession.createDataFrame(
+        tables, "query_id long, t array<double>"
+    )
+    score = F.expr(
+        f"aggregate(sequence(0, {m - 1}), 0D, (acc, j) -> acc + t[j * {ksub} + codes[j]])"
+    )
+    wr = Window.partitionBy("query_id").orderBy(F.col("score").asc(), F.col("vec_id"))
+    return (
+        codes.crossJoin(F.broadcast(tdf))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(wr).cast("integer"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
+    )
+
+
 def quantize_int8(emb: DataFrame) -> DataFrame:
     """Symmetric per-vector int8 scalar quantization of the embedding
     column, with the reconstruction-quality stats a vector-store
@@ -921,3 +1097,65 @@ def register(reg) -> None:
         return ivf_topk(
             emb, QUERY_IDS, 10, codebook=ivf_codebook_trained(emb)
         )
+
+    # Product-quantization ADC: the oracle reproduces the identical
+    # deterministic codebook (subvectors of vec_id < 16), the identical
+    # per-subspace argmin encoding (dist then cid tie-break), and the
+    # identical j-ascending score fold — every float in the chain is
+    # bit-equal by the left-fold construction, so rank ties resolve the
+    # same way on both engines.
+    _QIDS = ", ".join(str(q) for q in QUERY_IDS)
+    _PQ_ORACLE = f"""
+        WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), sub AS (
+            SELECT vec_id, j, list_slice(v, j * 4 + 1, j * 4 + 4) AS sv
+            FROM v, (SELECT unnest(range(0, 16)) AS j)
+        ), cent AS (
+            SELECT vec_id AS cid, j, sv AS cv FROM sub WHERE vec_id < 16
+        ), dists AS (
+            SELECT s.vec_id, s.j, c.cid,
+                   list_sum(list_transform(range(1, 5),
+                       d -> (s.sv[d] - c.cv[d]) * (s.sv[d] - c.cv[d]))) AS dist
+            FROM sub s JOIN cent c ON c.j = s.j
+        ), enc AS (
+            SELECT vec_id, j, cid AS code FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                           ORDER BY dist, cid) AS rn
+                FROM dists
+            ) WHERE rn = 1
+        ), scored AS (
+            SELECT q.vec_id AS query_id, e.vec_id AS neighbor_id,
+                   list_sum(list(q.dist ORDER BY q.j)) AS score
+            FROM enc e
+            JOIN dists q ON q.j = e.j AND q.cid = e.code
+            WHERE q.vec_id IN ({_QIDS}) AND e.vec_id != q.vec_id
+            GROUP BY q.vec_id, e.vec_id
+        )
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY score, neighbor_id) AS INTEGER) AS rank
+        FROM scored
+        QUALIFY rank <= 10
+        """
+
+    @reg("similarity_topk_pq", _PQ_ORACLE)
+    def similarity_topk_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """PQ-ADC ANN top-10 (16 subspaces × 16 centroids, deterministic
+        codebook ⇒ exact-match oracle): corpus encoded to 8 one-byte
+        codes per vector (16 B vs 256 B raw), queries score candidates by ADC table lookups —
+        the memory-scale ANN path."""
+        return pq_topk(load_table(spark, sf_dir, "embeddings"), QUERY_IDS, 10)
+
+    # Rows-only: per-subspace k-means training is not SQL-expressible;
+    # the deterministic row above stays the exact oracle for the
+    # identical encode/score plan, and tests/test_ann_recall.py pins
+    # this path's recall against the brute-force ground truth.
+    @reg("similarity_topk_pq_trained", None)
+    def similarity_topk_pq_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """PQ-ADC ANN top-10 under per-subspace Lloyd's-trained
+        codebooks (pq_codebook_trained) — the production quantizer on
+        the same encode kernel and scoring fold."""
+        emb = load_table(spark, sf_dir, "embeddings")
+        return pq_topk(emb, QUERY_IDS, 10, codebook=pq_codebook_trained(emb))

@@ -155,6 +155,25 @@ def probes(t: dict[str, DataFrame]):
             t["documents"], max_bits=5.5, seq_len=512, buckets=32
         )
 
+    def semantic():
+        # per-cell quadratic term is the intrinsic SemDeDup cost; the
+        # probe watches whether 16 fixed cells (k NOT scaled with R, a
+        # worst case — production scales k) stay tractable as the
+        # corpus grows R×
+        return dedup.semantic_dedup(t["embeddings"], threshold=0.40)
+
+    def dup_spans():
+        # the replica suffix makes replicas differ only in their last
+        # token, so every 16-gram EXCEPT the final one duplicates
+        # R-fold — a worst-realistic-case for the gram-count shuffle
+        return dedup.duplicate_spans(t["documents"], 16, 2)
+
+    def chunk():
+        return packing.chunk_documents(t["documents"], 64, 32)
+
+    def epoch_order():
+        return packing.epoch_shuffle(t["documents"], 3)
+
     return {
         "q1_agg": q1_agg,
         "q3_join": q3_join,
@@ -168,6 +187,10 @@ def probes(t: dict[str, DataFrame]):
         "bigram_lm_quality": bigram_lm,
         "similarity_topk_ivf": ivf,
         "quality_pipeline": quality_pipeline,
+        "dedup_semantic": semantic,
+        "dedup_duplicate_spans": dup_spans,
+        "chunk_documents": chunk,
+        "epoch_shuffle": epoch_order,
     }
 
 
