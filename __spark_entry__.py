@@ -48,6 +48,8 @@ _VERIFY_PRIORITY = [
     "dedup_duplicate_spans",
     "similarity_topk_pq",
     "similarity_topk_pq_trained",
+    "similarity_topk_pq_stored",
+    "streaming_user_sessions",
     # --- (b) last driver-stamped in round 2; their source files
     # changed in the r5 broadcast sweep (r5 verdict item 1) ---
     "multimodal_feature_stub",

@@ -224,3 +224,88 @@ def ivf_topk_stored(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
     )
+
+
+def write_pq_index(codes: DataFrame, path: str) -> None:
+    """Materialize a PQ code table (from ``similarity.pq_codes_udf``):
+    (vec_id, codes array<int>) — NOT partitioned, because ADC scans
+    every code row by design; the storage win is that the scannable
+    index is m small ints per vector (m bytes in production's packed
+    form) instead of the raw vectors, and parquet column pruning means
+    a probe reads nothing else. vec_id-sorted so id-ranged maintenance
+    reads (re-encode a shard, delete a tombstone range) prune on
+    row-group stats."""
+    (
+        codes.sortWithinPartitions("vec_id")
+        .write.mode("overwrite")
+        .option("maxRecordsPerFile", 1_000_000)
+        .parquet(path)
+    )
+
+
+def pq_topk_stored(
+    emb: DataFrame,
+    query_ids: list[int],
+    index_path: str,
+    k: int = 10,
+    m: int = 16,
+    ksub: int = 16,
+    codebook=None,
+) -> DataFrame:
+    """PQ-ADC ANN top-k against a MATERIALIZED code table. Must produce
+    exactly ``similarity.pq_topk``'s output — asserted in
+    tests/test_index_store.py. Shape mirrors the other stored probes:
+
+    - the ADC tables come from the query ids' BASE-TABLE rows (pushed
+      vec_id point filter — |queries| rows) and the same codebook that
+      built the index; the index is never scanned to derive them;
+    - the candidate scan reads ONLY the codes column of the index (the
+      m-byte-per-vector relation); scoring is the same pure-JVM fold,
+      no Python, no shuffle until the per-query top-k window."""
+    import numpy as np
+
+    from kafka_topic_dumper_spark.operators.similarity import pq_codebook
+
+    spark = emb.sparkSession
+    cb = codebook or pq_codebook(emb, m, ksub)
+    qrows = {
+        r.vec_id: r.v
+        for r in emb.select(
+            "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+        )
+        .filter(F.col("vec_id").isin(query_ids))
+        .collect()
+    }
+    if not qrows:
+        raise ValueError(
+            f"none of the query ids {sorted(query_ids)} exist in the "
+            "embedding table — cannot derive ADC tables"
+        )
+    C = np.asarray(cb, dtype=np.float64)
+    _, _, dsub = C.shape
+    tables = []
+    for qid in sorted(qrows):
+        qv = np.asarray(qrows[qid], dtype=np.float64)
+        flat = []
+        for j in range(m):
+            acc = np.zeros(ksub, dtype=np.float64)
+            for d in range(dsub):
+                diff = qv[j * dsub + d] - C[j, :, d]
+                acc += diff * diff
+            flat.extend(float(x) for x in acc)
+        tables.append((int(qid), flat))
+    tdf = spark.createDataFrame(tables, "query_id long, t array<double>")
+    score = F.expr(
+        f"aggregate(sequence(0, {m - 1}), 0D, (acc, j) -> acc + t[j * {ksub} + codes[j]])"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").asc(), F.col("vec_id"))
+    return (
+        spark.read.parquet(index_path)
+        .select("vec_id", "codes")
+        .crossJoin(F.broadcast(tdf))
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .withColumn("score", score)
+        .withColumn("rank", F.row_number().over(w).cast("integer"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
+    )

@@ -699,16 +699,29 @@ def semantic_dedup(
         X = np.stack(body["v"].to_numpy()).astype(np.float64)
         nrm = body["v_nrm"].to_numpy().astype(np.float64)
         n, dim = X.shape
-        # LEFT-FOLDED accumulation over dims — the exact IEEE op order
-        # of the oracle's list_sum(list_transform(...)) chain and of
-        # pair_dot_udf, so the >= tau comparison is bit-safe.
-        acc = np.zeros((n, n), dtype=np.float64)
-        for d in range(dim):
-            acc += X[:, d, None] * X[None, :, d]
-        cos = acc / np.outer(nrm, nrm)
-        tril = np.tril(cos >= threshold, k=-1)  # j < i strictly
-        kept_mask = ~tril.any(axis=1)
-        kept = body[kept_mask][["vec_id", "cell"]]
+        # Blocked Gram: kernel memory is O(B²), NEVER O(|cell|²) — the
+        # R=100 scale probe found a 185k-member cell whose full Gram
+        # would be 257 GiB. Time is still intrinsically O(|cell|²)
+        # flops (the SemDeDup cost); memory no longer is.
+        B = 4096
+        dropped = np.zeros(n, dtype=bool)
+        for i0 in range(1, n, B):  # row block [i0, i1): candidates
+            i1 = min(i0 + B, n)
+            for j0 in range(0, i1, B):  # col block [j0, j1): priors
+                j1 = min(j0 + B, i1)
+                # LEFT-FOLDED accumulation over dims — the exact IEEE
+                # op order of the oracle's list_sum chain and of
+                # pair_dot_udf, so the >= tau comparison is bit-safe.
+                acc = np.zeros((i1 - i0, j1 - j0), dtype=np.float64)
+                for d in range(dim):
+                    acc += X[i0:i1, d, None] * X[None, j0:j1, d]
+                cos = acc / np.outer(nrm[i0:i1], nrm[j0:j1])
+                hit = cos >= threshold
+                # only strictly-lower GLOBAL indices count (j < i)
+                gi = np.arange(i0, i1)[:, None]
+                gj = np.arange(j0, j1)[None, :]
+                dropped[i0:i1] |= (hit & (gj < gi)).any(axis=1)
+        kept = body[~dropped][["vec_id", "cell"]]
         return _pd.concat([kept, pdf[~valid][["vec_id", "cell"]]])
 
     return assigned.groupBy("cell").applyInPandas(_keep, "vec_id long, cell bigint")

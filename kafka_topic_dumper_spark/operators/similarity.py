@@ -1148,6 +1148,37 @@ def register(reg) -> None:
         the memory-scale ANN path."""
         return pq_topk(load_table(spark, sf_dir, "embeddings"), QUERY_IDS, 10)
 
+    # Same codebook + encode + score fold as similarity_topk_pq, so
+    # the SAME oracle applies — this row proves the materialized code
+    # table: encode → compact write → codes-only probe scan in one
+    # call (column pruning asserted in tests/test_index_store.py).
+    @reg("similarity_topk_pq_stored", _PQ_ORACLE)
+    def similarity_topk_pq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """PQ-ADC ANN top-10 through a materialized code table (16
+        ints/vector), built once per (process, sf_dir) — see
+        similarity_topk_lsh_stored."""
+        from kafka_topic_dumper_spark.functions.index_store import (
+            pq_topk_stored,
+            write_pq_index,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+
+        def _build(path: str) -> None:
+            base = emb.select(
+                "vec_id",
+                F.transform("embedding", lambda x: x.cast("double")).alias("v"),
+            )
+            write_pq_index(
+                base.withColumn(
+                    "codes", pq_codes_udf(pq_codebook(emb))(F.col("v"))
+                ).select("vec_id", "codes"),
+                path,
+            )
+
+        path = _stored_index_path("pq", sf_dir, "pq", _build)
+        return pq_topk_stored(emb, QUERY_IDS, path, 10)
+
     # Rows-only: per-subspace k-means training is not SQL-expressible;
     # the deterministic row above stays the exact oracle for the
     # identical encode/score plan, and tests/test_ann_recall.py pins

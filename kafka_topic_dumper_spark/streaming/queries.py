@@ -74,7 +74,7 @@ def _events_stream_input(spark: SparkSession, sf_dir: str) -> str:
         atexit.register(shutil.rmtree, root, ignore_errors=True)
         path = f"{root}/events"
         load_table(spark, sf_dir, "events").select(
-            "event_id", "event_type", "value", "ts"
+            "event_id", "user_id", "event_type", "value", "ts"
         ).coalesce(1).write.parquet(path)
         _STREAM_INPUT_CACHE[key] = path
     return _STREAM_INPUT_CACHE[key]
@@ -226,3 +226,67 @@ def register(reg) -> None:
         name = f"streaming_dedup_exact_sink_{next(_SINK_SEQ)}"
         _drain(agg, name, output_mode="complete")
         return spark.table(name)
+
+    # Streaming session windows: gap-based sessionization through the
+    # REAL session_window operator with merge-on-overlap state. The
+    # oracle is the batch gaps-and-islands with the operator's exact
+    # semantics: half-open [ts, ts+gap) windows merge only on strict
+    # overlap (a new session starts when the gap is >= 30 min, not >),
+    # session_end = last event + gap, and append mode emits exactly the
+    # sessions whose end the terminal watermark (max ts − 2 h) passed.
+    # Timestamps round-trip LTZ→NTZ like streaming_hourly_rollup (gap
+    # arithmetic is offset-invariant, so the wall times survive any
+    # whole-offset session timezone).
+    @reg(
+        "streaming_user_sessions",
+        """
+        WITH mx AS (SELECT max(ts) AS m FROM events),
+        lagged AS (
+            SELECT user_id, ts, value, event_id,
+                   lag(epoch(ts)) OVER (PARTITION BY user_id
+                                        ORDER BY ts, event_id) AS prev_s
+            FROM events
+        ), tagged AS (
+            SELECT user_id, ts, value,
+                   CAST(sum(CASE WHEN prev_s IS NULL
+                                 OR epoch(ts) - prev_s >= 1800
+                            THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING
+                                       AND CURRENT ROW) AS BIGINT) AS sid
+            FROM lagged
+        ), sess AS (
+            SELECT min(ts) AS session_start,
+                   max(ts) + INTERVAL 30 MINUTE AS session_end,
+                   user_id,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM tagged GROUP BY user_id, sid
+        )
+        SELECT session_start, session_end, user_id, n_events, sum_value
+        FROM sess, mx
+        WHERE session_end <= m - INTERVAL 2 HOUR
+        """,
+    )
+    def streaming_user_sessions(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-user 30-minute-gap session windows over the events table
+        replayed through a real file stream (watermark 2 h, append
+        mode, Trigger.AvailableNow) — proves session-merge state and
+        watermark-gated session finalization against the batch
+        gaps-and-islands oracle."""
+        from kafka_topic_dumper_spark.streaming.windows import (
+            user_sessions_stream,
+        )
+
+        stream = spark.readStream.schema(
+            "event_id long, user_id long, value double, ts timestamp_ntz"
+        ).parquet(_events_stream_input(spark, sf_dir))
+        name = f"streaming_user_sessions_sink_{next(_SINK_SEQ)}"
+        _drain(user_sessions_stream(stream), name)
+        return spark.table(name).select(
+            F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+            "user_id",
+            "n_events",
+            "sum_value",
+        )

@@ -160,3 +160,66 @@ def test_ivf_stored_unknown_query_ids_raise(spark, tmp_path):
     path = _build_ivf(spark, tmp_path)
     with _pytest.raises(ValueError, match="cannot derive probe cells"):
         ivf_topk_stored(emb, [10**9], path, 10)
+
+
+def _build_pq(spark, tmp_path) -> str:
+    from kafka_topic_dumper_spark.functions.index_store import write_pq_index
+    from kafka_topic_dumper_spark.operators.similarity import (
+        pq_codebook,
+        pq_codes_udf,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "pq_index")
+    base = emb.select(
+        "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
+    )
+    write_pq_index(
+        base.withColumn("codes", pq_codes_udf(pq_codebook(emb))(F.col("v"))).select(
+            "vec_id", "codes"
+        ),
+        path,
+    )
+    return path
+
+
+def test_pq_stored_matches_in_memory_operator(spark, tmp_path):
+    from kafka_topic_dumper_spark.functions.index_store import pq_topk_stored
+    from kafka_topic_dumper_spark.operators.similarity import pq_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    path = _build_pq(spark, tmp_path)
+    stored = sorted(map(tuple, pq_topk_stored(emb, QUERY_IDS, path, 10).collect()))
+    live = sorted(map(tuple, pq_topk(emb, QUERY_IDS, 10).collect()))
+    assert stored == live
+    assert len(stored) > 0
+
+
+def test_pq_stored_probe_reads_codes_only(spark, tmp_path):
+    """The candidate scan must be the compact code relation: the index
+    FileScan's ReadSchema carries (vec_id, codes) and nothing else, and
+    the base embedding table is scanned only with the pushed query-id
+    point filter (the ADC-table derivation) — never for candidates."""
+    import re
+
+    from kafka_topic_dumper_spark.functions.index_store import pq_topk_stored
+
+    emb = load_table(spark, SF, "embeddings")
+    path = _build_pq(spark, tmp_path)
+    plan = (
+        pq_topk_stored(emb, QUERY_IDS, path, 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    idx_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln and "codes" in ln
+    ]
+    assert len(idx_scans) == 1, f"expected exactly one code-table scan:\n{plan}"
+    m = re.search(r"ReadSchema: struct<([^>]*)>", idx_scans[0])
+    assert m and set(
+        c.split(":")[0] for c in m.group(1).split(",")
+    ) == {"vec_id", "codes"}, idx_scans[0]
+    assert "embedding" not in idx_scans[0]

@@ -352,3 +352,36 @@ def test_streaming_dedup_state_merges_across_micro_batches(spark, tmp_path):
         .collect()
     )
     assert got == want
+
+
+def test_streaming_user_sessions_holds_back_newest_sessions(spark):
+    """streaming_user_sessions' append output must be the batch
+    session set MINUS a non-empty newest tail (sessions the terminal
+    watermark hasn't passed) — proving emission is watermark-gated
+    session finalization, not a batch query in disguise."""
+    from kafka_topic_dumper_spark.registry import QUERIES, ORACLES
+    import duckdb
+
+    sf = "/root/testdata/sf0.001"
+    got = {
+        (r.session_start, r.session_end, r.user_id, r.n_events)
+        for r in QUERIES["streaming_user_sessions"](spark, sf).collect()
+    }
+    con = duckdb.connect()
+    con.execute(f"CREATE VIEW events AS SELECT * FROM '{sf}/events.parquet'")
+    all_rows = {
+        (r[0], r[1], r[2], r[3])
+        for r in con.sql(
+            ORACLES["streaming_user_sessions"].replace(
+                "WHERE session_end <= m - INTERVAL 2 HOUR", ""
+            )
+        ).fetchall()
+    }
+    assert got < all_rows, "stream output must be a strict subset"
+    held = all_rows - got
+    assert held, "watermark must hold back the newest sessions"
+    # every held-back session is within the watermark horizon of max ts
+    max_end = max(e for _, e, _, _ in all_rows)
+    import datetime
+    for _, end, _, _ in held:
+        assert end > max_end - datetime.timedelta(hours=2, minutes=31)
