@@ -425,27 +425,51 @@ def epoch_shuffle(docs: DataFrame, n_epochs: int = 3) -> DataFrame:
     preemption) derives the identical (epoch, position → doc_id) map
     without a stored permutation table.
 
-    Scale shape: the per-epoch order is a global sort on the hash key —
-    Spark's range-partitioned distributed sort (sample boundaries,
-    sort-within-partition), the scalable form. ``row_number`` over the
-    epoch partition is NOT the single-task trap here only because the
-    partitionBy key (epoch) bounds each window to one epoch; for the
-    production shard layout you'd instead write
-    ``repartitionByRange(epoch, key).sortWithinPartitions`` and let
-    file order carry the position — this queryable form materializes
-    the explicit position column the oracle can check."""
+    Scale shape: the naive form (``row_number`` over
+    ``partitionBy(epoch)``) is the single-task trap — one task per
+    epoch sorts the ENTIRE corpus. This is instead the same two-phase
+    distributed prefix sum as :func:`pack_sequences`, with a twist that
+    removes even that function's range-bucketing step: the sort key is
+    a uniform md5 hex string, so its leading two hex digits ARE a
+    256-way range bucketing (every key in bucket 0x3a sorts before
+    every key in 0x3b) — a pure function of the row, recompute-safe.
+    Local ranks come from 256 parallel windows per epoch; the 256 ×
+    n_epochs bucket counts are the one metadata-sized driver
+    round-trip, exclusive-prefixed into per-bucket position bases and
+    broadcast back. The shuffled rows carry (doc_id, 32-byte key) —
+    never document payloads."""
     epochs = docs.select(
         "doc_id",
         F.explode(F.sequence(F.lit(0), F.lit(n_epochs - 1))).alias("epoch"),
     ).withColumn(
         "shuffle_key",
         F.md5(F.concat_ws(":", F.col("epoch"), F.col("doc_id"))),
+    ).withColumn(
+        "bucket", F.conv(F.substring("shuffle_key", 1, 2), 16, 10).cast("int")
     )
-    w = Window.partitionBy("epoch").orderBy("shuffle_key", "doc_id")
-    return epochs.select(
-        F.col("epoch").cast("integer").alias("epoch"),
-        F.row_number().over(w).cast("integer").alias("position"),
-        "doc_id",
+    counts = {
+        (r.epoch, r.bucket): r.n
+        for r in epochs.groupBy("epoch", "bucket")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    bases = []
+    for e in range(n_epochs):
+        acc = 0
+        for b in range(256):
+            bases.append((e, b, acc))
+            acc += counts.get((e, b), 0)
+    base_df = docs.sparkSession.createDataFrame(
+        bases, "epoch int, bucket int, base long"
+    )
+    w = Window.partitionBy("epoch", "bucket").orderBy("shuffle_key", "doc_id")
+    return (
+        epochs.join(F.broadcast(base_df), ["epoch", "bucket"])
+        .select(
+            F.col("epoch").cast("integer").alias("epoch"),
+            (F.col("base") + F.row_number().over(w)).cast("integer").alias("position"),
+            "doc_id",
+        )
     )
 
 

@@ -199,3 +199,30 @@ def test_duplicate_spans_match_bruteforce(spark):
             want.append((d, run[0], run[-1] + L - 1, len(run)))
     assert got == sorted(want)
     assert got, "smoke corpus must contain duplicated spans"
+
+
+def test_stratified_sample_plan_has_partial_topk(spark):
+    """rank <= k must plan as WindowGroupLimit (map-side partial top-k
+    before the stratum shuffle) — the property that keeps the shuffled
+    volume at O(strata x k) instead of the corpus."""
+    docs = load_table(spark, SF, "documents")
+    plan = (
+        stratified_sample(docs, 5)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    assert "WindowGroupLimit" in plan, plan
+
+
+def test_epoch_shuffle_plan_is_distributed(spark):
+    """The per-epoch position must NOT come from a single-task window:
+    no SinglePartition exchange anywhere; the one shuffle hashes on
+    (epoch, bucket) so each of the 256 hex-prefix buckets sorts in
+    parallel."""
+    docs = load_table(spark, SF, "documents")
+    plan = (
+        epoch_shuffle(docs, 2)._jdf.queryExecution().executedPlan().toString()
+    )
+    assert "SinglePartition" not in plan, plan
+    assert "hashpartitioning(epoch" in plan, plan
