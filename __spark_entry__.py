@@ -50,6 +50,8 @@ _VERIFY_PRIORITY = [
     "similarity_topk_pq_trained",
     "similarity_topk_pq_stored",
     "streaming_user_sessions",
+    "merge_upsert_customers",
+    "scd2_user_event_history",
     # --- (b) last driver-stamped in round 2; their source files
     # changed in the r5 broadcast sweep (r5 verdict item 1) ---
     "multimodal_feature_stub",

@@ -1420,6 +1420,70 @@ def register(reg) -> None:
         )
 
     @reg(
+        "merge_upsert_customers",
+        """
+        WITH base AS (
+            SELECT c_custkey, c_name, c_nationkey, c_acctbal FROM customer
+        ), upd AS (
+            SELECT c_custkey, c_name, c_nationkey, c_acctbal + 100 AS c_acctbal
+            FROM customer WHERE c_custkey % 10 = 0
+            UNION ALL
+            SELECT c_custkey + 1000000, c_name, c_nationkey, c_acctbal
+            FROM customer WHERE c_custkey % 97 = 0
+        )
+        SELECT coalesce(u.c_custkey, b.c_custkey) AS c_custkey,
+               coalesce(u.c_name, b.c_name) AS c_name,
+               coalesce(u.c_nationkey, b.c_nationkey) AS c_nationkey,
+               round(coalesce(u.c_acctbal, b.c_acctbal), 2) AS c_acctbal
+        FROM base b FULL OUTER JOIN upd u ON u.c_custkey = b.c_custkey
+        """,
+    )
+    def merge_upsert_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """MERGE INTO semantics as a relational op: a deterministic
+        update set (every 10th customer re-balanced, every 97th
+        re-keyed as an insert) merged into the customer base — updates
+        replace, inserts append, untouched rows survive."""
+        cust = load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_name", "c_nationkey", "c_acctbal"
+        )
+        updates = (
+            cust.where(F.col("c_custkey") % 10 == 0)
+            .withColumn("c_acctbal", F.col("c_acctbal") + 100)
+            .unionByName(
+                cust.where(F.col("c_custkey") % 97 == 0).withColumn(
+                    "c_custkey", F.col("c_custkey") + 1000000
+                )
+            )
+        )
+        return merge_upsert(cust, updates, "c_custkey").withColumn(
+            "c_acctbal", F.round("c_acctbal", 2)
+        )
+
+    @reg(
+        "scd2_user_event_history",
+        """
+        SELECT user_id, ts AS valid_from,
+               lead(ts) OVER (PARTITION BY user_id
+                              ORDER BY ts, event_id) AS valid_to,
+               CAST(CASE WHEN lead(ts) OVER (PARTITION BY user_id
+                                             ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS INTEGER) AS is_current,
+               event_type
+        FROM events
+        """,
+    )
+    def scd2_user_event_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """SCD type-2 validity intervals over each user's event stream
+        — lead() per key with a (ts, event_id) total order."""
+        return scd2_intervals(
+            load_table(spark, sf_dir, "events"),
+            "user_id",
+            ["ts", "event_id"],
+            "ts",
+            ["event_type"],
+        )
+
+    @reg(
         "grouping_sets_order_matrix",
         """
         SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
@@ -1462,3 +1526,47 @@ def register(reg) -> None:
                                     (o_orderpriority), (o_orderstatus))
             """
         )
+
+
+def merge_upsert(base, updates, key: str):
+    """Keyed MERGE (upsert): rows from ``updates`` replace same-key
+    rows in ``base``; unmatched base rows survive, unmatched update
+    rows insert. The warehouse write-side primitive (Delta/Iceberg
+    MERGE INTO) expressed as its read-side relational equivalent —
+    a full-outer coalesce on the key.
+
+    Scale shape: one hash-shuffle join on the key; at 100 TB the base
+    side is the big one and the join is shuffle-hash or sort-merge by
+    stats (no broadcast hint by repo policy — updates are often small
+    but not BOUNDED; the planner broadcasts when stats allow)."""
+    b = base.alias("b")
+    u = updates.alias("u")
+    cols = base.columns
+    return b.join(u, F.col(f"b.{key}") == F.col(f"u.{key}"), "full_outer").select(
+        *[
+            F.coalesce(F.col(f"u.{c}"), F.col(f"b.{c}")).alias(c)
+            for c in cols
+        ]
+    )
+
+
+def scd2_intervals(
+    events, key: str, order_cols: list[str], ts_col: str, attrs: list[str]
+):
+    """Slowly-changing-dimension type-2 history: each key's change
+    stream becomes validity intervals [valid_from, valid_to) with
+    valid_to = the next change's timestamp (NULL for the current row)
+    — one lead() window per key, the classic SCD2 build. ``order_cols``
+    must be a total order (include a unique tiebreaker) or lead() is
+    nondeterministic.
+
+    Scale shape: one shuffle on the key; each window is bounded by a
+    key's history length, never the corpus."""
+    w = Window.partitionBy(key).orderBy(*order_cols)
+    return events.select(
+        key,
+        F.col(ts_col).alias("valid_from"),
+        F.lead(ts_col).over(w).alias("valid_to"),
+        (F.lead(ts_col).over(w).isNull()).cast("integer").alias("is_current"),
+        *attrs,
+    )
