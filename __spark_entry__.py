@@ -52,6 +52,7 @@ _VERIFY_PRIORITY = [
     "streaming_user_sessions",
     "merge_upsert_customers",
     "scd2_user_event_history",
+    "similarity_topk_ivfpq",
     # --- (b) last driver-stamped in round 2; their source files
     # changed in the r5 broadcast sweep (r5 verdict item 1) ---
     "multimodal_feature_stub",

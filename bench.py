@@ -87,6 +87,7 @@ HEADLINE_V3 = [
 # clustering) — tracked from round 6 on; baselines in BENCH_BASELINE.md.
 HEADLINE_V4 = [
     "similarity_topk_pq",
+    "similarity_topk_ivfpq",
     "dedup_semantic",
     "dedup_duplicate_spans",
     "dedup_minhash_clusters",

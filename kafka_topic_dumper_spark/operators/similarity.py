@@ -789,6 +789,85 @@ def pq_topk(
     )
 
 
+def ivfpq_topk(
+    emb: DataFrame,
+    query_ids: list[int],
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    m: int = 16,
+    ksub: int = 16,
+) -> DataFrame:
+    """IVF-PQ — the composition that is FAISS's workhorse index,
+    assembled from this engine's own pieces: the IVF coarse quantizer
+    (:func:`cell_ranks_udf` cells, cosine-based) prunes the search to
+    ``nprobe``/``n_centroids`` of the corpus, and PQ codes
+    (:func:`pq_codes_udf`) replace the raw vectors in the scoring pass.
+    Scoring is INNER-PRODUCT ADC normalized by stored exact norms —
+    approximate cosine ≈ (Σⱼ T[j][codeⱼ]) / (|q|·|x|) — so the ranking
+    metric agrees with the cosine-based cell structure (an L2 ADC over
+    direction-based cells would mix metrics; FAISS pairs L2 cells with
+    L2 ADC for the same coherence reason).
+
+    At 100 TB the searchable state per vector is: one cell id + m code
+    bytes + one norm — the relation a stored IVF-PQ index materializes,
+    cell-partitioned (the existing IVF store layout) with codes instead
+    of vectors. Plan: two map stages over the corpus (assign, encode;
+    both Arrow kernels over by-value codebooks), a broadcast probe
+    join pruned to the probed cells, the pure-JVM ADC fold, one
+    top-k window. Residual encoding (PQ over v − centroid, FAISS's
+    refinement) is the production next step; it changes only the
+    encode kernel's input, not the plan shape."""
+    import numpy as np
+
+    base = _as_double_vec(emb, "vec_id", "v")
+    ranks = cell_ranks_udf(*ivf_codebook(emb, n_centroids))
+    ranked = base.withColumn("cells", ranks(F.col("v"), F.col("v_nrm")))
+    cb = pq_codebook(emb, m, ksub)
+    codes = ranked.select(
+        "vec_id",
+        "v_nrm",
+        F.col("cells")[0].alias("cell"),
+        pq_codes_udf(cb)(F.col("v")).alias("codes"),
+    )
+    probes = ranked.filter(F.col("vec_id").isin(query_ids)).select(
+        F.col("vec_id").alias("query_id"),
+        F.explode(F.slice("cells", 1, nprobe)).alias("cell"),
+    )
+    qrows = {
+        r.vec_id: (r.v, r.v_nrm)
+        for r in base.filter(F.col("vec_id").isin(query_ids)).collect()
+    }
+    C = np.asarray(cb, dtype=np.float64)
+    _, _, dsub = C.shape
+    tables = []
+    for qid in sorted(qrows):
+        qv = np.asarray(qrows[qid][0], dtype=np.float64)
+        flat = []
+        for j in range(m):
+            acc = np.zeros(ksub, dtype=np.float64)
+            for d in range(dsub):
+                acc += qv[j * dsub + d] * C[j, :, d]
+            flat.extend(float(x) for x in acc)
+        tables.append((int(qid), flat, float(qrows[qid][1])))
+    tdf = emb.sparkSession.createDataFrame(
+        tables, "query_id long, t array<double>, q_nrm double"
+    )
+    ip = F.expr(
+        f"aggregate(sequence(0, {m - 1}), 0D, (acc, j) -> acc + t[j * {ksub} + codes[j]])"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        codes.join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(tdf), "query_id")
+        .withColumn("score", ip / (F.col("q_nrm") * F.col("v_nrm")))
+        .withColumn("rank", F.row_number().over(w).cast("integer"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
+    )
+
+
 def quantize_int8(emb: DataFrame) -> DataFrame:
     """Symmetric per-vector int8 scalar quantization of the embedding
     column, with the reconstruction-quality stats a vector-store
@@ -1178,6 +1257,86 @@ def register(reg) -> None:
 
         path = _stored_index_path("pq", sf_dir, "pq", _build)
         return pq_topk_stored(emb, QUERY_IDS, path, 10)
+
+    # IVF-PQ: the oracle composes the IVF assignment/probe CTE chain
+    # with the PQ encode chain, scoring by inner-product ADC over the
+    # j-ordered list fold divided by the exact norms — every float
+    # bit-equal to the Spark plan by the same left-fold construction.
+    _IVFPQ_ORACLE = f"""
+        WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), n AS (
+            SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+            FROM v
+        ), c AS (
+            SELECT vec_id AS cid, v AS c, nrm AS c_nrm FROM n WHERE vec_id < 16
+        ), ac AS (
+            SELECT n.vec_id, n.v, n.nrm, c.cid,
+                   list_sum(list_transform(range(1, 65), i -> n.v[i] * c.c[i]))
+                       / (n.nrm * c.c_nrm) AS cos_c
+            FROM n, c
+        ), ranked AS (
+            SELECT *, row_number() OVER (PARTITION BY vec_id
+                       ORDER BY cos_c DESC, cid) AS rn
+            FROM ac
+        ), assigned AS (
+            SELECT vec_id, nrm, cid AS cell FROM ranked WHERE rn = 1
+        ), probes AS (
+            SELECT vec_id AS query_id, cid AS cell FROM ranked
+            WHERE vec_id IN ({_QIDS}) AND rn <= 2
+        ), sub AS (
+            SELECT vec_id, j, list_slice(v, j * 4 + 1, j * 4 + 4) AS sv
+            FROM v, (SELECT unnest(range(0, 16)) AS j)
+        ), cent AS (
+            SELECT vec_id AS cid, j, sv AS cv FROM sub WHERE vec_id < 16
+        ), dists AS (
+            SELECT s.vec_id, s.j, c.cid,
+                   list_sum(list_transform(range(1, 5),
+                       d -> (s.sv[d] - c.cv[d]) * (s.sv[d] - c.cv[d]))) AS dist
+            FROM sub s JOIN cent c ON c.j = s.j
+        ), enc AS (
+            SELECT vec_id, j, cid AS code FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id, j
+                           ORDER BY dist, cid) AS rn
+                FROM dists
+            ) WHERE rn = 1
+        ), dots AS (
+            SELECT s.vec_id, s.j, c.cid,
+                   list_sum(list_transform(range(1, 5),
+                       d -> s.sv[d] * c.cv[d])) AS ip
+            FROM sub s JOIN cent c ON c.j = s.j
+            WHERE s.vec_id IN ({_QIDS})
+        ), qn AS (
+            SELECT vec_id AS query_id, nrm AS q_nrm FROM n
+            WHERE vec_id IN ({_QIDS})
+        ), scored AS (
+            SELECT p.query_id, a.vec_id AS neighbor_id,
+                   list_sum(list(q.ip ORDER BY q.j)) / (qn.q_nrm * a.nrm)
+                       AS score
+            FROM assigned a
+            JOIN probes p ON p.cell = a.cell
+            JOIN enc e ON e.vec_id = a.vec_id
+            JOIN dots q ON q.vec_id = p.query_id AND q.j = e.j
+                       AND q.cid = e.code
+            JOIN qn ON qn.query_id = p.query_id
+            WHERE a.vec_id != p.query_id
+            GROUP BY p.query_id, a.vec_id, qn.q_nrm, a.nrm
+        )
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY score DESC, neighbor_id) AS INTEGER) AS rank
+        FROM scored
+        QUALIFY rank <= 10
+        """
+
+    @reg("similarity_topk_ivfpq", _IVFPQ_ORACLE)
+    def similarity_topk_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """IVF-PQ ANN top-10: coarse-cell pruning (nprobe=2/16) with
+        inner-product-ADC scoring over 16-byte PQ codes — the
+        composed FAISS-workhorse shape, exact-match oracle under the
+        deterministic codebooks."""
+        return ivfpq_topk(load_table(spark, sf_dir, "embeddings"), QUERY_IDS, 10)
 
     # Rows-only: per-subspace k-means training is not SQL-expressible;
     # the deterministic row above stays the exact oracle for the

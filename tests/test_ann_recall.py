@@ -303,3 +303,19 @@ def test_pq_recall_floor_vs_exact_l2(spark):
     # measured at m=16/k=16, sf0.001: det 0.36, trained 0.44 (m=8 had
     # trained 0.24 < det — 500 uniform samples are too few for 8-dim
     # subspace k-means; 4-dim subspaces train fine)
+
+
+def test_ivfpq_recall_floor(spark):
+    """IVF-PQ approximates COSINE (IP-ADC over stored norms), so its
+    ground truth is the cosine brute force. Expected ordering: plain
+    IVF (exact cosine on probed cells, ~0.82) > IVF-PQ (quantized
+    scoring on the same cells, measured 0.46) > chance. The floor
+    catches a scoring-fold or codebook regression, not tuning drift."""
+    emb = load_table(spark, SF, "embeddings")
+    exact = _topk_sets(
+        similarity.cosine_topk_bruteforce(emb, similarity.QUERY_IDS, 10)
+    )
+    got = _mean_recall(
+        _topk_sets(similarity.ivfpq_topk(emb, similarity.QUERY_IDS, 10)), exact
+    )
+    assert got >= 0.3, f"IVF-PQ recall degraded: {got:.2f}"
