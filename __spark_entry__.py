@@ -53,6 +53,7 @@ _VERIFY_PRIORITY = [
     "merge_upsert_customers",
     "scd2_user_event_history",
     "similarity_topk_ivfpq",
+    "similarity_topk_ivfpq_stored",
     # --- (b) last driver-stamped in round 2; their source files
     # changed in the r5 broadcast sweep (r5 verdict item 1) ---
     "multimodal_feature_stub",

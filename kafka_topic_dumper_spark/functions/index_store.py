@@ -309,3 +309,89 @@ def pq_topk_stored(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
     )
+
+
+def write_ivfpq_index(assigned_codes: DataFrame, path: str) -> None:
+    """Materialize an IVF-PQ index: (vec_id, v_nrm, cell, codes) —
+    hive-partitioned by ``cell`` like the IVF inverted file, but
+    carrying PQ codes + the exact norm instead of raw vectors: the
+    per-vector payload drops from dim × 8 B to m × 4 B + 8 B (m bytes
+    packed in production), and a probe reads only its nprobe cell
+    directories AND only the code/norm columns."""
+    from kafka_topic_dumper_spark.sinks.layout import write_layout
+
+    write_layout(assigned_codes, path, ["cell"], sort_cols=["vec_id"])
+
+
+def ivfpq_topk_stored(
+    emb: DataFrame,
+    query_ids: list[int],
+    index_path: str,
+    k: int = 10,
+    n_centroids: int = 16,
+    nprobe: int = 2,
+    m: int = 16,
+    ksub: int = 16,
+) -> DataFrame:
+    """IVF-PQ ANN top-k against a MATERIALIZED cell-partitioned code
+    index. Must produce exactly ``similarity.ivfpq_topk``'s output —
+    asserted in tests/test_index_store.py. Probe cells and ADC tables
+    derive from the query ids' base-table rows (pushed point filter)
+    and the same codebooks that built the index; the candidate scan
+    prunes to the probed cells at the directory level and reads only
+    (vec_id, v_nrm, codes)."""
+    import numpy as np
+
+    from kafka_topic_dumper_spark.operators.similarity import (
+        _as_double_vec,
+        cell_ranks_udf,
+        ivf_codebook,
+        pq_codebook,
+    )
+
+    spark = emb.sparkSession
+    ranks = cell_ranks_udf(*ivf_codebook(emb, n_centroids))
+    qrows = (
+        _as_double_vec(emb.filter(F.col("vec_id").isin(query_ids)), "query_id", "qv")
+        .withColumn("cells", F.slice(ranks(F.col("qv"), F.col("qv_nrm")), 1, nprobe))
+        .collect()
+    )
+    if not qrows:
+        raise ValueError(
+            f"none of the query ids {sorted(query_ids)} exist in the "
+            "embedding table — cannot derive probe cells"
+        )
+    cb = pq_codebook(emb, m, ksub)
+    C = np.asarray(cb, dtype=np.float64)
+    _, _, dsub = C.shape
+    tables = []
+    for r in sorted(qrows, key=lambda r: r.query_id):
+        qv = np.asarray(r.qv, dtype=np.float64)
+        flat = []
+        for j in range(m):
+            acc = np.zeros(ksub, dtype=np.float64)
+            for d in range(dsub):
+                acc += qv[j * dsub + d] * C[j, :, d]
+            flat.extend(float(x) for x in acc)
+        tables.append((int(r.query_id), flat, float(r.qv_nrm)))
+    tdf = spark.createDataFrame(tables, "query_id long, t array<double>, q_nrm double")
+    probe_cells = sorted({int(c) for r in qrows for c in r.cells})
+    probes = spark.createDataFrame(
+        [(int(r.query_id), int(c)) for r in qrows for c in r.cells],
+        "query_id long, cell bigint",
+    )
+    ip = F.expr(
+        f"aggregate(sequence(0, {m - 1}), 0D, (acc, j) -> acc + t[j * {ksub} + codes[j]])"
+    )
+    w = Window.partitionBy("query_id").orderBy(F.col("score").desc(), F.col("vec_id"))
+    return (
+        spark.read.parquet(index_path)
+        .filter(F.col("cell").isin(probe_cells))
+        .join(F.broadcast(probes), "cell")
+        .filter(F.col("vec_id") != F.col("query_id"))
+        .join(F.broadcast(tdf), "query_id")
+        .withColumn("score", ip / (F.col("q_nrm") * F.col("v_nrm")))
+        .withColumn("rank", F.row_number().over(w).cast("integer"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
+    )

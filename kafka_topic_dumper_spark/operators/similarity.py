@@ -1338,6 +1338,39 @@ def register(reg) -> None:
         deterministic codebooks."""
         return ivfpq_topk(load_table(spark, sf_dir, "embeddings"), QUERY_IDS, 10)
 
+    # Same cells + codes + scoring fold, so the SAME oracle applies —
+    # this row proves the materialized IVF-PQ index: assign+encode →
+    # cell-partitioned codes+norms write → directory-pruned codes-only
+    # probe (pruning and column set plan-asserted in
+    # tests/test_index_store.py).
+    @reg("similarity_topk_ivfpq_stored", _IVFPQ_ORACLE)
+    def similarity_topk_ivfpq_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """IVF-PQ ANN top-10 through a materialized cell-partitioned
+        code index, built once per (process, sf_dir)."""
+        from kafka_topic_dumper_spark.functions.index_store import (
+            ivfpq_topk_stored,
+            write_ivfpq_index,
+        )
+
+        emb = load_table(spark, sf_dir, "embeddings")
+
+        def _build(path: str) -> None:
+            base = _as_double_vec(emb, "vec_id", "v")
+            ranks = cell_ranks_udf(*ivf_codebook(emb, 16))
+            write_ivfpq_index(
+                base.withColumn("cells", ranks(F.col("v"), F.col("v_nrm")))
+                .select(
+                    "vec_id",
+                    F.col("v_nrm"),
+                    F.col("cells")[0].alias("cell"),
+                    pq_codes_udf(pq_codebook(emb))(F.col("v")).alias("codes"),
+                ),
+                path,
+            )
+
+        path = _stored_index_path("ivfpq", sf_dir, "ivfpq", _build)
+        return ivfpq_topk_stored(emb, QUERY_IDS, path, 10)
+
     # Rows-only: per-subspace k-means training is not SQL-expressible;
     # the deterministic row above stays the exact oracle for the
     # identical encode/score plan, and tests/test_ann_recall.py pins

@@ -223,3 +223,71 @@ def test_pq_stored_probe_reads_codes_only(spark, tmp_path):
         c.split(":")[0] for c in m.group(1).split(",")
     ) == {"vec_id", "codes"}, idx_scans[0]
     assert "embedding" not in idx_scans[0]
+
+
+def _build_ivfpq(spark, tmp_path) -> str:
+    from kafka_topic_dumper_spark.functions.index_store import write_ivfpq_index
+    from kafka_topic_dumper_spark.operators.similarity import (
+        _as_double_vec,
+        cell_ranks_udf,
+        ivf_codebook,
+        pq_codebook,
+        pq_codes_udf,
+    )
+
+    emb = load_table(spark, SF, "embeddings")
+    path = str(tmp_path / "ivfpq_index")
+    base = _as_double_vec(emb, "vec_id", "v")
+    ranks = cell_ranks_udf(*ivf_codebook(emb, 16))
+    write_ivfpq_index(
+        base.withColumn("cells", ranks(F.col("v"), F.col("v_nrm"))).select(
+            "vec_id",
+            F.col("v_nrm"),
+            F.col("cells")[0].alias("cell"),
+            pq_codes_udf(pq_codebook(emb))(F.col("v")).alias("codes"),
+        ),
+        path,
+    )
+    return path
+
+
+def test_ivfpq_stored_matches_in_memory_operator(spark, tmp_path):
+    from kafka_topic_dumper_spark.functions.index_store import ivfpq_topk_stored
+    from kafka_topic_dumper_spark.operators.similarity import ivfpq_topk
+
+    emb = load_table(spark, SF, "embeddings")
+    path = _build_ivfpq(spark, tmp_path)
+    stored = sorted(map(tuple, ivfpq_topk_stored(emb, QUERY_IDS, path, 10).collect()))
+    live = sorted(map(tuple, ivfpq_topk(emb, QUERY_IDS, 10).collect()))
+    assert stored == live
+    assert len(stored) > 0
+
+
+def test_ivfpq_stored_prunes_cells_and_reads_codes_only(spark, tmp_path):
+    """The index scan must prune to the probed cells at the partition
+    level AND read only (vec_id, v_nrm, codes) — never raw vectors."""
+    import re
+
+    from kafka_topic_dumper_spark.functions.index_store import ivfpq_topk_stored
+
+    emb = load_table(spark, SF, "embeddings")
+    path = _build_ivfpq(spark, tmp_path)
+    plan = (
+        ivfpq_topk_stored(emb, QUERY_IDS, path, 10)
+        ._jdf.queryExecution()
+        .executedPlan()
+        .toString()
+    )
+    idx_scans = [
+        ln
+        for ln in plan.splitlines()
+        if "FileScan parquet" in ln and re.search(r"\[[^\]]*cell#\d+", ln)
+    ]
+    assert len(idx_scans) == 1, f"expected exactly one index scan:\n{plan}"
+    assert re.search(r"PartitionFilters: \[[^\]]*cell#\d+ IN \(", idx_scans[0]), idx_scans[0]
+    m = re.search(r"ReadSchema: struct<([^>]*)>", idx_scans[0])
+    assert m and set(c.split(":")[0] for c in m.group(1).split(",")) == {
+        "vec_id",
+        "v_nrm",
+        "codes",
+    }, idx_scans[0]

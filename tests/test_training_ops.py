@@ -226,3 +226,98 @@ def test_epoch_shuffle_plan_is_distributed(spark):
     )
     assert "SinglePartition" not in plan, plan
     assert "hashpartitioning(epoch" in plan, plan
+
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+# texts with empty strings, whitespace-only, multi-space runs, and
+# token counts landing exactly on window/stride boundaries — the
+# off-by-one surface of the chunker and the span detector
+_texts = st.lists(
+    st.one_of(
+        st.just(""),
+        st.just("   "),
+        st.lists(
+            st.sampled_from(["a", "bb", "ccc", "dd"]), min_size=0, max_size=20
+        ).map(lambda ts: "  ".join(ts)),
+    ),
+    min_size=1,
+    max_size=8,
+)
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(_texts)
+def test_chunk_documents_property(spark, texts):
+    """chunk_documents over arbitrary corpora == the python spec:
+    starts 0, S, 2S… < n_tokens; chunk = toks[s : s+W]; zero-token
+    docs yield zero chunks."""
+    W, S = 4, 2
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = sorted(
+        (r.doc_id, r.chunk_id, r.n_tokens, r.chunk_text)
+        for r in chunk_documents(docs, window=W, stride=S).collect()
+    )
+    want = []
+    for i, t in enumerate(texts):
+        toks = [x for x in t.lower().split() if x]
+        for ci, s in enumerate(range(0, len(toks), S)):
+            c = toks[s : s + W]
+            want.append((i, ci, len(c), " ".join(c)))
+    assert got == sorted(want)
+
+
+@settings(
+    max_examples=10,
+    deadline=None,
+    suppress_health_check=[HealthCheck.too_slow],
+)
+@given(_texts)
+def test_duplicate_spans_property(spark, texts):
+    """duplicate_spans over arbitrary corpora == the python spec
+    (gram_len=2, min_count=2), including docs shorter than the gram."""
+    from collections import Counter
+
+    from kafka_topic_dumper_spark.operators.dedup import duplicate_spans
+
+    L = 2
+    docs = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(texts)], "doc_id long, text string"
+    )
+    got = sorted(
+        (r.doc_id, r.span_start, r.span_end, r.n_grams)
+        for r in duplicate_spans(docs, gram_len=L, min_count=2).collect()
+    )
+    counts = Counter()
+    pos = {}
+    for i, t in enumerate(texts):
+        toks = [x for x in t.lower().split() if x]
+        for s in range(len(toks) - L + 1):
+            g = " ".join(toks[s : s + L])
+            counts[g] += 1
+            pos.setdefault(i, []).append((s + 1, g))
+    want = []
+    for d, plist in pos.items():
+        run = []
+        for p, g in plist:
+            if counts[g] >= 2:
+                if run and p == run[-1] + 1:
+                    run.append(p)
+                else:
+                    if run:
+                        want.append((d, run[0], run[-1] + L - 1, len(run)))
+                    run = [p]
+            else:
+                if run:
+                    want.append((d, run[0], run[-1] + L - 1, len(run)))
+                run = []
+        if run:
+            want.append((d, run[0], run[-1] + L - 1, len(run)))
+    assert got == sorted(want)
