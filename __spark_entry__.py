@@ -54,6 +54,7 @@ _VERIFY_PRIORITY = [
     "scd2_user_event_history",
     "similarity_topk_ivfpq",
     "similarity_topk_ivfpq_stored",
+    "streaming_merge_latest_state",
     # --- (b) last driver-stamped in round 2; their source files
     # changed in the r5 broadcast sweep (r5 verdict item 1) ---
     "multimodal_feature_stub",

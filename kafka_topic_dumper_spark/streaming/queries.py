@@ -112,6 +112,25 @@ def _docs_split_stream_input(spark: SparkSession, sf_dir: str, n_files: int = 4)
     return _STREAM_INPUT_CACHE[key]
 
 
+def _events_split_stream_input(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    """Events as ``n_files`` parquet files for multi-micro-batch
+    replay (same rationale as :func:`_docs_split_stream_input`)."""
+    key = ("events_split", sf_dir, n_files)
+    if key not in _STREAM_INPUT_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="stream_input_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        path = f"{root}/events_split"
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "ts"
+        ).repartition(n_files).write.parquet(path)
+        _STREAM_INPUT_CACHE[key] = path
+    return _STREAM_INPUT_CACHE[key]
+
+
 def register(reg) -> None:
     from kafka_topic_dumper_spark.operators.text import (
         bigram_lm_model,
@@ -237,6 +256,79 @@ def register(reg) -> None:
     # Timestamps round-trip LTZ→NTZ like streaming_hourly_rollup (gap
     # arithmetic is offset-invariant, so the wall times survive any
     # whole-offset session timezone).
+    # Streaming incremental MERGE (foreachBatch): the continuous
+    # warehouse-maintenance pattern — each micro-batch merges into a
+    # keyed parquet target (per-user argmax state), read-modify-write
+    # with a fresh directory per batch so a reader never sees a
+    # half-written table. The final target is a pure function of the
+    # data regardless of batch boundaries because the merge rule
+    # (keep the (ts, event_id)-max row per user) is associative and
+    # commutative; maxFilesPerTrigger=1 over a 4-file input forces
+    # 4 sequential merges so the row proves INCREMENTAL maintenance,
+    # not a single-batch rewrite.
+    @reg(
+        "streaming_merge_latest_state",
+        """
+        SELECT user_id, ts, event_id, event_type
+        FROM (
+            SELECT user_id, ts, event_id, event_type,
+                   row_number() OVER (PARTITION BY user_id
+                                      ORDER BY ts DESC, event_id DESC) AS rn
+            FROM events
+        ) WHERE rn = 1
+        """,
+    )
+    def streaming_merge_latest_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Latest-event-per-user state maintained INCREMENTALLY: an
+        events stream replayed one file per micro-batch, each batch
+        foreachBatch-merged into a parquet state table by the argmax
+        rule — the streaming twin of flagship_latest_event_per_user
+        through the MERGE maintenance path instead of a stateful agg."""
+        import atexit
+        import shutil
+        import tempfile
+
+        from pyspark.sql import Window as W
+
+        root = tempfile.mkdtemp(prefix="merge_state_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        state = {"path": None, "n_batches": 0}
+
+        def merge_batch(batch_df, batch_id: int):
+            cur = batch_df.select("user_id", "ts", "event_id", "event_type")
+            if state["path"] is not None:
+                cur = cur.unionByName(batch_df.sparkSession.read.parquet(state["path"]))
+            w = W.partitionBy("user_id").orderBy(
+                F.col("ts").desc(), F.col("event_id").desc()
+            )
+            merged = (
+                cur.withColumn("rn", F.row_number().over(w))
+                .where(F.col("rn") == 1)
+                .drop("rn")
+            )
+            new_path = f"{root}/state_v{batch_id}"
+            merged.write.mode("overwrite").parquet(new_path)
+            state["path"] = new_path
+            state["n_batches"] += 1
+
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string, ts timestamp_ntz"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(_events_split_stream_input(spark, sf_dir))
+        )
+        q = (
+            stream.writeStream.foreachBatch(merge_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(300)
+        assert state["n_batches"] >= 2, "replay must exercise >1 merge"
+        return spark.read.parquet(state["path"]).select(
+            "user_id", "ts", "event_id", "event_type"
+        )
+
     @reg(
         "streaming_user_sessions",
         """

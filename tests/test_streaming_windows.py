@@ -385,3 +385,29 @@ def test_streaming_user_sessions_holds_back_newest_sessions(spark):
     import datetime
     for _, end, _, _ in held:
         assert end > max_end - datetime.timedelta(hours=2, minutes=31)
+
+
+def test_streaming_merge_latest_state_matches_batch_argmax(spark):
+    """The foreachBatch-merged state table must equal the batch argmax
+    per user (the merge rule is associative+commutative, so batch
+    boundaries cannot matter); the callable itself asserts >= 2 merges
+    actually ran."""
+    from kafka_topic_dumper_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        (r.user_id, r.ts, r.event_id, r.event_type)
+        for r in QUERIES["streaming_merge_latest_state"](spark, sf).collect()
+    )
+    ev = load_table(spark, sf, "events")
+    w = __import__("pyspark.sql.window", fromlist=["Window"]).Window.partitionBy(
+        "user_id"
+    ).orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    want = sorted(
+        (r.user_id, r.ts, r.event_id, r.event_type)
+        for r in ev.withColumn("rn", F.row_number().over(w))
+        .where(F.col("rn") == 1)
+        .select("user_id", "ts", "event_id", "event_type")
+        .collect()
+    )
+    assert got == want
