@@ -258,11 +258,18 @@ def register(reg) -> None:
     # whole-offset session timezone).
     # Streaming incremental MERGE (foreachBatch): the continuous
     # warehouse-maintenance pattern — each micro-batch merges into a
-    # keyed parquet target (per-user argmax state), read-modify-write
-    # with a fresh directory per batch so a reader never sees a
-    # half-written table. The final target is a pure function of the
-    # data regardless of batch boundaries because the merge rule
-    # (keep the (ts, event_id)-max row per user) is associative and
+    # keyed parquet state table. The state is hash-bucket-partitioned
+    # (user_id % 16) and each batch rewrites ONLY the buckets its keys
+    # touch via dynamic partition overwrite — per-batch cost scales
+    # with the batch's key spread, NOT the table size (a full-table
+    # read-modify-write per batch would be the scale defect). The
+    # merged relation is persisted+counted BEFORE the overwrite so the
+    # write job reads cached partitions, not the files it is replacing;
+    # the remaining non-atomicity window (a reader during the partition
+    # swap) is what Delta/Iceberg's ACID log closes — out of scope
+    # here, noted honestly. The final table is a pure function of the
+    # data regardless of batch boundaries because the merge rule (keep
+    # the (ts, event_id)-max row per user) is associative and
     # commutative; maxFilesPerTrigger=1 over a 4-file input forces
     # 4 sequential merges so the row proves INCREMENTAL maintenance,
     # not a single-batch rewrite.
@@ -292,12 +299,23 @@ def register(reg) -> None:
 
         root = tempfile.mkdtemp(prefix="merge_state_")
         atexit.register(shutil.rmtree, root, ignore_errors=True)
-        state = {"path": None, "n_batches": 0}
+        target = f"{root}/state"
+        state = {"initialized": False, "n_batches": 0}
 
         def merge_batch(batch_df, batch_id: int):
-            cur = batch_df.select("user_id", "ts", "event_id", "event_type")
-            if state["path"] is not None:
-                cur = cur.unionByName(batch_df.sparkSession.read.parquet(state["path"]))
+            sp = batch_df.sparkSession
+            b = batch_df.select(
+                "user_id", "ts", "event_id", "event_type"
+            ).withColumn("pbucket", (F.col("user_id") % 16).cast("int"))
+            cur = b
+            if state["initialized"]:
+                touched = [
+                    r.pbucket for r in b.select("pbucket").distinct().collect()
+                ]
+                old = sp.read.parquet(target).where(
+                    F.col("pbucket").isin(touched)
+                )
+                cur = b.unionByName(old.select(*b.columns))
             w = W.partitionBy("user_id").orderBy(
                 F.col("ts").desc(), F.col("event_id").desc()
             )
@@ -305,10 +323,13 @@ def register(reg) -> None:
                 cur.withColumn("rn", F.row_number().over(w))
                 .where(F.col("rn") == 1)
                 .drop("rn")
+                .persist()
             )
-            new_path = f"{root}/state_v{batch_id}"
-            merged.write.mode("overwrite").parquet(new_path)
-            state["path"] = new_path
+            merged.count()  # materialize BEFORE overwriting source files
+            sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+            merged.write.mode("overwrite").partitionBy("pbucket").parquet(target)
+            merged.unpersist()
+            state["initialized"] = True
             state["n_batches"] += 1
 
         stream = (
@@ -325,7 +346,7 @@ def register(reg) -> None:
         )
         q.awaitTermination(300)
         assert state["n_batches"] >= 2, "replay must exercise >1 merge"
-        return spark.read.parquet(state["path"]).select(
+        return spark.read.parquet(target).select(
             "user_id", "ts", "event_id", "event_type"
         )
 
