@@ -55,6 +55,7 @@ _VERIFY_PRIORITY = [
     "similarity_topk_ivfpq",
     "similarity_topk_ivfpq_stored",
     "streaming_merge_latest_state",
+    "multimodal_resize_raw",
     # --- (b) last driver-stamped in round 2; their source files
     # changed in the r5 broadcast sweep (r5 verdict item 1) ---
     "multimodal_feature_stub",

@@ -321,3 +321,36 @@ def test_duplicate_spans_property(spark, texts):
         if run:
             want.append((d, run[0], run[-1] + L - 1, len(run)))
     assert got == sorted(want)
+
+
+def test_resize_raw_images_bytes_match_python(spark):
+    """The RAW resize is REAL: reconstruct each synthetic image in
+    python, nearest-neighbor resize with the same index math, and
+    compare the SUM the kernel reported — plus re-derive a few source
+    buffers end-to-end to prove header/byte layout round-trips."""
+    import numpy as np
+
+    from kafka_topic_dumper_spark.operators.multimodal import (
+        resize_raw_images,
+        synth_raw_images,
+    )
+
+    docs = load_table(spark, SF, "documents").limit(25)
+    payloads = synth_raw_images(docs)
+    got = {
+        r.doc_id: (r.out_w, r.out_h, r.pixel_sum)
+        for r in resize_raw_images(payloads, 16, 16).collect()
+    }
+    raw = {r.doc_id: bytes(r.payload) for r in payloads.collect()}
+    import struct
+
+    for doc_id, payload in raw.items():
+        w, h, c = struct.unpack("<iii", payload[:12])
+        assert (w, h, c) == (8 + doc_id % 9, 8 + doc_id % 7, 3)
+        img = np.frombuffer(payload, dtype=np.uint8, offset=12).reshape(h, w, c)
+        idx = np.arange(w * h * c, dtype=np.int64)
+        assert np.array_equal(img.reshape(-1), ((doc_id + idx) % 256).astype(np.uint8))
+        sy = (np.arange(16) * h) // 16
+        sx = (np.arange(16) * w) // 16
+        resized = img[sy[:, None], sx[None, :], :]
+        assert got[doc_id] == (16, 16, int(resized.astype(np.int64).sum()))
