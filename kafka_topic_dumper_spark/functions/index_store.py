@@ -262,15 +262,17 @@ def pq_topk_stored(
     - the candidate scan reads ONLY the codes column of the index (the
       m-byte-per-vector relation); scoring is the same pure-JVM fold,
       no Python, no shuffle until the per-query top-k window."""
-    import numpy as np
-
-    from kafka_topic_dumper_spark.operators.similarity import pq_codebook
+    from kafka_topic_dumper_spark.operators.similarity import (
+        adc_table_rows,
+        pq_codebook,
+    )
 
     spark = emb.sparkSession
     cb = codebook or pq_codebook(emb, m, ksub)
     qrows = {
         r.vec_id: r.v
-        for r in emb.select(
+        for r in emb.filter(F.col("embedding").isNotNull())
+        .select(
             "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
         )
         .filter(F.col("vec_id").isin(query_ids))
@@ -281,19 +283,7 @@ def pq_topk_stored(
             f"none of the query ids {sorted(query_ids)} exist in the "
             "embedding table — cannot derive ADC tables"
         )
-    C = np.asarray(cb, dtype=np.float64)
-    _, _, dsub = C.shape
-    tables = []
-    for qid in sorted(qrows):
-        qv = np.asarray(qrows[qid], dtype=np.float64)
-        flat = []
-        for j in range(m):
-            acc = np.zeros(ksub, dtype=np.float64)
-            for d in range(dsub):
-                diff = qv[j * dsub + d] - C[j, :, d]
-                acc += diff * diff
-            flat.extend(float(x) for x in acc)
-        tables.append((int(qid), flat))
+    tables = list(adc_table_rows(cb, qrows, "l2").items())
     tdf = spark.createDataFrame(tables, "query_id long, t array<double>")
     score = F.expr(
         f"aggregate(sequence(0, {m - 1}), 0D, (acc, j) -> acc + t[j * {ksub} + codes[j]])"
@@ -302,6 +292,10 @@ def pq_topk_stored(
     return (
         spark.read.parquet(index_path)
         .select("vec_id", "codes")
+        # NULL-embedding rows carry NULL codes in the store; drop them
+        # or their NULL score seats them at rank 1 (NULLS FIRST) —
+        # mirrors the in-memory operator's embedding IS NOT NULL gate.
+        .filter(F.col("codes").isNotNull())
         .crossJoin(F.broadcast(tdf))
         .filter(F.col("vec_id") != F.col("query_id"))
         .withColumn("score", score)
@@ -340,10 +334,9 @@ def ivfpq_topk_stored(
     and the same codebooks that built the index; the candidate scan
     prunes to the probed cells at the directory level and reads only
     (vec_id, v_nrm, codes)."""
-    import numpy as np
-
     from kafka_topic_dumper_spark.operators.similarity import (
         _as_double_vec,
+        adc_table_rows,
         cell_ranks_udf,
         ivf_codebook,
         pq_codebook,
@@ -352,7 +345,13 @@ def ivfpq_topk_stored(
     spark = emb.sparkSession
     ranks = cell_ranks_udf(*ivf_codebook(emb, n_centroids))
     qrows = (
-        _as_double_vec(emb.filter(F.col("vec_id").isin(query_ids)), "query_id", "qv")
+        _as_double_vec(
+            emb.filter(F.col("embedding").isNotNull()).filter(
+                F.col("vec_id").isin(query_ids)
+            ),
+            "query_id",
+            "qv",
+        )
         .withColumn("cells", F.slice(ranks(F.col("qv"), F.col("qv_nrm")), 1, nprobe))
         .collect()
     )
@@ -362,18 +361,11 @@ def ivfpq_topk_stored(
             "embedding table — cannot derive probe cells"
         )
     cb = pq_codebook(emb, m, ksub)
-    C = np.asarray(cb, dtype=np.float64)
-    _, _, dsub = C.shape
-    tables = []
-    for r in sorted(qrows, key=lambda r: r.query_id):
-        qv = np.asarray(r.qv, dtype=np.float64)
-        flat = []
-        for j in range(m):
-            acc = np.zeros(ksub, dtype=np.float64)
-            for d in range(dsub):
-                acc += qv[j * dsub + d] * C[j, :, d]
-            flat.extend(float(x) for x in acc)
-        tables.append((int(r.query_id), flat, float(r.qv_nrm)))
+    flats = adc_table_rows(cb, {r.query_id: r.qv for r in qrows}, "ip")
+    tables = [
+        (int(r.query_id), flats[int(r.query_id)], float(r.qv_nrm))
+        for r in sorted(qrows, key=lambda r: r.query_id)
+    ]
     tdf = spark.createDataFrame(tables, "query_id long, t array<double>, q_nrm double")
     probe_cells = sorted({int(c) for r in qrows for c in r.cells})
     probes = spark.createDataFrame(

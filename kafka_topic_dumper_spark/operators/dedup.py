@@ -683,7 +683,14 @@ def semantic_dedup(
     that bounds the flops (k scales with the corpus)."""
     from kafka_topic_dumper_spark.operators.similarity import ivf_assign
 
-    assigned = ivf_assign(emb, n_centroids, codebook=codebook)
+    # NULL embeddings are excluded up front (mirrored by the oracle's
+    # embedding IS NOT NULL): the previous keep-verbatim path emitted
+    # (vec_id, cell=NULL) where DuckDB's NULLS-LAST argmax would have
+    # assigned cell 0 — a guaranteed differential mismatch on any
+    # corpus that actually contains one (code-review r6 finding).
+    assigned = ivf_assign(
+        emb.filter(F.col("embedding").isNotNull()), n_centroids, codebook=codebook
+    )
 
     def _keep(pdf):
         import numpy as np
@@ -1195,7 +1202,7 @@ def register(reg) -> None:
         """
         WITH v AS (
             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-            FROM embeddings
+            FROM embeddings WHERE embedding IS NOT NULL
         ), n AS (
             SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
             FROM v

@@ -66,7 +66,7 @@ def connected_components(
         .distinct()
         .withColumn("label", F.col("node"))
     )
-    prev_sum = None
+    prev_sum: object = object()  # sentinel: never equals a real sum
     for _ in range(max_iter):
         # each neighbor offers its current label to the other endpoint;
         # a node keeps the min of its own label and all offers
@@ -97,11 +97,17 @@ def connected_components(
         # new-vs-old equi-join + count, which cost a second
         # label-sized shuffle per iteration. decimal(38,0) keeps the
         # sum exact far beyond any realistic node-count × id range.
-        cur_sum = new_labels.agg(
+        # sum() over an empty relation is NULL — normalize to 0 so the
+        # empty-graph case (no near-duplicates anywhere) converges on
+        # sweep 2 instead of burning max_iter sweeps and raising (the
+        # old changed==0 check handled this; the sentinel init plus
+        # the normalization restores it for the sum invariant).
+        raw = new_labels.agg(
             F.sum(F.col("label").cast("decimal(38,0)"))
         ).first()[0]
+        cur_sum = 0 if raw is None else raw
         labels = new_labels
-        if prev_sum is not None and cur_sum == prev_sum:
+        if cur_sum == prev_sum:
             return labels.select("node", F.col("label").alias("component_id"))
         prev_sum = cur_sum
     raise RuntimeError(

@@ -467,7 +467,10 @@ def epoch_shuffle(docs: DataFrame, n_epochs: int = 3) -> DataFrame:
         epochs.join(F.broadcast(base_df), ["epoch", "bucket"])
         .select(
             F.col("epoch").cast("integer").alias("epoch"),
-            (F.col("base") + F.row_number().over(w)).cast("integer").alias("position"),
+            # BIGINT: an int32 position silently wraps past ~2.1 B docs
+            # per epoch — exactly the scale this prefix-sum form exists
+            # for (code-review r6 finding).
+            (F.col("base") + F.row_number().over(w)).cast("bigint").alias("position"),
             "doc_id",
         )
     )
@@ -486,7 +489,7 @@ def epoch_shuffle_oracle_sql(n_epochs: int = 3) -> str:
         )
         SELECT CAST(epoch AS INTEGER) AS epoch,
                CAST(row_number() OVER (PARTITION BY epoch
-                    ORDER BY shuffle_key, doc_id) AS INTEGER) AS position,
+                    ORDER BY shuffle_key, doc_id) AS BIGINT) AS position,
                doc_id
         FROM keyed
     """

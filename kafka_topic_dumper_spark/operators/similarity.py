@@ -716,6 +716,39 @@ def pq_codes_udf(cb):
     return _codes
 
 
+def adc_table_rows(cb, qvecs: dict, metric: str = "l2") -> dict:
+    """Per-query ADC lookup tables, shared by ALL four PQ scoring paths
+    (pq_topk / ivfpq_topk and their stored twins) — the IEEE op order
+    here is LOAD-BEARING: each subspace entry accumulates LEFT-FOLDED
+    over the subspace dims, matching the oracle's
+    ``list_sum(list_transform(...))`` chain bit-for-bit, and a fix that
+    touched only one of four inlined copies would silently break the
+    stored-vs-in-memory parity the tests assert (hence one helper).
+
+    ``qvecs``: {query_id: vector-as-list}; ``metric``: "l2" (squared
+    distance terms) or "ip" (inner-product terms). Returns
+    {query_id: flat list of m×ksub doubles, j-major}."""
+    import numpy as np
+
+    C = np.asarray(cb, dtype=np.float64)
+    m, ksub, dsub = C.shape
+    out = {}
+    for qid in sorted(qvecs):
+        qv = np.asarray(qvecs[qid], dtype=np.float64)
+        flat: list[float] = []
+        for j in range(m):
+            acc = np.zeros(ksub, dtype=np.float64)
+            for d in range(dsub):
+                if metric == "l2":
+                    diff = qv[j * dsub + d] - C[j, :, d]
+                    acc += diff * diff
+                else:
+                    acc += qv[j * dsub + d] * C[j, :, d]
+            flat.extend(float(x) for x in acc)
+        out[int(qid)] = flat
+    return out
+
+
 def pq_topk(
     emb: DataFrame,
     query_ids: list[int],
@@ -746,11 +779,15 @@ def pq_topk(
     trade: O(m) adds per candidate against an m-byte code. Output
     (query_id, neighbor_id, rank), rank by (approx distance asc,
     neighbor_id) — ties bit-stable cross-engine because every term in
-    the fold is bit-identical by construction."""
-    import numpy as np
+    the fold is bit-identical by construction.
 
+    NULL embeddings are excluded up front (both engines, via the
+    ``embedding IS NOT NULL`` filter mirrored in the oracle):
+    otherwise a NULL candidate scores NULL and Spark's ascending sort
+    (NULLS FIRST) would seat it at rank 1 while DuckDB (NULLS LAST)
+    would not — a guaranteed parity break (code-review r6 finding)."""
     cb = codebook or pq_codebook(emb, m, ksub)
-    base = emb.select(
+    base = emb.filter(F.col("embedding").isNotNull()).select(
         "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
     )
     codes = base.withColumn("codes", pq_codes_udf(cb)(F.col("v"))).select(
@@ -759,19 +796,7 @@ def pq_topk(
     qrows = {
         r.vec_id: r.v for r in base.filter(F.col("vec_id").isin(query_ids)).collect()
     }
-    C = np.asarray(cb, dtype=np.float64)
-    _, _, dsub = C.shape
-    tables = []
-    for qid in sorted(qrows):
-        qv = np.asarray(qrows[qid], dtype=np.float64)
-        flat = []
-        for j in range(m):
-            acc = np.zeros(ksub, dtype=np.float64)
-            for d in range(dsub):
-                diff = qv[j * dsub + d] - C[j, :, d]
-                acc += diff * diff
-            flat.extend(float(x) for x in acc)
-        tables.append((int(qid), flat))
+    tables = list(adc_table_rows(cb, qrows, "l2").items())
     tdf = emb.sparkSession.createDataFrame(
         tables, "query_id long, t array<double>"
     )
@@ -817,10 +842,9 @@ def ivfpq_topk(
     join pruned to the probed cells, the pure-JVM ADC fold, one
     top-k window. Residual encoding (PQ over v − centroid, FAISS's
     refinement) is the production next step; it changes only the
-    encode kernel's input, not the plan shape."""
-    import numpy as np
-
-    base = _as_double_vec(emb, "vec_id", "v")
+    encode kernel's input, not the plan shape. NULL embeddings are
+    excluded up front — see :func:`pq_topk`."""
+    base = _as_double_vec(emb.filter(F.col("embedding").isNotNull()), "vec_id", "v")
     ranks = cell_ranks_udf(*ivf_codebook(emb, n_centroids))
     ranked = base.withColumn("cells", ranks(F.col("v"), F.col("v_nrm")))
     cb = pq_codebook(emb, m, ksub)
@@ -838,18 +862,10 @@ def ivfpq_topk(
         r.vec_id: (r.v, r.v_nrm)
         for r in base.filter(F.col("vec_id").isin(query_ids)).collect()
     }
-    C = np.asarray(cb, dtype=np.float64)
-    _, _, dsub = C.shape
-    tables = []
-    for qid in sorted(qrows):
-        qv = np.asarray(qrows[qid][0], dtype=np.float64)
-        flat = []
-        for j in range(m):
-            acc = np.zeros(ksub, dtype=np.float64)
-            for d in range(dsub):
-                acc += qv[j * dsub + d] * C[j, :, d]
-            flat.extend(float(x) for x in acc)
-        tables.append((int(qid), flat, float(qrows[qid][1])))
+    flats = adc_table_rows(cb, {q: v for q, (v, _) in qrows.items()}, "ip")
+    tables = [
+        (qid, flats[qid], float(qrows[qid][1])) for qid in sorted(qrows)
+    ]
     tdf = emb.sparkSession.createDataFrame(
         tables, "query_id long, t array<double>, q_nrm double"
     )
@@ -1187,7 +1203,7 @@ def register(reg) -> None:
     _PQ_ORACLE = f"""
         WITH v AS (
             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-            FROM embeddings
+            FROM embeddings WHERE embedding IS NOT NULL
         ), sub AS (
             SELECT vec_id, j, list_slice(v, j * 4 + 1, j * 4 + 4) AS sv
             FROM v, (SELECT unnest(range(0, 16)) AS j)
@@ -1265,7 +1281,7 @@ def register(reg) -> None:
     _IVFPQ_ORACLE = f"""
         WITH v AS (
             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-            FROM embeddings
+            FROM embeddings WHERE embedding IS NOT NULL
         ), n AS (
             SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
             FROM v

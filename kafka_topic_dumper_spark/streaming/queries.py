@@ -80,6 +80,14 @@ def _events_stream_input(spark: SparkSession, sf_dir: str) -> str:
     return _STREAM_INPUT_CACHE[key]
 
 
+# last sink temp-view per logical query, so each re-invocation (bench
+# N_RUNS, driver rounds, differential tests) drops its predecessor's
+# full-result memory table instead of accumulating them on the driver
+# heap for the session's lifetime — the same per-call leak class the
+# stored-index mkdtemp fix closed for /tmp (ADVICE r5).
+_LAST_SINK: dict = {}
+
+
 def _drain(stream_df: DataFrame, name: str, output_mode: str = "append"):
     q = (
         stream_df.writeStream.format("memory")
@@ -88,7 +96,17 @@ def _drain(stream_df: DataFrame, name: str, output_mode: str = "append"):
         .trigger(availableNow=True)
         .start()
     )
-    q.awaitTermination(300)
+    # awaitTermination(timeout) returns False on timeout WITHOUT
+    # raising — reading the sink then would silently return a partial
+    # result while the query races on. Fail loudly instead.
+    if not q.awaitTermination(300):
+        q.stop()
+        raise RuntimeError(f"streaming drain of {name!r} exceeded 300 s")
+    base = name.rsplit("_", 1)[0]
+    prev = _LAST_SINK.get(base)
+    if prev is not None:
+        stream_df.sparkSession.catalog.dropTempView(prev)
+    _LAST_SINK[base] = name
 
 
 def _docs_split_stream_input(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
@@ -326,9 +344,20 @@ def register(reg) -> None:
                 .persist()
             )
             merged.count()  # materialize BEFORE overwriting source files
-            sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-            merged.write.mode("overwrite").partitionBy("pbucket").parquet(target)
-            merged.unpersist()
+            # dynamic partition overwrite is session-scoped: restore
+            # the caller's value so later mode('overwrite') partitioned
+            # writes elsewhere keep their expected full-truncate
+            # semantics (leaving it 'dynamic' would silently preserve
+            # stale partitions in any later partitioned overwrite).
+            prev_mode = sp.conf.get(
+                "spark.sql.sources.partitionOverwriteMode", "static"
+            )
+            try:
+                sp.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+                merged.write.mode("overwrite").partitionBy("pbucket").parquet(target)
+            finally:
+                sp.conf.set("spark.sql.sources.partitionOverwriteMode", prev_mode)
+                merged.unpersist()
             state["initialized"] = True
             state["n_batches"] += 1
 
@@ -344,7 +373,9 @@ def register(reg) -> None:
             .trigger(availableNow=True)
             .start()
         )
-        q.awaitTermination(300)
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("streaming merge replay exceeded 300 s")
         assert state["n_batches"] >= 2, "replay must exercise >1 merge"
         return spark.read.parquet(target).select(
             "user_id", "ts", "event_id", "event_type"

@@ -52,3 +52,14 @@ def test_cluster_dedup_partitions_the_corpus(spark):
     assert total == docs.count()
     # survivors are distinct cluster keys
     assert out.select("survivor_id").distinct().count() == out.count()
+
+
+def test_connected_components_empty_edges_returns_empty(spark):
+    """Regression (code-review r6): an empty edge set — a corpus with
+    no near-duplicates at all — must converge to an empty label table
+    on the first sweeps, not burn max_iter and raise."""
+    from kafka_topic_dumper_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame([], "src long, dst long")
+    out = connected_components(edges, "src", "dst")
+    assert out.count() == 0
