@@ -65,7 +65,7 @@ def contamination_overlap(
     (see q10's docstring in operators/analytics.py).
     """
     grams = (
-        docs.select("doc_id", F.split(F.lower("text"), r"\s+").alias("toks"))
+        docs.select("doc_id", _tokens().alias("toks"))
         .select(
             "doc_id",
             F.explode(
@@ -105,7 +105,6 @@ def contamination_overlap(
 
 
 def _count_in(tokens: Column, words: list[str]) -> Column:
-    lit = ", ".join(f"'{w}'" for w in words)
     return F.size(F.filter(tokens, lambda t: t.isin(words))).cast("integer")
 
 
@@ -379,7 +378,7 @@ def bigram_rows(docs: DataFrame) -> DataFrame:
     unbounded streaming relations (the streaming quality scorer
     reuses it)."""
     return (
-        docs.withColumn("tk", F.split(F.lower(F.col("text")), r"\s+"))
+        docs.withColumn("tk", _tokens().alias("tk"))
         .withColumn(
             "z",
             F.explode(
@@ -501,16 +500,17 @@ def redact_pii(docs: DataFrame) -> DataFrame:
     counts (the audit trail a compliance pipeline must keep). Pure
     regexp expressions — single projection pass, no shuffle, no
     Python."""
-    redacted = F.regexp_replace(
-        F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>"),
-        _PII_DIGITS,
-        "<NUM>",
-    )
+    email_pass = F.regexp_replace(F.col("text"), _PII_EMAIL, "<EMAIL>")
+    redacted = F.regexp_replace(email_pass, _PII_DIGITS, "<NUM>")
     n_emails = F.size(
         F.regexp_extract_all(F.col("text"), F.lit(_PII_EMAIL), F.lit(0))
     ).cast("int")
+    # counted on the EMAIL-REDACTED intermediate, not the raw text: a
+    # digit run inside an address ('user1234@...') is consumed by the
+    # first pass and never becomes a <NUM> replacement — counting it
+    # would overstate the audit trail (code-review r6 finding).
     n_digit_runs = F.size(
-        F.regexp_extract_all(F.col("text"), F.lit(_PII_DIGITS), F.lit(0))
+        F.regexp_extract_all(email_pass, F.lit(_PII_DIGITS), F.lit(0))
     ).cast("int")
     return docs.select(
         "doc_id",
@@ -664,19 +664,22 @@ def register(reg) -> None:
     @reg(
         "text_redact_pii",
         r"""
-        WITH r AS (
+        WITH ep AS (
+            SELECT doc_id, text,
+                   regexp_replace(text,
+                       '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
+                       '<EMAIL>', 'g') AS email_pass
+            FROM documents
+        ), r AS (
             SELECT doc_id,
-                   regexp_replace(
-                       regexp_replace(text,
-                           '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}',
-                           '<EMAIL>', 'g'),
-                       '[0-9]{4,}', '<NUM>', 'g') AS redacted,
+                   regexp_replace(email_pass, '[0-9]{4,}', '<NUM>', 'g')
+                       AS redacted,
                    CAST(len(regexp_extract_all(text,
                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}'))
                        AS INTEGER) AS n_email_redactions,
-                   CAST(len(regexp_extract_all(text, '[0-9]{4,}'))
+                   CAST(len(regexp_extract_all(email_pass, '[0-9]{4,}'))
                        AS INTEGER) AS n_number_redactions
-            FROM documents
+            FROM ep
         )
         SELECT doc_id, md5(redacted) AS redacted_md5,
                n_email_redactions, n_number_redactions,

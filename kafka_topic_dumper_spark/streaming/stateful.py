@@ -8,10 +8,16 @@ which carries the DuckDB oracle). Differential testing: streaming
 emits exactly the batch result minus each user's still-open trailing
 session (tests/test_stateful_streaming.py).
 
-Scale shape: state is one fixed-size tuple per (user, open-session) —
-O(keys), not O(events); rows stream through Arrow batches; the single
-shuffle is the groupBy on user_id that Structured Streaming already
-needs for state partitioning.
+Scale shape: state is one fixed-size tuple per user — O(keys), not
+O(events); rows stream through Arrow batches; the single shuffle is
+the groupBy on user_id that Structured Streaming already needs for
+state partitioning. The tuple persists after a user's sessions close
+(n_events == 0 is the "no open session" sentinel) because it carries
+the MONOTONE session counter: removing it, as the first
+implementation did, restarted session_id at 1 on the user's next
+micro-batch — duplicate (user_id, session_id) keys across batches and
+a silent divergence from the batch twin's numbering (code-review r6
+finding; the single-batch availableNow tests could never see it).
 
 The worker function is self-contained (closes over plain ints only) so
 cloudpickle ships it by value and executors never import this package
@@ -62,13 +68,21 @@ def sessionize_stream(
     eagerly on a purchase. With ``flush_timeout=True`` an event-time
     timer also closes the trailing open session once the watermark
     passes ``last_event + gap`` — no session waits forever for a key
-    that went quiet; otherwise it stays in state."""
+    that went quiet; otherwise it stays in state.
+
+    Out-of-order arrivals across micro-batches (possible whenever no
+    watermark filters late rows): a late event that still belongs to
+    the open session must not REWIND the session clock — ``last_us``
+    advances with max() (the batch twin's session_end is max(ts)) and
+    ``start_us`` retreats with min(), so cross-batch stragglers fold
+    in instead of corrupting the next gap test (code-review r6)."""
     gap_us = gap_seconds * 1_000_000
 
+    # cast unconditionally: a string ts from a JSON-decoded source
+    # must become a timestamp BEFORE sort/arith, watermark or not
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
     if flush_timeout:
-        events = events.withColumn("ts", F.col("ts").cast("timestamp")).withWatermark(
-            "ts", watermark
-        )
+        events = events.withWatermark("ts", watermark)
 
     def fold(key, pdfs, state):
         import pandas as pd
@@ -76,30 +90,38 @@ def sessionize_stream(
         (user_id,) = key
         out = []
 
-        if flush_timeout and state.hasTimedOut:
-            sid, start_us, last_us, n, sv, conv = state.get
-            out.append((user_id, sid, start_us, last_us, n, sv, conv))
-            state.remove()
-            yield pd.DataFrame(
+        def _df(rows_out):
+            return pd.DataFrame(
                 {
-                    "user_id": [r[0] for r in out],
-                    "session_id": [r[1] for r in out],
+                    "user_id": [r[0] for r in rows_out],
+                    "session_id": [r[1] for r in rows_out],
                     "session_start": pd.to_datetime(
-                        [r[2] for r in out], unit="us"
+                        [r[2] for r in rows_out], unit="us"
                     ),
-                    "session_end": pd.to_datetime([r[3] for r in out], unit="us"),
-                    "n_events": [r[4] for r in out],
-                    "sum_value": [round(r[5], 2) for r in out],
-                    "converted": [r[6] for r in out],
+                    "session_end": pd.to_datetime(
+                        [r[3] for r in rows_out], unit="us"
+                    ),
+                    "n_events": [r[4] for r in rows_out],
+                    "sum_value": [round(r[5], 2) for r in rows_out],
+                    "converted": [r[6] for r in rows_out],
                 }
             )
+
+        if flush_timeout and state.hasTimedOut:
+            sid, start_us, last_us, n, sv, conv = state.get
+            if n > 0:
+                out.append((user_id, sid, start_us, last_us, n, sv, conv))
+            # keep the sentinel row: it carries the session counter
+            state.update((sid, 0, 0, 0, 0.0, 0))
+            if out:
+                yield _df(out)
             return
 
         rows = pd.concat(list(pdfs), ignore_index=True)
         rows = rows.sort_values(["ts", "event_id"])
         if state.exists:
             sid, start_us, last_us, n, sv, conv = state.get
-            has_open = True
+            has_open = n > 0
         else:
             sid, start_us, last_us, n, sv, conv = 0, 0, 0, 0, 0.0, 0
             has_open = False
@@ -116,9 +138,11 @@ def sessionize_stream(
                 has_open = False
             if not has_open:
                 sid += 1
-                start_us, n, sv, conv = ts_us, 0, 0.0, 0
+                start_us, last_us, n, sv, conv = ts_us, ts_us, 0, 0.0, 0
                 has_open = True
-            last_us = ts_us
+            else:
+                start_us = min(start_us, ts_us)
+                last_us = max(last_us, ts_us)
             n += 1
             sv += float(value)
             if etype == "purchase":
@@ -130,22 +154,10 @@ def sessionize_stream(
             if flush_timeout:
                 state.setTimeoutTimestamp(last_us // 1000 + gap_seconds * 1000)
         else:
-            if state.exists:
-                state.remove()
+            # no open session, but the counter must survive the batch
+            state.update((sid, 0, 0, 0, 0.0, 0))
         if out:
-            yield pd.DataFrame(
-                {
-                    "user_id": [r[0] for r in out],
-                    "session_id": [r[1] for r in out],
-                    "session_start": pd.to_datetime(
-                        [r[2] for r in out], unit="us"
-                    ),
-                    "session_end": pd.to_datetime([r[3] for r in out], unit="us"),
-                    "n_events": [r[4] for r in out],
-                    "sum_value": [round(r[5], 2) for r in out],
-                    "converted": [r[6] for r in out],
-                }
-            )
+            yield _df(out)
 
     return events.groupBy("user_id").applyInPandasWithState(
         fold,

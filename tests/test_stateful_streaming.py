@@ -116,3 +116,56 @@ def test_sessionize_stream_timeout_flushes_trailing(spark, events_stream_path):
         assert got[k] == expected[k], k
     # the flush must have emitted strictly more than the no-timeout run
     assert len(got) >= full.count() - batch_events.select("user_id").distinct().count()
+
+
+def test_sessionize_stream_session_ids_survive_micro_batches(spark, tmp_path):
+    """Multi-batch regression (code-review r6): when a session closes
+    in batch 1 (purchase) and the user reappears in batch 2, the
+    session counter must CONTINUE (1, 2, ...) — the removed-state
+    implementation restarted at 1, emitting duplicate
+    (user_id, session_id) keys that the single-batch tests never saw.
+    File mtimes force the replay order batch1 -> batch2."""
+    import os
+    import time
+
+    src = str(tmp_path / "ev")
+    os.makedirs(src)
+    schema = "event_id long, user_id long, event_type string, value double, ts timestamp_ntz"
+    batch1 = spark.createDataFrame(
+        [
+            (1, 7, "view", 1.0, "2024-01-01 10:00:00"),
+            (2, 7, "purchase", 2.0, "2024-01-01 10:05:00"),
+        ],
+        "event_id long, user_id long, event_type string, value double, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    batch2 = spark.createDataFrame(
+        [
+            (3, 7, "view", 3.0, "2024-01-01 12:00:00"),
+            (4, 7, "purchase", 4.0, "2024-01-01 12:10:00"),
+        ],
+        "event_id long, user_id long, event_type string, value double, ts string",
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    batch1.coalesce(1).write.parquet(src + "/b1")
+    time.sleep(1.1)  # distinct mtimes => deterministic file order
+    batch2.coalesce(1).write.parquet(src + "/b2")
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src + "/b*")
+    )
+    q = (
+        sessionize_stream(stream)
+        .writeStream.format("memory")
+        .queryName("sessions_multibatch")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    got = sorted(
+        (r.user_id, r.session_id, r.n_events, r.converted)
+        for r in spark.table("sessions_multibatch").collect()
+    )
+    # two purchase-closed sessions, distinct consecutive ids
+    assert got == [(7, 1, 2, 1), (7, 2, 2, 1)], got
