@@ -23,7 +23,7 @@ observed at bench SF, not a forced hint.
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_topic_dumper_spark.functions.exact_money import cents, pct_units
@@ -101,8 +101,16 @@ def customer_cohorts(orders: DataFrame) -> DataFrame:
     (INTERSECT), only 1996 (EXCEPT), only 1997 (EXCEPT) — tagged union.
     Distinct set ops hash-shuffle on the full row; here the row is just
     the key, so each op is one exchange on o_custkey."""
-    y96 = orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
-    y97 = orders.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    from kafka_topic_dumper_spark.functions.caching import tracked_persist
+
+    # each year-set feeds two set ops (intersect + subtract); persist or
+    # the orders fact is scanned six times (code-review r6)
+    y96 = tracked_persist(
+        orders.filter(F.year("o_orderdate") == 1996).select("o_custkey")
+    )
+    y97 = tracked_persist(
+        orders.filter(F.year("o_orderdate") == 1997).select("o_custkey")
+    )
     retained = y96.intersect(y97).withColumn("cohort", F.lit("retained"))
     churned = y96.subtract(y97).withColumn("cohort", F.lit("churned"))
     acquired = y97.subtract(y96).withColumn("cohort", F.lit("acquired"))
@@ -499,14 +507,14 @@ def register(reg) -> None:
         WITH tagged AS (
             SELECT user_id, ts, event_id, value, event_type,
                    CAST(sum(CASE WHEN prev_secs IS NULL
-                                 OR epoch(ts) - prev_secs > 1800
+                                 OR floor(epoch(ts)) - prev_secs > 1800
                                  OR prev_type = 'purchase'
                             THEN 1 ELSE 0 END)
                         OVER (PARTITION BY user_id ORDER BY ts, event_id
                               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
                         AS BIGINT) AS session_id
-            FROM (SELECT *, epoch(ts) AS _s,
-                         lag(epoch(ts)) OVER wo AS prev_secs,
+            FROM (SELECT *,
+                         lag(floor(epoch(ts))) OVER wo AS prev_secs,
                          lag(event_type) OVER wo AS prev_type
                   FROM events
                   WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id))
@@ -676,18 +684,28 @@ def register(reg) -> None:
         the frame is evaluated with a sliding pointer over the sorted
         partition, not a self-join."""
         ev = load_table(spark, sf_dir, "events")
-        ev.createOrReplaceTempView("events_v")
-        return spark.sql(
-            """
-            SELECT event_id, user_id, ts,
-                   CAST(count(*) OVER w AS BIGINT) AS n_events_prev_hour,
-                   round(sum(value) OVER w, 2) AS sum_value_prev_hour
-            FROM events_v
-            WINDOW w AS (PARTITION BY user_id ORDER BY ts
-                         RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
-                               AND CURRENT ROW)
-            """
-        )
+        # unique view name, dropped immediately: spark.sql resolves the
+        # view at analysis time, so the returned (lazy) DataFrame stays
+        # valid — and a notebook user's own "events_v" is never
+        # clobbered (code-review r6)
+        import uuid
+
+        view = f"events_v_{uuid.uuid4().hex}"
+        ev.createOrReplaceTempView(view)
+        try:
+            return spark.sql(
+                f"""
+                SELECT event_id, user_id, ts,
+                       CAST(count(*) OVER w AS BIGINT) AS n_events_prev_hour,
+                       round(sum(value) OVER w, 2) AS sum_value_prev_hour
+                FROM {view}
+                WINDOW w AS (PARTITION BY user_id ORDER BY ts
+                             RANGE BETWEEN INTERVAL 1 HOUR PRECEDING
+                                   AND CURRENT ROW)
+                """
+            )
+        finally:
+            spark.catalog.dropTempView(view)
 
     @reg(
         "embedding_corpus_stats",
@@ -1070,8 +1088,6 @@ def register(reg) -> None:
             .filter(F.col("event_type").isin("view", "click", "purchase"))
             .select("user_id", "event_type", "ts")
         )
-        from pyspark.sql import Window
-
         w = Window.partitionBy("user_id")
 
         def stage_min(etype: str, after) -> Column:
@@ -1347,7 +1363,10 @@ def register(reg) -> None:
             F.expr("percentile(value, 0.5)").alias("p50e"),
             F.expr("approx_percentile(value, 0.5, 10000)").alias("p50a"),
         )
-        ok = lambda a, e: (F.abs(F.col(a) - F.col(e)) / F.col(e)) < 0.05  # noqa: E731
+        # multiplication form, not division: exact == 0 demands approx
+        # == 0 instead of NULL, and a negative exact can't make the
+        # check vacuously true (code-review r6)
+        ok = lambda a, e: F.abs(F.col(a) - F.col(e)) <= 0.05 * F.abs(F.col(e))  # noqa: E731
         return agg.select(
             "event_type",
             "n_users_exact",
@@ -1509,23 +1528,29 @@ def register(reg) -> None:
         flip a round(…, 2) boundary under a different partition
         layout, so the sum is an exact bigint divided once."""
         orders = load_table(spark, sf_dir, "orders")
-        orders.createOrReplaceTempView("orders_gs_v")
-        return spark.sql(
-            """
-            SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
-                   coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
-                   CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus)
-                        AS INT) AS gid,
-                   count(*) AS n_orders,
-                   -- 100.0D: Spark SQL parses a bare 100.0 as DECIMAL,
-                   -- which would make the division DECIMAL, not DOUBLE
-                   sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0D
-                       AS total_price
-            FROM orders_gs_v
-            GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
-                                    (o_orderpriority), (o_orderstatus))
-            """
-        )
+        import uuid
+
+        view = f"orders_gs_v_{uuid.uuid4().hex}"
+        orders.createOrReplaceTempView(view)
+        try:
+            return spark.sql(
+                f"""
+                SELECT coalesce(o_orderpriority, 'ALL') AS o_orderpriority,
+                       coalesce(o_orderstatus, 'ALL') AS o_orderstatus,
+                       CAST(grouping(o_orderpriority) * 2 + grouping(o_orderstatus)
+                            AS INT) AS gid,
+                       count(*) AS n_orders,
+                       -- 100.0D: Spark SQL parses a bare 100.0 as DECIMAL,
+                       -- which would make the division DECIMAL, not DOUBLE
+                       sum(CAST(round(o_totalprice * 100) AS BIGINT)) / 100.0D
+                           AS total_price
+                FROM {view}
+                GROUP BY GROUPING SETS ((o_orderpriority, o_orderstatus),
+                                        (o_orderpriority), (o_orderstatus))
+                """
+            )
+        finally:
+            spark.catalog.dropTempView(view)
 
 
 def merge_upsert(base, updates, key: str):
@@ -1542,9 +1567,15 @@ def merge_upsert(base, updates, key: str):
     b = base.alias("b")
     u = updates.alias("u")
     cols = base.columns
+    # row presence (the update KEY) decides which side wins, not a
+    # per-column coalesce: MERGE must be able to apply an update whose
+    # non-key column is NULL (coalesce would silently resurrect the
+    # base value — code-review r6). NULL-key update rows match nothing
+    # and insert, the same as SQL MERGE's unmatched-source branch.
+    matched = F.col(f"u.{key}").isNotNull()
     return b.join(u, F.col(f"b.{key}") == F.col(f"u.{key}"), "full_outer").select(
         *[
-            F.coalesce(F.col(f"u.{c}"), F.col(f"b.{c}")).alias(c)
+            F.when(matched, F.col(f"u.{c}")).otherwise(F.col(f"b.{c}")).alias(c)
             for c in cols
         ]
     )

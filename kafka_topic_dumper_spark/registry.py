@@ -48,6 +48,12 @@ ORACLES: dict[str, str] = {}
 
 def _register(name: str, oracle: str | None = None):
     def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(
+                f"duplicate query registration: {name!r} — a later module "
+                "would silently shadow the earlier implementation and its "
+                "oracle (import-time guard, code-review r6)"
+            )
         QUERIES[name] = fn
         if oracle is not None:
             ORACLES[name] = oracle

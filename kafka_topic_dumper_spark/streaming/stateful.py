@@ -76,8 +76,6 @@ def sessionize_stream(
     advances with max() (the batch twin's session_end is max(ts)) and
     ``start_us`` retreats with min(), so cross-batch stragglers fold
     in instead of corrupting the next gap test (code-review r6)."""
-    gap_us = gap_seconds * 1_000_000
-
     # cast unconditionally: a string ts from a JSON-decoded source
     # must become a timestamp BEFORE sort/arith, watermark or not
     events = events.withColumn("ts", F.col("ts").cast("timestamp"))
@@ -133,7 +131,13 @@ def sessionize_stream(
             rows["ts"], rows["event_id"], rows["event_type"], rows["value"]
         ):
             ts_us = ts.value // 1000  # pandas ns → µs
-            if has_open and ts_us - last_us > gap_us:
+            # gap measured in TRUNCATED whole seconds, exactly the
+            # batch twin's timestampdiff(SECOND, ...) arithmetic — a
+            # µs-exact test here disagreed with the batch (and the
+            # oracle's floor(epoch)) for fractional near-boundary gaps
+            if has_open and (
+                ts_us // 1_000_000 - last_us // 1_000_000 > gap_seconds
+            ):
                 emit()
                 has_open = False
             if not has_open:
