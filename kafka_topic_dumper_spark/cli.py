@@ -163,6 +163,12 @@ def main(argv: list[str] | None = None) -> int:
         if not opts.records_parquet:
             log.error("generate needs --records-parquet (output path)")
             return 2
+        if opts.dry_run:
+            log.info(
+                "dry run — would generate %d messages across %d partitions at %s",
+                opts.num_messages, opts.partitions, opts.records_parquet,
+            )
+            return 0
         generate_archive(
             spark, opts.records_parquet, opts.topic, opts.num_messages, opts.partitions
         )
@@ -188,14 +194,25 @@ def main(argv: list[str] | None = None) -> int:
             log.error("ingest needs --input and --output")
             return 2
         reader = read_jsonl if opts.format == "jsonl" else read_csv
-        clean, bad = split_quarantine(reader(spark, opts.input))
-        clean.write.mode("overwrite").parquet(os.path.join(opts.output, "clean"))
-        n_bad = bad.count()
-        if n_bad:
-            bad.write.mode("overwrite").parquet(
-                os.path.join(opts.output, "quarantine")
-            )
-        log.info("ingested %d rows, quarantined %d", clean.count(), n_bad)
+        src = reader(spark, opts.input)
+        if opts.dry_run:
+            log.info("dry run — would ingest %s into %s", opts.input, opts.output)
+            return 0
+        # persist the parsed source: clean/bad writes plus both counts
+        # would otherwise re-read and re-parse the corpus four times
+        # (and could disagree if the input path mutates mid-run)
+        src = src.persist()
+        try:
+            clean, bad = split_quarantine(src)
+            clean.write.mode("overwrite").parquet(os.path.join(opts.output, "clean"))
+            n_bad = bad.count()
+            if n_bad:
+                bad.write.mode("overwrite").parquet(
+                    os.path.join(opts.output, "quarantine")
+                )
+            log.info("ingested %d rows, quarantined %d", clean.count(), n_bad)
+        finally:
+            src.unpersist()
         return 0
 
     if opts.action == "dump":
@@ -203,22 +220,27 @@ def main(argv: list[str] | None = None) -> int:
         if opts.records_parquet:
             archive = spark.read.parquet(opts.records_parquet)
             beginning, end = _archive_offsets(archive.filter(F.col("topic") == opts.topic))
+            if not end:
+                # same guard the reload path has: a typo'd topic must
+                # log-and-exit-2, not surface plan_tail_dump's
+                # ValueError as a raw traceback
+                log.error("topic %r has no records in the archive", opts.topic)
+                return 2
             plan = plan_tail_dump(opts.topic, beginning, end, opts.num_messages)
             records = dump_mod.apply_plan(archive, plan)
         else:
-            from kafka_topic_dumper_spark.sources import kafka as kafka_mod
-
             if not opts.bootstrap_servers:
                 log.error("need --bootstrap-servers or --records-parquet")
                 return 2
             # beginning/end offsets come from the source itself via
             # startingOffsets=earliest metadata; a production deploy
-            # fetches them with KafkaAdminClient. Simplest correct
-            # bounded read: plan from admin-provided offsets.
-            raise SystemExit(
+            # fetches them with KafkaAdminClient (sources/kafka.py has
+            # the bounded read; only the offset fetch is missing here).
+            log.error(
                 "live-Kafka dump requires the admin-client offset fetch; "
                 "not available in this environment"
             )
+            return 2
         log.info(
             "dump %s: %d messages planned (requested %d)",
             dump_id,
@@ -262,16 +284,29 @@ def main(argv: list[str] | None = None) -> int:
         )
         return 2
     if opts.reload_output:
+        sink_id = f"parquet:{opts.reload_output}"
+
         def sink(df):
             df.write.mode("append").parquet(opts.reload_output)
     elif opts.bootstrap_servers:
         from kafka_topic_dumper_spark.sources.kafka import write_kafka
+
+        sink_id = f"kafka:{opts.bootstrap_servers}/{opts.topic}"
 
         def sink(df):
             write_kafka(df, opts.bootstrap_servers, opts.topic)
     else:
         log.error("need --reload-output or --bootstrap-servers")
         return 2
+    if opts.dry_run:
+        # -x previously fell through and produced to the live sink —
+        # the one flag whose whole job is to prevent that
+        log.info(
+            "dry run — would reload dump %s of topic %r to %s "
+            "(transformer %s), then write a state record",
+            dump_id, opts.topic, sink_id, transformer.get_id(),
+        )
+        return 0
     result = reload_mod.reload_dump(
         spark,
         opts.output,
@@ -280,6 +315,7 @@ def main(argv: list[str] | None = None) -> int:
         opts.topic,
         end,
         sink,
+        sink_id=sink_id,
     )
     log.info("reload result: %s", result["action"])
     if opts.group:

@@ -59,7 +59,15 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
         try:
             df = spark.read.parquet(path)
             df.schema  # force analysis so a nanos footer fails here
-        except Exception:
+        except Exception as exc:
+            # ONLY the TIMESTAMP(NANOS) footer maps to the legacy-read
+            # retry; a missing/corrupt file must surface as itself, and
+            # must not flip the session-wide nanosAsLong conf as a side
+            # effect (code-review r6). The conf deliberately stays set
+            # after a genuine nanos retry: it only affects nanos
+            # columns, which this engine always wants read as longs.
+            if "NANOS" not in str(exc):
+                raise
             spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
             df = spark.read.parquet(path)
         ts_type = df.schema["ts"].dataType
@@ -77,7 +85,10 @@ def load_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             return df.withColumn(
                 "ts",
                 F.expr(
-                    "timestampadd(MICROSECOND, ts div 1000,"
+                    # floor-division form: bare `div` truncates toward
+                    # zero, shifting PRE-epoch nanos forward 1 µs
+                    "timestampadd(MICROSECOND,"
+                    " (ts - ((ts % 1000) + 1000) % 1000) div 1000,"
                     " TIMESTAMP_NTZ '1970-01-01 00:00:00')"
                 ),
             )

@@ -105,6 +105,7 @@ def dump_stream(
     max_records_per_file: int = 100,
     compression: str = "gzip",
     available_now: bool = True,
+    dump_id: str | None = None,
 ):
     """Streaming dump: exactly-once Kafka→Parquet.
 
@@ -114,11 +115,19 @@ def dump_stream(
     offset commits (kafka_client.py:158-166,174). Restart-safe: a
     crashed dump resumes from the checkpoint instead of re-reading.
     Returns the started StreamingQuery (caller awaits termination).
+
+    ``dump_id``: when given, files land under the catalog layout
+    ``<output_root>/dump_id=<id>/`` that find_latest_dump_id/read_dump
+    discover — pass it whenever the stream shares a root with batch
+    dumps (a bare ``output_root`` write is invisible to the catalog
+    and pollutes partition discovery; code-review r6). When None the
+    caller owns the layout (the tests' dedicated-directory mode).
     """
+    path = output_root if dump_id is None else dump_dir(output_root, dump_id)
     writer = (
         records.select("key", "value")
         .writeStream.format("parquet")
-        .option("path", output_root)
+        .option("path", path)
         .option("checkpointLocation", checkpoint_dir)
         .option("maxRecordsPerFile", max_records_per_file)
         .option("compression", compression)

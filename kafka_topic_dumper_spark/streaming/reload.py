@@ -25,6 +25,7 @@ parity-critical replays only.
 
 from __future__ import annotations
 
+import logging
 import os
 
 from pyspark.sql import DataFrame, SparkSession
@@ -33,6 +34,8 @@ from pyspark.sql import functions as F
 from kafka_topic_dumper_spark.streaming import state as state_mod
 from kafka_topic_dumper_spark.streaming.dump import dump_dir
 from kafka_topic_dumper_spark.transform import apply_transformer
+
+log = logging.getLogger(__name__)
 
 
 def find_latest_dump_id(spark: SparkSession, output_root: str) -> str:
@@ -53,6 +56,19 @@ def find_latest_dump_id(spark: SparkSession, output_root: str) -> str:
     ]
     if not dump_ids:
         raise FileNotFoundError(f"no dumps under {output_root!r}")
+    # reference parity: plain lexicographic max (kafka_client.py:275).
+    # That invariant assumes timestamp-shaped ids; a custom --prefix id
+    # sorts ABOVE every digit-leading timestamp and shadows newer dumps
+    # forever, so warn loudly when the namespace is mixed.
+    if any(d[:1].isdigit() for d in dump_ids) and any(
+        not d[:1].isdigit() for d in dump_ids
+    ):
+        log.warning(
+            "dump namespace mixes timestamped and prefixed ids %s — "
+            "lexicographic max() will prefer alphabetic prefixes over "
+            "NEWER timestamped dumps; pass an explicit dump id",
+            sorted(dump_ids),
+        )
     return max(dump_ids)
 
 
@@ -111,6 +127,7 @@ def reload_dump(
     sink,
     state_root: str | None = None,
     ordered: bool = False,
+    sink_id: str = "",
 ) -> dict:
     """Run the reload. ``sink`` is a callable ``(DataFrame) -> None``
     that produces the transformed (key, value) rows — Kafka in
@@ -127,13 +144,16 @@ def reload_dump(
     transformer_id = transformer.get_id()
 
     latest = state_mod.read_latest_state(spark, state_root)
-    if state_mod.state_matches(latest, topic_name, dump_id, transformer_id):
+    if state_mod.state_matches(
+        latest, topic_name, dump_id, transformer_id, sink_id
+    ):
         return {"action": "hot_reload_skip", "state": latest}
 
     # Snapshot end offsets BEFORE producing (kafka_client.py:378):
     # a subsequent hot reload must seek past what this replay writes.
     new_state = state_mod.gen_state(
-        dump_id, topic_name, current_end_offsets, transformer_id
+        dump_id, topic_name, current_end_offsets, transformer_id,
+        sink_id=sink_id,
     )
 
     records = read_dump(spark, output_root, dump_id)

@@ -33,6 +33,12 @@ STATE_SCHEMA = T.StructType(
         T.StructField("offsets", T.MapType(T.StringType(), T.LongType()), False),
         T.StructField("dump_date", T.LongType(), False),
         T.StructField("transformer_id", T.StringType(), False),
+        # sink identity (upgrade over the reference, whose sink is the
+        # one fixed topic at kafka_client.py:47): without it, reloading
+        # the same dump to a DIFFERENT destination hot-skips and the
+        # new target silently receives nothing. Nullable so manifests
+        # written before round 6 still parse (missing -> null -> "").
+        T.StructField("sink_id", T.StringType(), True),
     ]
 )
 
@@ -43,6 +49,7 @@ def gen_state(
     end_offsets: dict[int, int],
     transformer_id: str,
     dump_date: int | None = None,
+    sink_id: str = "",
 ) -> dict:
     """Build a state record. Like the reference's ``_gen_state``
     (kafka_client.py:300-319) this snapshots the CURRENT end offsets
@@ -54,6 +61,7 @@ def gen_state(
         "offsets": {str(p): int(o) for p, o in end_offsets.items()},
         "dump_date": int(time.time()) if dump_date is None else int(dump_date),
         "transformer_id": transformer_id,
+        "sink_id": sink_id,
     }
 
 
@@ -71,8 +79,17 @@ def read_latest_state(spark: SparkSession, state_root: str) -> dict | None:
     reference lacks. Returns None when no manifest exists yet."""
     try:
         df = spark.read.schema(STATE_SCHEMA).json(state_root)
-    except Exception:
-        return None
+        df.schema  # force analysis so a missing path surfaces here
+    except Exception as exc:
+        # ONLY the no-manifest-yet case maps to None. A transient
+        # storage/credential error must propagate: swallowing it made
+        # state_matches() return False and the caller re-produce the
+        # whole dump — the duplicate delivery the manifest exists to
+        # prevent (code-review r6).
+        msg = str(exc)
+        if "PATH_NOT_FOUND" in msg or "Path does not exist" in msg:
+            return None
+        raise
     rows = (
         df.orderBy(F.col("dump_date").desc(), F.col("dump_id").desc())
         .limit(1)
@@ -85,13 +102,20 @@ def read_latest_state(spark: SparkSession, state_root: str) -> dict | None:
 
 
 def state_matches(
-    state: dict | None, topic_name: str, dump_id: str, transformer_id: str
+    state: dict | None,
+    topic_name: str,
+    dump_id: str,
+    transformer_id: str,
+    sink_id: str = "",
 ) -> bool:
     """The hot-reload predicate P3 (kafka_client.py:349-358): a 4-way
-    conjunction — state exists and topic/dump/transformer all equal."""
+    conjunction — state exists and topic/dump/transformer all equal —
+    extended with sink identity (see STATE_SCHEMA) so a replay to a
+    NEW destination is never skipped on the strength of an old one."""
     return (
         state is not None
         and state.get("topic_name") == topic_name
         and state.get("dump_id") == dump_id
         and state.get("transformer_id") == transformer_id
+        and (state.get("sink_id") or "") == (sink_id or "")
     )

@@ -333,3 +333,54 @@ def test_pipeline_output_feeds_dedup_operators(spark, archive, tmp_path):
     # group structure instead of a blanket count
     assert groups.count() == replayed.select("value").distinct().count()
     assert groups.agg(F.sum("n_copies")).collect()[0][0] == 180
+
+
+def test_reload_sink_identity_breaks_hot_skip(spark, archive, tmp_path):
+    """A matching state record must NOT hot-skip a reload aimed at a
+    DIFFERENT destination — the new sink would silently receive
+    nothing (code-review r6). Same sink id still skips."""
+    out = str(tmp_path / "dumps")
+    sink_a = str(tmp_path / "sink_a")
+    sink_b = str(tmp_path / "sink_b")
+    beginning, end = _offsets(spark, archive)
+    plan = plan_tail_dump("test", beginning, end, 40)
+    records = dump_mod.apply_plan(spark.read.parquet(archive), plan)
+    dump_mod.dump_batch(records, out, "20260814000001", max_records_per_file=20)
+
+    def mk_sink(path):
+        def sink(df):
+            df.write.mode("append").parquet(path)
+
+        return sink
+
+    r1 = reload_mod.reload_dump(
+        spark, out, "20260814000001", Identity(), "test", end,
+        mk_sink(sink_a), sink_id=f"parquet:{sink_a}",
+    )
+    assert r1["action"] == "reloaded"
+    # same dump, same transformer, DIFFERENT sink: must reload
+    r2 = reload_mod.reload_dump(
+        spark, out, "20260814000001", Identity(), "test", end,
+        mk_sink(sink_b), sink_id=f"parquet:{sink_b}",
+    )
+    assert r2["action"] == "reloaded"
+    # the per-partition tail allocation may round above the request;
+    # both sinks must simply receive the identical replay
+    assert (
+        spark.read.parquet(sink_b).count()
+        == spark.read.parquet(sink_a).count()
+    )
+    # same sink again: hot skip
+    r3 = reload_mod.reload_dump(
+        spark, out, "20260814000001", Identity(), "test", end,
+        mk_sink(sink_b), sink_id=f"parquet:{sink_b}",
+    )
+    assert r3["action"] == "hot_reload_skip"
+
+
+def test_read_latest_state_propagates_non_missing_errors(spark, tmp_path):
+    """Only 'no manifest yet' maps to None; a malformed state_root that
+    raises something else must propagate, not masquerade as a cold
+    start and trigger duplicate replay."""
+    missing = str(tmp_path / "never_written")
+    assert state_mod.read_latest_state(spark, missing) is None
