@@ -76,8 +76,6 @@ def canonical_mapping(docs: DataFrame) -> DataFrame:
     One window over the md5 group key; the shuffle carries the 32-char
     digest, never the text."""
     norm = F.trim(F.regexp_replace(F.lower(F.col("text")), r"\s+", " "))
-    from pyspark.sql import Window
-
     w = Window.partitionBy("fp")
     return (
         docs.select("doc_id", F.md5(norm).alias("fp"))
@@ -191,8 +189,6 @@ def incremental_dedup(docs: DataFrame, batch_mod: int = INCR_BATCH_MOD) -> DataF
         .distinct()
         .withColumn("known", F.lit(1))
     )
-    from pyspark.sql import Window
-
     w = Window.partitionBy("fp")
     return (
         batch.withColumn("first_id", F.min("doc_id").over(w))
@@ -482,52 +478,20 @@ def banded_hamming_pairs(
 def simhash_near_pairs(
     docs: DataFrame, max_hamming: int = 4, portable: bool = True
 ) -> DataFrame:
-    """Near-dup pairs by SimHash: band the fingerprint into 4 equal
-    slices, bucket-join on any equal band (pigeonhole: hamming ≤ 3 ⇒
-    some band equal; wider hamming caught probabilistically), verify
-    with bit_count(xor)."""
+    """Near-dup pairs by SimHash: delegates to the generic
+    :func:`banded_hamming_pairs` core (4 equal bit bands, bucket-join
+    on any equal band — pigeonhole: hamming ≤ 3 ⇒ some band equal,
+    wider hamming caught probabilistically — verify with
+    bit_count(xor)). The same core serves perceptual-hash multimodal
+    dedup; it previously existed here as a line-for-line inline copy
+    (code-review r6)."""
     nbits = SIMHASH_BITS if portable else 64
-    band_bits = nbits // 4
-    mask = (1 << band_bits) - 1
-    fp = simhash_fingerprints(docs, portable=portable)
-    banded = fp.select(
-        "doc_id",
+    return banded_hamming_pairs(
+        simhash_fingerprints(docs, portable=portable),
         "simhash",
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.lit(i).alias("band"),
-                        F.shiftright(F.col("simhash"), i * band_bits)
-                        .bitwiseAND(F.lit(mask))
-                        .alias("band_key"),
-                    )
-                    for i in range(4)
-                ]
-            )
-        ).alias("bk"),
-    ).select(
-        "doc_id",
-        "simhash",
-        F.col("bk.band").alias("band"),
-        F.col("bk.band_key").alias("band_key"),
-    )
-    a = banded.alias("a")
-    b = banded.alias("b")
-    return (
-        a.join(
-            b,
-            (F.col("a.band") == F.col("b.band"))
-            & (F.col("a.band_key") == F.col("b.band_key"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .select(
-            F.col("a.doc_id").alias("doc_a"),
-            F.col("b.doc_id").alias("doc_b"),
-            F.expr("CAST(bit_count(a.simhash ^ b.simhash) AS INT)").alias("hamming"),
-        )
-        .distinct()
-        .filter(F.col("hamming") <= max_hamming)
+        nbits,
+        4,
+        max_hamming,
     )
 
 
@@ -756,9 +720,18 @@ def duplicate_spans(
     2. one hash-shuffle counts gram frequency (partial aggregation
        applies — map-side combine collapses within-task repeats);
        grams at ≥ min_count survive via a semi-join back;
-    3. adjacent duplicated window starts merge into maximal spans with
-       the gaps-and-islands window (pos − row_number per doc) — a
-       per-doc window, bounded by document length, never global.
+    3. ADJACENT duplicated window starts merge into spans with the
+       gaps-and-islands window (pos − row_number per doc) — a per-doc
+       window, bounded by document length, never global.
+
+    Span semantics, stated precisely: each output row is a maximal run
+    of CONSECUTIVE duplicated window starts. Duplicated windows whose
+    starts are non-adjacent but whose token ranges overlap (doc shares
+    tokens 1–16 with one peer and 3–18 with another, nobody matches
+    2–17) stay separate rows with overlapping ranges — consumers
+    summing span lengths must union ranges first. The Lee et al.
+    suffix-array formulation merges those; the starts-adjacency form
+    is what one shuffle buys, and the oracle/tests pin exactly it.
 
     At 100 TB: two shuffles (gram count, doc re-group), both carrying
     fixed-width rows; the Zipf head (one viral boilerplate gram) is a

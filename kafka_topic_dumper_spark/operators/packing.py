@@ -90,7 +90,7 @@ def pack_sequences(
     bases, acc = [], 0
     for row in sorted(totals, key=lambda r: r["bucket"]):
         bases.append((row["bucket"], acc))
-        acc += row["tot"]
+        acc += row["tot"] or 0  # sum() over an all-NULL-text bucket is NULL
     base_df = docs.sparkSession.createDataFrame(
         bases, "bucket bigint, base bigint"
     )
@@ -447,6 +447,7 @@ def epoch_shuffle(docs: DataFrame, n_epochs: int = 3) -> DataFrame:
     ).withColumn(
         "bucket", F.conv(F.substring("shuffle_key", 1, 2), 16, 10).cast("int")
     )
+    epochs = tracked_persist(epochs)
     counts = {
         (r.epoch, r.bucket): r.n
         for r in epochs.groupBy("epoch", "bucket")

@@ -30,9 +30,18 @@ SOURCE_COLUMNS = (
 
 
 def kafka_available(spark: SparkSession) -> bool:
-    """True when the spark-sql-kafka connector is on the classpath."""
+    """True when the spark-sql-kafka connector is on the classpath.
+
+    Must be an ACTUAL class-load: py4j attribute traversal on a missing
+    JVM class returns a JavaPackage object without raising, so the
+    previous ``spark._jvm.org...KafkaSourceProvider`` probe was
+    unconditionally True (verified by execution in a connector-less
+    container — code-review r6) and require_kafka() never produced its
+    actionable --packages message."""
     try:
-        spark._jvm.org.apache.spark.sql.kafka010.KafkaSourceProvider  # noqa: SLF001
+        spark._jvm.java.lang.Class.forName(  # noqa: SLF001
+            "org.apache.spark.sql.kafka010.KafkaSourceProvider"
+        )
         return True
     except Exception:
         return False
