@@ -41,18 +41,15 @@ from kafka_topic_dumper_spark.sources.tables import load_table
 
 
 def _ensure_arrow_batch(df: DataFrame, rows: int = 100000) -> None:
-    """Raise the Arrow batch size for payload operators — but ONLY when
-    the session still carries Spark's stock 10000 default. Arrow batch
-    size is session-scoped in Spark (there is no per-operator knob), so
-    an unconditional set here would silently change batching for every
-    other pandas-UDF operator in the session (e.g. a transformer
-    flat-map with multi-MB payloads wants SMALL batches). Sessions from
-    our factory already carry the documented 100k default
-    (session.py); externally-created sessions that configured their own
-    value are left alone."""
-    conf = df.sparkSession.conf
-    if conf.get("spark.sql.execution.arrow.maxRecordsPerBatch", "10000") == "10000":
-        conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", str(rows))
+    """Historical hook, now a no-op: the 100k Arrow batch size lives in
+    the session factory (session.py) where it belongs. The previous
+    runtime override ("only when the conf reads the stock 10000") was
+    indistinguishable from a session that EXPLICITLY set 10000 —
+    precisely the multi-MB-payload case that wants small batches — and
+    silently inflated its per-batch memory ~10x session-wide
+    (code-review r6). External sessions now simply run these operators
+    at whatever batch size they configured; only throughput, never
+    correctness, depends on it."""
 
 
 def binary_payloads(docs: DataFrame) -> DataFrame:
@@ -100,11 +97,9 @@ def decode_metadata(payloads: DataFrame) -> DataFrame:
     this path.
 
     Arrow batch size: the default 10k rows/batch makes per-batch Python
-    overhead dominate for cheap decoders (~9× slower at sf0.1). 100k
-    rows of (doc_id, payload) is still far below executor memory at
-    realistic payload sizes; a deployment with multi-MB payloads should
-    lower it. Runtime-settable, so it also works under an externally
-    created session.
+    overhead dominate for cheap decoders (~9× slower at sf0.1); the
+    engine's session factory sets 100k (session.py), and externally
+    created sessions run at whatever they configured.
     """
     _ensure_arrow_batch(payloads)
 
@@ -125,6 +120,9 @@ def decode_metadata(payloads: DataFrame) -> DataFrame:
         except ImportError:
             pass
         for pdf in batches:
+            # NULL payloads are ordinary in real binary columns — skip
+            # the row, never len(None)-crash the whole Arrow stage
+            pdf = pdf[pdf["payload"].notna()]
             n = pdf["payload"].map(len)
             yield _pd.DataFrame(
                 {
@@ -168,6 +166,7 @@ def sample_frames(payloads: DataFrame, stride_ms: int = 1000) -> DataFrame:
         # av/ffmpeg probe + frame grab. Kept arithmetic so the oracle
         # can replicate it exactly.
         for pdf in batches:
+            pdf = pdf[pdf["payload"].notna()]
             n = pdf["payload"].map(len)
             n_frames = (n % 5 + 1).astype("int64")
             doc_ids, idxs, offs, sizes = [], [], [], []
@@ -212,6 +211,7 @@ def resize_images(payloads: DataFrame, target: int = 224) -> DataFrame:
         import pandas as _pd
 
         for pdf in batches:
+            pdf = pdf[pdf["payload"].notna()]
             n = pdf["payload"].map(len)
             in_w = (n % 640 + 16).astype("int64")
             yield _pd.DataFrame(
@@ -247,6 +247,7 @@ def extract_features(payloads: DataFrame) -> DataFrame:
         import pandas as _pd
 
         for pdf in batches:
+            pdf = pdf[pdf["payload"].notna()]
             feats = []
             for payload in pdf["payload"]:
                 b = bytes(payload)
@@ -367,6 +368,7 @@ def resize_raw_images(
         import pandas as _pd
 
         for pdf in batches:
+            pdf = pdf[pdf["payload"].notna()]
             doc_ids, sums = [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
                 w, h, c = struct.unpack("<iii", payload[:12])

@@ -52,17 +52,18 @@ def clamped_start_offsets(
 ) -> DataFrame:
     """Per-partition ``greatest(beginning, end - displacement)`` — the
     reference's offset clamp (``kafka_client.py:152-153``) as one
-    partial-aggregatable groupBy."""
+    partial-aggregatable groupBy. ``end_offset`` is the EXCLUSIVE
+    log-end offset (max existing + 1), Kafka's convention and the
+    reference's: with an inclusive end the reported
+    ``available_messages`` undercounted the rows an inclusive-start
+    consumer actually replays by one (code-review r6)."""
+    end = F.max(offset_col) + F.lit(1)
+    start = F.greatest(F.min(offset_col), end - F.lit(displacement))
     return df.groupBy(part_col).agg(
         F.min(offset_col).alias("beginning_offset"),
-        F.max(offset_col).alias("end_offset"),
-        F.greatest(
-            F.min(offset_col), F.max(offset_col) - F.lit(displacement)
-        ).alias("start_offset"),
-        (
-            F.max(offset_col)
-            - F.greatest(F.min(offset_col), F.max(offset_col) - F.lit(displacement))
-        ).alias("available_messages"),
+        end.alias("end_offset"),
+        start.alias("start_offset"),
+        (end - start).alias("available_messages"),
     )
 
 
@@ -82,9 +83,15 @@ def salted_join(
     join). Use when AQE's skew-join split isn't available or the skew
     is in a single key beyond what splitting a partition fixes.
 
-    The salt on the big side hashes the row's monotonically-varying
-    columns via ``spark_partition_id + a per-row counter``-free route:
-    xxhash64 over all columns is enough spread and fully deterministic.
+    The big-side salt is derived from the ROW POSITION
+    (monotonically_increasing_id), not a content hash: a hot key whose
+    rows are byte-identical would all hash to ONE salt, putting the
+    whole hot partition back on a single reducer while still paying
+    the small-side replication (code-review r6). Position-derived
+    salts spread identical rows round-robin; the output row SET is
+    invariant to salt choice (each big row joins the one replicated
+    small copy with its salt), which is what the plain-join oracle
+    checks.
     """
     salt_small = small.crossJoin(
         F.broadcast(
@@ -94,7 +101,8 @@ def salted_join(
         )
     )
     salted_big = big.withColumn(
-        "_salt", F.pmod(F.xxhash64(*big.columns), F.lit(n_salts)).cast("int")
+        "_salt",
+        F.pmod(F.monotonically_increasing_id(), F.lit(n_salts)).cast("int"),
     )
     return (
         salted_big.join(

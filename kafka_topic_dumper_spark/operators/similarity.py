@@ -476,7 +476,13 @@ def ivf_codebook(emb: DataFrame, n_centroids: int = 16):
     deterministic ``vec_id < n_centroids`` sample (SQL-expressible for
     the oracle; pluggable for a k-means pass in production)."""
     crows = sorted(
-        _as_double_vec(emb.filter(F.col("vec_id") < n_centroids), "cid", "c").collect(),
+        _as_double_vec(
+            emb.filter(F.col("embedding").isNotNull()).filter(
+                F.col("vec_id") < n_centroids
+            ),
+            "cid",
+            "c",
+        ).collect(),
         key=lambda r: r.cid,
     )
     return (
@@ -519,13 +525,16 @@ def ivf_codebook_trained(
     import numpy as np
 
     sample = (
-        emb.select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
+        emb.filter(F.col("embedding").isNotNull())
+        .select("vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v"))
         .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")
         .limit(sample_cap)
         .collect()
     )
     X = np.asarray([r.v for r in sample], dtype=np.float64)
-    Xn = X / np.linalg.norm(X, axis=1, keepdims=True)
+    # zero vectors must not NaN-poison the spherical normalization
+    nrm0 = np.linalg.norm(X, axis=1, keepdims=True)
+    Xn = X / np.where(nrm0 == 0, 1.0, nrm0)
     C = Xn[:n_centroids].copy()
     for _ in range(iters):
         Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
@@ -622,7 +631,13 @@ def pq_codebook(emb: DataFrame, m: int = 16, ksub: int = 16):
     lists (metadata-sized: m × ksub × dim/m doubles). Pluggable for
     :func:`pq_codebook_trained` in production."""
     rows = sorted(
-        _as_double_vec(emb.filter(F.col("vec_id") < ksub), "cid", "c").collect(),
+        _as_double_vec(
+            emb.filter(F.col("embedding").isNotNull()).filter(
+                F.col("vec_id") < ksub
+            ),
+            "cid",
+            "c",
+        ).collect(),
         key=lambda r: r.cid,
     )
     dim = len(rows[0].c)
@@ -652,7 +667,8 @@ def pq_codebook_trained(
     import numpy as np
 
     sample = (
-        emb.select(
+        emb.filter(F.col("embedding").isNotNull())
+        .select(
             "vec_id", F.transform("embedding", lambda x: x.cast("double")).alias("v")
         )
         .orderBy(F.md5(F.col("vec_id").cast("string")), "vec_id")

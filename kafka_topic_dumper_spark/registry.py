@@ -185,9 +185,10 @@ def a3_a5_available_message_counts(spark: SparkSession, sf_dir: str) -> DataFram
     """
     SELECT user_id,
            min(event_id) AS beginning_offset,
-           max(event_id) AS end_offset,
-           greatest(min(event_id), max(event_id) - 100) AS start_offset,
-           max(event_id) - greatest(min(event_id), max(event_id) - 100)
+           max(event_id) + 1 AS end_offset,
+           greatest(min(event_id), max(event_id) + 1 - 100) AS start_offset,
+           max(event_id) + 1
+               - greatest(min(event_id), max(event_id) + 1 - 100)
                AS available_messages
     FROM events GROUP BY user_id
     """,

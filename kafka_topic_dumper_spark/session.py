@@ -32,10 +32,17 @@ def ensure_shipped(spark: SparkSession) -> None:
     On a cluster (or when the driver process didn't start in the repo
     root) that is not a given — ship the package as a zip via
     ``addPyFile`` once per session. Idempotent and cheap (the package
-    is a few tens of KB)."""
-    key = id(spark)
+    is a few tens of KB).
+
+    Idempotence keys on the Spark APPLICATION id, not ``id(spark)``:
+    CPython reuses object addresses after GC, so a restarted session at
+    a recycled address would silently skip shipping and every
+    by-reference UDF would die on executors with ModuleNotFoundError
+    (code-review r6)."""
+    key = spark.sparkContext.applicationId
     if key in _SHIPPED_SESSIONS:
         return
+    import atexit
     import tempfile
     import zipfile
 
@@ -51,6 +58,9 @@ def ensure_shipped(spark: SparkSession) -> None:
                     rel = os.path.join(pkg_name, os.path.relpath(full, pkg_dir))
                     zf.write(full, rel)
     spark.sparkContext.addPyFile(zip_path)
+    # the context holds its own copy after addPyFile; reclaim ours at
+    # interpreter exit (one leaked temp zip per shipped session before)
+    atexit.register(os.unlink, zip_path)
     _SHIPPED_SESSIONS.add(key)
 
 
