@@ -56,6 +56,13 @@ _VERIFY_PRIORITY = [
     "similarity_topk_ivfpq_stored",
     "streaming_merge_latest_state",
     "multimodal_resize_raw",
+    # --- (a') rows whose SEMANTICS changed in round 6 (oracle + impl
+    # in lockstep: exclusive log-end offsets; email-pass audit counts)
+    # — their r5 driver stamps describe the old semantics ---
+    "a4_offset_clamp",
+    "text_redact_pii",
+    "sessionize_events",
+    "join_salted_skew",
     # --- (b) last driver-stamped in round 2; their source files
     # changed in the r5 broadcast sweep (r5 verdict item 1) ---
     "multimodal_feature_stub",
