@@ -76,7 +76,6 @@ _VERIFY_PRIORITY = [
     "q6_forecast_revenue",
     "q19_disjunctive_predicates",
     "q2_cheapest_supplier",
-    "join_salted_skew",
     "q7_nation_volume_shipping",
     "q8_nation_market_share",
     "q9_product_profit",
@@ -101,7 +100,6 @@ _VERIFY_PRIORITY = [
     "text_quality_score",
     "text_token_stats",
     "text_source_profile",
-    "text_redact_pii",
     "text_token_doc_frequency",
     "text_repetition_quality",
     "text_lang_corpus_stats",
@@ -123,7 +121,6 @@ _VERIFY_PRIORITY = [
     "a1_latest_dump_id",
     "a2_argmax_latest_state",
     "a3_a5_available_message_counts",
-    "a4_offset_clamp",
     "o1_sorted_file_plan",
     "o2_tail_k_per_partition",
     "b1_chunk_plan",
@@ -138,7 +135,6 @@ _VERIFY_PRIORITY = [
     "join_full_outer_reconcile",
     "join_range_interval",
     "pivot_user_event_matrix",
-    "sessionize_events",
     "stats_numeric_profile",
     "stats_value_histogram",
     "timeseries_gap_fill",
