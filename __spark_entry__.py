@@ -56,6 +56,7 @@ _VERIFY_PRIORITY = [
     "similarity_topk_ivfpq_stored",
     "streaming_merge_latest_state",
     "multimodal_resize_raw",
+    "dedup_remove_spans",
     # --- (a') rows whose SEMANTICS changed in round 6 (oracle + impl
     # in lockstep: exclusive log-end offsets; email-pass audit counts)
     # — their r5 driver stamps describe the old semantics ---

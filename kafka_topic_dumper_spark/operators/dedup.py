@@ -810,6 +810,99 @@ def duplicate_spans_oracle_sql(gram_len: int = 16, min_count: int = 2) -> str:
     """
 
 
+def remove_duplicate_spans(
+    docs: DataFrame, gram_len: int = 16, min_count: int = 2
+) -> DataFrame:
+    """The ACTIONABLE half of substring dedup (Lee et al. cut the
+    duplicated text out; :func:`duplicate_spans` only reports it):
+    re-emit each document with every token covered by a duplicated
+    span removed. Output (doc_id, n_tokens_kept, cleaned_text), where
+    cleaned_text is the kept tokens in original order, space-joined —
+    i.e. in NORMALIZED token space (lowercased, whitespace collapsed),
+    the same space every dedup operator here works in.
+
+    Plan shape: spans come from :func:`duplicate_spans` (two compact
+    shuffles); coverage is an equi-join on doc_id with a range
+    predicate — per-doc span counts are small, so the per-row fan-out
+    is bounded — then one doc re-group whose aggregation buffer is the
+    document's own token list. Documents with no duplicated spans pass
+    through via the left anti-join side untouched."""
+    toks = docs.select(
+        "doc_id",
+        F.posexplode(F.expr(f"filter({_TOKENS}, t -> t != '')")).alias(
+            "pos0", "tok"
+        ),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
+    spans = duplicate_spans(docs, gram_len, min_count).select(
+        "doc_id", "span_start", "span_end"
+    )
+    covered = (
+        toks.join(spans, "doc_id")
+        .where(F.col("pos").between(F.col("span_start"), F.col("span_end")))
+        .select("doc_id", "pos")
+        .distinct()
+    )
+    kept = toks.join(covered, ["doc_id", "pos"], "left_anti")
+    return (
+        kept.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens_kept"),
+            F.array_join(
+                F.transform(
+                    F.sort_array(
+                        F.collect_list(F.struct(F.col("pos"), F.col("tok")))
+                    ),
+                    lambda s: s["tok"],
+                ),
+                " ",
+            ).alias("cleaned_text"),
+        )
+    )
+
+
+def remove_duplicate_spans_oracle_sql(
+    gram_len: int = 16, min_count: int = 2
+) -> str:
+    return f"""
+        WITH toks AS (
+            SELECT doc_id,
+                   list_filter(string_split_regex(lower(text), '\\s+'),
+                               t -> t != '') AS t
+            FROM documents
+        ), tok AS (
+            SELECT doc_id, unnest(t) AS tok,
+                   unnest(range(1, len(t) + 1)) AS pos
+            FROM toks
+        ), posd AS (
+            SELECT doc_id, t,
+                   unnest(range(1, len(t) - {gram_len} + 2)) AS gpos
+            FROM toks WHERE len(t) >= {gram_len}
+        ), grams AS (
+            SELECT doc_id, CAST(gpos AS INTEGER) AS gpos,
+                   md5(array_to_string(
+                       list_slice(t, gpos, gpos + {gram_len} - 1), ' ')) AS g
+            FROM posd
+        ), hot AS (
+            SELECT g FROM grams GROUP BY g HAVING count(*) >= {min_count}
+        ), dup AS (
+            SELECT doc_id, gpos FROM grams WHERE g IN (SELECT g FROM hot)
+        ), covered AS (
+            SELECT DISTINCT doc_id,
+                   unnest(range(gpos, gpos + {gram_len})) AS pos
+            FROM dup
+        ), kept AS (
+            SELECT tok.doc_id, tok.pos, tok.tok
+            FROM tok LEFT JOIN covered
+              ON covered.doc_id = tok.doc_id AND covered.pos = tok.pos
+            WHERE covered.pos IS NULL
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_tokens_kept,
+               string_agg(tok, ' ' ORDER BY pos) AS cleaned_text
+        FROM kept GROUP BY doc_id
+    """
+
+
 # --- registry entries -------------------------------------------------------
 
 
@@ -1163,6 +1256,13 @@ def register(reg) -> None:
         (Lee-et-al substring dedup via rolling-gram inverted index +
         gaps-and-islands merge)."""
         return duplicate_spans(load_table(spark, sf_dir, "documents"), 16, 2)
+
+    @reg("dedup_remove_spans", remove_duplicate_spans_oracle_sql(16, 2))
+    def dedup_remove_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The corpus with duplicated 16-token spans CUT OUT — the
+        transform Lee et al. apply; cleaned_text is in normalized token
+        space, fully-duplicated docs drop entirely."""
+        return remove_duplicate_spans(load_table(spark, sf_dir, "documents"), 16, 2)
 
     # SemDeDup keep-list: the oracle reproduces the identical coarse
     # assignment (argmax cosine over the 16 deterministic centroids,

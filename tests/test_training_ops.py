@@ -354,3 +354,41 @@ def test_resize_raw_images_bytes_match_python(spark):
         sx = (np.arange(16) * w) // 16
         resized = img[sy[:, None], sx[None, :], :]
         assert got[doc_id] == (16, 16, int(resized.astype(np.int64).sum()))
+
+
+def test_remove_duplicate_spans_matches_python(spark):
+    """Cleaned corpus == python recompute: tokens covered by any
+    duplicated L-gram window removed, order preserved, fully-covered
+    docs dropped."""
+    from collections import Counter
+
+    from kafka_topic_dumper_spark.operators.dedup import remove_duplicate_spans
+
+    L = 8
+    docs = load_table(spark, SF, "documents")
+    got = {
+        r.doc_id: (r.n_tokens_kept, r.cleaned_text)
+        for r in remove_duplicate_spans(docs, gram_len=L, min_count=2).collect()
+    }
+
+    toks = {
+        r.doc_id: [t for t in r.text.lower().split() if t]
+        for r in docs.collect()
+    }
+    counts = Counter()
+    for t in toks.values():
+        for i in range(len(t) - L + 1):
+            counts[" ".join(t[i : i + L])] += 1
+    want = {}
+    for d, t in toks.items():
+        covered = set()
+        for i in range(len(t) - L + 1):
+            if counts[" ".join(t[i : i + L])] >= 2:
+                covered.update(range(i, i + L))
+        kept = [tok for i, tok in enumerate(t) if i not in covered]
+        if kept:
+            want[d] = (len(kept), " ".join(kept))
+    assert got == want
+    assert any(
+        got[d][0] < len(toks[d]) for d in got
+    ), "some doc must actually lose tokens"
