@@ -90,6 +90,7 @@ HEADLINE_V4 = [
     "similarity_topk_ivfpq",
     "dedup_semantic",
     "dedup_duplicate_spans",
+    "dedup_remove_spans",
     "dedup_minhash_clusters",
     "chunk_documents_sliding",
     "epoch_shuffle_order",
