@@ -35,6 +35,10 @@ def entry(spark: SparkSession) -> DataFrame:
 # This is ordering only — coverage is always the full set.
 _VERIFY_PRIORITY = [
     # --- (a) NEW round-6 rows (never driver-stamped) ---
+    "text_bm25_topk",
+    "sample_domain_temperature",
+    "similarity_knn_graph",
+    "layout_zorder_events",
     "dedup_minhash_clusters",
     "streaming_lm_quality",
     "similarity_topk_ivf_trained",

@@ -1,0 +1,144 @@
+"""Multi-dimensional data layout — Z-order (Morton) clustering.
+
+The 100 TB problem this solves: a table queried by TWO selective
+dimensions at once (here events by ``user_id`` AND time) can be
+sort-clustered by only one of them; the other dimension's predicate
+then touches every file. Interleaving the bits of both dimensions into
+one Morton key and range-sorting the write by that key gives every
+file a TIGHT min/max envelope in BOTH dimensions, so parquet
+row-group/file skipping prunes 2-D range predicates — the same
+technique Delta/Iceberg expose as ``OPTIMIZE ZORDER BY``.
+
+Dimension normalization is load-bearing, not cosmetic: raw user ids
+(hundreds) and epoch hours (hundreds of thousands) occupy disjoint bit
+ranges, so interleaving RAW values puts every split boundary on the
+wide dimension and the narrow one never prunes (measured in
+tests/test_layout.py before this normalization existed). Each
+dimension is therefore min/max-scaled to the full 16-bit range with
+EXACT integer arithmetic — ``(x - min) * 65535 div (max - min)`` —
+the integer-division twin of the rank normalization Delta applies via
+range-partition ids.
+
+Spark-first shape: min/max are one tiny aggregate broadcast back with
+a cross join; the z-value itself is a pure integer expression (32
+straight-line bit terms — whole-stage codegen, no Python, no UDF); the
+clustered write is ``repartitionByRange(zval).sortWithinPartitions`` —
+Spark's native range exchange does the global clustering; nothing is
+collected. The pruning payoff is measured (not asserted by hope) in
+tests/test_layout.py against the same data written time-sorted.
+
+Reference basis: the reference clusters dump files by one dimension
+only — the offset-ordered file naming at kafka_client.py:242-243 —
+which is exactly the single-dimension layout this operator
+generalizes.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+Z_BITS = 16  # per-dimension bits → 32-bit Morton key
+_Z_MAX = (1 << Z_BITS) - 1
+
+
+def _interleave_terms(xexpr: str, yexpr: str, bits: int, spark: bool) -> str:
+    """The Morton key as a straight-line chain of ``2·bits`` terms.
+    Generated once per engine dialect from the same loop so the
+    arithmetic is identical; everything is exact integer math, so
+    cross-engine equality is trivial (no float anywhere)."""
+    terms = []
+    for i in range(bits):
+        if spark:
+            terms.append(f"shiftleft(shiftright({xexpr}, {i}) & 1, {2 * i})")
+            terms.append(f"shiftleft(shiftright({yexpr}, {i}) & 1, {2 * i + 1})")
+        else:
+            # every term fully parenthesized: DuckDB/Postgres give
+            # << and >> LOWER precedence than +, so an unwrapped
+            # "a<<j + b<<k" chain parses as cascading shifts of sums
+            terms.append(f"(((({xexpr}) >> {i}) & 1) << {2 * i})")
+            terms.append(f"(((({yexpr}) >> {i}) & 1) << {2 * i + 1})")
+    return "\n + ".join(terms)
+
+
+# Raw dimension expressions. yh = hours since epoch, integer on both
+# engines (events.ts is NTZ wall time; data is post-1970 so truncation
+# direction can't differ).
+_YH_SPARK = "timestampdiff(HOUR, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+_YH_DUCK = "CAST(floor(epoch(ts) / 3600) AS BIGINT)"
+
+# Exact-integer min/max scaling to the full 16-bit range; greatest(...,1)
+# guards the degenerate single-value dimension.
+_XN_SPARK = f"(((user_id - xmin) * {_Z_MAX}) div greatest(xmax - xmin, 1))"
+_YN_SPARK = f"(((yh - ymin) * {_Z_MAX}) div greatest(ymax - ymin, 1))"
+_XN_DUCK = f"(((user_id - xmin) * {_Z_MAX}) // greatest(xmax - xmin, 1))"
+_YN_DUCK = f"(((yh - ymin) * {_Z_MAX}) // greatest(ymax - ymin, 1))"
+
+
+def _with_zval(events: DataFrame) -> DataFrame:
+    """events + ``zval`` column (keeps all input columns)."""
+    z = _interleave_terms(_XN_SPARK, _YN_SPARK, Z_BITS, spark=True)
+    base = events.withColumn("yh", F.expr(f"CAST({_YH_SPARK} AS BIGINT)"))
+    bounds = base.agg(
+        F.min("user_id").alias("xmin"),
+        F.max("user_id").alias("xmax"),
+        F.min("yh").alias("ymin"),
+        F.max("yh").alias("ymax"),
+    )
+    return (
+        base.join(F.broadcast(bounds))
+        .withColumn("zval", F.expr(f"CAST({z} AS BIGINT)"))
+        .drop("yh", "xmin", "xmax", "ymin", "ymax")
+    )
+
+
+def zorder_key(events: DataFrame) -> DataFrame:
+    """(event_id, user_id, zval) — the normalized Morton key over
+    (user_id, event-hour). Pure JVM expressions; the only non-map step
+    is the 1-row min/max aggregate broadcast."""
+    return _with_zval(events).select("event_id", "user_id", "zval")
+
+
+def zorder_oracle_sql() -> str:
+    """DuckDB twin of :func:`zorder_key` over the events view."""
+    z = _interleave_terms(_XN_DUCK, _YN_DUCK, Z_BITS, spark=False)
+    return f"""
+        WITH base AS (
+            SELECT event_id, user_id, {_YH_DUCK} AS yh FROM events
+        ), bounds AS (
+            SELECT min(user_id) AS xmin, max(user_id) AS xmax,
+                   min(yh) AS ymin, max(yh) AS ymax
+            FROM base
+        )
+        SELECT event_id, user_id, CAST({z} AS BIGINT) AS zval
+        FROM base CROSS JOIN bounds
+        """
+
+
+def write_zordered(events: DataFrame, path: str, n_files: int = 16) -> None:
+    """Cluster the events table by the Morton key and write it:
+    ``repartitionByRange`` computes range boundaries by sampling (one
+    pass), giving ``n_files`` files whose z-ranges do not overlap;
+    ``sortWithinPartitions`` orders rows inside each file so row-group
+    min/max envelopes are tight too. The layout pass is one extra
+    range exchange over the table — paid once at write, repaid on
+    every 2-D range scan."""
+    (
+        _with_zval(events)
+        .repartitionByRange(n_files, "zval")
+        .sortWithinPartitions("zval")
+        .drop("zval")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
+def register(reg) -> None:
+    from kafka_topic_dumper_spark.sources.tables import load_table
+
+    @reg("layout_zorder_events", zorder_oracle_sql())
+    def layout_zorder_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Normalized Morton (Z-order) clustering key over
+        (user_id, event-hour) — integer-exact straight-line bit
+        interleave; basis of the 2-D-pruning write layout."""
+        return zorder_key(load_table(spark, sf_dir, "events"))

@@ -258,6 +258,104 @@ def sample_domain_mixture_oracle_sql(weights: dict[str, float] | None = None) ->
         """
 
 
+# Temperature sampling (mBERT/XLM-R style): sample sources with
+# probability ∝ tokens_s^alpha, alpha < 1 flattening the head so
+# low-resource domains are up-weighted relative to their natural share.
+_TEMP_QUANT = 1000  # sqrt(tokens) quantization → integer sums, no
+#                     order-dependent double accumulation across sources
+_TEMP_BETA = 0.5  # sampled-corpus token budget as a share of the corpus
+
+
+def temperature_sample(docs: DataFrame, beta: float = _TEMP_BETA) -> DataFrame:
+    """Temperature-scaled (alpha=0.5) domain sampling: target share of
+    source ``s`` is ``p_s = q_s / Q`` with ``q_s =
+    floor(sqrt(tokens_s)·1000)`` and ``Q = Σ q_s``; the kept-token
+    budget is ``beta·total_tokens``, so source ``s`` keeps
+    ``rate_s = min(1, beta·total·q_s / (Q·tokens_s))`` of its docs,
+    membership decided by the portable md5 id-hash (reproducible,
+    engine-independent). Unlike fixed-weight ``sample_domain_mixture``
+    the weights are DERIVED from the corpus itself — the standard
+    multilingual-pretraining recipe for up-weighting small domains.
+
+    Exactness design: per-source token totals are integer sums;
+    ``sqrt`` is correctly-rounded IEEE in every engine and its output
+    is floor-quantized to an integer BEFORE the cross-source sum, so no
+    double accumulation depends on aggregation order; the single rate
+    expression is written with identical association on both engines.
+
+    Plan shape at 100 TB: one tokenize pass (persisted projection
+    feeds totals + membership), per-source totals are a model-sized
+    aggregate broadcast back as a map-side filter — the corpus itself
+    never shuffles."""
+    tok = tracked_persist(
+        docs.select(
+            "doc_id",
+            "source",
+            F.expr(f"CAST(size({TOKENS_SQL}) AS BIGINT)").alias("n_tok"),
+        )
+    )
+    totals = tok.groupBy("source").agg(F.sum("n_tok").alias("toks_s"))
+    q = totals.withColumn(
+        "q_s",
+        F.floor(F.sqrt(F.col("toks_s").cast("double")) * _TEMP_QUANT).cast("bigint"),
+    )
+    corpus = q.agg(
+        F.sum("q_s").alias("qq"), F.sum("toks_s").alias("tot")
+    )
+    rate = (
+        f"least(1.0, {beta} * CAST(tot AS DOUBLE) * CAST(q_s AS DOUBLE)"
+        f" / (CAST(qq AS DOUBLE) * CAST(toks_s AS DOUBLE)))"
+    )
+    rates = q.join(F.broadcast(corpus)).select(
+        "source",
+        F.expr(f"CAST(floor(({rate}) * {_MIX_RES}) AS BIGINT)").alias("thr"),
+    )
+    return (
+        tok.join(F.broadcast(rates), "source")
+        .filter(
+            F.expr(f"{h32_spark_sql('CAST(doc_id AS STRING)')} % {_MIX_RES}")
+            < F.col("thr")
+        )
+        .select("doc_id", "source", "n_tok")
+    )
+
+
+def temperature_sample_oracle_sql(beta: float = _TEMP_BETA) -> str:
+    """DuckDB twin of :func:`temperature_sample` — identical integer
+    quantization, identical rate expression association, identical
+    portable-hash membership."""
+    from kafka_topic_dumper_spark.functions.portable_hash import h32_duckdb_sql
+
+    h = h32_duckdb_sql("CAST(doc_id AS VARCHAR)")
+    return rf"""
+        WITH tok AS (
+            SELECT doc_id, source,
+                   CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)
+                       AS n_tok
+            FROM documents
+        ), totals AS (
+            SELECT source, sum(n_tok) AS toks_s FROM tok GROUP BY source
+        ), q AS (
+            SELECT source, toks_s,
+                   CAST(floor(sqrt(CAST(toks_s AS DOUBLE)) * {_TEMP_QUANT})
+                        AS BIGINT) AS q_s
+            FROM totals
+        ), corpus AS (
+            SELECT sum(q_s) AS qq, sum(toks_s) AS tot FROM q
+        ), rates AS (
+            SELECT source,
+                   CAST(floor(least(1.0, {beta} * CAST(tot AS DOUBLE)
+                        * CAST(q_s AS DOUBLE)
+                        / (CAST(qq AS DOUBLE) * CAST(toks_s AS DOUBLE)))
+                        * {_MIX_RES}) AS BIGINT) AS thr
+            FROM q CROSS JOIN corpus
+        )
+        SELECT doc_id, tok.source AS source, n_tok
+        FROM tok JOIN rates ON tok.source = rates.source
+        WHERE ({h} % {_MIX_RES}) < thr
+        """
+
+
 def clean_dedup_pack(
     docs: DataFrame, lang: str = "en", seq_len: int = DEFAULT_SEQ_LEN, buckets: int = 32
 ) -> DataFrame:
@@ -550,6 +648,12 @@ def register(reg) -> None:
         """Deterministic token-weighted domain mixing over three
         sources (50/30/20 target)."""
         return sample_domain_mixture(load_table(spark, sf_dir, "documents"))
+
+    @reg("sample_domain_temperature", temperature_sample_oracle_sql())
+    def sample_domain_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Temperature-scaled (alpha=0.5) corpus-derived domain
+        sampling — up-weights low-resource sources."""
+        return temperature_sample(load_table(spark, sf_dir, "documents"))
 
     @reg("pipeline_quality_dedup_pack", quality_dedup_pack_oracle_sql(QUALITY_MAX_BITS, 512))
     def pipeline_quality_dedup_pack(spark: SparkSession, sf_dir: str) -> DataFrame:

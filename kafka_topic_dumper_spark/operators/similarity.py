@@ -425,6 +425,122 @@ def cosine_topk_lsh(
     )
 
 
+KNN_GRAPH_K = 5
+KNN_GRAPH_BITS = 8
+KNN_GRAPH_TABLES = 4
+
+
+def knn_graph(
+    emb: DataFrame,
+    k: int = KNN_GRAPH_K,
+    nbits: int = KNN_GRAPH_BITS,
+    n_tables: int = KNN_GRAPH_TABLES,
+    dim: int = 64,
+) -> DataFrame:
+    """Directed k-NN graph over the whole corpus — each vector's top-k
+    cosine neighbors among its sign-LSH bucket candidates. The building
+    block for graph-based corpus curation (SemDeDup-style cluster
+    pruning, connected-component dedup, diversity sampling) where the
+    query set IS the corpus.
+
+    Plan shape at 100 TB: the banded index is computed once per vector
+    (persisted — it feeds both sides of the candidate join; at scale it
+    is the stored (tbl,bucket)-partitioned index), candidates come from
+    the bucket equi-join (never the n² self-join), exact cosine ranks
+    only the candidates, and the per-source top-k is one window over
+    the src-keyed shuffle. Vectors with sparse buckets simply emit
+    fewer than k edges — the LSH recall/cost trade, measured in
+    tests/test_ann_recall.py for the same table family."""
+    from kafka_topic_dumper_spark.functions.caching import tracked_persist
+
+    base = _as_double_vec(emb, "vec_id", "v")
+    banded = tracked_persist(
+        lsh_banded(
+            emb.select("vec_id", "embedding"),
+            "vec_id",
+            "embedding",
+            dim,
+            nbits,
+            n_tables,
+        )
+    )
+    a = banded.alias("a")
+    b = banded.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.tbl") == F.col("b.tbl"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col("a.vec_id") != F.col("b.vec_id")),
+        )
+        .select(F.col("a.vec_id").alias("src"), F.col("b.vec_id").alias("nb"))
+        .distinct()
+    )
+    va = base.select(
+        F.col("vec_id").alias("src"), F.col("v").alias("va"), F.col("v_nrm").alias("na")
+    )
+    vb = base.select(
+        F.col("vec_id").alias("nb"), F.col("v").alias("vb"), F.col("v_nrm").alias("nb_nrm")
+    )
+    pairs = (
+        cand.join(va, "src")
+        .join(vb, "nb")
+        .withColumn(
+            "cos",
+            pair_dot_udf()(F.col("va"), F.col("vb"))
+            / (F.col("na") * F.col("nb_nrm")),
+        )
+    )
+    w = Window.partitionBy("src").orderBy(F.col("cos").desc(), F.col("nb"))
+    return (
+        pairs.withColumn("rank", F.row_number().over(w).cast("integer"))
+        .filter(F.col("rank") <= k)
+        .select(
+            F.col("src").alias("vec_id"),
+            F.col("nb").alias("neighbor_id"),
+            "rank",
+        )
+    )
+
+
+def knn_graph_oracle_sql(
+    k: int = KNN_GRAPH_K,
+    nbits: int = KNN_GRAPH_BITS,
+    n_tables: int = KNN_GRAPH_TABLES,
+) -> str:
+    """DuckDB twin of :func:`knn_graph` — identical hyperplanes,
+    identical candidate join, identical rank tie-break."""
+    banded = banded_union_sql("n", "vec_id", 64, nbits, n_tables)
+    return f"""
+        WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), n AS (
+            SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+            FROM v
+        ), banded AS (
+            {banded}
+        ), cand AS (
+            SELECT DISTINCT a.vec_id AS src, b.vec_id AS nb
+            FROM banded a JOIN banded b
+              ON a.tbl = b.tbl AND a.bucket = b.bucket
+             AND a.vec_id != b.vec_id
+        ), pairs AS (
+            SELECT c.src, c.nb,
+                   list_sum(list_transform(range(1, 65),
+                            i -> sa.v[i] * sb.v[i])) / (sa.nrm * sb.nrm) AS cos
+            FROM cand c
+            JOIN n sa ON sa.vec_id = c.src
+            JOIN n sb ON sb.vec_id = c.nb
+        )
+        SELECT src AS vec_id, nb AS neighbor_id,
+               CAST(row_number() OVER (PARTITION BY src
+                    ORDER BY cos DESC, nb) AS INTEGER) AS rank
+        FROM pairs
+        QUALIFY rank <= {k}
+        """
+
+
 def cell_ranks_udf(cids: list[int], cmat: list[list[float]], cnrm: list[float]):
     """Arrow-batched centroid ranking: for each vector, the centroid ids
     ordered by (cosine desc, cid asc). The centroid set is closed over
@@ -1006,6 +1122,12 @@ def register(reg) -> None:
         return cosine_topk_bruteforce(
             load_table(spark, sf_dir, "embeddings"), QUERY_IDS, 10
         )
+
+    @reg("similarity_knn_graph", knn_graph_oracle_sql())
+    def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Corpus-wide directed 5-NN graph via sign-LSH bucket
+        candidates (never the n² self-join)."""
+        return knn_graph(load_table(spark, sf_dir, "embeddings"))
 
     @reg(
         "embedding_quantize_int8",

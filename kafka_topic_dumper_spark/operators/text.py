@@ -8,7 +8,7 @@ one of them whole-stage-codegens and scales linearly with input splits.
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import Column, DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
 from kafka_topic_dumper_spark.functions.portable_hash import (
@@ -328,6 +328,135 @@ def mean_token_df(docs: DataFrame) -> DataFrame:
             "mean_token_df",
         )
     )
+
+
+# BM25 retrieval (Robertson/Sparck-Jones with the Lucene +1 idf floor)
+# — the lexical-retrieval primitive behind decontamination lookups and
+# quality-by-query corpus probes. Constants are the classic defaults.
+BM25_QUERY = ["spark", "join", "stream", "window"]
+BM25_K1 = 1.2
+BM25_B = 0.75
+
+
+def _bm25_contrib_sql() -> str:
+    """One query-term's BM25 contribution, written ONCE and used
+    verbatim by both engines so the float association is identical.
+    Expects columns tf, df, dl, n_docs, tot in scope; (1-b)=0.25 and
+    (k1+1)=2.2 are folded to literals both parsers read identically."""
+    return (
+        "ln(1.0 + (CAST(n_docs - df AS DOUBLE) + 0.5)"
+        " / (CAST(df AS DOUBLE) + 0.5))"
+        " * (CAST(tf AS DOUBLE) * 2.2)"
+        " / (CAST(tf AS DOUBLE) + 1.2 * (0.25 + 0.75"
+        " * (CAST(dl AS DOUBLE) / (CAST(tot AS DOUBLE)"
+        " / CAST(n_docs AS DOUBLE)))))"
+    )
+
+
+def bm25_topk(
+    docs: DataFrame, terms: list[str] | None = None, k: int = 20
+) -> DataFrame:
+    """Top-k documents by BM25 for a fixed query-term set.
+
+    Plan shape at 100 TB: the per-token explode never happens — the
+    token array is filtered to the query terms JVM-side FIRST, so the
+    exploded stream carries ≤ |terms| rows per document; term
+    frequencies aggregate with map-side combine on (doc_id, tok);
+    document frequencies and the corpus length stats are model-sized
+    broadcasts; the final top-k is TakeOrderedAndProject (no global
+    sort). The per-doc score sums term contributions in a FIXED
+    conditional-aggregation order (one column per query term), so the
+    result is reproducible under any shuffle layout and bit-comparable
+    across engines. Mirrors the reference's derive-then-apply scan
+    bookkeeping (kafka_client.py:149-176) as a retrieval primitive."""
+    terms = terms or BM25_QUERY
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    base = docs.select("doc_id", _tokens().alias("toks")).withColumn(
+        "dl", F.size("toks").cast("bigint")
+    )
+    corpus = base.agg(F.sum("dl").alias("tot"), F.count("*").alias("n_docs"))
+    matched = base.select(
+        "doc_id",
+        "dl",
+        F.explode(F.expr(f"filter(toks, x -> x IN ({in_list}))")).alias("tok"),
+    )
+    tf = matched.groupBy("doc_id", "tok").agg(
+        F.count("*").alias("tf"), F.min("dl").alias("dl")
+    )
+    df_t = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    contrib = (
+        tf.join(F.broadcast(df_t), "tok")
+        .join(F.broadcast(corpus))
+        .withColumn("contrib", F.expr(_bm25_contrib_sql()))
+    )
+    per_term = [
+        F.sum(F.when(F.col("tok") == t, F.col("contrib"))).alias(f"s{i}")
+        for i, t in enumerate(terms)
+    ]
+    perdoc = contrib.groupBy("doc_id").agg(
+        F.count("*").alias("n_hit_terms"), *per_term
+    )
+    score = F.coalesce(F.col("s0"), F.lit(0.0))
+    for i in range(1, len(terms)):
+        score = score + F.coalesce(F.col(f"s{i}"), F.lit(0.0))
+    topk = (
+        perdoc.withColumn("score", score)
+        .orderBy(F.col("score").desc(), "doc_id")
+        .limit(k)
+    )
+    w = Window.orderBy(F.col("score").desc(), "doc_id")
+    return topk.select(
+        "doc_id",
+        F.col("n_hit_terms").cast("bigint").alias("n_hit_terms"),
+        F.row_number().over(w).cast("integer").alias("rank"),
+        F.round("score", 4).alias("bm25"),
+    )
+
+
+def bm25_oracle_sql(terms: list[str] | None = None, k: int = 20) -> str:
+    """DuckDB twin of :func:`bm25_topk` — identical tokenizer, identical
+    contribution expression, identical fixed-order conditional sum."""
+    terms = terms or BM25_QUERY
+    in_list = ", ".join(f"'{t}'" for t in terms)
+    cases = " + ".join(
+        f"coalesce(sum(CASE WHEN tok = '{t}' THEN contrib END), 0.0)"
+        for t in terms
+    )
+    return rf"""
+        WITH t AS (
+            SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+            FROM documents
+        ), b AS (
+            SELECT doc_id, CAST(len(toks) AS BIGINT) AS dl, toks FROM t
+        ), corpus AS (
+            SELECT sum(dl) AS tot, count(*) AS n_docs FROM b
+        ), m AS (
+            SELECT doc_id, dl,
+                   unnest(list_filter(toks, x -> x IN ({in_list}))) AS tok
+            FROM b
+        ), tf AS (
+            SELECT doc_id, tok, count(*) AS tf, min(dl) AS dl
+            FROM m GROUP BY doc_id, tok
+        ), dft AS (
+            SELECT tok, count(*) AS df FROM tf GROUP BY tok
+        ), c AS (
+            SELECT tf.doc_id, tf.tok,
+                   {_bm25_contrib_sql()} AS contrib
+            FROM tf JOIN dft USING (tok) CROSS JOIN corpus
+        ), p AS (
+            SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
+                   {cases} AS score
+            FROM c GROUP BY doc_id
+        ), r AS (
+            SELECT doc_id, n_hit_terms, score FROM p
+            ORDER BY score DESC, doc_id LIMIT {k}
+        )
+        SELECT doc_id, n_hit_terms,
+               CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                    AS INTEGER) AS rank,
+               round(score, 4) AS bm25
+        FROM r
+        """
 
 
 def repetition_quality(docs: DataFrame) -> DataFrame:
@@ -753,6 +882,13 @@ def register(reg) -> None:
     def text_token_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Top-50 tokens by document frequency (stopword discovery)."""
         return token_doc_frequency(load_table(spark, sf_dir, "documents"))
+
+    @reg("text_bm25_topk", bm25_oracle_sql())
+    def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Top-20 documents by BM25 for a fixed 4-term query
+        (lexical-retrieval primitive; filter-before-explode,
+        broadcast df/corpus stats, TakeOrdered top-k)."""
+        return bm25_topk(load_table(spark, sf_dir, "documents"))
 
     @reg(
         "text_mean_token_df",

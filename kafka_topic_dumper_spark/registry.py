@@ -25,6 +25,7 @@ from pyspark.sql import functions as F
 from kafka_topic_dumper_spark.operators import (
     analytics,
     dedup,
+    layout,
     multimodal,
     packing,
     similarity,
@@ -570,7 +571,7 @@ def register_extensions() -> None:
 
     for mod in (
         dedup, similarity, text, multimodal, analytics, tpch_full, packing,
-        streaming_queries,
+        layout, streaming_queries,
     ):
         mod.register(_register)
 
