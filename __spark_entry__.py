@@ -39,6 +39,9 @@ _VERIFY_PRIORITY = [
     "sample_domain_temperature",
     "similarity_knn_graph",
     "layout_zorder_events",
+    "text_bpe_pair_counts",
+    "text_bpe_merges",
+    "text_quality_classifier",
     "dedup_minhash_clusters",
     "streaming_lm_quality",
     "similarity_topk_ivf_trained",

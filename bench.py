@@ -98,6 +98,20 @@ HEADLINE_V4 = [
 ]
 
 
+# v5 set: the round-6 second-wave additions (BM25 retrieval, hashed
+# linear quality classifier, BPE first-sweep pair counts, corpus kNN
+# graph, Z-order layout key, temperature-scaled sampling) — tracked
+# from round 6 on; baselines in BENCH_BASELINE.md.
+HEADLINE_V5 = [
+    "text_bm25_topk",
+    "text_quality_classifier",
+    "text_bpe_pair_counts",
+    "similarity_knn_graph",
+    "layout_zorder_events",
+    "sample_domain_temperature",
+]
+
+
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -166,6 +180,7 @@ def main() -> int:
     timings_v2 = time_set(HEADLINE_V2)
     timings_v3 = time_set(HEADLINE_V3)
     timings_v4 = time_set(HEADLINE_V4)
+    timings_v5 = time_set(HEADLINE_V5)
 
     # Build-vs-probe split for the stored-index rows (r6, per the r5
     # verdict): the stored queries now build their on-disk index ONCE
@@ -255,6 +270,8 @@ def main() -> int:
                 "value_v3": round(sum(timings_v3.values()), 3),
                 "queries_v4": timings_v4,
                 "value_v4": round(sum(timings_v4.values()), 3),
+                "queries_v5": timings_v5,
+                "value_v5": round(sum(timings_v5.values()), 3),
                 "n_runs": N_RUNS,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }

@@ -1,0 +1,173 @@
+"""Distributed BPE (byte-pair-encoding) vocabulary training.
+
+Tokenizer training is the first model-side step of an LLM data
+pipeline, and its heavy phase is corpus statistics: BPE learns merges
+from the frequency of adjacent symbol pairs over the corpus. The
+Spark-first decomposition:
+
+1. ONE corpus-scale pass: whitespace words → (word, freq). This is the
+   only shuffle that touches corpus-sized data; everything after runs
+   on the VOCABULARY (distinct words), which is sublinear in corpus
+   size (Heaps' law) and model-plane in the same sense as the
+   reference's offset bookkeeping (kafka_client.py:149-154).
+2. Per merge step: pair counts are a vocabulary-sized explode +
+   aggregate; the argmax pair is a 1-row driver fetch
+   (metadata-plane); the merge itself is a pure JVM ``aggregate`` HOF
+   fold over each word's symbol array — no Python in the row path.
+   The segmented vocabulary is persisted per step so step N+1 doesn't
+   recompute the whole lineage (N steps ⇒ O(N) passes, not O(N²)).
+
+Tie-break is total and deterministic: (count DESC, left ASC, right
+ASC) — the property tests replay the exact algorithm in pure Python.
+
+The first-sweep pair counts are ALSO exposed as an oracle-gated
+query (``text_bpe_pair_counts``): adjacent single-char pairs are
+plain ``substr(word, i, 2)`` substrings, identical in any SQL engine.
+The iterative learner (``text_bpe_merges``) is genuinely iterative —
+registered rows-only, verified instead by the pure-Python replay in
+tests/test_bpe.py.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from kafka_topic_dumper_spark.functions.caching import tracked_persist
+
+N_MERGES = 8
+TOP_PAIRS = 30
+
+
+def word_freqs(docs: DataFrame) -> DataFrame:
+    """(word, freq) over whitespace-lowercase tokens — the single
+    corpus-scale shuffle of BPE training (map-side combine applies)."""
+    return (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .groupBy("word")
+        .agg(F.count("*").alias("freq"))
+    )
+
+
+def pair_counts_first_sweep(docs: DataFrame, top: int = TOP_PAIRS) -> DataFrame:
+    """Top adjacent character-pair counts (BPE sweep 1). Pairs are
+    2-char substrings — no array machinery, identical cross-engine."""
+    words = word_freqs(docs)
+    pairs = words.select(
+        F.explode(
+            F.expr("transform(sequence(1, length(word) - 1), i -> substr(word, i, 2))")
+        ).alias("pair"),
+        "freq",
+    )
+    return (
+        pairs.groupBy("pair")
+        .agg(F.sum("freq").alias("pair_count"))
+        .orderBy(F.col("pair_count").desc(), "pair")
+        .limit(top)
+    )
+
+
+def pair_counts_oracle_sql(top: int = TOP_PAIRS) -> str:
+    """DuckDB twin of :func:`pair_counts_first_sweep`."""
+    return rf"""
+        WITH words AS (
+            SELECT word, count(*) AS freq FROM (
+                SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+                FROM documents
+            ) WHERE length(word) >= 2
+            GROUP BY word
+        ), pairs AS (
+            SELECT unnest(list_transform(range(1, length(word)),
+                          i -> substr(word, i, 2))) AS pair,
+                   freq
+            FROM words
+        )
+        SELECT pair, CAST(sum(freq) AS BIGINT) AS pair_count
+        FROM pairs GROUP BY pair
+        ORDER BY pair_count DESC, pair
+        LIMIT {top}
+        """
+
+
+def _merge_expr(left: str, right: str):
+    """JVM fold applying one merge (leftmost-first, the classic BPE
+    replacement order) to the ``syms`` array column."""
+    merged = F.lit(left + right)
+    return F.aggregate(
+        F.col("syms"),
+        F.array().cast("array<string>"),
+        lambda acc, x: F.when(
+            (F.size(acc) > 0)
+            & (F.element_at(acc, -1) == F.lit(left))
+            & (x == F.lit(right)),
+            F.concat(F.slice(acc, F.lit(1), F.size(acc) - 1), F.array(merged)),
+        ).otherwise(F.concat(acc, F.array(x))),
+    )
+
+
+def _step_pair_counts(seg: DataFrame) -> DataFrame:
+    return (
+        seg.filter(F.size("syms") >= 2)
+        .select(
+            F.explode(
+                F.expr(
+                    "transform(sequence(1, size(syms) - 1),"
+                    " i -> struct(element_at(syms, i) AS l,"
+                    " element_at(syms, i + 1) AS r))"
+                )
+            ).alias("p"),
+            "freq",
+        )
+        .select(F.col("p.l").alias("l"), F.col("p.r").alias("r"), "freq")
+        .groupBy("l", "r")
+        .agg(F.sum("freq").alias("pair_count"))
+    )
+
+
+def learn_bpe_merges(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
+    """The learned merge table (step, left, right, pair_count) after
+    ``n_merges`` BPE steps. Iterative by nature: each step's argmax
+    pair is a single-row driver fetch, each re-segmentation a
+    vocabulary-sized JVM fold (see module docstring for why the loop
+    never touches corpus-sized data after pass 1)."""
+    spark = docs.sparkSession
+    seg = tracked_persist(
+        word_freqs(docs).select(
+            F.expr("filter(split(word, ''), x -> x <> '')").alias("syms"), "freq"
+        )
+    )
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        top = (
+            _step_pair_counts(seg)
+            .orderBy(F.col("pair_count").desc(), "l", "r")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        l, r, cnt = top[0].l, top[0].r, top[0].pair_count
+        merges.append((step, l, r, cnt))
+        seg = tracked_persist(
+            seg.select(_merge_expr(l, r).alias("syms"), "freq")
+        )
+    return spark.createDataFrame(
+        merges, "step int, left string, right string, pair_count bigint"
+    )
+
+
+def register(reg) -> None:
+    from kafka_topic_dumper_spark.sources.tables import load_table
+
+    @reg("text_bpe_pair_counts", pair_counts_oracle_sql())
+    def text_bpe_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Top-30 adjacent character-pair counts over the word-frequency
+        table — BPE training sweep 1, oracle-exact."""
+        return pair_counts_first_sweep(load_table(spark, sf_dir, "documents"))
+
+    @reg("text_bpe_merges")  # iterative — rows-only; replayed in tests
+    def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """8 learned BPE merges (deterministic count/lexicographic
+        tie-break); pure-Python replay asserts exact equality."""
+        return learn_bpe_merges(load_table(spark, sf_dir, "documents"))

@@ -13,6 +13,7 @@ from pyspark.sql import functions as F
 
 from kafka_topic_dumper_spark.functions.portable_hash import (
     h32_duckdb_sql,
+    h32_py,
     h32_spark_sql,
     h60_duckdb_sql,
     h60_spark_sql,
@@ -380,8 +381,17 @@ def bm25_topk(
         "dl",
         F.explode(F.expr(f"filter(toks, x -> x IN ({in_list}))")).alias("tok"),
     )
-    tf = matched.groupBy("doc_id", "tok").agg(
-        F.count("*").alias("tf"), F.min("dl").alias("dl")
+    from kafka_topic_dumper_spark.functions.caching import tracked_persist
+
+    # persisted: tf feeds BOTH the document-frequency rollup and the
+    # scoring join, and Catalyst does not reuse the subtree — without
+    # this the corpus is tokenized three times (measured in the plan:
+    # 3 parquet scans → 2). tf is bounded by (docs containing a query
+    # term) × |terms|, far below corpus scale.
+    tf = tracked_persist(
+        matched.groupBy("doc_id", "tok").agg(
+            F.count("*").alias("tf"), F.min("dl").alias("dl")
+        )
     )
     df_t = tf.groupBy("tok").agg(F.count("*").alias("df"))
     contrib = (
@@ -456,6 +466,91 @@ def bm25_oracle_sql(terms: list[str] | None = None, k: int = 20) -> str:
                     AS INTEGER) AS rank,
                round(score, 4) AS bm25
         FROM r
+        """
+
+
+# fastText-style linear quality classifier over hashed bag-of-words.
+# The ARCHITECTURE is the point (hash tokens → fixed buckets → linear
+# logit → sigmoid, all JVM expressions, model broadcast as literals);
+# the weights here are a deterministic stand-in derived from the
+# portable hash — production swaps in trained weights, same plan.
+QC_BUCKETS = 64
+
+
+def _qc_weights() -> list[int]:
+    """Centi-logit integer weights in [-300, 300] per hash bucket —
+    derived once in Python from the portable hash and embedded as the
+    SAME literal table in both engines (exact by construction)."""
+    return [h32_py(f"qc-w-{j}") % 601 - 300 for j in range(QC_BUCKETS)]
+
+
+def quality_classifier(docs: DataFrame) -> DataFrame:
+    """Per-doc linear-classifier quality score: logit = mean of the
+    per-token bucket weights, prob = sigmoid(logit).
+
+    Exactness design: weights are INTEGERS, so the per-doc weight sum
+    is an exact BIGINT under any aggregation order; the keep decision
+    compares that integer against zero (sign(logit) ⇔ prob ≥ 0.5), so
+    membership never goes through a float; only the reported
+    probability touches transcendentals, rounded to 4 on both engines.
+
+    Plan shape at 100 TB: explode → hash → integer aggregate per doc —
+    one corpus shuffle on doc_id with map-side combine; the model is a
+    64-entry literal folded into codegen (a trained model of any real
+    size rides a broadcast join instead, same plan shape)."""
+    w = _qc_weights()
+    arr = "array(" + ", ".join(str(x) for x in w) + ")"
+    bucket = f"({h32_spark_sql('tok')} % {QC_BUCKETS})"
+    toks = docs.select("doc_id", F.explode(_tokens()).alias("tok"))
+    weighted = toks.select(
+        "doc_id", F.expr(f"element_at({arr}, CAST({bucket} AS INT) + 1)").alias("w")
+    )
+    return (
+        weighted.groupBy("doc_id")
+        .agg(
+            F.count("*").alias("n_tokens"),
+            F.sum("w").cast("bigint").alias("logit_centisum"),
+        )
+        .select(
+            "doc_id",
+            F.col("n_tokens").cast("bigint").alias("n_tokens"),
+            "logit_centisum",
+            F.round(
+                F.expr(
+                    "1.0 / (1.0 + exp(-(CAST(logit_centisum AS DOUBLE)"
+                    " / (CAST(n_tokens AS DOUBLE) * 100.0))))"
+                ),
+                4,
+            ).alias("prob"),
+            (F.col("logit_centisum") >= 0).alias("keep"),
+        )
+    )
+
+
+def quality_classifier_oracle_sql() -> str:
+    """DuckDB twin of :func:`quality_classifier` — same literal weight
+    table, same integer logit sum, same sigmoid expression."""
+    w = _qc_weights()
+    arr = "[" + ", ".join(str(x) for x in w) + "]"
+    h = h32_duckdb_sql("tok")
+    return rf"""
+        WITH toks AS (
+            SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
+            FROM documents
+        ), weighted AS (
+            SELECT doc_id, ({arr})[CAST(({h} % {QC_BUCKETS}) AS INT) + 1] AS w
+            FROM toks
+        ), agg AS (
+            SELECT doc_id,
+                   CAST(count(*) AS BIGINT) AS n_tokens,
+                   CAST(sum(w) AS BIGINT) AS logit_centisum
+            FROM weighted GROUP BY doc_id
+        )
+        SELECT doc_id, n_tokens, logit_centisum,
+               round(1.0 / (1.0 + exp(-(CAST(logit_centisum AS DOUBLE)
+                     / (CAST(n_tokens AS DOUBLE) * 100.0)))), 4) AS prob,
+               logit_centisum >= 0 AS keep
+        FROM agg
         """
 
 
@@ -882,6 +977,12 @@ def register(reg) -> None:
     def text_token_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Top-50 tokens by document frequency (stopword discovery)."""
         return token_doc_frequency(load_table(spark, sf_dir, "documents"))
+
+    @reg("text_quality_classifier", quality_classifier_oracle_sql())
+    def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Hashed-bag-of-words linear quality classifier (fastText-style
+        architecture; integer logits, sign-exact keep decision)."""
+        return quality_classifier(load_table(spark, sf_dir, "documents"))
 
     @reg("text_bm25_topk", bm25_oracle_sql())
     def text_bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:

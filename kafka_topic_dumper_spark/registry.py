@@ -24,6 +24,7 @@ from pyspark.sql import functions as F
 
 from kafka_topic_dumper_spark.operators import (
     analytics,
+    bpe,
     dedup,
     layout,
     multimodal,
@@ -571,7 +572,7 @@ def register_extensions() -> None:
 
     for mod in (
         dedup, similarity, text, multimodal, analytics, tpch_full, packing,
-        layout, streaming_queries,
+        layout, bpe, streaming_queries,
     ):
         mod.register(_register)
 
