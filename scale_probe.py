@@ -180,6 +180,37 @@ def probes(t: dict[str, DataFrame], r: int = 1):
     def epoch_order():
         return packing.epoch_shuffle(t["documents"], 3)
 
+    def knng():
+        # nbits SCALES with the corpus (8/11/14 at R=1/10/100 — +~3.3
+        # bits per decade keeps E[bucket size] constant), the same
+        # density discipline as semantic dedup's k=16·R. With FIXED
+        # 8-bit tables the R=100 run goes quadratic on INTER-cluster
+        # collisions (2000-member buckets → ~2G candidate pairs —
+        # measured 77 s at R=10 already, projected hours at R=100);
+        # the planted 100-member near-dup clusters still collide at
+        # any nbits and are the irreducible answer-shaped cost.
+        nbits = 8 + (6 if r >= 100 else 3 if r >= 10 else 0)
+        return similarity.knn_graph(t["embeddings"], nbits=nbits)
+
+    def bm25():
+        from kafka_topic_dumper_spark.operators import text
+
+        return text.bm25_topk(t["documents"])
+
+    def bpe_pairs():
+        # the BPE scaling claim on display: corpus R× up, the word
+        # VOCABULARY stays ~constant (replicas add only the "r<k>"
+        # suffix words), so the sweep cost should track the one
+        # corpus-scale word-count shuffle and nothing else
+        from kafka_topic_dumper_spark.operators import bpe as bpe_mod
+
+        return bpe_mod.pair_counts_first_sweep(t["documents"])
+
+    def zorder():
+        from kafka_topic_dumper_spark.operators import layout
+
+        return layout.zorder_key(t["events"])
+
     return {
         "q1_agg": q1_agg,
         "q3_join": q3_join,
@@ -197,6 +228,10 @@ def probes(t: dict[str, DataFrame], r: int = 1):
         "dedup_duplicate_spans": dup_spans,
         "chunk_documents": chunk,
         "epoch_shuffle": epoch_order,
+        "similarity_knn_graph": knng,
+        "text_bm25_topk": bm25,
+        "text_bpe_pair_counts": bpe_pairs,
+        "layout_zorder_events": zorder,
     }
 
 
