@@ -63,7 +63,9 @@ def pair_counts_first_sweep(docs: DataFrame, top: int = TOP_PAIRS) -> DataFrame:
     return (
         pairs.groupBy("pair")
         .agg(F.sum("freq").alias("pair_count"))
-        .orderBy(F.col("pair_count").desc(), "pair")
+        # UTF-8 binary tie-break: matches DuckDB's binary collation by
+        # code point where Spark's string order is UTF-16 code units
+        .orderBy(F.col("pair_count").desc(), F.encode("pair", "UTF-8"))
         .limit(top)
     )
 
@@ -141,7 +143,16 @@ def learn_bpe_merges(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
     for step in range(1, n_merges + 1):
         top = (
             _step_pair_counts(seg)
-            .orderBy(F.col("pair_count").desc(), "l", "r")
+            # tie-break on the UTF-8 binary, not the string: Spark
+            # compares strings by UTF-16 code unit while the Python
+            # replay and DuckDB compare by code point — they diverge
+            # for supplementary-plane symbols; unsigned byte order of
+            # UTF-8 equals code-point order in every engine
+            .orderBy(
+                F.col("pair_count").desc(),
+                F.encode("l", "UTF-8"),
+                F.encode("r", "UTF-8"),
+            )
             .limit(1)
             .collect()
         )
@@ -149,9 +160,14 @@ def learn_bpe_merges(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
             break
         l, r, cnt = top[0].l, top[0].r, top[0].pair_count
         merges.append((step, l, r, cnt))
+        prev = seg
         seg = tracked_persist(
             seg.select(_merge_expr(l, r).alias("syms"), "freq")
         )
+        # materialize the new segmentation, then drop the superseded
+        # one — bounds pinned copies at 2 instead of n_merges+1
+        seg.count()
+        prev.unpersist()
     return spark.createDataFrame(
         merges, "step int, left string, right string, pair_count bigint"
     )

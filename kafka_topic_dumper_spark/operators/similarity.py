@@ -453,7 +453,10 @@ def knn_graph(
     tests/test_ann_recall.py for the same table family."""
     from kafka_topic_dumper_spark.functions.caching import tracked_persist
 
-    base = _as_double_vec(emb, "vec_id", "v")
+    # persisted: the projected+normed vector table feeds BOTH join
+    # sides (va/vb) and Catalyst does not reuse the aliased subtrees —
+    # without this the corpus is scanned and norm-folded twice
+    base = tracked_persist(_as_double_vec(emb, "vec_id", "v"))
     banded = tracked_persist(
         lsh_banded(
             emb.select("vec_id", "embedding"),

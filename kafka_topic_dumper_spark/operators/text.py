@@ -371,7 +371,7 @@ def bm25_topk(
     across engines. Mirrors the reference's derive-then-apply scan
     bookkeeping (kafka_client.py:149-176) as a retrieval primitive."""
     terms = terms or BM25_QUERY
-    in_list = ", ".join(f"'{t}'" for t in terms)
+    in_list = ", ".join("'{}'".format(t.replace("'", "''")) for t in terms)
     base = docs.select("doc_id", _tokens().alias("toks")).withColumn(
         "dl", F.size("toks").cast("bigint")
     )
@@ -427,10 +427,11 @@ def bm25_oracle_sql(terms: list[str] | None = None, k: int = 20) -> str:
     """DuckDB twin of :func:`bm25_topk` — identical tokenizer, identical
     contribution expression, identical fixed-order conditional sum."""
     terms = terms or BM25_QUERY
-    in_list = ", ".join(f"'{t}'" for t in terms)
+    esc = [t.replace("'", "''") for t in terms]
+    in_list = ", ".join(f"'{t}'" for t in esc)
     cases = " + ".join(
         f"coalesce(sum(CASE WHEN tok = '{t}' THEN contrib END), 0.0)"
-        for t in terms
+        for t in esc
     )
     return rf"""
         WITH t AS (

@@ -132,7 +132,9 @@ def test_zorder_key_matches_reference_bit_interleave(spark):
     key on a sample (pure integer semantics, engine-independent)."""
     from kafka_topic_dumper_spark.operators.layout import zorder_key
 
-    events = load_table(spark, SF, "events").limit(64)
+    # deterministic subset: an unordered limit(64) may pick different
+    # rows on each of the two evaluations below (zorder_key + join)
+    events = load_table(spark, SF, "events").filter("event_id < 64")
     rows = zorder_key(events).join(events.select("event_id", "ts"), "event_id").collect()
     import calendar
 
