@@ -109,6 +109,7 @@ HEADLINE_V5 = [
     "similarity_knn_graph",
     "layout_zorder_events",
     "sample_domain_temperature",
+    "pipeline_tokenize_pack_ids",
 ]
 
 

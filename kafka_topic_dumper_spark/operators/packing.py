@@ -71,42 +71,11 @@ def pack_sequences(
     range (pure function of the row; see module docstring for why not
     repartitionByRange), so bucket k holds ids
     [min_id + k·width, min_id + (k+1)·width)."""
-    toks = tracked_persist(token_counts(docs))
-    lo, hi = toks.agg(F.min("doc_id"), F.max("doc_id")).first()
-    if lo is None:
-        return toks.select(
-            "doc_id",
-            F.lit(0).cast("bigint").alias("seq_id"),
-            F.lit(0).cast("bigint").alias("start_in_seq"),
-            F.lit(0).cast("bigint").alias("n_tok_in_seq"),
-        ).limit(0)
-    width = max(1, (hi - lo + buckets) // buckets)
-    bucketed = toks.withColumn(
-        "bucket", F.expr(f"(doc_id - {lo}) div {width}")
-    )
-    # phase 1+3: per-bucket totals -> exclusive prefix on the driver
-    # (one row per bucket — metadata-plane), broadcast back as bases
-    totals = bucketed.groupBy("bucket").agg(F.sum("n_tok").alias("tot")).collect()
-    bases, acc = [], 0
-    for row in sorted(totals, key=lambda r: r["bucket"]):
-        bases.append((row["bucket"], acc))
-        acc += row["tot"] or 0  # sum() over an all-NULL-text bucket is NULL
-    base_df = docs.sparkSession.createDataFrame(
-        bases, "bucket bigint, base bigint"
-    )
-    # phase 2: parallel local cumsums (exclusive), one window per bucket
-    w = (
-        Window.partitionBy("bucket")
-        .orderBy("doc_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    started = (
-        bucketed.withColumn(
-            "local_start", F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+    started = doc_start_offsets(docs, buckets)
+    if started is None:
+        return docs.sparkSession.createDataFrame(
+            [], "doc_id bigint, seq_id bigint, start_in_seq bigint, n_tok_in_seq bigint"
         )
-        .join(F.broadcast(base_df), "bucket")
-        .select("doc_id", "n_tok", (F.col("base") + F.col("local_start")).alias("s"))
-    )
     # chunk: doc occupying global tokens [s, s+n_tok) touches sequences
     # floor(s/L) .. floor((s+n_tok-1)/L)
     return (
@@ -134,6 +103,45 @@ def pack_sequences(
                 - F.greatest(F.col("s"), F.col("seq_id") * seq_len)
             ).alias("n_tok_in_seq"),
         )
+    )
+
+
+def doc_start_offsets(docs: DataFrame, buckets: int = 32) -> DataFrame | None:
+    """(doc_id, n_tok, s) — every document's global token start offset
+    in doc_id layout order, via the two-phase distributed prefix sum
+    (see module docstring). Returns None for an empty corpus. Shared by
+    :func:`pack_sequences` (doc→sequence slices) and
+    :func:`tokenize_pack_ids` (token→sequence cell placement)."""
+    toks = tracked_persist(token_counts(docs))
+    lo, hi = toks.agg(F.min("doc_id"), F.max("doc_id")).first()
+    if lo is None:
+        return None
+    width = max(1, (hi - lo + buckets) // buckets)
+    bucketed = toks.withColumn(
+        "bucket", F.expr(f"(doc_id - {lo}) div {width}")
+    )
+    # phase 1+3: per-bucket totals -> exclusive prefix on the driver
+    # (one row per bucket — metadata-plane), broadcast back as bases
+    totals = bucketed.groupBy("bucket").agg(F.sum("n_tok").alias("tot")).collect()
+    bases, acc = [], 0
+    for row in sorted(totals, key=lambda r: r["bucket"]):
+        bases.append((row["bucket"], acc))
+        acc += row["tot"] or 0  # sum() over an all-NULL-text bucket is NULL
+    base_df = docs.sparkSession.createDataFrame(
+        bases, "bucket bigint, base bigint"
+    )
+    # phase 2: parallel local cumsums (exclusive), one window per bucket
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy("doc_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        bucketed.withColumn(
+            "local_start", F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+        )
+        .join(F.broadcast(base_df), "bucket")
+        .select("doc_id", "n_tok", (F.col("base") + F.col("local_start")).alias("s"))
     )
 
 
@@ -255,6 +263,108 @@ def sample_domain_mixture_oracle_sql(weights: dict[str, float] | None = None) ->
         SELECT doc_id, tok.source AS source, n_tok
         FROM tok JOIN rates ON tok.source = rates.source
         WHERE ({h} % {_MIX_RES}) < thr
+        """
+
+
+VOCAB_SIZE = 1024
+
+
+def tokenize_pack_ids(
+    docs: DataFrame,
+    seq_len: int = 512,
+    buckets: int = 32,
+    vocab_size: int = VOCAB_SIZE,
+) -> DataFrame:
+    """The corpus→training-shards capstone: every TOKEN of every
+    document mapped to its (sequence, position, vocab-id) cell —
+    i.e. the materialized content of the packed training sequences,
+    ready to be written as fixed-length id shards.
+
+    Three model-plane/metadata-plane sub-steps around two corpus
+    passes:
+    1. vocabulary: top-``vocab_size`` tokens by total count, ids
+       1..V by (count DESC, UTF-8 token ASC) — TakeOrdered (parallel
+       partial top-k, no global sort), then a window over only the V
+       collected rows; everything else is OOV id 0 (the closed-vocab
+       ``unk`` convention);
+    2. placement: the same two-phase distributed prefix sum as
+       :func:`pack_sequences` yields each doc's global start offset
+       ``s``; token idx within the doc comes from ``posexplode``, so
+       cell = ((s+idx) div L, (s+idx) mod L) — exact int64;
+    3. lookup: the vocabulary is an explicit broadcast (bounded at
+       ``vocab_size`` rows by construction); the doc-offset join rides
+       the doc_id shuffle.
+    The corpus is scanned twice (vocab counts + placement) — scans
+    beat persisting a corpus-token-scale exploded stream."""
+    started = doc_start_offsets(docs, buckets)
+    if started is None:
+        return docs.sparkSession.createDataFrame(
+            [], "doc_id bigint, seq_id bigint, pos_in_seq bigint, token_id bigint"
+        )
+    counts = (
+        docs.select(F.explode(F.expr(TOKENS_SQL)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    order = [F.col("tf").desc(), F.encode("tok", "UTF-8")]
+    vocab = (
+        counts.orderBy(*order)
+        .limit(vocab_size)
+        .withColumn(
+            "token_id", F.row_number().over(Window.orderBy(*order)).cast("bigint")
+        )
+        .select("tok", "token_id")
+    )
+    placed = docs.select(
+        "doc_id", F.posexplode(F.expr(TOKENS_SQL)).alias("idx", "tok")
+    )
+    return (
+        placed.join(F.broadcast(vocab), "tok", "left")
+        .join(started.select("doc_id", "s"), "doc_id")
+        .select(
+            "doc_id",
+            F.expr(f"(s + idx) div {seq_len}").alias("seq_id"),
+            F.expr(f"(s + idx) % {seq_len}").alias("pos_in_seq"),
+            F.coalesce(F.col("token_id"), F.lit(0).cast("bigint")).alias("token_id"),
+        )
+    )
+
+
+def tokenize_pack_ids_oracle_sql(
+    seq_len: int = 512, vocab_size: int = VOCAB_SIZE
+) -> str:
+    """DuckDB twin — same vocabulary order (binary collation = UTF-8
+    byte order = the Spark side's encode()), same serial-window stand-in
+    for the prefix sum, same int64 cell arithmetic."""
+    return rf"""
+        WITH {pack_oracle_ctes(seq_len)}, counts AS (
+            SELECT tok, count(*) AS tf FROM (
+                SELECT unnest(string_split_regex(lower(text), '\s+')) AS tok
+                FROM documents
+            ) GROUP BY tok
+        ), vtop AS (
+            SELECT tok, tf FROM counts ORDER BY tf DESC, tok LIMIT {vocab_size}
+        ), vocab AS (
+            SELECT tok,
+                   CAST(row_number() OVER (ORDER BY tf DESC, tok) AS BIGINT)
+                       AS token_id
+            FROM vtop
+        ), placed AS (
+            SELECT doc_id, i - 1 AS idx, toks[i] AS tok FROM (
+                SELECT doc_id, toks,
+                       unnest(range(1, len(toks) + 1)) AS i
+                FROM (SELECT doc_id,
+                             string_split_regex(lower(text), '\s+') AS toks
+                      FROM documents)
+            )
+        )
+        SELECT p.doc_id,
+               CAST((c.s + p.idx) // {seq_len} AS BIGINT) AS seq_id,
+               CAST((c.s + p.idx) % {seq_len} AS BIGINT) AS pos_in_seq,
+               coalesce(v.token_id, 0) AS token_id
+        FROM placed p
+        JOIN c ON p.doc_id = c.doc_id
+        LEFT JOIN vocab v ON p.tok = v.tok
         """
 
 
@@ -648,6 +758,15 @@ def register(reg) -> None:
         """Deterministic token-weighted domain mixing over three
         sources (50/30/20 target)."""
         return sample_domain_mixture(load_table(spark, sf_dir, "documents"))
+
+    @reg("pipeline_tokenize_pack_ids", tokenize_pack_ids_oracle_sql())
+    def pipeline_tokenize_pack_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Corpus → packed training cells: every token's (sequence,
+        position, vocab-id) under a 1024-token closed vocabulary and
+        512-token sequences."""
+        return tokenize_pack_ids(
+            load_table(spark, sf_dir, "documents"), seq_len=512, buckets=8
+        )
 
     @reg("sample_domain_temperature", temperature_sample_oracle_sql())
     def sample_domain_temperature(spark: SparkSession, sf_dir: str) -> DataFrame:
