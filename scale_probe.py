@@ -211,6 +211,12 @@ def probes(t: dict[str, DataFrame], r: int = 1):
 
         return layout.zorder_key(t["events"])
 
+    def tok_pack():
+        # output is corpus-TOKEN-scale (one row per token) — the
+        # heaviest row-count of any probe; the vocab stays constant
+        # (replica suffixes), so the broadcast lookup never grows
+        return packing.tokenize_pack_ids(t["documents"], seq_len=512, buckets=32)
+
     return {
         "q1_agg": q1_agg,
         "q3_join": q3_join,
@@ -232,6 +238,7 @@ def probes(t: dict[str, DataFrame], r: int = 1):
         "text_bm25_topk": bm25,
         "text_bpe_pair_counts": bpe_pairs,
         "layout_zorder_events": zorder,
+        "pipeline_tokenize_pack_ids": tok_pack,
     }
 
 
