@@ -43,6 +43,7 @@ _VERIFY_PRIORITY = [
     "text_bpe_merges",
     "text_quality_classifier",
     "pipeline_tokenize_pack_ids",
+    "retrieval_hybrid_rrf",
     "dedup_minhash_clusters",
     "streaming_lm_quality",
     "similarity_topk_ivf_trained",

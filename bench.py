@@ -110,6 +110,7 @@ HEADLINE_V5 = [
     "layout_zorder_events",
     "sample_domain_temperature",
     "pipeline_tokenize_pack_ids",
+    "retrieval_hybrid_rrf",
 ]
 
 

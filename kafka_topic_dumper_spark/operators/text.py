@@ -423,9 +423,10 @@ def bm25_topk(
     )
 
 
-def bm25_oracle_sql(terms: list[str] | None = None, k: int = 20) -> str:
-    """DuckDB twin of :func:`bm25_topk` — identical tokenizer, identical
-    contribution expression, identical fixed-order conditional sum."""
+def bm25_oracle_ctes(terms: list[str] | None = None, k: int = 20) -> str:
+    """The BM25 computation as a CTE chain ending in
+    ``bm25r(doc_id, n_hit_terms, score, rank)`` — composable into
+    larger retrieval pipelines (hybrid RRF fusion reuses it)."""
     terms = terms or BM25_QUERY
     esc = [t.replace("'", "''") for t in terms]
     in_list = ", ".join(f"'{t}'" for t in esc)
@@ -433,8 +434,7 @@ def bm25_oracle_sql(terms: list[str] | None = None, k: int = 20) -> str:
         f"coalesce(sum(CASE WHEN tok = '{t}' THEN contrib END), 0.0)"
         for t in esc
     )
-    return rf"""
-        WITH t AS (
+    return rf"""t AS (
             SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
             FROM documents
         ), b AS (
@@ -458,15 +458,117 @@ def bm25_oracle_sql(terms: list[str] | None = None, k: int = 20) -> str:
             SELECT doc_id, CAST(count(*) AS BIGINT) AS n_hit_terms,
                    {cases} AS score
             FROM c GROUP BY doc_id
-        ), r AS (
-            SELECT doc_id, n_hit_terms, score FROM p
-            ORDER BY score DESC, doc_id LIMIT {k}
+        ), bm25r AS (
+            SELECT doc_id, n_hit_terms, score,
+                   CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+                        AS INTEGER) AS rank
+            FROM (SELECT doc_id, n_hit_terms, score FROM p
+                  ORDER BY score DESC, doc_id LIMIT {k})
+        )"""
+
+
+def bm25_oracle_sql(terms: list[str] | None = None, k: int = 20) -> str:
+    """DuckDB twin of :func:`bm25_topk` — identical tokenizer, identical
+    contribution expression, identical fixed-order conditional sum."""
+    return f"""
+        WITH {bm25_oracle_ctes(terms, k)}
+        SELECT doc_id, n_hit_terms, rank, round(score, 4) AS bm25
+        FROM bm25r
+        """
+
+
+# Hybrid retrieval: lexical BM25 ∪ embedding cosine, fused with
+# reciprocal-rank fusion (RRF, the rank-only combiner that needs no
+# score normalization — the standard first fusion baseline).
+RRF_K = 60  # the canonical RRF damping constant
+HYBRID_QUERY_VEC = 0  # embeddings row standing in for the query vector
+_RRF_EXPR = (
+    f"coalesce(1.0 / ({RRF_K} + CAST(lex_rank AS DOUBLE)), 0.0)"
+    f" + coalesce(1.0 / ({RRF_K} + CAST(sem_rank AS DOUBLE)), 0.0)"
+)
+
+
+def hybrid_rrf(
+    docs: DataFrame,
+    emb: DataFrame,
+    terms: list[str] | None = None,
+    k_each: int = 50,
+    k: int = 10,
+) -> DataFrame:
+    """Hybrid top-k: BM25 top-``k_each`` and exact-cosine
+    top-``k_each`` (query = embedding row ``HYBRID_QUERY_VEC``;
+    vec_id ≡ doc_id in the testdata), fused by RRF =
+    Σ 1/(60+rank) over the lists a document appears in.
+
+    Plan shape at 100 TB: both retrieval legs end in
+    TakeOrderedAndProject, so the fusion join runs over 2·k_each ROWS
+    — metadata-plane regardless of corpus size; ranks are integers so
+    every RRF score is one of a small exact-double set, identical in
+    any engine, and ties break on doc_id."""
+    from kafka_topic_dumper_spark.operators.similarity import (
+        cosine_topk_bruteforce,
+    )
+
+    lex = bm25_topk(docs, terms, k_each).select(
+        "doc_id", F.col("rank").alias("lex_rank")
+    )
+    sem = cosine_topk_bruteforce(emb, [HYBRID_QUERY_VEC], k_each).select(
+        F.col("neighbor_id").alias("doc_id"), F.col("rank").alias("sem_rank")
+    )
+    fused = lex.join(sem, "doc_id", "full_outer").withColumn(
+        "rrf", F.expr(_RRF_EXPR)
+    )
+    w = Window.orderBy(F.col("rrf").desc(), "doc_id")
+    return (
+        fused.orderBy(F.col("rrf").desc(), "doc_id")
+        .limit(k)
+        .select(
+            "doc_id",
+            "lex_rank",
+            "sem_rank",
+            F.row_number().over(w).cast("integer").alias("rank"),
+            F.round("rrf", 6).alias("rrf_score"),
         )
-        SELECT doc_id, n_hit_terms,
-               CAST(row_number() OVER (ORDER BY score DESC, doc_id)
+    )
+
+
+def hybrid_rrf_oracle_sql(
+    terms: list[str] | None = None, k_each: int = 50, k: int = 10
+) -> str:
+    """DuckDB twin of :func:`hybrid_rrf` — composes the BM25 CTE chain
+    with the exact-cosine leg and the identical RRF expression."""
+    return f"""
+        WITH {bm25_oracle_ctes(terms, k_each)}, v AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), n AS (
+            SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+            FROM v
+        ), sem0 AS (
+            SELECT b.vec_id AS doc_id,
+                   list_sum(list_transform(range(1, 65),
+                            i -> q.v[i] * b.v[i])) / (q.nrm * b.nrm) AS cos
+            FROM n q JOIN n b ON b.vec_id != q.vec_id
+            WHERE q.vec_id = {HYBRID_QUERY_VEC}
+        ), semr AS (
+            SELECT doc_id,
+                   CAST(row_number() OVER (ORDER BY cos DESC, doc_id)
+                        AS INTEGER) AS sem_rank
+            FROM (SELECT doc_id, cos FROM sem0
+                  ORDER BY cos DESC, doc_id LIMIT {k_each})
+        ), fused AS (
+            SELECT coalesce(l.doc_id, s.doc_id) AS doc_id,
+                   l.rank AS lex_rank, s.sem_rank,
+                   {_RRF_EXPR} AS rrf
+            FROM bm25r l FULL OUTER JOIN semr s ON l.doc_id = s.doc_id
+        ), top AS (
+            SELECT * FROM fused ORDER BY rrf DESC, doc_id LIMIT {k}
+        )
+        SELECT doc_id, lex_rank, sem_rank,
+               CAST(row_number() OVER (ORDER BY rrf DESC, doc_id)
                     AS INTEGER) AS rank,
-               round(score, 4) AS bm25
-        FROM r
+               round(rrf, 6) AS rrf_score
+        FROM top
         """
 
 
@@ -978,6 +1080,16 @@ def register(reg) -> None:
     def text_token_doc_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Top-50 tokens by document frequency (stopword discovery)."""
         return token_doc_frequency(load_table(spark, sf_dir, "documents"))
+
+    @reg("retrieval_hybrid_rrf", hybrid_rrf_oracle_sql())
+    def retrieval_hybrid_rrf(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Hybrid lexical+semantic top-10: BM25 ∪ exact-cosine lists
+        fused by reciprocal-rank fusion (rank-only, no score
+        normalization; fusion join runs over 2·50 rows)."""
+        return hybrid_rrf(
+            load_table(spark, sf_dir, "documents"),
+            load_table(spark, sf_dir, "embeddings"),
+        )
 
     @reg("text_quality_classifier", quality_classifier_oracle_sql())
     def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -150,3 +150,37 @@ def test_mixture_hits_target_proportions(spark):
         # hash sampling at ~25-doc sources: generous tolerance, the
         # exactness claim lives in the DuckDB oracle not in this bound
         assert abs(toks.get(s, 0) / total - w) < 0.2
+
+
+def test_tokenize_pack_ids_cell_invariants(spark):
+    """Structural invariants of the training-shard cells: exactly one
+    cell per corpus token, contiguous dense coverage (every sequence
+    but the last is full), ids within the closed vocab + unk."""
+    import re
+
+    from pyspark.sql import functions as F
+
+    from kafka_topic_dumper_spark.operators.packing import tokenize_pack_ids
+    from kafka_topic_dumper_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    L = 128
+    cells = tokenize_pack_ids(docs, seq_len=L, buckets=4).collect()
+
+    n_tokens = sum(
+        len(re.split(r"\s+", r.text.lower())) for r in docs.select("text").collect()
+    )
+    assert len(cells) == n_tokens
+    assert len({(c.seq_id, c.pos_in_seq) for c in cells}) == n_tokens
+    assert all(0 <= c.pos_in_seq < L for c in cells)
+    assert all(0 <= c.token_id <= 1024 for c in cells)
+    per_seq = {}
+    for c in cells:
+        per_seq[c.seq_id] = per_seq.get(c.seq_id, 0) + 1
+    last = max(per_seq)
+    assert set(per_seq) == set(range(last + 1))  # no gaps in seq ids
+    for sid, n in per_seq.items():
+        assert n == L or sid == last, (sid, n)
+    # some real vocabulary hits, and unk exists only if the corpus has
+    # more distinct tokens than the vocab (it doesn't at sf0.001)
+    assert any(c.token_id > 0 for c in cells)
