@@ -44,6 +44,7 @@ _VERIFY_PRIORITY = [
     "text_quality_classifier",
     "pipeline_tokenize_pack_ids",
     "retrieval_hybrid_rrf",
+    "similarity_mutual_knn_clusters",
     "dedup_minhash_clusters",
     "streaming_lm_quality",
     "similarity_topk_ivf_trained",

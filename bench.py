@@ -111,6 +111,7 @@ HEADLINE_V5 = [
     "sample_domain_temperature",
     "pipeline_tokenize_pack_ids",
     "retrieval_hybrid_rrf",
+    "similarity_mutual_knn_clusters",
 ]
 
 

@@ -506,16 +506,16 @@ def knn_graph(
     )
 
 
-def knn_graph_oracle_sql(
+def knn_oracle_ctes(
     k: int = KNN_GRAPH_K,
     nbits: int = KNN_GRAPH_BITS,
     n_tables: int = KNN_GRAPH_TABLES,
 ) -> str:
-    """DuckDB twin of :func:`knn_graph` — identical hyperplanes,
-    identical candidate join, identical rank tie-break."""
+    """The kNN-graph computation as a CTE chain ending in
+    ``knng(vec_id, neighbor_id, rank)`` — composable (mutual-kNN
+    clustering reuses it inside a recursive closure)."""
     banded = banded_union_sql("n", "vec_id", 64, nbits, n_tables)
-    return f"""
-        WITH v AS (
+    return f"""v AS (
             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
             FROM embeddings
         ), n AS (
@@ -535,12 +535,94 @@ def knn_graph_oracle_sql(
             FROM cand c
             JOIN n sa ON sa.vec_id = c.src
             JOIN n sb ON sb.vec_id = c.nb
+        ), knng AS (
+            SELECT src AS vec_id, nb AS neighbor_id, rank FROM (
+                SELECT src, nb,
+                       CAST(row_number() OVER (PARTITION BY src
+                            ORDER BY cos DESC, nb) AS INTEGER) AS rank
+                FROM pairs
+            ) WHERE rank <= {k}
+        )"""
+
+
+def knn_graph_oracle_sql(
+    k: int = KNN_GRAPH_K,
+    nbits: int = KNN_GRAPH_BITS,
+    n_tables: int = KNN_GRAPH_TABLES,
+) -> str:
+    """DuckDB twin of :func:`knn_graph` — identical hyperplanes,
+    identical candidate join, identical rank tie-break."""
+    return f"""
+        WITH {knn_oracle_ctes(k, nbits, n_tables)}
+        SELECT vec_id, neighbor_id, rank FROM knng
+        """
+
+
+# k for the CLUSTERING use of the graph: mutual 2-NN. At k=5 the
+# mutual graph percolates into one giant component on the testdata
+# (497/500 vectors — measured); k=2 yields real structure (193
+# clusters, max size 10). Percolation with k is intrinsic to
+# mutual-kNN, not an implementation artifact.
+MUTUAL_KNN_K = 2
+
+
+def mutual_knn_clusters(
+    emb: DataFrame,
+    k: int = MUTUAL_KNN_K,
+    nbits: int = KNN_GRAPH_BITS,
+    n_tables: int = KNN_GRAPH_TABLES,
+) -> DataFrame:
+    """Mutual-kNN clustering — every vector labeled by the connected
+    component of the MUTUAL kNN graph (edge kept iff each endpoint is
+    in the other's top-k). Mutuality is the classic density filter:
+    a hub vector's one-way edges into sparse regions disappear, so
+    clusters track genuine neighborhoods — the curation primitive
+    behind diversity pruning and cluster-balanced sampling.
+
+    Plan shape: the kNN graph is already ≤ k·n rows; mutuality is an
+    INTERSECT of the edge list with its own reversal (one
+    metadata-sized shuffle); components run the iterative min-label
+    propagation of operators/graph.py (lineage-checkpointed). Nothing
+    after the kNN stage touches vector payloads."""
+    from kafka_topic_dumper_spark.operators.graph import connected_components
+
+    g = knn_graph(emb, k, nbits, n_tables).select(
+        F.col("vec_id").alias("u"), F.col("neighbor_id").alias("w")
+    )
+    rev = g.select(F.col("w").alias("u"), F.col("u").alias("w"))
+    mutual = g.intersect(rev).filter(F.col("u") < F.col("w"))
+    comp = connected_components(mutual, "u", "w")
+    base = emb.select("vec_id")
+    return (
+        base.join(comp, base["vec_id"] == comp["node"], "left")
+        .select(
+            "vec_id",
+            F.coalesce("component_id", "vec_id").alias("cluster_id"),
         )
-        SELECT src AS vec_id, nb AS neighbor_id,
-               CAST(row_number() OVER (PARTITION BY src
-                    ORDER BY cos DESC, nb) AS INTEGER) AS rank
-        FROM pairs
-        QUALIFY rank <= {k}
+    )
+
+
+def mutual_knn_clusters_oracle_sql(
+    k: int = MUTUAL_KNN_K,
+    nbits: int = KNN_GRAPH_BITS,
+    n_tables: int = KNN_GRAPH_TABLES,
+) -> str:
+    """DuckDB twin — identical kNN chain, mutual filter, recursive
+    closure (same pattern as the dedup_cluster_components oracle)."""
+    return f"""
+        WITH RECURSIVE {knn_oracle_ctes(k, nbits, n_tables)}, mutual AS (
+            SELECT a.vec_id AS s, a.neighbor_id AS d
+            FROM knng a JOIN knng b
+              ON a.vec_id = b.neighbor_id AND a.neighbor_id = b.vec_id
+        ), reach(node, label) AS (
+            SELECT s, s FROM mutual
+            UNION
+            SELECT m.d, r.label FROM reach r JOIN mutual m ON m.s = r.node
+        ), comp AS (
+            SELECT node, min(label) AS cluster_id FROM reach GROUP BY node
+        )
+        SELECT em.vec_id, coalesce(c.cluster_id, em.vec_id) AS cluster_id
+        FROM embeddings em LEFT JOIN comp c ON c.node = em.vec_id
         """
 
 
@@ -1131,6 +1213,12 @@ def register(reg) -> None:
         """Corpus-wide directed 5-NN graph via sign-LSH bucket
         candidates (never the n² self-join)."""
         return knn_graph(load_table(spark, sf_dir, "embeddings"))
+
+    @reg("similarity_mutual_knn_clusters", mutual_knn_clusters_oracle_sql())
+    def similarity_mutual_knn_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Mutual-kNN connected-component clusters (the density-filtered
+        neighborhood clustering behind diversity pruning)."""
+        return mutual_knn_clusters(load_table(spark, sf_dir, "embeddings"))
 
     @reg(
         "embedding_quantize_int8",
