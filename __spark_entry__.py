@@ -45,6 +45,7 @@ _VERIFY_PRIORITY = [
     "pipeline_tokenize_pack_ids",
     "retrieval_hybrid_rrf",
     "similarity_mutual_knn_clusters",
+    "text_bpe_encode",
     "dedup_minhash_clusters",
     "streaming_lm_quality",
     "similarity_topk_ivf_trained",

@@ -173,6 +173,60 @@ def learn_bpe_merges(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
     )
 
 
+def apply_bpe(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Tokenize the corpus with a LEARNED merge list — the apply side
+    of BPE: every whitespace word segmented by replaying the merges in
+    learned order. Per-doc output (doc_id, n_words, n_pieces,
+    pieces_per_word rounded): the compression ratio a tokenizer run
+    actually reports.
+
+    Plan shape: segmentation is computed once per DISTINCT word (the
+    vocabulary — sublinear in corpus size), then joined back to the
+    corpus word stream; the merge replay is a chain of JVM folds over
+    the vocabulary only. The merge list itself is metadata (N rows
+    collected by the learner), closed over as literals — the same
+    derive-then-apply shape as the reference's offset plans
+    (kafka_client.py:149-176)."""
+    words = (
+        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
+        .filter(F.length("word") >= 2)
+        .distinct()
+        .select(
+            "word", F.expr("filter(split(word, ''), x -> x <> '')").alias("syms")
+        )
+    )
+    for left, right in merges:
+        words = words.withColumn("syms", _merge_expr(left, right))
+    seg = words.select("word", F.size("syms").alias("n_pieces_w"))
+    stream = docs.select(
+        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+    ).filter(F.length("word") >= 2)
+    return (
+        stream.join(seg, "word")
+        .groupBy("doc_id")
+        .agg(
+            F.count("*").cast("bigint").alias("n_words"),
+            F.sum("n_pieces_w").cast("bigint").alias("n_pieces"),
+        )
+        .withColumn(
+            "pieces_per_word",
+            F.round(F.col("n_pieces") / F.col("n_words"), 4),
+        )
+    )
+
+
+def train_and_encode(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
+    """Learn ``n_merges`` merges from the corpus, then encode the
+    corpus with them — the full tokenizer-train→apply cycle as one
+    call. Iterative (driver-held merge table) ⇒ registered rows-only;
+    the pure-Python replay in tests/test_bpe.py checks the composed
+    result exactly."""
+    learned = [
+        (r.left, r.right) for r in learn_bpe_merges(docs, n_merges).collect()
+    ]
+    return apply_bpe(docs, learned)
+
+
 def register(reg) -> None:
     from kafka_topic_dumper_spark.sources.tables import load_table
 
@@ -187,3 +241,10 @@ def register(reg) -> None:
         """8 learned BPE merges (deterministic count/lexicographic
         tie-break); pure-Python replay asserts exact equality."""
         return learn_bpe_merges(load_table(spark, sf_dir, "documents"))
+
+    @reg("text_bpe_encode")  # depends on learned state — rows-only
+    def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Train 8 merges, then encode the corpus with them: per-doc
+        piece counts and compression ratio (pure-Python replay in
+        tests/test_bpe.py checks the composed result exactly)."""
+        return train_and_encode(load_table(spark, sf_dir, "documents"))

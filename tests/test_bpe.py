@@ -76,3 +76,37 @@ def test_merge_fold_is_leftmost_greedy(spark):
     )
     got = [r.m for r in df.select(_merge_expr("a", "a").alias("m")).collect()]
     assert got == [["aa", "aa"], ["aa", "a"], ["b", "aa", "b"]]
+
+
+def test_encode_matches_python_replay(spark):
+    """Train→apply cycle: per-doc piece counts equal a pure-Python BPE
+    encode with the replayed merges."""
+    from kafka_topic_dumper_spark.operators.bpe import train_and_encode
+
+    docs = load_table(spark, SF, "documents")
+    wf = _corpus_word_freq(spark)
+    merges = [(l, r) for _, l, r, _ in _python_bpe(wf, 8)]
+
+    def encode_word(w: str) -> int:
+        syms = list(w)
+        for l, r in merges:
+            j, out = 0, []
+            while j < len(syms):
+                if j + 1 < len(syms) and syms[j] == l and syms[j + 1] == r:
+                    out.append(l + r)
+                    j += 2
+                else:
+                    out.append(syms[j])
+                    j += 1
+            syms = out
+        return len(syms)
+
+    piece_len = {w: encode_word(w) for w in wf}
+    want = {}
+    for row in load_table(spark, SF, "documents").select("doc_id", "text").collect():
+        ws = [w for w in re.split(r"\s+", row.text.lower()) if len(w) >= 2]
+        if ws:
+            want[row.doc_id] = (len(ws), sum(piece_len[w] for w in ws))
+
+    got = {r.doc_id: (r.n_words, r.n_pieces) for r in train_and_encode(docs).collect()}
+    assert got == want
