@@ -31,7 +31,7 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         prog="kafka-topic-dumper-spark",
         description="Dump Kafka topics to Parquet and reload them, on Spark.",
     )
-    p.add_argument("action", choices=["dump", "reload", "generate", "ingest"])
+    p.add_argument("action", choices=["dump", "reload", "generate", "ingest", "prep"])
     p.add_argument("-t", "--topic", default="test", help="topic name")
     p.add_argument(
         "-b", "--bootstrap-servers", default=None, help="Kafka bootstrap servers"
@@ -83,6 +83,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         choices=["jsonl", "csv"],
         default="jsonl",
         help="ingest: input format",
+    )
+    p.add_argument(
+        "--seq-len", type=int, default=512, help="prep: training sequence length"
+    )
+    p.add_argument(
+        "--vocab-size", type=int, default=1024, help="prep: closed vocabulary size"
     )
     return p.parse_args(argv)
 
@@ -213,6 +219,70 @@ def main(argv: list[str] | None = None) -> int:
             log.info("ingested %d rows, quarantined %d", clean.count(), n_bad)
         finally:
             src.unpersist()
+        return 0
+
+    if opts.action == "prep":
+        # the training-data prep statement end-to-end: quality filter →
+        # canonical dedup → tokenize/pack → fixed-shape shards + the
+        # vocabulary a loader needs. Each stage is the same operator
+        # exposed as a registry query; the CLI only composes and writes.
+        import os
+
+        from kafka_topic_dumper_spark.operators.dedup import canonical_mapping
+        from kafka_topic_dumper_spark.operators.packing import (
+            token_vocab,
+            tokenize_pack_ids,
+        )
+        from kafka_topic_dumper_spark.operators.text import quality_classifier
+        from kafka_topic_dumper_spark.sinks.shards import write_token_shards
+
+        if not opts.input or not opts.output:
+            log.error("prep needs --input (documents parquet) and --output")
+            return 2
+        if opts.dry_run:
+            log.info(
+                "dry run — would prep %s into %s (seq_len=%d, vocab=%d)",
+                opts.input, opts.output, opts.seq_len, opts.vocab_size,
+            )
+            return 0
+        docs = spark.read.parquet(opts.input)
+        kept = docs.join(
+            quality_classifier(docs).filter(F.col("keep")).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        )
+        # persist the filtered corpus: the dedup window, the vocab
+        # pass, and the placement pass all consume it
+        kept = kept.persist()
+        try:
+            survivors = kept.join(
+                canonical_mapping(kept)
+                .filter(F.col("is_dup") == 0)
+                .select("doc_id"),
+                "doc_id",
+                "left_semi",
+            )
+            vocab = token_vocab(survivors, opts.vocab_size)
+            vocab.write.mode("overwrite").parquet(
+                os.path.join(opts.output, "vocab")
+            )
+            vocab_back = spark.read.parquet(os.path.join(opts.output, "vocab"))
+            cells = tokenize_pack_ids(
+                survivors, seq_len=opts.seq_len, vocab=vocab_back
+            )
+            write_token_shards(
+                cells, os.path.join(opts.output, "shards"), opts.seq_len
+            )
+            n_seq = spark.read.parquet(
+                os.path.join(opts.output, "shards")
+            ).count()
+            log.info(
+                "prep: %d docs in, %d kept after quality+dedup, %d sequences "
+                "of %d tokens at %s",
+                docs.count(), survivors.count(), n_seq, opts.seq_len, opts.output,
+            )
+        finally:
+            kept.unpersist()
         return 0
 
     if opts.action == "dump":

@@ -8,11 +8,13 @@ DataFrame joins/aggregations — the same hash-partitioned equi-join
 Catalyst already optimizes, repeated until fixpoint. Each sweep moves
 every node's label one hop, so the iteration count is the graph
 DIAMETER, and near-dup graphs are unions of tiny quasi-cliques
-(diameter ≤ ~3): convergence in a handful of sweeps. For adversarial
-high-diameter graphs at 100 TB, swap the sweep body for the
+(diameter ≤ ~3): convergence in a handful of sweeps. Deeper graphs
+(mutual-kNN clusters chain) trigger the ADAPTIVE pointer-jumping
+shortcut inside the loop — path compression from sweep 4 on, the
+measured middle ground between plain propagation and a full
 large-star/small-star contraction (Kiveris et al., "Connected
-Components in MapReduce and Beyond", SoCC'14), which converges in
-O(log n) sweeps with the identical join-groupBy skeleton.
+Components in MapReduce and Beyond", SoCC'14), which remains the
+swap-in for adversarial O(log n) worst cases.
 
 Scale notes: every sweep is two shuffles (message join on the edge
 source, min-agg on the destination) over edge-count-sized data; each

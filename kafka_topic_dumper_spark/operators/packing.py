@@ -269,11 +269,34 @@ def sample_domain_mixture_oracle_sql(weights: dict[str, float] | None = None) ->
 VOCAB_SIZE = 1024
 
 
+def token_vocab(docs: DataFrame, vocab_size: int = VOCAB_SIZE) -> DataFrame:
+    """(tok, token_id) — the closed top-``vocab_size`` frequency
+    vocabulary, ids 1..V by (count DESC, UTF-8 token ASC). TakeOrdered
+    (parallel partial top-k), then a window over only the V collected
+    rows. Exposed separately so the prep CLI can persist the id→token
+    mapping a training loader needs."""
+    counts = (
+        docs.select(F.explode(F.expr(TOKENS_SQL)).alias("tok"))
+        .groupBy("tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    order = [F.col("tf").desc(), F.encode("tok", "UTF-8")]
+    return (
+        counts.orderBy(*order)
+        .limit(vocab_size)
+        .withColumn(
+            "token_id", F.row_number().over(Window.orderBy(*order)).cast("bigint")
+        )
+        .select("tok", "token_id")
+    )
+
+
 def tokenize_pack_ids(
     docs: DataFrame,
     seq_len: int = 512,
     buckets: int = 32,
     vocab_size: int = VOCAB_SIZE,
+    vocab: DataFrame | None = None,
 ) -> DataFrame:
     """The corpus→training-shards capstone: every TOKEN of every
     document mapped to its (sequence, position, vocab-id) cell —
@@ -301,20 +324,9 @@ def tokenize_pack_ids(
         return docs.sparkSession.createDataFrame(
             [], "doc_id bigint, seq_id bigint, pos_in_seq bigint, token_id bigint"
         )
-    counts = (
-        docs.select(F.explode(F.expr(TOKENS_SQL)).alias("tok"))
-        .groupBy("tok")
-        .agg(F.count("*").alias("tf"))
-    )
-    order = [F.col("tf").desc(), F.encode("tok", "UTF-8")]
-    vocab = (
-        counts.orderBy(*order)
-        .limit(vocab_size)
-        .withColumn(
-            "token_id", F.row_number().over(Window.orderBy(*order)).cast("bigint")
-        )
-        .select("tok", "token_id")
-    )
+    if vocab is None:
+        vocab = token_vocab(docs, vocab_size)
+    vocab = vocab.select("tok", "token_id")
     placed = docs.select(
         "doc_id", F.posexplode(F.expr(TOKENS_SQL)).alias("idx", "tok")
     )
