@@ -44,7 +44,8 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument(
         "--output",
         default=None,
-        help="dump root (file:// or s3a://); required for dump/reload",
+        help="output root (file:// or s3a://): dump/reload dump root; "
+        "ingest parquet+quarantine root; prep vocab+shards root",
     )
     p.add_argument(
         "-n", "--num-messages", type=int, default=300, help="tail-N to dump"
@@ -76,7 +77,9 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
         "--partitions", type=int, default=3, help="generate: topic partition count"
     )
     p.add_argument(
-        "--input", default=None, help="ingest: JSONL/CSV corpus path"
+        "--input",
+        default=None,
+        help="ingest: JSONL/CSV corpus path; prep: documents parquet path",
     )
     p.add_argument(
         "--format",
@@ -251,17 +254,17 @@ def main(argv: list[str] | None = None) -> int:
             "doc_id",
             "left_semi",
         )
-        # persist the filtered corpus: the dedup window, the vocab
-        # pass, and the placement pass all consume it
+        # persist BOTH stages: kept feeds the dedup window AND the
+        # survivor semi-join (classifier would run twice without it);
+        # survivors feeds the vocab pass, the placement pass, and the
+        # summary count (the dedup window would run three times)
         kept = kept.persist()
+        survivors = kept.join(
+            canonical_mapping(kept).filter(F.col("is_dup") == 0).select("doc_id"),
+            "doc_id",
+            "left_semi",
+        ).persist()
         try:
-            survivors = kept.join(
-                canonical_mapping(kept)
-                .filter(F.col("is_dup") == 0)
-                .select("doc_id"),
-                "doc_id",
-                "left_semi",
-            )
             vocab = token_vocab(survivors, opts.vocab_size)
             vocab.write.mode("overwrite").parquet(
                 os.path.join(opts.output, "vocab")
@@ -282,6 +285,7 @@ def main(argv: list[str] | None = None) -> int:
                 docs.count(), survivors.count(), n_seq, opts.seq_len, opts.output,
             )
         finally:
+            survivors.unpersist()
             kept.unpersist()
         return 0
 

@@ -39,15 +39,20 @@ N_MERGES = 8
 TOP_PAIRS = 30
 
 
+def word_stream(docs: DataFrame, *extra_cols: str) -> DataFrame:
+    """The BPE word derivation (lowercase whitespace tokens, length ≥ 2)
+    — ONE definition shared by training and application so the apply
+    side's inner join can never silently drop words a divergent copy
+    of the tokenizer produced."""
+    return docs.select(
+        *extra_cols, F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
+    ).filter(F.length("word") >= 2)
+
+
 def word_freqs(docs: DataFrame) -> DataFrame:
     """(word, freq) over whitespace-lowercase tokens — the single
     corpus-scale shuffle of BPE training (map-side combine applies)."""
-    return (
-        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
-        .filter(F.length("word") >= 2)
-        .groupBy("word")
-        .agg(F.count("*").alias("freq"))
-    )
+    return word_stream(docs).groupBy("word").agg(F.count("*").alias("freq"))
 
 
 def pair_counts_first_sweep(docs: DataFrame, top: int = TOP_PAIRS) -> DataFrame:
@@ -127,16 +132,17 @@ def _step_pair_counts(seg: DataFrame) -> DataFrame:
     )
 
 
-def learn_bpe_merges(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
-    """The learned merge table (step, left, right, pair_count) after
-    ``n_merges`` BPE steps. Iterative by nature: each step's argmax
-    pair is a single-row driver fetch, each re-segmentation a
-    vocabulary-sized JVM fold (see module docstring for why the loop
-    never touches corpus-sized data after pass 1)."""
-    spark = docs.sparkSession
+def _learn(
+    docs: DataFrame, n_merges: int
+) -> tuple[list[tuple[int, str, str, int]], DataFrame]:
+    """Run the merge loop; returns (merge list, FINAL segmentation
+    ``(word, syms, freq)`` — still persisted). The segmentation rides
+    along so the train→apply cycle never replays the folds."""
     seg = tracked_persist(
         word_freqs(docs).select(
-            F.expr("filter(split(word, ''), x -> x <> '')").alias("syms"), "freq"
+            "word",
+            F.expr("filter(split(word, ''), x -> x <> '')").alias("syms"),
+            "freq",
         )
     )
     merges: list[tuple[int, str, str, int]] = []
@@ -162,47 +168,39 @@ def learn_bpe_merges(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
         merges.append((step, l, r, cnt))
         prev = seg
         seg = tracked_persist(
-            seg.select(_merge_expr(l, r).alias("syms"), "freq")
+            seg.select("word", _merge_expr(l, r).alias("syms"), "freq")
         )
         # materialize the new segmentation, then drop the superseded
         # one — bounds pinned copies at 2 instead of n_merges+1
         seg.count()
         prev.unpersist()
-    return spark.createDataFrame(
+    return merges, seg
+
+
+def learn_bpe_merges(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
+    """The learned merge table (step, left, right, pair_count) after
+    ``n_merges`` BPE steps. Iterative by nature: each step's argmax
+    pair is a single-row driver fetch, each re-segmentation a
+    vocabulary-sized JVM fold (see module docstring for why the loop
+    never touches corpus-sized data after pass 1)."""
+    merges, _ = _learn(docs, n_merges)
+    return docs.sparkSession.createDataFrame(
         merges, "step int, left string, right string, pair_count bigint"
     )
 
 
-def apply_bpe(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
-    """Tokenize the corpus with a LEARNED merge list — the apply side
-    of BPE: every whitespace word segmented by replaying the merges in
-    learned order. Per-doc output (doc_id, n_words, n_pieces,
-    pieces_per_word rounded): the compression ratio a tokenizer run
-    actually reports.
-
-    Plan shape: segmentation is computed once per DISTINCT word (the
-    vocabulary — sublinear in corpus size), then joined back to the
-    corpus word stream; the merge replay is a chain of JVM folds over
-    the vocabulary only. The merge list itself is metadata (N rows
-    collected by the learner), closed over as literals — the same
-    derive-then-apply shape as the reference's offset plans
-    (kafka_client.py:149-176)."""
-    words = (
-        docs.select(F.explode(F.split(F.lower("text"), r"\s+")).alias("word"))
-        .filter(F.length("word") >= 2)
-        .distinct()
-        .select(
-            "word", F.expr("filter(split(word, ''), x -> x <> '')").alias("syms")
-        )
-    )
-    for left, right in merges:
-        words = words.withColumn("syms", _merge_expr(left, right))
-    seg = words.select("word", F.size("syms").alias("n_pieces_w"))
-    stream = docs.select(
-        "doc_id", F.explode(F.split(F.lower("text"), r"\s+")).alias("word")
-    ).filter(F.length("word") >= 2)
+def _encode_with_segmentation(docs: DataFrame, seg: DataFrame) -> DataFrame:
+    """Per-doc encode stats from a word→segmentation table: the
+    corpus word stream joins the vocabulary-sized ``seg`` on ``word``.
+    No broadcast hint — the distinct-word table is NOT bounded by
+    construction (repo policy: explicit broadcast only on bounded
+    relations); AQE broadcasts it when its runtime size fits and
+    falls back to a shuffle join when a 100 TB corpus's vocabulary
+    doesn't."""
+    sizes = seg.select("word", F.size("syms").alias("n_pieces_w"))
+    stream = word_stream(docs, "doc_id")
     return (
-        stream.join(seg, "word")
+        stream.join(sizes, "word")
         .groupBy("doc_id")
         .agg(
             F.count("*").cast("bigint").alias("n_words"),
@@ -215,16 +213,37 @@ def apply_bpe(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
     )
 
 
+def apply_bpe(docs: DataFrame, merges: list[tuple[str, str]]) -> DataFrame:
+    """Tokenize the corpus with an EXTERNALLY-provided merge list —
+    the apply side of BPE for a pre-trained tokenizer. Per-doc output
+    (doc_id, n_words, n_pieces, pieces_per_word): the compression
+    ratio a tokenizer run actually reports.
+
+    Plan shape: segmentation is computed once per DISTINCT word (the
+    vocabulary — sublinear in corpus size, Heaps' law), then joined
+    back to the corpus word stream; the merge replay is a chain of JVM
+    folds over the vocabulary only. The merge list itself is metadata,
+    closed over as literals — the same derive-then-apply shape as the
+    reference's offset plans (kafka_client.py:149-176)."""
+    words = word_freqs(docs).select(
+        "word", F.expr("filter(split(word, ''), x -> x <> '')").alias("syms")
+    )
+    for left, right in merges:
+        words = words.select("word", _merge_expr(left, right).alias("syms"))
+    return _encode_with_segmentation(docs, words)
+
+
 def train_and_encode(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
     """Learn ``n_merges`` merges from the corpus, then encode the
     corpus with them — the full tokenizer-train→apply cycle as one
-    call. Iterative (driver-held merge table) ⇒ registered rows-only;
-    the pure-Python replay in tests/test_bpe.py checks the composed
+    call. The learner's FINAL persisted segmentation is reused
+    directly, so the apply side replays nothing (review r6: the first
+    version re-segmented the whole vocabulary a second time).
+    Iterative (driver-held merge state) ⇒ registered rows-only; the
+    pure-Python replay in tests/test_bpe.py checks the composed
     result exactly."""
-    learned = [
-        (r.left, r.right) for r in learn_bpe_merges(docs, n_merges).collect()
-    ]
-    return apply_bpe(docs, learned)
+    _, seg = _learn(docs, n_merges)
+    return _encode_with_segmentation(docs, seg)
 
 
 def register(reg) -> None:

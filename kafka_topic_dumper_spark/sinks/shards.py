@@ -3,17 +3,21 @@ fixed-shape files a training data-loader consumes.
 
 The cells produced by ``operators/packing.py::tokenize_pack_ids`` are
 one row per token; a trainer wants one ROW PER SEQUENCE with a
-fixed-length ``array<bigint>`` of token ids, sharded into
-equally-sized files whose names encode their sequence range (so a
-loader can seek without listing every file — the same contract as the
-reference's zero-padded dump chunks, kafka_client.py:242-243).
+fixed-length ``array<bigint>`` of token ids, sharded into files that
+each hold a CONTIGUOUS, internally-sorted seq_id range (recoverable
+from parquet footer min/max stats — range-addressable like the
+reference's zero-padded dump chunks, kafka_client.py:242-243, though
+the range lives in the footer, not the file name).
 
 Assembly is one ``groupBy(seq_id)`` over the cell stream
 (map-side-combinable ``collect_list`` of (pos, id) structs, sorted
 in-group by position — array_sort on the struct is JVM-side), then a
 range-partitioned write so shard k holds a contiguous seq_id range.
-Short final sequences are padded to ``seq_len`` with ``pad_id`` so
-every row is fixed-shape.
+Short final sequences are padded to ``seq_len`` with ``PAD_ID`` so
+every row is fixed-shape. PAD_ID is -1, deliberately OUTSIDE the
+vocabulary id range (0 = OOV/unk, 1..V = vocab): a loader building an
+attention mask from ``token_ids != PAD_ID`` must never mask a real
+trailing unk token (``n_real`` also records the boundary exactly).
 """
 
 from __future__ import annotations
@@ -21,7 +25,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-PAD_ID = 0
+PAD_ID = -1
 
 
 def assemble_sequences(cells: DataFrame, seq_len: int) -> DataFrame:
