@@ -260,3 +260,49 @@ def test_connected_components_matches_union_find(spark):
         assert got == expected
 
     run()
+
+
+def test_tokenize_pack_ids_null_and_empty_text(spark, empty_docs):
+    """The capstone on degenerate corpora: NULL text contributes no
+    cells (explode of NULL is empty on both engines), an empty corpus
+    yields the empty schema, and non-null docs still pack densely."""
+    from kafka_topic_dumper_spark.operators.packing import tokenize_pack_ids
+
+    assert tokenize_pack_ids(empty_docs, seq_len=8, buckets=2).count() == 0
+
+    docs = spark.createDataFrame(
+        [
+            (1, None, "en", "s", 0),
+            (2, "a b c", "en", "s", 5),
+            (3, "", "en", "s", 0),  # split('') -> [''] : one empty token
+            (4, "d e", "en", "s", 3),
+        ],
+        schema=DOCS_SCHEMA,
+    )
+    cells = tokenize_pack_ids(docs, seq_len=4, buckets=2).collect()
+    by_doc = {}
+    for c in cells:
+        by_doc.setdefault(c.doc_id, []).append(c)
+    assert 1 not in by_doc  # NULL text: no cells
+    assert len(by_doc[2]) == 3 and len(by_doc[3]) == 1 and len(by_doc[4]) == 2
+    # dense global positions: 6 tokens -> seqs 0 (4 cells) and 1 (2)
+    per_seq = {}
+    for c in cells:
+        per_seq.setdefault(c.seq_id, set()).add(c.pos_in_seq)
+    assert per_seq == {0: {0, 1, 2, 3}, 1: {0, 1}}
+
+
+def test_bpe_merges_on_empty_and_tiny_corpus(spark, empty_docs, tiny_docs):
+    from kafka_topic_dumper_spark.operators.bpe import (
+        learn_bpe_merges,
+        train_and_encode,
+    )
+
+    assert learn_bpe_merges(empty_docs).count() == 0
+    assert train_and_encode(empty_docs).count() == 0
+    merges = learn_bpe_merges(tiny_docs).collect()
+    # "ab" and the words of "one two" supply at least one 2-char pair
+    assert len(merges) >= 1
+    enc = {r.doc_id: r for r in train_and_encode(tiny_docs).collect()}
+    assert 3 not in enc  # single-char doc has no length>=2 words
+    assert enc[1].n_words == 1
