@@ -297,3 +297,49 @@ def test_no_broadcast_hint_on_sf_proportional_sources():
         "scale-unsafe broadcast hint(s) on SF-proportional relations:\n"
         + "\n".join(offenders)
     )
+
+
+def test_bm25_takeordered_no_python_no_global_sort(spark):
+    plan = plan_of(spark, "text_bm25_topk")
+    # top-k must be TakeOrderedAndProject — a global Sort before the
+    # limit would serialize the corpus-sized score stream
+    assert "TakeOrderedAndProject" in plan
+    # entirely JVM expressions — no Python in the row path
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+    # df and corpus stats ride broadcasts, not shuffles, into scoring
+    assert count_in(plan, "BroadcastExchange") >= 2
+
+
+def test_zorder_key_is_map_stage_plus_bounds_broadcast(spark):
+    plan = plan_of(spark, "layout_zorder_events")
+    # the only join is the 1-row bounds broadcast (nested-loop — no key)
+    assert "BroadcastNestedLoopJoin" in plan
+    # no hash shuffle anywhere: the interleave is a pure projection
+    assert count_in(plan, "Exchange hashpartitioning") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_tokenize_pack_broadcasts_vocab_never_reshuffles_tokens(spark):
+    plan = plan_of(spark, "pipeline_tokenize_pack_ids")
+    # the vocab lookup joins the exploded token stream via broadcast —
+    # a shuffle join here would reshuffle every corpus token on `tok`
+    assert "BroadcastHashJoin" in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_quality_classifier_single_doc_shuffle(spark):
+    plan = plan_of(spark, "text_quality_classifier")
+    # explode → hash → one doc_id aggregation; the 64-entry weight
+    # table folds into the projection (no join at all)
+    assert count_in(plan, "Exchange hashpartitioning") == 1
+    assert "Join" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_temperature_sample_corpus_never_shuffles(spark):
+    plan = plan_of(spark, "sample_domain_temperature")
+    # membership is a map-side filter: the corpus-side stream joins
+    # the model-sized rate table via broadcast only; the only hash
+    # exchanges belong to the tiny totals aggregation
+    assert "BroadcastHashJoin" in plan
+    assert "SortMergeJoin" not in plan
