@@ -88,3 +88,65 @@ def split_quarantine(raw: DataFrame) -> tuple[DataFrame, DataFrame]:
     clean = raw.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
     bad = raw.filter(F.col(CORRUPT_COL).isNotNull()).select(F.col(CORRUPT_COL).alias("raw_line"))
     return clean, bad
+
+
+def read_jsonl_stream(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType = DOCUMENTS_SCHEMA,
+    max_files_per_trigger: int = 1,
+) -> DataFrame:
+    """Streaming twin of :func:`read_jsonl`: a file-source stream over
+    a landing directory — the continuous-ingestion front door. Same
+    explicit schema, same PERMISSIVE corrupt-record capture; new files
+    dropped into ``path`` become micro-batches."""
+    return (
+        spark.readStream.schema(_with_corrupt(schema))
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", CORRUPT_COL)
+        .option("maxFilesPerTrigger", str(max_files_per_trigger))
+        .json(path)
+    )
+
+
+def ingest_stream(
+    spark: SparkSession,
+    in_path: str,
+    out_root: str,
+    checkpoint: str,
+    schema: T.StructType = DOCUMENTS_SCHEMA,
+    available_now: bool = True,
+):
+    """Continuous quarantining ingest: stream the landing directory,
+    split every micro-batch into clean rows and corrupt raw lines, and
+    write both — no line silently lost, same audit contract as the
+    batch path.
+
+    Exactly-once story: each side writes to a PER-BATCH directory
+    (``ingest_batch=<id>``) with mode=overwrite, so a batch retried
+    after a crash overwrites its own partial output instead of
+    appending duplicates — the same idempotent dynamic-overwrite
+    pattern as the streaming MERGE maintenance row
+    (streaming/queries.py). Readers see the union via
+    ``spark.read.parquet(out_root + "/clean")``."""
+    import os
+
+    def write_batch(batch_df: DataFrame, batch_id: int) -> None:
+        clean, bad = split_quarantine(batch_df)
+        clean.write.mode("overwrite").parquet(
+            os.path.join(out_root, "clean", f"ingest_batch={batch_id}")
+        )
+        n_bad = bad.count()
+        if n_bad:
+            bad.write.mode("overwrite").parquet(
+                os.path.join(out_root, "quarantine", f"ingest_batch={batch_id}")
+            )
+
+    stream = read_jsonl_stream(spark, in_path, schema)
+    writer = (
+        stream.writeStream.foreachBatch(write_batch)
+        .option("checkpointLocation", checkpoint)
+    )
+    if available_now:
+        writer = writer.trigger(availableNow=True)
+    return writer.start()

@@ -81,3 +81,43 @@ def test_csv_roundtrip_and_quarantine(spark, tmp_path):
     a = sorted(map(tuple, clean.collect()))
     b = sorted(map(tuple, docs.collect()))
     assert a == b
+
+
+def test_streaming_ingest_quarantine_and_idempotent_restart(spark, tmp_path):
+    """Streaming twin: files land → micro-batches split clean vs
+    quarantine into per-batch dirs; a restart from the same checkpoint
+    reprocesses nothing."""
+    import json as jsonlib
+
+    from kafka_topic_dumper_spark.sources.ingest import ingest_stream
+
+    land = tmp_path / "landing"
+    land.mkdir()
+    rows = [
+        {"doc_id": i, "text": f"doc {i}", "lang": "en", "source": "s", "n_chars": 5}
+        for i in range(6)
+    ]
+    (land / "a.jsonl").write_text(
+        "\n".join(jsonlib.dumps(r) for r in rows[:3]) + "\n{not json\n"
+    )
+    (land / "b.jsonl").write_text("\n".join(jsonlib.dumps(r) for r in rows[3:]))
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    q = ingest_stream(spark, str(land), out, ckpt)
+    q.awaitTermination(120)
+
+    clean = spark.read.parquet(out + "/clean")
+    assert sorted(r.doc_id for r in clean.collect()) == list(range(6))
+    bad = spark.read.parquet(out + "/quarantine")
+    assert bad.count() == 1 and "{not json" in bad.collect()[0].raw_line
+    # maxFilesPerTrigger=1 → one batch per file → per-batch dirs
+    import glob
+
+    assert len(glob.glob(out + "/clean/ingest_batch=*")) >= 2
+
+    # restart: same checkpoint, no new files → nothing reprocessed
+    q2 = ingest_stream(spark, str(land), out, ckpt)
+    q2.awaitTermination(120)
+    assert spark.read.parquet(out + "/clean").count() == 6
+    assert spark.read.parquet(out + "/quarantine").count() == 1
