@@ -149,3 +149,27 @@ def test_zorder_key_matches_reference_bit_interleave(spark):
             z |= ((x >> i) & 1) << (2 * i)
             z |= ((y >> i) & 1) << (2 * i + 1)
         assert r.zval == z, (r.event_id, r.zval, z)
+
+
+def test_compact_small_files_preserves_rows(spark, tmp_path):
+    """The streaming-ingest per-batch dirs are the motivating case:
+    many tiny files in, right-sized files out, identical rows, atomic
+    swap (no intermediate dirs left)."""
+    import os
+
+    from kafka_topic_dumper_spark.sinks.layout import compact
+
+    path = str(tmp_path / "small_files")
+    ev = load_table(spark, SF, "events")
+    # simulate micro-batch output: 32 splits of 1000 rows
+    ev.repartition(32).write.mode("overwrite").parquet(path)
+
+    before, after = compact(spark, path, target_rows_per_file=500)
+    assert before >= 32
+    assert after == 2  # 1000 rows / 500
+    back = spark.read.parquet(path)
+    assert sorted(r.event_id for r in back.collect()) == sorted(
+        r.event_id for r in ev.collect()
+    )
+    assert not os.path.exists(path + "._compacting")
+    assert not os.path.exists(path + "._old")
