@@ -259,12 +259,15 @@ def main(argv: list[str] | None = None) -> int:
         # survivors feeds the vocab pass, the placement pass, and the
         # summary count (the dedup window would run three times)
         kept = kept.persist()
-        survivors = kept.join(
-            canonical_mapping(kept).filter(F.col("is_dup") == 0).select("doc_id"),
-            "doc_id",
-            "left_semi",
-        ).persist()
+        survivors = None
         try:
+            survivors = kept.join(
+                canonical_mapping(kept)
+                .filter(F.col("is_dup") == 0)
+                .select("doc_id"),
+                "doc_id",
+                "left_semi",
+            ).persist()
             vocab = token_vocab(survivors, opts.vocab_size)
             vocab.write.mode("overwrite").parquet(
                 os.path.join(opts.output, "vocab")
@@ -285,7 +288,8 @@ def main(argv: list[str] | None = None) -> int:
                 docs.count(), survivors.count(), n_seq, opts.seq_len, opts.output,
             )
         finally:
-            survivors.unpersist()
+            if survivors is not None:
+                survivors.unpersist()
             kept.unpersist()
         return 0
 

@@ -132,15 +132,26 @@ def ingest_stream(
     import os
 
     def write_batch(batch_df: DataFrame, batch_id: int) -> None:
-        clean, bad = split_quarantine(batch_df)
-        clean.write.mode("overwrite").parquet(
-            os.path.join(out_root, "clean", f"ingest_batch={batch_id}")
-        )
-        n_bad = bad.count()
-        if n_bad:
-            bad.write.mode("overwrite").parquet(
-                os.path.join(out_root, "quarantine", f"ingest_batch={batch_id}")
+        # LOCAL persist with per-batch lifecycle — NOT split_quarantine's
+        # tracked_persist: inside a long-running foreachBatch there is
+        # no operator_caches() scope to drain the global registry, so
+        # the tracked form would pin one cached batch per micro-batch
+        # forever (review r6: unbounded cache growth in continuous mode)
+        raw = batch_df.persist()
+        try:
+            clean = raw.filter(F.col(CORRUPT_COL).isNull()).drop(CORRUPT_COL)
+            bad = raw.filter(F.col(CORRUPT_COL).isNotNull()).select(
+                F.col(CORRUPT_COL).alias("raw_line")
             )
+            clean.write.mode("overwrite").parquet(
+                os.path.join(out_root, "clean", f"ingest_batch={batch_id}")
+            )
+            if bad.count():
+                bad.write.mode("overwrite").parquet(
+                    os.path.join(out_root, "quarantine", f"ingest_batch={batch_id}")
+                )
+        finally:
+            raw.unpersist()
 
     stream = read_jsonl_stream(spark, in_path, schema)
     writer = (
@@ -150,3 +161,18 @@ def ingest_stream(
     if available_now:
         writer = writer.trigger(availableNow=True)
     return writer.start()
+
+
+def read_quarantine(spark: SparkSession, out_root: str) -> DataFrame:
+    """The audit-trail read for :func:`ingest_stream`'s quarantine side.
+    A fully-clean stream never creates the quarantine directory (empty
+    per-batch parquet writes would just be clutter), so the bare
+    ``spark.read.parquet`` throws PATH_NOT_FOUND — this helper returns
+    an EMPTY (raw_line string) frame instead, so monitoring code needs
+    no special case."""
+    import os
+
+    path = os.path.join(out_root, "quarantine")
+    if not os.path.isdir(path):
+        return spark.createDataFrame([], "raw_line string")
+    return spark.read.parquet(path)

@@ -109,8 +109,12 @@ def test_streaming_ingest_quarantine_and_idempotent_restart(spark, tmp_path):
 
     clean = spark.read.parquet(out + "/clean")
     assert sorted(r.doc_id for r in clean.collect()) == list(range(6))
-    bad = spark.read.parquet(out + "/quarantine")
+    from kafka_topic_dumper_spark.sources.ingest import read_quarantine
+
+    bad = read_quarantine(spark, out)
     assert bad.count() == 1 and "{not json" in bad.collect()[0].raw_line
+    # a clean-only run never creates the dir; the reader returns empty
+    assert read_quarantine(spark, str(tmp_path / "nowhere")).count() == 0
     # maxFilesPerTrigger=1 → one batch per file → per-batch dirs
     import glob
 
@@ -120,4 +124,4 @@ def test_streaming_ingest_quarantine_and_idempotent_restart(spark, tmp_path):
     q2 = ingest_stream(spark, str(land), out, ckpt)
     q2.awaitTermination(120)
     assert spark.read.parquet(out + "/clean").count() == 6
-    assert spark.read.parquet(out + "/quarantine").count() == 1
+    assert read_quarantine(spark, out).count() == 1

@@ -152,24 +152,58 @@ def test_zorder_key_matches_reference_bit_interleave(spark):
 
 
 def test_compact_small_files_preserves_rows(spark, tmp_path):
-    """The streaming-ingest per-batch dirs are the motivating case:
-    many tiny files in, right-sized files out, identical rows, atomic
-    swap (no intermediate dirs left)."""
+    """Many tiny files in, byte-sized files out, identical rows, no
+    leftover swap dirs."""
     import os
 
-    from kafka_topic_dumper_spark.sinks.layout import compact
+    from kafka_topic_dumper_spark.sinks.layout import _parquet_files, compact
 
     path = str(tmp_path / "small_files")
     ev = load_table(spark, SF, "events")
     # simulate micro-batch output: 32 splits of 1000 rows
     ev.repartition(32).write.mode("overwrite").parquet(path)
 
-    before, after = compact(spark, path, target_rows_per_file=500)
+    total = sum(os.path.getsize(f) for f in _parquet_files(path))
+    before, after = compact(spark, path, target_bytes_per_file=total // 2 + 1)
     assert before >= 32
-    assert after == 2  # 1000 rows / 500
+    assert after == 2
     back = spark.read.parquet(path)
     assert sorted(r.event_id for r in back.collect()) == sorted(
         r.event_id for r in ev.collect()
     )
     assert not os.path.exists(path + "._compacting")
     assert not os.path.exists(path + "._old")
+
+
+def test_compact_preserves_partitioned_layout_under_later_writes(spark, tmp_path):
+    """The review-r6 failure case, now pinned: compacting a
+    hive-partitioned table (the per-batch ingest dirs) must re-emit the
+    SAME partition layout, so rows stay visible when a writer adds the
+    next key=value dir afterwards."""
+    import glob
+    import os
+
+    from pyspark.sql import functions as F
+
+    from kafka_topic_dumper_spark.sinks.layout import compact
+
+    path = str(tmp_path / "batched")
+    ev = load_table(spark, SF, "events").withColumn(
+        "ingest_batch", (F.col("event_id") % 3).cast("int")
+    )
+    # 3 partition dirs x several files each
+    ev.repartition(8).write.mode("overwrite").partitionBy("ingest_batch").parquet(path)
+
+    before, after = compact(spark, path)
+    assert after < before
+    # layout preserved: still key=value dirs, no flat files at the root
+    assert glob.glob(os.path.join(path, "ingest_batch=*"))
+    assert not glob.glob(os.path.join(path, "*.parquet"))
+
+    # a later micro-batch adds a NEW partition dir — every compacted
+    # row must remain visible to partition discovery
+    extra = load_table(spark, SF, "events").limit(10).withColumn(
+        "ingest_batch", F.lit(99).cast("int")
+    )
+    extra.write.mode("overwrite").parquet(os.path.join(path, "ingest_batch=99"))
+    assert spark.read.parquet(path).count() == 1000 + 10
