@@ -46,6 +46,8 @@ _VERIFY_PRIORITY = [
     "retrieval_hybrid_rrf",
     "similarity_mutual_knn_clusters",
     "text_bpe_encode",
+    "pipeline_quality_ensemble",
+    "dedup_quality_survivor",
     "dedup_minhash_clusters",
     "streaming_lm_quality",
     "similarity_topk_ivf_trained",

@@ -112,6 +112,8 @@ HEADLINE_V5 = [
     "pipeline_tokenize_pack_ids",
     "retrieval_hybrid_rrf",
     "similarity_mutual_knn_clusters",
+    "pipeline_quality_ensemble",
+    "dedup_quality_survivor",
 ]
 
 

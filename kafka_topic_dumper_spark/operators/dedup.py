@@ -88,6 +88,55 @@ def canonical_mapping(docs: DataFrame) -> DataFrame:
     )
 
 
+def quality_survivor_mapping(
+    docs: DataFrame, jaccard_min: float = 0.5
+) -> DataFrame:
+    """NEAR-dup dedup with QUALITY-AWARE survivor selection: MinHash
+    clusters (connected components over verified pairs at
+    jaccard ≥ ``jaccard_min``), but the kept copy per cluster is the
+    HIGHEST-QUALITY member (classifier logit), not the lowest id — the
+    production choice when near-duplicates differ in cleanliness
+    (truncation, boilerplate, encoding damage) and you want the best
+    exemplar, not the first-crawled one. (For EXACT duplicates the
+    distinction is vacuous — identical normalized text ⇒ identical
+    token multiset ⇒ identical logit — which is why this operates on
+    near-dup clusters and :func:`canonical_mapping` keeps the simple
+    min-id rule.)
+
+    Exactness: the quality key is the classifier's INTEGER centi-logit
+    (exact under any aggregation order), tie-broken by doc_id. Plan:
+    the minhash/banding/verify chain and the component closure are the
+    same operators exposed individually; the survivor pick adds one
+    window over cluster-id-sized keys."""
+    from kafka_topic_dumper_spark.operators.graph import connected_components
+    from kafka_topic_dumper_spark.operators.text import quality_classifier
+
+    strong = (
+        minhash_lsh_dedup(docs)
+        .filter(F.col("jaccard") >= jaccard_min)
+        .select("doc_a", "doc_b")
+    )
+    comp = connected_components(strong, "doc_a", "doc_b")
+    grp = (
+        docs.select("doc_id")
+        .join(comp, F.col("doc_id") == F.col("node"), "left")
+        .select("doc_id", F.coalesce("component_id", "doc_id").alias("grp"))
+    )
+    q = quality_classifier(docs).select("doc_id", "logit_centisum")
+    w = Window.partitionBy("grp").orderBy(
+        F.col("logit_centisum").desc(), F.col("doc_id")
+    )
+    return (
+        grp.join(q, "doc_id")
+        .withColumn("keep_doc_id", F.first("doc_id").over(w))
+        .select(
+            "doc_id",
+            "keep_doc_id",
+            (F.col("doc_id") != F.col("keep_doc_id")).cast("int").alias("is_dup"),
+        )
+    )
+
+
 NGRAM_MAX_DF = 100
 
 
@@ -987,6 +1036,7 @@ def register(reg) -> None:
         flag."""
         return canonical_mapping(load_table(spark, sf_dir, "documents"))
 
+
     @reg(
         "dedup_incremental",
         rf"""
@@ -1129,6 +1179,48 @@ def register(reg) -> None:
                 F.coalesce("component_id", "doc_id").alias("component_id"),
             )
         )
+
+    from kafka_topic_dumper_spark.operators.text import (
+        quality_classifier_oracle_ctes,
+    )
+
+    @reg(
+        "dedup_quality_survivor",
+        f"""
+        WITH RECURSIVE pairs AS (
+            {minhash_pairs_sql}
+        ), strong AS (
+            SELECT doc_a, doc_b FROM pairs WHERE jaccard >= 0.5
+        ), edges AS (
+            SELECT doc_a AS s, doc_b AS d FROM strong
+            UNION
+            SELECT doc_b, doc_a FROM strong
+        ), reach(node, label) AS (
+            SELECT s, s FROM edges
+            UNION
+            SELECT e.d, r.label FROM reach r JOIN edges e ON e.s = r.node
+        ), comp AS (
+            SELECT node, min(label) AS component_id FROM reach GROUP BY node
+        ), {quality_classifier_oracle_ctes()}, grp AS (
+            SELECT d.doc_id, coalesce(c.component_id, d.doc_id) AS grp
+            FROM documents d LEFT JOIN comp c ON c.node = d.doc_id
+        ), j AS (
+            SELECT g.doc_id, g.grp, qc_agg.logit_centisum
+            FROM grp g JOIN qc_agg ON qc_agg.doc_id = g.doc_id
+        )
+        SELECT doc_id,
+               first_value(doc_id) OVER (PARTITION BY grp
+                   ORDER BY logit_centisum DESC, doc_id) AS keep_doc_id,
+               CAST(doc_id != first_value(doc_id) OVER (PARTITION BY grp
+                   ORDER BY logit_centisum DESC, doc_id) AS INTEGER) AS is_dup
+        FROM j
+        """,
+    )
+    def dedup_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Near-dup dedup keeping each MinHash cluster's
+        HIGHEST-QUALITY copy (integer classifier logit, doc_id
+        tie-break) — survivor selection as a policy choice."""
+        return quality_survivor_mapping(load_table(spark, sf_dir, "documents"))
 
     @reg(
         "dedup_minhash_clusters",

@@ -630,30 +630,37 @@ def quality_classifier(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_classifier_oracle_sql() -> str:
-    """DuckDB twin of :func:`quality_classifier` — same literal weight
-    table, same integer logit sum, same sigmoid expression."""
+def quality_classifier_oracle_ctes() -> str:
+    """The classifier computation as CTEs ending in
+    ``qc_agg(doc_id, n_tokens, logit_centisum)`` — composable (the
+    quality ensemble and quality-survivor dedup reuse it)."""
     w = _qc_weights()
     arr = "[" + ", ".join(str(x) for x in w) + "]"
     h = h32_duckdb_sql("tok")
-    return rf"""
-        WITH toks AS (
+    return rf"""qc_toks AS (
             SELECT doc_id, unnest(string_split_regex(lower(text), '\s+')) AS tok
             FROM documents
-        ), weighted AS (
+        ), qc_weighted AS (
             SELECT doc_id, ({arr})[CAST(({h} % {QC_BUCKETS}) AS INT) + 1] AS w
-            FROM toks
-        ), agg AS (
+            FROM qc_toks
+        ), qc_agg AS (
             SELECT doc_id,
                    CAST(count(*) AS BIGINT) AS n_tokens,
                    CAST(sum(w) AS BIGINT) AS logit_centisum
-            FROM weighted GROUP BY doc_id
-        )
+            FROM qc_weighted GROUP BY doc_id
+        )"""
+
+
+def quality_classifier_oracle_sql() -> str:
+    """DuckDB twin of :func:`quality_classifier` — same literal weight
+    table, same integer logit sum, same sigmoid expression."""
+    return f"""
+        WITH {quality_classifier_oracle_ctes()}
         SELECT doc_id, n_tokens, logit_centisum,
                round(1.0 / (1.0 + exp(-(CAST(logit_centisum AS DOUBLE)
                      / (CAST(n_tokens AS DOUBLE) * 100.0)))), 4) AS prob,
                logit_centisum >= 0 AS keep
-        FROM agg
+        FROM qc_agg
         """
 
 
@@ -812,6 +819,89 @@ def bigram_lm_oracle_ctes(src: str = "documents") -> str:
                    round(pow(2.0, avg(nlp)), 4) AS ppl_proxy
             FROM lm_scored GROUP BY doc_id
         )"""
+
+
+# Quality filter stack (FineWeb/RefinedWeb style): independent signals
+# vote, and a document survives on a majority — one noisy filter can't
+# delete a good document alone.
+QE_HEUR_MIN = 0.25  # heuristic score floor (≈40th pct on testdata)
+QE_LM_MAX_BITS = 4.91  # same bound as the quality pipeline's LM gate
+
+
+def quality_ensemble(docs: DataFrame) -> DataFrame:
+    """Majority-vote quality filter over three INDEPENDENT signals:
+    the length/punct/stopword heuristic, the corpus bigram-LM
+    perplexity proxy, and the hashed linear classifier. Votes are on
+    the ROUNDED published scores (cross-engine stable) and on the
+    classifier's integer logit (sign-exact); a doc the LM cannot score
+    (no bigrams) simply loses that vote rather than erroring.
+
+    Plan shape: heuristic and classifier are one corpus pass each
+    (projection / one doc_id agg), the LM adds its model pass; the
+    final join is per-doc on doc_id — three skinny relations, AQE
+    picks the strategy. The composition is the point: each leg is the
+    SAME operator exposed individually (and separately oracle-gated),
+    stacked the way production filter pipelines stack them."""
+    heur = quality_score(docs).select("doc_id", "quality_score")
+    lm = bigram_lm_quality(docs).select("doc_id", "bits_per_bigram")
+    clf = quality_classifier(docs).select("doc_id", "logit_centisum")
+    j = heur.join(lm, "doc_id", "left").join(clf, "doc_id", "left")
+    v_heur = F.when(F.col("quality_score") > QE_HEUR_MIN, 1).otherwise(0)
+    v_lm = F.when(F.col("bits_per_bigram") <= QE_LM_MAX_BITS, 1).otherwise(0)
+    v_clf = F.when(F.col("logit_centisum") >= 0, 1).otherwise(0)
+    out = j.select(
+        "doc_id",
+        v_heur.cast("int").alias("vote_heuristic"),
+        v_lm.cast("int").alias("vote_lm"),
+        v_clf.cast("int").alias("vote_classifier"),
+    )
+    n_votes = (
+        F.col("vote_heuristic") + F.col("vote_lm") + F.col("vote_classifier")
+    ).cast("int")
+    return out.withColumn("n_votes", n_votes).withColumn(
+        "keep", F.col("n_votes") >= 2
+    )
+
+
+def quality_ensemble_oracle_sql() -> str:
+    """DuckDB twin — composes the three legs' own CTE chains and the
+    identical vote expressions."""
+    sw_en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
+    return rf"""
+        WITH hq_t AS (
+            SELECT doc_id,
+                   CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tokens,
+                   CAST(length(text) AS BIGINT) AS n_chars,
+                   CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS punct,
+                   CAST(len(list_filter(string_split_regex(lower(text), '\s+'),
+                        x -> x IN ({sw_en}))) AS BIGINT) AS swc
+            FROM documents
+        ), hq AS (
+            SELECT doc_id,
+                   round(least(1.0, n_tokens / 100.0) * (1 - punct / n_chars)
+                         * (0.5 + 0.5 * (swc / n_tokens)), 4) AS quality_score
+            FROM hq_t
+        ), {bigram_lm_oracle_ctes()}, {quality_classifier_oracle_ctes()},
+        votes AS (
+            SELECT hq.doc_id,
+                   CASE WHEN hq.quality_score > {QE_HEUR_MIN} THEN 1 ELSE 0 END
+                       AS vote_heuristic,
+                   CASE WHEN lmq.bits_per_bigram <= {QE_LM_MAX_BITS} THEN 1 ELSE 0 END
+                       AS vote_lm,
+                   CASE WHEN qc_agg.logit_centisum >= 0 THEN 1 ELSE 0 END
+                       AS vote_classifier
+            FROM hq
+            LEFT JOIN lmq ON lmq.doc_id = hq.doc_id
+            LEFT JOIN qc_agg ON qc_agg.doc_id = hq.doc_id
+        )
+        SELECT doc_id,
+               CAST(vote_heuristic AS INT) AS vote_heuristic,
+               CAST(vote_lm AS INT) AS vote_lm,
+               CAST(vote_classifier AS INT) AS vote_classifier,
+               CAST(vote_heuristic + vote_lm + vote_classifier AS INT) AS n_votes,
+               (vote_heuristic + vote_lm + vote_classifier) >= 2 AS keep
+        FROM votes
+        """
 
 
 # PII-ish patterns: email-like tokens and long digit runs (IDs, phone
@@ -1090,6 +1180,12 @@ def register(reg) -> None:
             load_table(spark, sf_dir, "documents"),
             load_table(spark, sf_dir, "embeddings"),
         )
+
+    @reg("pipeline_quality_ensemble", quality_ensemble_oracle_sql())
+    def pipeline_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Majority-vote filter stack: heuristic + bigram-LM +
+        classifier signals, 2-of-3 keeps the document."""
+        return quality_ensemble(load_table(spark, sf_dir, "documents"))
 
     @reg("text_quality_classifier", quality_classifier_oracle_sql())
     def text_quality_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:

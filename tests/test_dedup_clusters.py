@@ -63,3 +63,42 @@ def test_connected_components_empty_edges_returns_empty(spark):
     edges = spark.createDataFrame([], "src long, dst long")
     out = connected_components(edges, "src", "dst")
     assert out.count() == 0
+
+
+def test_quality_survivor_keeps_best_copy(spark):
+    """Planted NEAR-dup cluster whose members differ in quality: the
+    survivor must be the member with the highest classifier logit, not
+    the lowest doc_id; singletons map to themselves."""
+    from kafka_topic_dumper_spark.operators.dedup import (
+        minhash_lsh_dedup,
+        quality_survivor_mapping,
+    )
+    from kafka_topic_dumper_spark.operators.text import quality_classifier
+
+    base = "alpha beta gamma delta epsilon zeta eta theta iota kappa lam mu"
+    rows = [
+        (1, base + " junkone", "en", "s", 80),
+        (2, base + " junktwo", "en", "s", 80),
+        (3, base + " junkthree", "en", "s", 80),
+        (4, "totally different words here nothing shared at all with others ok", "en", "s", 60),
+    ]
+    docs = spark.createDataFrame(
+        rows, "doc_id long, text string, lang string, source string, n_chars long"
+    )
+    # precondition: the three variants really form one near-dup cluster
+    strong = {
+        (r.doc_a, r.doc_b)
+        for r in minhash_lsh_dedup(docs).filter("jaccard >= 0.5").collect()
+    }
+    assert strong, "planted near-dups must produce strong pairs"
+    assert all(a in (1, 2, 3) and b in (1, 2, 3) for a, b in strong)
+
+    out = {r.doc_id: r for r in quality_survivor_mapping(docs).collect()}
+    assert out[4].keep_doc_id == 4 and out[4].is_dup == 0
+
+    logits = {
+        r.doc_id: r.logit_centisum for r in quality_classifier(docs).collect()
+    }
+    want = min([1, 2, 3], key=lambda d: (-logits[d], d))
+    assert {out[d].keep_doc_id for d in (1, 2, 3)} == {want}
+    assert sum(out[d].is_dup for d in (1, 2, 3)) == 2
