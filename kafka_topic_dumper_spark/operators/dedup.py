@@ -107,7 +107,10 @@ def quality_survivor_mapping(
     (exact under any aggregation order), tie-broken by doc_id. Plan:
     the minhash/banding/verify chain and the component closure are the
     same operators exposed individually; the survivor pick adds one
-    window over cluster-id-sized keys."""
+    window over cluster-id-sized keys. NULL-text docs have no
+    classifier row and drop out of the mapping (both engines agree);
+    run the quarantining ingest first — a NULL document has no
+    quality to rank."""
     from kafka_topic_dumper_spark.operators.graph import connected_components
     from kafka_topic_dumper_spark.operators.text import quality_classifier
 
