@@ -48,6 +48,7 @@ _VERIFY_PRIORITY = [
     "text_bpe_encode",
     "pipeline_quality_ensemble",
     "dedup_quality_survivor",
+    "stats_corpus_drift",
     "dedup_minhash_clusters",
     "streaming_lm_quality",
     "similarity_topk_ivf_trained",

@@ -821,6 +821,76 @@ def bigram_lm_oracle_ctes(src: str = "documents") -> str:
         )"""
 
 
+def corpus_drift(docs: DataFrame, mod: int = 2) -> DataFrame:
+    """Per-source distribution drift between two corpus snapshots —
+    the data-quality monitoring primitive behind "did this crawl's mix
+    shift?" dashboards. Snapshot membership is deterministic
+    (``doc_id % mod == 0`` vs the rest — the same snapshot-mod device
+    as ``incremental_dedup``; production passes two real snapshot
+    tables through the identical plan). Per source: doc/token counts
+    in each snapshot, each snapshot's token SHARE of its corpus, and
+    the absolute share drift.
+
+    Exactness: all aggregates are integer sums; shares are single
+    divisions of exact integers, so every float is identical
+    cross-engine before the final rounding. Plan: one tokenize pass,
+    one source-keyed aggregation with map-side combine, totals as a
+    1-row broadcast — no corpus shuffle."""
+    per = docs.select(
+        "source",
+        (F.col("doc_id") % mod == 0).alias("in_a"),
+        F.size(_tokens()).cast("bigint").alias("n_tok"),
+    )
+    agg = per.groupBy("source").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).cast("bigint").alias("n_docs_a"),
+        F.sum(F.when(~F.col("in_a"), 1).otherwise(0)).cast("bigint").alias("n_docs_b"),
+        F.sum(F.when(F.col("in_a"), F.col("n_tok")).otherwise(0)).cast("bigint").alias("toks_a"),
+        F.sum(F.when(~F.col("in_a"), F.col("n_tok")).otherwise(0)).cast("bigint").alias("toks_b"),
+    )
+    tot = agg.agg(F.sum("toks_a").alias("ta"), F.sum("toks_b").alias("tb"))
+    share_a = "CAST(toks_a AS DOUBLE) / CAST(ta AS DOUBLE)"
+    share_b = "CAST(toks_b AS DOUBLE) / CAST(tb AS DOUBLE)"
+    return agg.join(F.broadcast(tot)).select(
+        "source",
+        "n_docs_a",
+        "n_docs_b",
+        "toks_a",
+        "toks_b",
+        F.expr(f"round({share_a}, 4)").alias("share_a"),
+        F.expr(f"round({share_b}, 4)").alias("share_b"),
+        F.expr(f"round(abs({share_a} - {share_b}), 4)").alias("share_drift"),
+    )
+
+
+def corpus_drift_oracle_sql(mod: int = 2) -> str:
+    """DuckDB twin — identical integer aggregation and share
+    expressions."""
+    share_a = "CAST(toks_a AS DOUBLE) / CAST(ta AS DOUBLE)"
+    share_b = "CAST(toks_b AS DOUBLE) / CAST(tb AS DOUBLE)"
+    return rf"""
+        WITH per AS (
+            SELECT source, doc_id % {mod} = 0 AS in_a,
+                   CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT)
+                       AS n_tok
+            FROM documents
+        ), agg AS (
+            SELECT source,
+                   CAST(sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_a,
+                   CAST(sum(CASE WHEN NOT in_a THEN 1 ELSE 0 END) AS BIGINT) AS n_docs_b,
+                   CAST(sum(CASE WHEN in_a THEN n_tok ELSE 0 END) AS BIGINT) AS toks_a,
+                   CAST(sum(CASE WHEN NOT in_a THEN n_tok ELSE 0 END) AS BIGINT) AS toks_b
+            FROM per GROUP BY source
+        ), tot AS (
+            SELECT sum(toks_a) AS ta, sum(toks_b) AS tb FROM agg
+        )
+        SELECT source, n_docs_a, n_docs_b, toks_a, toks_b,
+               round({share_a}, 4) AS share_a,
+               round({share_b}, 4) AS share_b,
+               round(abs({share_a} - {share_b}), 4) AS share_drift
+        FROM agg CROSS JOIN tot
+        """
+
+
 # Quality filter stack (FineWeb/RefinedWeb style): independent signals
 # vote, and a document survives on a majority — one noisy filter can't
 # delete a good document alone.
@@ -1180,6 +1250,12 @@ def register(reg) -> None:
             load_table(spark, sf_dir, "documents"),
             load_table(spark, sf_dir, "embeddings"),
         )
+
+    @reg("stats_corpus_drift", corpus_drift_oracle_sql())
+    def stats_corpus_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-source token-share drift between two deterministic
+        corpus snapshots (data-quality monitoring primitive)."""
+        return corpus_drift(load_table(spark, sf_dir, "documents"))
 
     @reg("pipeline_quality_ensemble", quality_ensemble_oracle_sql())
     def pipeline_quality_ensemble(spark: SparkSession, sf_dir: str) -> DataFrame:
