@@ -183,7 +183,10 @@ def learn_bpe_merges(docs: DataFrame, n_merges: int = N_MERGES) -> DataFrame:
     pair is a single-row driver fetch, each re-segmentation a
     vocabulary-sized JVM fold (see module docstring for why the loop
     never touches corpus-sized data after pass 1)."""
-    merges, _ = _learn(docs, n_merges)
+    merges, seg = _learn(docs, n_merges)
+    # the final segmentation exists for train_and_encode's benefit;
+    # this caller only wants the merge table — release the pin
+    seg.unpersist()
     return docs.sparkSession.createDataFrame(
         merges, "step int, left string, right string, pair_count bigint"
     )

@@ -933,12 +933,14 @@ def quality_ensemble(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_ensemble_oracle_sql() -> str:
-    """DuckDB twin — composes the three legs' own CTE chains and the
-    identical vote expressions."""
+def quality_score_oracle_ctes() -> str:
+    """The heuristic-score computation as CTEs ending in
+    ``hq(doc_id, n_tokens, punct_ratio, stopword_ratio,
+    quality_score)`` — ONE definition shared by the standalone oracle
+    and the ensemble's vote_heuristic leg (review r6: an inline copy
+    could silently desynchronize them)."""
     sw_en = ", ".join(f"'{w}'" for w in STOPWORDS["en"])
-    return rf"""
-        WITH hq_t AS (
+    return rf"""hq_t AS (
             SELECT doc_id,
                    CAST(len(string_split_regex(lower(text), '\s+')) AS BIGINT) AS n_tokens,
                    CAST(length(text) AS BIGINT) AS n_chars,
@@ -947,11 +949,20 @@ def quality_ensemble_oracle_sql() -> str:
                         x -> x IN ({sw_en}))) AS BIGINT) AS swc
             FROM documents
         ), hq AS (
-            SELECT doc_id,
+            SELECT doc_id, n_tokens,
+                   round(punct / n_chars, 4) AS punct_ratio,
+                   round(swc / n_tokens, 4) AS stopword_ratio,
                    round(least(1.0, n_tokens / 100.0) * (1 - punct / n_chars)
                          * (0.5 + 0.5 * (swc / n_tokens)), 4) AS quality_score
             FROM hq_t
-        ), {bigram_lm_oracle_ctes()}, {quality_classifier_oracle_ctes()},
+        )"""
+
+
+def quality_ensemble_oracle_sql() -> str:
+    """DuckDB twin — composes the three legs' own CTE chains and the
+    identical vote expressions."""
+    return rf"""
+        WITH {quality_score_oracle_ctes()}, {bigram_lm_oracle_ctes()}, {quality_classifier_oracle_ctes()},
         votes AS (
             SELECT hq.doc_id,
                    CASE WHEN hq.quality_score > {QE_HEUR_MIN} THEN 1 ELSE 0 END
@@ -1081,21 +1092,9 @@ def register(reg) -> None:
     @reg(
         "text_quality_score",
         f"""
-        WITH t AS (
-            SELECT doc_id,
-                   CAST(len(string_split_regex(lower(text), '\\s+')) AS BIGINT) AS n_tokens,
-                   CAST(length(text) AS BIGINT) AS n_chars,
-                   CAST(length(text) - length(regexp_replace(text, '[.,;:!?]', '', 'g')) AS BIGINT) AS punct,
-                   CAST(len(list_filter(string_split_regex(lower(text), '\\s+'),
-                        x -> x IN ({sw['en']}))) AS BIGINT) AS swc
-            FROM documents
-        )
-        SELECT doc_id, n_tokens,
-               round(punct / n_chars, 4) AS punct_ratio,
-               round(swc / n_tokens, 4) AS stopword_ratio,
-               round(least(1.0, n_tokens / 100.0) * (1 - punct / n_chars)
-                     * (0.5 + 0.5 * (swc / n_tokens)), 4) AS quality_score
-        FROM t
+        WITH {quality_score_oracle_ctes()}
+        SELECT doc_id, n_tokens, punct_ratio, stopword_ratio, quality_score
+        FROM hq
         """,
     )
     def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:

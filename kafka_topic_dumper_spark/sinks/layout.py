@@ -25,6 +25,7 @@ generalization to analytics tables.
 from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
 
 
 def write_layout(
@@ -106,20 +107,53 @@ def compact(
     import os
     import shutil
 
+    if "://" in path:
+        # the swap is os.rename — a URI/object-store path would write
+        # the tmp dir then crash mid-swap; table formats own that case
+        raise ValueError(
+            "compact() requires a local filesystem path (rename swap); "
+            f"got {path!r} — use a table format's OPTIMIZE on object stores"
+        )
     files = _parquet_files(path)
     files_before = len(files)
+    if not files:
+        return 0, 0  # nothing to compact (vacuumed/empty dir)
     total_bytes = sum(os.path.getsize(f) for f in files)
     n_files = max(1, math.ceil(total_bytes / max(1, target_bytes_per_file)))
 
     df = spark.read.parquet(path)
-    # partition columns came back via discovery; re-emit the same layout
+    # partition columns from segments BELOW the table root only — an
+    # ancestor dir named "<datacol>=..." must not restructure the
+    # table (review r6)
+    rel_segs = {
+        seg
+        for f in files
+        for seg in os.path.relpath(f, path).split(os.sep)[:-1]
+    }
     part_cols = [
-        c for c in df.columns
-        if any(seg.startswith(f"{c}=") for f in files for seg in f.split(os.sep))
+        c for c in df.columns if any(s.startswith(f"{c}=") for s in rel_segs)
     ]
-    out = df.repartition(n_files, *part_cols) if part_cols else df.repartition(n_files)
+    if part_cols:
+        # hash on (partition cols + a deterministic row salt): hashing
+        # on the partition cols alone collapses every partition value
+        # into ONE task and one giant file (review r6). The salt is a
+        # pure function of the data columns, so task retries are
+        # deterministic (rand() here could duplicate/lose rows on
+        # stage retry).
+        data_cols = [c for c in df.columns if c not in part_cols]
+        salted = df.withColumn(
+            "_compact_salt",
+            F.pmod(F.hash(*(data_cols or part_cols)), F.lit(n_files)),
+        )
+        out = salted.repartition(n_files, *part_cols, "_compact_salt").drop(
+            "_compact_salt"
+        )
+    else:
+        out = df.repartition(n_files)
     if sort_cols:
         out = out.sortWithinPartitions(*(part_cols + sort_cols))
+    elif part_cols:
+        out = out.sortWithinPartitions(*part_cols)
     tmp = path.rstrip("/") + "._compacting"
     writer = out.write.mode("overwrite")
     if part_cols:

@@ -169,10 +169,15 @@ def read_quarantine(spark: SparkSession, out_root: str) -> DataFrame:
     per-batch parquet writes would just be clutter), so the bare
     ``spark.read.parquet`` throws PATH_NOT_FOUND — this helper returns
     an EMPTY (raw_line string) frame instead, so monitoring code needs
-    no special case."""
-    import os
-
-    path = os.path.join(out_root, "quarantine")
-    if not os.path.isdir(path):
+    no special case. Existence goes through the Hadoop FileSystem API
+    (same device as streaming/reload.py::find_latest_dump_id) so
+    file://, hdfs:// and s3a:// roots all work — an os.path check
+    would silently report an empty audit trail for every URI root
+    (review r6)."""
+    jvm = spark._jvm  # noqa: SLF001
+    conf = spark._jsc.hadoopConfiguration()  # noqa: SLF001
+    qpath = jvm.org.apache.hadoop.fs.Path(out_root.rstrip("/") + "/quarantine")
+    fs = qpath.getFileSystem(conf)
+    if not fs.exists(qpath):
         return spark.createDataFrame([], "raw_line string")
-    return spark.read.parquet(path)
+    return spark.read.parquet(out_root.rstrip("/") + "/quarantine")

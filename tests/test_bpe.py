@@ -110,3 +110,22 @@ def test_encode_matches_python_replay(spark):
 
     got = {r.doc_id: (r.n_words, r.n_pieces) for r in train_and_encode(docs).collect()}
     assert got == want
+
+
+def test_apply_bpe_with_pretrained_merges_matches_train_and_encode(spark):
+    """The pre-trained path: applying an externally supplied merge
+    list must equal the composed train→apply cycle when the list is
+    the one the learner would produce."""
+    from kafka_topic_dumper_spark.operators.bpe import apply_bpe, train_and_encode
+
+    docs = load_table(spark, SF, "documents")
+    merges = [(l, r) for _, l, r, _ in _python_bpe(_corpus_word_freq(spark), 8)]
+    got = sorted(
+        (r.doc_id, r.n_words, r.n_pieces, r.pieces_per_word)
+        for r in apply_bpe(docs, merges).collect()
+    )
+    want = sorted(
+        (r.doc_id, r.n_words, r.n_pieces, r.pieces_per_word)
+        for r in train_and_encode(docs).collect()
+    )
+    assert got == want
