@@ -848,8 +848,10 @@ def corpus_drift(docs: DataFrame, mod: int = 2) -> DataFrame:
         F.sum(F.when(~F.col("in_a"), F.col("n_tok")).otherwise(0)).cast("bigint").alias("toks_b"),
     )
     tot = agg.agg(F.sum("toks_a").alias("ta"), F.sum("toks_b").alias("tb"))
-    share_a = "CAST(toks_a AS DOUBLE) / CAST(ta AS DOUBLE)"
-    share_b = "CAST(toks_b AS DOUBLE) / CAST(tb AS DOUBLE)"
+    # nullif guards the empty-snapshot edge: x/0.0 is engine-divergent
+    # (NULL vs inf vs nan) — NULL shares on both engines instead
+    share_a = "CAST(toks_a AS DOUBLE) / CAST(nullif(ta, 0) AS DOUBLE)"
+    share_b = "CAST(toks_b AS DOUBLE) / CAST(nullif(tb, 0) AS DOUBLE)"
     return agg.join(F.broadcast(tot)).select(
         "source",
         "n_docs_a",
@@ -865,8 +867,8 @@ def corpus_drift(docs: DataFrame, mod: int = 2) -> DataFrame:
 def corpus_drift_oracle_sql(mod: int = 2) -> str:
     """DuckDB twin — identical integer aggregation and share
     expressions."""
-    share_a = "CAST(toks_a AS DOUBLE) / CAST(ta AS DOUBLE)"
-    share_b = "CAST(toks_b AS DOUBLE) / CAST(tb AS DOUBLE)"
+    share_a = "CAST(toks_a AS DOUBLE) / CAST(nullif(ta, 0) AS DOUBLE)"
+    share_b = "CAST(toks_b AS DOUBLE) / CAST(nullif(tb, 0) AS DOUBLE)"
     return rf"""
         WITH per AS (
             SELECT source, doc_id % {mod} = 0 AS in_a,

@@ -306,3 +306,21 @@ def test_bpe_merges_on_empty_and_tiny_corpus(spark, empty_docs, tiny_docs):
     enc = {r.doc_id: r for r in train_and_encode(tiny_docs).collect()}
     assert 3 not in enc  # single-char doc has no length>=2 words
     assert enc[1].n_words == 1
+
+
+def test_corpus_drift_empty_snapshot_yields_null_shares(spark, empty_docs):
+    """mod=1 puts every doc in snapshot A; snapshot B's total is 0 and
+    shares must be NULL (engine-consistent), never inf/nan — and the
+    empty corpus yields no rows at all."""
+    from kafka_topic_dumper_spark.operators.text import corpus_drift
+
+    assert corpus_drift(empty_docs).count() == 0
+    docs = spark.createDataFrame(
+        [(2, "a b c", "en", "s", 5), (4, "d e", "en", "s", 3)],
+        schema=DOCS_SCHEMA,
+    )
+    rows = corpus_drift(docs, mod=1).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r.toks_b == 0 and r.share_b is None and r.share_drift is None
+    assert r.share_a == 1.0
