@@ -260,8 +260,10 @@ def gap_fill_hourly(events: DataFrame) -> DataFrame:
     passes over raw events."""
     from kafka_topic_dumper_spark.functions.caching import tracked_persist
 
+    from kafka_topic_dumper_spark.functions.ntz_time import trunc_hour_ntz
+
     hourly = tracked_persist(
-        events.groupBy(F.date_trunc("hour", "ts").alias("hour"), "event_type").agg(
+        events.groupBy(trunc_hour_ntz("ts").alias("hour"), "event_type").agg(
             F.count("*").alias("n_events"),
             F.round(F.sum("value"), 2).alias("sum_value"),
         )
@@ -313,8 +315,10 @@ def cohort_retention(events: DataFrame) -> DataFrame:
     trunc(min ts) == min(trunc ts))."""
     from kafka_topic_dumper_spark.functions.caching import tracked_persist
 
+    from kafka_topic_dumper_spark.functions.ntz_time import trunc_week_ntz
+
     active = tracked_persist(
-        events.select("user_id", F.date_trunc("week", "ts").alias("week")).distinct()
+        events.select("user_id", trunc_week_ntz("ts").alias("week")).distinct()
     )
     cohorts = active.groupBy("user_id").agg(F.min("week").alias("cohort_week"))
     sizes = cohorts.groupBy("cohort_week").agg(

@@ -551,12 +551,16 @@ def q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def events_hourly_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Event-time tumbling-window rollup (batch form of the streaming
-    windowed agg the reference lacks, SURVEY §2.9). date_trunc keeps the
-    group key a plain timestamp so it is oracle-comparable; the
+    windowed agg the reference lacks, SURVEY §2.9). The NTZ-pure hour
+    truncation keeps the group key session-timezone-free (Spark's
+    date_trunc casts NTZ through the SESSION zone — see
+    functions/ntz_time.py) and oracle-comparable; the
     streaming twin uses window() + watermark (streaming/windows.py)."""
+    from kafka_topic_dumper_spark.functions.ntz_time import trunc_hour_ntz
+
     ev = load_table(spark, sf_dir, "events")
     return ev.groupBy(
-        F.date_trunc("hour", "ts").alias("window_start"), "event_type"
+        trunc_hour_ntz("ts").alias("window_start"), "event_type"
     ).agg(
         F.count("*").alias("n_events"),
         F.round(F.sum("value"), 2).alias("sum_value"),
