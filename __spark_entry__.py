@@ -27,69 +27,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Verification-priority order. Each round's driver checks the FIRST ~50
-# declared queries, so this list is rotated per round. Round-6 rotation
-# (r5 verdict, item 1): (a) queries NEW this round, (b) the 29 queries
-# whose latest driver row is round 2 — analytics/tpch_full/packing
-# changed in the round-5 broadcast sweep AFTER those rows, (c) the rest
-# of the r3/r4-stamped backlog, (d) the 50 fresh r5 rows.
-# This is ordering only — coverage is always the full set.
+# declared queries, so this list is rotated per round. Round-7 rotation
+# (r6 verdict, item 1): clear the driver-stamp backlog — the 36 queries
+# whose latest stamp is r2/r4 LEAD the window (r2 first), followed by
+# the 5 newly-oracled rows (their oracles are new this round) and the
+# new r7 rows; r5/r6-stamped rows trail. Ordering only — coverage is
+# always the full set.
 _VERIFY_PRIORITY = [
-    # --- (a) NEW round-6 rows (never driver-stamped) ---
-    "text_bm25_topk",
-    "sample_domain_temperature",
-    "similarity_knn_graph",
-    "layout_zorder_events",
-    "text_bpe_pair_counts",
-    "text_bpe_merges",
-    "text_quality_classifier",
-    "pipeline_tokenize_pack_ids",
-    "retrieval_hybrid_rrf",
-    "similarity_mutual_knn_clusters",
-    "text_bpe_encode",
-    "pipeline_quality_ensemble",
-    "dedup_quality_survivor",
-    "stats_corpus_drift",
-    "dedup_minhash_clusters",
-    "streaming_lm_quality",
-    "similarity_topk_ivf_trained",
-    "streaming_hourly_rollup",
-    "dedup_semantic",
-    "dedup_semantic_trained",
-    "chunk_documents_sliding",
-    "epoch_shuffle_order",
-    "sample_stratified_per_group",
-    "streaming_dedup_exact",
-    "dedup_duplicate_spans",
-    "similarity_topk_pq",
-    "similarity_topk_pq_trained",
-    "similarity_topk_pq_stored",
-    "streaming_user_sessions",
-    "merge_upsert_customers",
-    "scd2_user_event_history",
-    "similarity_topk_ivfpq",
-    "similarity_topk_ivfpq_stored",
-    "streaming_merge_latest_state",
-    "multimodal_resize_raw",
-    "dedup_remove_spans",
-    # --- (a') rows whose SEMANTICS changed in round 6 (oracle + impl
-    # in lockstep: exclusive log-end offsets; email-pass audit counts)
-    # — their r5 driver stamps describe the old semantics ---
-    "a4_offset_clamp",
-    "text_redact_pii",
-    "sessionize_events",
-    "join_salted_skew",
-    # --- (b) last driver-stamped in round 2; their source files
-    # changed in the r5 broadcast sweep (r5 verdict item 1) ---
-    "multimodal_feature_stub",
-    "q17_small_quantity_revenue",
-    "q16_supplier_diversity",
-    "embedding_corpus_stats",
-    "q4_order_priority_check",
-    "q10_returned_items",
-    "q12_lines_priority",
-    "q14_promo_revenue",
-    "q6_forecast_revenue",
-    "q19_disjunctive_predicates",
+    # --- (a) last driver-stamped round 2 ---
     "q2_cheapest_supplier",
     "q7_nation_volume_shipping",
     "q8_nation_market_share",
@@ -100,15 +45,22 @@ _VERIFY_PRIORITY = [
     "q20_potential_part_promotion",
     "q21_late_shipping_suppliers",
     "q22_dormant_customers",
-    "dedup_cluster_components",
-    "stats_exact_percentiles",
-    "grouping_sets_order_matrix",
     "pack_training_sequences",
     "sample_domain_mixture",
     "pipeline_clean_dedup_pack",
+    "stats_exact_percentiles",
     "stats_key_skew_profile",
+    "dedup_cluster_components",
+    "grouping_sets_order_matrix",
     "multimodal_phash_neardup",
-    # --- (c) last driver-stamped round 3/4 ---
+    # --- (b) last driver-stamped round 4 ---
+    "q1_pricing_summary",
+    "o3_limit_top_orders",
+    "rollup_order_revenue",
+    "setops_customer_cohorts",
+    "join_semi_anti_customers",
+    "sample_stratified_by_lang",
+    "sample_train_val_test_split",
     "multimodal_frame_sample",
     "multimodal_resize_stub",
     "text_lang_id",
@@ -120,17 +72,16 @@ _VERIFY_PRIORITY = [
     "text_lang_corpus_stats",
     "text_fingerprint",
     "text_winnowing_fingerprints",
-    "o3_limit_top_orders",
-    "q1_pricing_summary",
-    "rollup_order_revenue",
-    "setops_customer_cohorts",
-    "join_semi_anti_customers",
-    "sample_stratified_by_lang",
-    "sample_train_val_test_split",
-    # --- (d) fresh r5 rows, events/similarity first (their
-    # loaders/kernels changed again this round) ---
-    "flagship_latest_event_per_user",
-    "events_hourly_rollup",
+    # --- (c) oracles NEW this round (were rows-only in r6) ---
+    "text_bpe_merges",
+    "text_bpe_encode",
+    "similarity_topk_ivf_trained",
+    "dedup_semantic_trained",
+    "similarity_topk_pq_trained",
+    # --- (d) NEW round-7 rows (never driver-stamped) ---
+    "streaming_sessionize_state",
+    "multimodal_decode_png",
+    # --- (e) last driver-stamped round 5 ---
     "p1_project_key_value",
     "p3_hot_reload_predicate",
     "a1_latest_dump_id",
@@ -138,45 +89,93 @@ _VERIFY_PRIORITY = [
     "a3_a5_available_message_counts",
     "o1_sorted_file_plan",
     "o2_tail_k_per_partition",
-    "b1_chunk_plan",
-    "cube_event_activity",
-    "window_event_metrics",
-    "asof_join_last_purchase",
-    "funnel_conversion",
     "f_scalar_surface",
-    "approx_aggregates",
-    "asof_join_next_purchase",
-    "cohort_retention",
-    "join_full_outer_reconcile",
-    "join_range_interval",
-    "pivot_user_event_matrix",
-    "stats_numeric_profile",
-    "stats_value_histogram",
-    "timeseries_gap_fill",
-    "window_distribution_metrics",
-    "window_rolling_hour",
-    "similarity_topk_lsh",
-    "similarity_topk_lsh_stored",
-    "similarity_topk_ivf_stored",
-    "embedding_quantize_int8",
-    "similarity_topk_ivf",
-    "similarity_topk_bruteforce",
-    "dedup_embedding_cosine",
-    "dedup_ngram_jaccard",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_incremental",
+    "b1_chunk_plan",
+    "flagship_latest_event_per_user",
     "q3_shipping_priority",
     "q5_region_revenue",
-    "q18_large_volume_orders",
-    "text_contamination_overlap",
-    "text_bigram_lm_quality",
-    "pipeline_quality_dedup_pack",
-    "text_mean_token_df",
+    "events_hourly_rollup",
     "dedup_exact",
+    "dedup_ngram_jaccard",
     "dedup_canonical_mapping",
+    "dedup_incremental",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "similarity_topk_bruteforce",
+    "embedding_quantize_int8",
+    "similarity_topk_lsh",
+    "similarity_topk_lsh_stored",
+    "similarity_topk_ivf",
+    "similarity_topk_ivf_stored",
+    "text_bigram_lm_quality",
+    "text_mean_token_df",
+    "text_contamination_overlap",
     "multimodal_binary_meta",
     "multimodal_decode_stub",
+    "asof_join_last_purchase",
+    "asof_join_next_purchase",
+    "cube_event_activity",
+    "window_event_metrics",
+    "q18_large_volume_orders",
+    "timeseries_gap_fill",
+    "cohort_retention",
+    "window_rolling_hour",
+    "window_distribution_metrics",
+    "funnel_conversion",
+    "pivot_user_event_matrix",
+    "stats_value_histogram",
+    "stats_numeric_profile",
+    "join_range_interval",
+    "join_full_outer_reconcile",
+    "approx_aggregates",
+    "pipeline_quality_dedup_pack",
+    # --- (f) freshly stamped round 6 ---
+    "a4_offset_clamp",
+    "dedup_quality_survivor",
+    "dedup_minhash_clusters",
+    "dedup_duplicate_spans",
+    "dedup_remove_spans",
+    "dedup_semantic",
+    "similarity_knn_graph",
+    "similarity_mutual_knn_clusters",
+    "similarity_topk_pq",
+    "similarity_topk_pq_stored",
+    "similarity_topk_ivfpq",
+    "similarity_topk_ivfpq_stored",
+    "text_redact_pii",
+    "retrieval_hybrid_rrf",
+    "stats_corpus_drift",
+    "pipeline_quality_ensemble",
+    "text_quality_classifier",
+    "text_bm25_topk",
+    "multimodal_feature_stub",
+    "multimodal_resize_raw",
+    "sessionize_events",
+    "q17_small_quantity_revenue",
+    "q16_supplier_diversity",
+    "embedding_corpus_stats",
+    "q4_order_priority_check",
+    "q10_returned_items",
+    "q12_lines_priority",
+    "q14_promo_revenue",
+    "q6_forecast_revenue",
+    "q19_disjunctive_predicates",
+    "join_salted_skew",
+    "merge_upsert_customers",
+    "scd2_user_event_history",
+    "pipeline_tokenize_pack_ids",
+    "sample_domain_temperature",
+    "chunk_documents_sliding",
+    "epoch_shuffle_order",
+    "sample_stratified_per_group",
+    "layout_zorder_events",
+    "text_bpe_pair_counts",
+    "streaming_hourly_rollup",
+    "streaming_lm_quality",
+    "streaming_dedup_exact",
+    "streaming_merge_latest_state",
+    "streaming_user_sessions",
 ]
 
 
