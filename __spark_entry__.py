@@ -191,5 +191,13 @@ def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
 
 
 def oracle_sql() -> dict[str, str]:
-    """DuckDB-equivalent SQL per query (omitted → rows-only check)."""
-    return _ordered(dict(registry.ORACLES))
+    """DuckDB-equivalent SQL per query (omitted → rows-only check).
+
+    Lazy oracles (trained-state literals — functions/trained_oracles.py)
+    are resolved against the scale factor the driver's correctness
+    check runs at (sf=0.01 per contract; env-overridable for local
+    experiments)."""
+    import os
+
+    sf_dir = os.environ.get("SPARK_GRAFT_ORACLE_SF_DIR", "/root/testdata/sf0.01")
+    return _ordered(registry.resolve_oracles(sf_dir))

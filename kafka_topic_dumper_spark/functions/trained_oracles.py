@@ -1,0 +1,263 @@
+"""Literal-injected DuckDB oracles for queries whose plan consumes
+DRIVER-TRAINED state (k-means codebooks, learned BPE merges).
+
+The r6 verdict's point: "rows-only" was too weak for these five rows —
+the trained state is computed driver-side from a deterministic,
+metadata-sized derivation, so an independent replay can recompute it
+OUTSIDE Spark and inject the values as literals into the same oracle
+SQL shape that already hash-checks the untrained twins. What stays
+under differential test is exactly the DISTRIBUTED part of each query
+(assignment map stage, per-cell joins, encode/score folds, corpus
+aggregation) — the part that runs on 100 TB.
+
+Independence discipline: nothing here imports Spark or the operator
+modules' kernels. The corpus is read through DuckDB (the oracle
+engine), the training loops are re-stated in numpy/pure Python, and
+the resulting literals round-trip exactly (17-significant-digit
+scientific notation for doubles — shortest-repr-safe either way).
+
+Replayed derivations and their Spark-side twins:
+
+- spherical Lloyd's IVF codebook ← ``similarity.ivf_codebook_trained``
+  (deterministic md5-ordered ≤4096 sample, init = first k rows, 20
+  iterations, empty-cell carry-over);
+- per-subspace plain-L2 Lloyd's PQ codebook ←
+  ``similarity.pq_codebook_trained`` (same sample, independent
+  subspaces);
+- BPE merge learning ← ``bpe._learn`` (pair argmax with
+  (count DESC, UTF-8(left), UTF-8(right)) tie-break, leftmost
+  non-overlapping merge fold).
+
+Both sides run float64 numpy on the identical sample matrix in the
+same process environment, so the trained literals are bit-identical to
+what the Spark query's driver-side training produces — any divergence
+in the distributed stages then fails the hash compare just like the
+untrained rows.
+"""
+
+from __future__ import annotations
+
+from collections import Counter
+from functools import lru_cache
+
+
+def _dlit(x: float) -> str:
+    """A DuckDB DOUBLE literal that parses back to exactly ``x``.
+
+    17 significant digits uniquely identify a float64; the exponent
+    forces DOUBLE (a bare ``0.1`` literal parses as DECIMAL in
+    DuckDB, which would re-round on the later cast)."""
+    return f"{float(x):.16e}"
+
+
+def _slit(s: str) -> str:
+    return "'" + s.replace("'", "''") + "'"
+
+
+@lru_cache(maxsize=8)
+def _sample_matrix(sf_dir: str):
+    """The deterministic hash-bounded training sample, read through
+    DuckDB: non-null embeddings ordered by (md5(vec_id::VARCHAR),
+    vec_id), capped at 4096 — byte-identical selection to the Spark
+    side's ``orderBy(F.md5(vec_id.cast("string")), vec_id).limit``
+    (md5 hex is lowercase in both engines; float→double widening is
+    exact in both)."""
+    import duckdb
+    import numpy as np
+
+    rows = duckdb.sql(
+        f"""
+        SELECT list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+        FROM '{sf_dir}/embeddings.parquet'
+        WHERE embedding IS NOT NULL
+        ORDER BY md5(CAST(vec_id AS VARCHAR)), vec_id
+        LIMIT 4096
+        """
+    ).fetchall()
+    return np.asarray([r[0] for r in rows], dtype=np.float64)
+
+
+@lru_cache(maxsize=8)
+def ivf_trained_codebook(sf_dir: str, n_centroids: int = 16, iters: int = 20):
+    """Spherical Lloyd's replay of ``similarity.ivf_codebook_trained``
+    — identical numpy op sequence on the identical sample, so the
+    centroids (and their norms) are bit-equal to the Spark query's
+    driver-side codebook. Returns (centroid ndarray, norm ndarray)."""
+    import numpy as np
+
+    X = _sample_matrix(sf_dir)
+    nrm0 = np.linalg.norm(X, axis=1, keepdims=True)
+    Xn = X / np.where(nrm0 == 0, 1.0, nrm0)
+    C = Xn[:n_centroids].copy()
+    for _ in range(iters):
+        Cn = C / np.linalg.norm(C, axis=1, keepdims=True)
+        assign = np.argmax(Xn @ Cn.T, axis=1)
+        for c in range(n_centroids):
+            members = Xn[assign == c]
+            if len(members):
+                C[c] = members.mean(axis=0)
+    return C, np.linalg.norm(C, axis=1)
+
+
+def ivf_trained_centroid_cte(sf_dir: str, n_centroids: int = 16) -> str:
+    """The ``c(cid, c, c_nrm)`` CTE body with the trained centroids as
+    literals — drop-in replacement for the untrained oracles'
+    ``SELECT vec_id AS cid, v AS c, nrm AS c_nrm FROM n WHERE ...``."""
+    C, norms = ivf_trained_codebook(sf_dir, n_centroids)
+    rows = ",\n                ".join(
+        f"(CAST({cid} AS BIGINT), [{', '.join(_dlit(x) for x in C[cid])}],"
+        f" {_dlit(norms[cid])})"
+        for cid in range(n_centroids)
+    )
+    return f"SELECT * FROM (VALUES {rows}) AS _c(cid, c, c_nrm)"
+
+
+@lru_cache(maxsize=8)
+def pq_trained_codebook(
+    sf_dir: str, m: int = 16, ksub: int = 16, iters: int = 20
+):
+    """Per-subspace plain-L2 Lloyd's replay of
+    ``similarity.pq_codebook_trained`` — same sample, same init, same
+    iteration count, independent subspaces. Returns ndarray
+    (m, ksub, dsub)."""
+    import numpy as np
+
+    X = _sample_matrix(sf_dir)
+    dsub = X.shape[1] // m
+    cb = np.empty((m, ksub, dsub), dtype=np.float64)
+    for j in range(m):
+        S = X[:, j * dsub : (j + 1) * dsub]
+        C = S[:ksub].copy()
+        for _ in range(iters):
+            d2 = ((S[:, None, :] - C[None, :, :]) ** 2).sum(axis=2)
+            assign = np.argmin(d2, axis=1)
+            for c in range(ksub):
+                members = S[assign == c]
+                if len(members):
+                    C[c] = members.mean(axis=0)
+        cb[j] = C
+    return cb
+
+
+def pq_trained_centroid_cte(sf_dir: str, m: int = 16, ksub: int = 16) -> str:
+    """The ``cent(cid, j, cv)`` CTE body with the trained per-subspace
+    centroids as literals — replaces the untrained
+    ``SELECT vec_id AS cid, j, sv AS cv FROM sub WHERE vec_id < 16``."""
+    cb = pq_trained_codebook(sf_dir, m, ksub)
+    rows = ",\n                ".join(
+        f"(CAST({cid} AS BIGINT), CAST({j} AS BIGINT),"
+        f" [{', '.join(_dlit(x) for x in cb[j][cid])}])"
+        for j in range(m)
+        for cid in range(ksub)
+    )
+    return f"SELECT * FROM (VALUES {rows}) AS _cent(cid, j, cv)"
+
+
+@lru_cache(maxsize=8)
+def _bpe_word_freqs(sf_dir: str) -> tuple[tuple[str, int], ...]:
+    """(word, freq) over the BPE word derivation, read through DuckDB
+    with the same split/lower/length rule the Spark side uses (the
+    equivalence of the two derivations is itself oracle-gated by
+    ``text_bpe_pair_counts``)."""
+    import duckdb
+
+    rows = duckdb.sql(
+        rf"""
+        SELECT word, count(*) AS freq FROM (
+            SELECT unnest(string_split_regex(lower(text), '\s+')) AS word
+            FROM '{sf_dir}/documents.parquet'
+        ) WHERE length(word) >= 2
+        GROUP BY word
+        """
+    ).fetchall()
+    return tuple((w, int(f)) for w, f in rows)
+
+
+def _apply_merge(syms: list[str], left: str, right: str) -> list[str]:
+    """Leftmost non-overlapping merge — the pure form of the Spark
+    side's JVM ``aggregate`` fold (``bpe._merge_expr``)."""
+    out: list[str] = []
+    j = 0
+    while j < len(syms):
+        if j + 1 < len(syms) and syms[j] == left and syms[j + 1] == right:
+            out.append(left + right)
+            j += 2
+        else:
+            out.append(syms[j])
+            j += 1
+    return out
+
+
+@lru_cache(maxsize=8)
+def bpe_trained_state(sf_dir: str, n_merges: int = 8):
+    """Pure-Python BPE learning replay: returns (merges, seg) where
+    ``merges`` is [(step, left, right, pair_count)] and ``seg`` maps
+    word → final symbol list. Tie-break matches the Spark learner:
+    (count DESC, UTF-8 bytes of left ASC, UTF-8 bytes of right ASC)."""
+    freqs = dict(_bpe_word_freqs(sf_dir))
+    seg = {w: list(w) for w in freqs}
+    merges: list[tuple[int, str, str, int]] = []
+    for step in range(1, n_merges + 1):
+        counts: Counter = Counter()
+        for w, syms in seg.items():
+            f = freqs[w]
+            for i in range(len(syms) - 1):
+                counts[(syms[i], syms[i + 1])] += f
+        if not counts:
+            break
+        (left, right), cnt = min(
+            counts.items(),
+            key=lambda kv: (-kv[1], kv[0][0].encode(), kv[0][1].encode()),
+        )
+        merges.append((step, left, right, cnt))
+        for w in seg:
+            seg[w] = _apply_merge(seg[w], left, right)
+    return tuple(merges), {w: tuple(s) for w, s in seg.items()}
+
+
+def bpe_merges_oracle_sql(sf_dir: str, n_merges: int = 8) -> str:
+    """Expected merge table as literals — the differential then checks
+    the distributed learner end-to-end (corpus word shuffle, per-step
+    vocabulary aggregation, argmax tie-break, fold application)."""
+    merges, _ = bpe_trained_state(sf_dir, n_merges)
+    rows = ",\n               ".join(
+        f"(CAST({step} AS INTEGER), {_slit(l)}, {_slit(r)},"
+        f" CAST({cnt} AS BIGINT))"
+        for step, l, r, cnt in merges
+    )
+    return f"""
+        SELECT * FROM (VALUES {rows})
+        AS _m(step, "left", "right", pair_count)
+        ORDER BY step
+        """
+
+
+def bpe_encode_oracle_sql(sf_dir: str, n_merges: int = 8) -> str:
+    """Encode oracle: per-word piece counts from the replayed final
+    segmentation join the corpus word stream IN DUCKDB, so the whole
+    distributed encode path (word stream, vocabulary join, per-doc
+    aggregation, compression ratio) is hash-checked — only the
+    vocabulary-sized segmentation lengths are injected."""
+    _, seg = bpe_trained_state(sf_dir, n_merges)
+    rows = ",\n               ".join(
+        f"({_slit(w)}, CAST({len(syms)} AS BIGINT))"
+        for w, syms in sorted(seg.items())
+    )
+    return rf"""
+        WITH seg AS (
+            SELECT * FROM (VALUES {rows}) AS _s(word, n_pieces_w)
+        ), stream AS (
+            SELECT doc_id, word FROM (
+                SELECT doc_id,
+                       unnest(string_split_regex(lower(text), '\s+')) AS word
+                FROM documents
+            ) WHERE length(word) >= 2
+        )
+        SELECT s.doc_id,
+               CAST(count(*) AS BIGINT) AS n_words,
+               CAST(sum(g.n_pieces_w) AS BIGINT) AS n_pieces,
+               round(CAST(sum(g.n_pieces_w) AS DOUBLE) / count(*), 4)
+                   AS pieces_per_word
+        FROM stream s JOIN seg g USING (word)
+        GROUP BY s.doc_id
+        """

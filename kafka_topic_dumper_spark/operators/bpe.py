@@ -33,6 +33,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from kafka_topic_dumper_spark.functions import trained_oracles
 from kafka_topic_dumper_spark.functions.caching import tracked_persist
 
 N_MERGES = 8
@@ -258,13 +259,21 @@ def register(reg) -> None:
         table — BPE training sweep 1, oracle-exact."""
         return pair_counts_first_sweep(load_table(spark, sf_dir, "documents"))
 
-    @reg("text_bpe_merges")  # iterative — rows-only; replayed in tests
+    # Literal-injected oracles (r6 verdict item 2): the merge LOOP is
+    # iterative (driver-held argmax state), but its output is an
+    # independent pure-Python replay away (functions/trained_oracles.py
+    # — same learner restated from scratch over a DuckDB word-frequency
+    # read). The merges row checks the distributed learner's full
+    # output; the encode row injects only the vocabulary-sized final
+    # segmentation lengths and runs the whole corpus-side encode path
+    # (word stream, vocabulary join, per-doc aggregation) in DuckDB.
+    @reg("text_bpe_merges", trained_oracles.bpe_merges_oracle_sql)
     def text_bpe_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
         """8 learned BPE merges (deterministic count/lexicographic
         tie-break); pure-Python replay asserts exact equality."""
         return learn_bpe_merges(load_table(spark, sf_dir, "documents"))
 
-    @reg("text_bpe_encode")  # depends on learned state — rows-only
+    @reg("text_bpe_encode", trained_oracles.bpe_encode_oracle_sql)
     def text_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Train 8 merges, then encode the corpus with them: per-doc
         piece counts and compression ratio (pure-Python replay in

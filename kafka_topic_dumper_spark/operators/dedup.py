@@ -31,6 +31,7 @@ from kafka_topic_dumper_spark.functions.portable_hash import (
     h60_duckdb_sql,
     minhash_params,
 )
+from kafka_topic_dumper_spark.functions import trained_oracles
 from kafka_topic_dumper_spark.sources.tables import load_table
 
 # --- shared shingle/token helpers (JVM-side lambda expressions) -----------
@@ -958,6 +959,51 @@ def remove_duplicate_spans_oracle_sql(
 # --- registry entries -------------------------------------------------------
 
 
+SEMDEDUP_ORACLE_THRESHOLD = 0.40
+
+
+def semdedup_oracle_sql(centroid_cte: str | None = None) -> str:
+    """DuckDB oracle for the SemDeDup keep-list (coarse argmax
+    assignment with cid tie-break — same CTE chain as
+    similarity.ivf_oracle_sql — then lowest-vec_id-survives within each
+    cell at cosine >= tau). ``centroid_cte`` supplies the codebook;
+    default is the deterministic sample selection."""
+    from kafka_topic_dumper_spark.operators.similarity import IVF_CENTROID_CTE
+
+    cte = centroid_cte or IVF_CENTROID_CTE
+    return f"""
+        WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings WHERE embedding IS NOT NULL
+        ), n AS (
+            SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+            FROM v
+        ), c AS (
+            {cte}
+        ), ac AS (
+            SELECT n.vec_id, n.v, n.nrm, c.cid,
+                   list_sum(list_transform(range(1, 65), i -> n.v[i] * c.c[i]))
+                       / (n.nrm * c.c_nrm) AS cos_c
+            FROM n, c
+        ), assigned AS (
+            SELECT vec_id, v, nrm, cid AS cell FROM (
+                SELECT *, row_number() OVER (PARTITION BY vec_id
+                           ORDER BY cos_c DESC, cid) AS rn
+                FROM ac
+            ) WHERE rn = 1
+        ), dropped AS (
+            SELECT DISTINCT hi.vec_id
+            FROM assigned hi JOIN assigned lo
+              ON hi.cell = lo.cell AND hi.vec_id > lo.vec_id
+            WHERE list_sum(list_transform(range(1, 65),
+                      i -> hi.v[i] * lo.v[i])) / (hi.nrm * lo.nrm)
+                  >= {SEMDEDUP_ORACLE_THRESHOLD}
+        )
+        SELECT vec_id, cell FROM assigned
+        WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
+        """
+
+
 def register(reg) -> None:
     @reg(
         "dedup_exact",
@@ -1365,39 +1411,7 @@ def register(reg) -> None:
     # same lowest-id-survives rule. Threshold comparison is bit-safe:
     # both engines compute cosine with the identical left-folded IEEE
     # op sequence (see similarity.pair_dot_udf).
-    @reg(
-        "dedup_semantic",
-        """
-        WITH v AS (
-            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-            FROM embeddings WHERE embedding IS NOT NULL
-        ), n AS (
-            SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-            FROM v
-        ), c AS (
-            SELECT vec_id AS cid, v AS c, nrm AS c_nrm FROM n WHERE vec_id < 16
-        ), ac AS (
-            SELECT n.vec_id, n.v, n.nrm, c.cid,
-                   list_sum(list_transform(range(1, 65), i -> n.v[i] * c.c[i]))
-                       / (n.nrm * c.c_nrm) AS cos_c
-            FROM n, c
-        ), assigned AS (
-            SELECT vec_id, v, nrm, cid AS cell FROM (
-                SELECT *, row_number() OVER (PARTITION BY vec_id
-                           ORDER BY cos_c DESC, cid) AS rn
-                FROM ac
-            ) WHERE rn = 1
-        ), dropped AS (
-            SELECT DISTINCT hi.vec_id
-            FROM assigned hi JOIN assigned lo
-              ON hi.cell = lo.cell AND hi.vec_id > lo.vec_id
-            WHERE list_sum(list_transform(range(1, 65),
-                      i -> hi.v[i] * lo.v[i])) / (hi.nrm * lo.nrm) >= 0.40
-        )
-        SELECT vec_id, cell FROM assigned
-        WHERE vec_id NOT IN (SELECT vec_id FROM dropped)
-        """,
-    )
+    @reg("dedup_semantic", semdedup_oracle_sql())
     def dedup_semantic(spark: SparkSession, sf_dir: str) -> DataFrame:
         """SemDeDup keep-list over 16 deterministic coarse cells —
         kept (vec_id, cell) rows; per-cell equi-join, never all-pairs.
@@ -1407,11 +1421,16 @@ def register(reg) -> None:
         drop path — 0.40 drops 11/500, proving both branches."""
         return semantic_dedup(load_table(spark, sf_dir, "embeddings"), threshold=0.40)
 
-    # Rows-only (k-means is not SQL-expressible): the production
-    # codebook path — balanced cells shrink the per-cell quadratic
-    # term. The deterministic-sample row above stays the exact-match
-    # oracle for the identical plan.
-    @reg("dedup_semantic_trained", None)
+    # Literal-injected oracle (r6 verdict item 2): the trained codebook
+    # is replayed outside Spark (functions/trained_oracles.py) and its
+    # centroids injected as literals, so the assignment + per-cell
+    # survivor stages are hash-checked exactly like the untrained row.
+    @reg(
+        "dedup_semantic_trained",
+        lambda sf_dir: semdedup_oracle_sql(
+            trained_oracles.ivf_trained_centroid_cte(sf_dir)
+        ),
+    )
     def dedup_semantic_trained(spark: SparkSession, sf_dir: str) -> DataFrame:
         """SemDeDup keep-list under the k-means-trained codebook
         (similarity.ivf_codebook_trained) riding the same assignment

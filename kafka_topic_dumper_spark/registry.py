@@ -46,9 +46,15 @@ QueryFn = Callable[[SparkSession, str], DataFrame]
 
 QUERIES: dict[str, QueryFn] = {}
 ORACLES: dict[str, str] = {}
+# Oracles whose SQL embeds literals derived from the data itself
+# (driver-trained codebooks, learned BPE merges — see
+# functions/trained_oracles.py): registered as ``sf_dir -> SQL``
+# builders and resolved against the scale factor the check actually
+# runs at (driver: sf0.01; tests: conftest.SF_CORRECTNESS).
+LAZY_ORACLES: dict[str, Callable[[str], str]] = {}
 
 
-def _register(name: str, oracle: str | None = None):
+def _register(name: str, oracle: str | Callable[[str], str] | None = None):
     def deco(fn: QueryFn) -> QueryFn:
         if name in QUERIES:
             raise ValueError(
@@ -58,10 +64,22 @@ def _register(name: str, oracle: str | None = None):
             )
         QUERIES[name] = fn
         if oracle is not None:
-            ORACLES[name] = oracle
+            if callable(oracle):
+                LAZY_ORACLES[name] = oracle
+            else:
+                ORACLES[name] = oracle
         return fn
 
     return deco
+
+
+def resolve_oracles(sf_dir: str) -> dict[str, str]:
+    """ORACLES plus every lazy oracle built for ``sf_dir`` — the full
+    name → SQL map a differential check should run."""
+    out = dict(ORACLES)
+    for name, build in LAZY_ORACLES.items():
+        out[name] = build(sf_dir)
+    return out
 
 
 # ---------------------------------------------------------------------------

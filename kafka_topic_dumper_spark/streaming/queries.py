@@ -149,6 +149,42 @@ def _events_split_stream_input(spark: SparkSession, sf_dir: str, n_files: int = 
     return _STREAM_INPUT_CACHE[key]
 
 
+def _events_range_split_stream_input(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> str:
+    """Events split into ``n_files`` TIME-RANGE parquet files with
+    ascending modification times, so a ``maxFilesPerTrigger=1`` reader
+    replays them as time-ordered micro-batches. Unlike the random
+    ``repartition`` split, range order means no event ever arrives
+    behind the watermark a previous batch advanced — required for the
+    stateful sessionizer, whose closed sessions cannot re-open for a
+    straggler the way the dedup row's set-union state can absorb one.
+    ``repartitionByRange`` keeps the split distributed (one range
+    shuffle, the same primitive a 100 TB backfill replay would use);
+    partition k lands in the k-th part file, whose mtime we bump into
+    ascending order because the file source replays by (mtime, path)."""
+    key = ("events_range_split", sf_dir, n_files)
+    if key not in _STREAM_INPUT_CACHE:
+        import atexit
+        import glob
+        import os
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="stream_input_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        path = f"{root}/events_range_split"
+        load_table(spark, sf_dir, "events").select(
+            "event_id", "user_id", "event_type", "value", "ts"
+        ).repartitionByRange(n_files, "ts", "event_id").write.parquet(path)
+        parts = sorted(glob.glob(f"{path}/part-*.parquet"))
+        base = int(os.path.getmtime(parts[-1])) + 10
+        for i, p in enumerate(parts):
+            os.utime(p, (base + i, base + i))
+        _STREAM_INPUT_CACHE[key] = path
+    return _STREAM_INPUT_CACHE[key]
+
+
 def register(reg) -> None:
     from kafka_topic_dumper_spark.operators.text import (
         bigram_lm_model,
@@ -433,4 +469,84 @@ def register(reg) -> None:
             "user_id",
             "n_events",
             "sum_value",
+        )
+
+    # The CUSTOM stateful operator (applyInPandasWithState), registry-
+    # stamped end-to-end (r6 verdict item 7): conversion-terminated
+    # sessionization — semantics the stock session_window cannot
+    # express — replayed through four TIME-RANGE micro-batches with an
+    # event-time flush timer. The oracle is the batch gaps-and-islands
+    # chain (same CTE text as sessionize_events) plus the flush
+    # horizon: a trailing unconverted session appears iff the terminal
+    # watermark (max ts, delay 0) passed its last_event + gap — the
+    # predicate tests/test_stateful_streaming.py proved against the
+    # operator.
+    @reg(
+        "streaming_sessionize_state",
+        """
+        WITH mx AS (SELECT max(ts) AS m FROM events),
+        tagged AS (
+            SELECT user_id, ts, event_id, value, event_type,
+                   CAST(sum(CASE WHEN prev_secs IS NULL
+                                 OR floor(epoch(ts)) - prev_secs > 1800
+                                 OR prev_type = 'purchase'
+                            THEN 1 ELSE 0 END)
+                        OVER (PARTITION BY user_id ORDER BY ts, event_id
+                              ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                        AS BIGINT) AS session_id
+            FROM (SELECT *,
+                         lag(floor(epoch(ts))) OVER wo AS prev_secs,
+                         lag(event_type) OVER wo AS prev_type
+                  FROM events
+                  WINDOW wo AS (PARTITION BY user_id ORDER BY ts, event_id))
+        ), sess AS (
+            SELECT user_id, session_id,
+                   min(ts) AS session_start,
+                   max(ts) AS session_end,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 2) AS sum_value,
+                   CAST(max(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                        AS INTEGER) AS converted
+            FROM tagged
+            GROUP BY user_id, session_id
+        ), horizon AS (
+            SELECT s.*, max(session_id) OVER (PARTITION BY user_id) AS max_sid,
+                   mx.m
+            FROM sess s, mx
+        )
+        SELECT user_id, session_id, session_start, session_end,
+               n_events, sum_value, converted
+        FROM horizon
+        WHERE session_id != max_sid
+           OR converted = 1
+           OR session_end + INTERVAL 1800 SECOND <= m
+        """,
+    )
+    def streaming_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Conversion-terminated sessions via the custom
+        applyInPandasWithState operator: four time-range micro-batches
+        (cross-batch open-session state), event-time timeout flushing
+        trailing sessions the watermark passed."""
+        from kafka_topic_dumper_spark.streaming.stateful import (
+            sessionize_stream,
+        )
+
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string,"
+                " value double, ts timestamp_ntz"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(_events_range_split_stream_input(spark, sf_dir))
+        )
+        name = f"streaming_sessionize_state_sink_{next(_SINK_SEQ)}"
+        _drain(sessionize_stream(stream, flush_timeout=True), name)
+        return spark.table(name).select(
+            "user_id",
+            "session_id",
+            F.col("session_start").cast("timestamp_ntz").alias("session_start"),
+            F.col("session_end").cast("timestamp_ntz").alias("session_end"),
+            "n_events",
+            "sum_value",
+            "converted",
         )

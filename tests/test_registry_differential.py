@@ -15,8 +15,9 @@ import pytest
 from kafka_topic_dumper_spark import registry
 from tests.conftest import SF_CORRECTNESS
 
-ORACLE_NAMES = sorted(registry.ORACLES)
-ROWS_ONLY_NAMES = sorted(set(registry.QUERIES) - set(registry.ORACLES))
+RESOLVED_ORACLES = registry.resolve_oracles(SF_CORRECTNESS)
+ORACLE_NAMES = sorted(RESOLVED_ORACLES)
+ROWS_ONLY_NAMES = sorted(set(registry.QUERIES) - set(RESOLVED_ORACLES))
 
 
 def _normalize(v):
@@ -37,7 +38,7 @@ def test_query_matches_oracle(spark, duck, name):
     spark_cols = sdf.columns
     spark_rows = [tuple(r) for r in sdf.collect()]
 
-    rel = duck.sql(registry.ORACLES[name])
+    rel = duck.sql(RESOLVED_ORACLES[name])
     duck_cols = rel.columns
     duck_rows = rel.fetchall()
 
@@ -66,7 +67,7 @@ def test_entry_smoke(spark):
 
 
 def test_every_oracle_has_query():
-    assert set(registry.ORACLES) <= set(registry.QUERIES)
+    assert set(RESOLVED_ORACLES) <= set(registry.QUERIES)
 
 
 def test_entry_verify_priority_covers_registry_exactly():
