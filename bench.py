@@ -182,6 +182,35 @@ def main() -> int:
         return timings
 
     timings = time_set(HEADLINE)
+
+    # Production-hash minhash row (r6 verdict item 3): the frozen
+    # HEADLINE row keeps the md5 portable hash for oracle parity and
+    # baseline comparability; THIS row prices the documented production
+    # path — minhash_signatures(portable=False), xxhash64 — which is
+    # what a real deployment runs. Not summed into any set total (it
+    # duplicates dedup_minhash_lsh's plan with a cheaper hash).
+    def time_minhash_prod() -> float:
+        from kafka_topic_dumper_spark.operators.dedup import (
+            minhash_lsh_candidates,
+            minhash_signatures,
+            verify_pairs_exact_jaccard,
+        )
+
+        docs = load_table(spark, SF_DIR, "documents")
+        best = None
+        with operator_caches():
+            for _ in range(N_RUNS):
+                t0 = time.perf_counter()
+                cand = minhash_lsh_candidates(
+                    minhash_signatures(docs, 32, portable=False), 8, 4
+                )
+                _force(verify_pairs_exact_jaccard(docs, cand))
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
+    timings_prod = {"dedup_minhash_lsh_prod": time_minhash_prod()}
+
     timings_v2 = time_set(HEADLINE_V2)
     timings_v3 = time_set(HEADLINE_V3)
     timings_v4 = time_set(HEADLINE_V4)
@@ -261,6 +290,19 @@ def main() -> int:
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
+    # Quiet-host control (r6 verdict item 8): q1 re-timed AFTER the
+    # whole suite. BENCH_BASELINE.md's convention: ~0.6 s means the
+    # host was quiet; a 1.3-1.6x inflation here flags the documented
+    # concurrent-load band, telling the reader to discount a uniform
+    # slowdown across unrelated rows before calling it a regression.
+    control_q1 = None
+    with operator_caches():
+        for _ in range(N_RUNS):
+            t0 = time.perf_counter()
+            _force(registry.QUERIES["q1_pricing_summary"](spark, SF_DIR))
+            dt = time.perf_counter() - t0
+            control_q1 = dt if control_q1 is None else min(control_q1, dt)
+
     total = round(sum(timings.values()), 3)
     print(
         json.dumps(
@@ -277,6 +319,8 @@ def main() -> int:
                 "value_v4": round(sum(timings_v4.values()), 3),
                 "queries_v5": timings_v5,
                 "value_v5": round(sum(timings_v5.values()), 3),
+                "queries_prod": timings_prod,
+                "control_q1": round(control_q1, 3),
                 "n_runs": N_RUNS,
                 "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
             }
