@@ -20,17 +20,33 @@ from pyspark.sql import functions as F
 
 _EPOCH = "TIMESTAMP_NTZ '1970-01-01 00:00:00'"
 
+# Truncation is a FLOOR, not a round-toward-zero (ADVICE r6): the
+# earlier timestampdiff(HOUR/DAY, ...) forms truncated the interval
+# toward zero, so pre-1970 timestamps rounded UP to the next boundary
+# while DuckDB's date_trunc floors. The µs-exact diff below never
+# truncates (every NTZ value is whole microseconds), and
+# ``x - pmod(x, unit)`` floors to the boundary for negative x too —
+# both helpers now match DuckDB's date_trunc over the full NTZ range.
+_US_HOUR = 3_600_000_000
+_US_DAY = 86_400_000_000
+
 
 def trunc_hour_ntz(col: str = "ts") -> Column:
-    """``date_trunc('hour', ts)`` for NTZ, session-timezone-free."""
+    """``date_trunc('hour', ts)`` for NTZ, session-timezone-free and
+    floor-correct on both sides of the epoch."""
+    us = f"timestampdiff(MICROSECOND, {_EPOCH}, {col})"
     return F.expr(
-        f"timestampadd(HOUR, timestampdiff(HOUR, {_EPOCH}, {col}), {_EPOCH})"
+        f"timestampadd(MICROSECOND, {us} - pmod({us}, {_US_HOUR}), {_EPOCH})"
     )
 
 
 def trunc_week_ntz(col: str = "ts") -> Column:
     """``date_trunc('week', ts)`` (Monday origin, like both engines)
-    for NTZ, session-timezone-free. 1970-01-01 was a Thursday, so
-    ``(days_since_epoch + 3) % 7`` is the days-since-Monday offset."""
-    d = f"timestampdiff(DAY, {_EPOCH}, {col})"
-    return F.expr(f"timestampadd(DAY, {d} - pmod({d} + 3, 7), {_EPOCH})")
+    for NTZ, session-timezone-free and floor-correct on both sides of
+    the epoch. 1970-01-01 was a Thursday, so shifting by 3 days makes
+    the modulus Monday-anchored (1969-12-29 was a Monday)."""
+    us = f"timestampdiff(MICROSECOND, {_EPOCH}, {col})"
+    return F.expr(
+        f"timestampadd(MICROSECOND,"
+        f" {us} - pmod({us} + {3 * _US_DAY}, {7 * _US_DAY}), {_EPOCH})"
+    )

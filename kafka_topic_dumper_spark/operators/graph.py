@@ -33,6 +33,11 @@ from __future__ import annotations
 from pyspark.sql import DataFrame
 from pyspark.sql import functions as F
 
+# Observability for the scale probe: sweep count of the most recent
+# connected_components call (the per-sweep shuffle is the operator's
+# 100 TB cost driver, so SCALE_PROBE.md tracks it across decades).
+LAST_SWEEP_COUNT: int | None = None
+
 
 def connected_components(
     edges: DataFrame,
@@ -136,6 +141,8 @@ def connected_components(
         cur_sum = 0 if raw is None else raw
         labels = new_labels
         if cur_sum == prev_sum:
+            global LAST_SWEEP_COUNT
+            LAST_SWEEP_COUNT = sweep + 1
             return labels.select("node", F.col("label").alias("component_id"))
         prev_sum = cur_sum
     raise RuntimeError(

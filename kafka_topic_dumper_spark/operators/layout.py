@@ -68,11 +68,31 @@ _YH_SPARK = "timestampdiff(HOUR, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
 _YH_DUCK = "CAST(floor(epoch(ts) / 3600) AS BIGINT)"
 
 # Exact-integer min/max scaling to the full 16-bit range; greatest(...,1)
-# guards the degenerate single-value dimension.
-_XN_SPARK = f"(((user_id - xmin) * {_Z_MAX}) div greatest(xmax - xmin, 1))"
-_YN_SPARK = f"(((yh - ymin) * {_Z_MAX}) div greatest(ymax - ymin, 1))"
-_XN_DUCK = f"(((user_id - xmin) * {_Z_MAX}) // greatest(xmax - xmin, 1))"
-_YN_DUCK = f"(((yh - ymin) * {_Z_MAX}) // greatest(ymax - ymin, 1))"
+# guards the degenerate single-value dimension. The (value - min) * 65535
+# intermediate is widened to 128-bit integer math — Spark DECIMAL(38,0)
+# with `div`, DuckDB HUGEINT with `//`, verified to agree exactly
+# (both truncate toward zero; operands are nonnegative so that IS the
+# floor) — because a snowflake-scale id domain (range > ~1.4e14) would
+# overflow the bigint multiply: ANSI Spark raises, non-ANSI Spark and
+# a narrower oracle would silently wrap (ADVICE r6). NB: DuckDB's `//`
+# on DECIMAL operands ROUNDS instead of flooring — HUGEINT, not
+# DECIMAL, is the correct widening on that engine.
+_XN_SPARK = (
+    f"(((CAST(user_id AS DECIMAL(38,0)) - xmin) * {_Z_MAX})"
+    " div greatest(CAST(xmax AS DECIMAL(38,0)) - xmin, 1))"
+)
+_YN_SPARK = (
+    f"(((CAST(yh AS DECIMAL(38,0)) - ymin) * {_Z_MAX})"
+    " div greatest(CAST(ymax AS DECIMAL(38,0)) - ymin, 1))"
+)
+_XN_DUCK = (
+    f"(((CAST(user_id AS HUGEINT) - xmin) * {_Z_MAX})"
+    " // greatest(CAST(xmax AS HUGEINT) - xmin, 1))"
+)
+_YN_DUCK = (
+    f"(((CAST(yh AS HUGEINT) - ymin) * {_Z_MAX})"
+    " // greatest(CAST(ymax AS HUGEINT) - ymin, 1))"
+)
 
 
 def _with_zval(events: DataFrame) -> DataFrame:

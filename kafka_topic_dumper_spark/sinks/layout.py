@@ -159,12 +159,46 @@ def compact(
     if part_cols:
         writer = writer.partitionBy(*part_cols)
     writer.parquet(tmp)
+
+    # Publish gate (ADVICE r6): a short rewrite — the documented
+    # concurrent-writer race, or a partially materialized tmp — must
+    # never reach the swap, because the post-swap rmtree(old) would
+    # make the loss unrecoverable. Both checks are metadata-plane
+    # (parquet footer num_rows, no extra Spark job):
+    #   1. the source listing is unchanged since the read (a writer
+    #      that committed mid-rewrite would otherwise be dropped);
+    #   2. the rewritten tree carries exactly the source's row count.
+    # On violation the tmp dir is removed and the table is untouched.
+    if sorted(_parquet_files(path)) != sorted(files):
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"compact({path!r}) aborted: source files changed during the "
+            "rewrite (concurrent writer) — table left untouched; compact "
+            "only quiescent tables/partitions"
+        )
+    src_rows = _footer_rows(files)
+    dst_rows = _footer_rows(_parquet_files(tmp))
+    if src_rows != dst_rows:
+        shutil.rmtree(tmp, ignore_errors=True)
+        raise RuntimeError(
+            f"compact({path!r}) aborted: rewritten tree has {dst_rows} rows "
+            f"vs {src_rows} in the source — table left untouched"
+        )
+
     old = path.rstrip("/") + "._old"
     shutil.rmtree(old, ignore_errors=True)
     os.rename(path, old)
     os.rename(tmp, path)
     shutil.rmtree(old)
     return files_before, len(_parquet_files(path))
+
+
+def _footer_rows(files: list[str]) -> int:
+    """Total row count from parquet footers — metadata-only reads, no
+    Spark job; the cheap invariant compact()'s publish gate compares."""
+    import pyarrow.parquet as pq
+
+    return sum(pq.ParquetFile(f).metadata.num_rows for f in files)
 
 
 def _parquet_files(path: str) -> list[str]:

@@ -192,6 +192,16 @@ def probes(t: dict[str, DataFrame], r: int = 1):
         nbits = 8 + (6 if r >= 100 else 3 if r >= 10 else 0)
         return similarity.knn_graph(t["embeddings"], nbits=nbits)
 
+    def mutual_knn_clusters():
+        # the r6 verdict's unprobed claim: CC sweep count must stay
+        # bounded as the graph decade-scales (adaptive pointer-jumping
+        # from sweep 4). Same nbits-per-decade density discipline as
+        # knng; the probe records graph.LAST_SWEEP_COUNT per R — if
+        # sweeps grow past the jumping bound, large-star/small-star
+        # contraction (Kiveris et al.) is the named swap-in.
+        nbits = 8 + (6 if r >= 100 else 3 if r >= 10 else 0)
+        return similarity.mutual_knn_clusters(t["embeddings"], nbits=nbits)
+
     def bm25():
         from kafka_topic_dumper_spark.operators import text
 
@@ -235,6 +245,7 @@ def probes(t: dict[str, DataFrame], r: int = 1):
         "chunk_documents": chunk,
         "epoch_shuffle": epoch_order,
         "similarity_knn_graph": knng,
+        "similarity_mutual_knn_clusters": mutual_knn_clusters,
         "text_bm25_topk": bm25,
         "text_bpe_pair_counts": bpe_pairs,
         "layout_zorder_events": zorder,
@@ -264,11 +275,17 @@ def main() -> None:
             if only and name not in only:
                 continue
             spark.catalog.clearCache()
+            from kafka_topic_dumper_spark.operators import graph as graph_mod
+
+            graph_mod.LAST_SWEEP_COUNT = None
             t0 = time.monotonic()
             rows = fn().count()
             secs = round(time.monotonic() - t0, 2)
             total += secs
-            print(json.dumps({"R": r, "probe": name, "sec": secs, "rows": rows, "heap_mb": heap_mb(spark)}), flush=True)
+            rec = {"R": r, "probe": name, "sec": secs, "rows": rows, "heap_mb": heap_mb(spark)}
+            if graph_mod.LAST_SWEEP_COUNT is not None:
+                rec["cc_sweeps"] = graph_mod.LAST_SWEEP_COUNT
+            print(json.dumps(rec), flush=True)
         print(json.dumps({"R": r, "probe": "TOTAL", "sec": round(total, 2)}), flush=True)
 
 

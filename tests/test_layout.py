@@ -207,3 +207,79 @@ def test_compact_preserves_partitioned_layout_under_later_writes(spark, tmp_path
     )
     extra.write.mode("overwrite").parquet(os.path.join(path, "ingest_batch=99"))
     assert spark.read.parquet(path).count() == 1000 + 10
+
+
+def test_zorder_key_survives_snowflake_scale_id_domain(spark, duck):
+    """Wide id domains (range > ~1.4e14) used to overflow the bigint
+    (value - min) * 65535 multiply — ANSI Spark raised, a narrower
+    oracle silently wrapped (ADVICE r6). The 128-bit widening
+    (DECIMAL(38,0) div / HUGEINT //) must agree cross-engine at the
+    extremes of the bigint domain."""
+    from kafka_topic_dumper_spark.operators.layout import zorder_key
+
+    rows = [
+        (1, -9_000_000_000_000_000_000, "2024-01-01 00:00:00"),
+        (2, -1_234_567, "2024-03-01 07:30:00"),
+        (3, 42, "2024-06-15 12:00:00"),
+        (4, 5_000_000_000_000_000_000, "2024-09-30 23:59:59"),
+        (5, 9_000_000_000_000_000_000, "2024-12-31 18:00:00"),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, ts string"
+    ).withColumn("ts", F.col("ts").cast("timestamp_ntz"))
+    got = {r.event_id: r.zval for r in zorder_key(df).collect()}
+
+    from kafka_topic_dumper_spark.operators.layout import zorder_oracle_sql
+
+    duck.sql("CREATE OR REPLACE TEMP VIEW wide_events AS SELECT * FROM (VALUES "
+             + ", ".join(f"({e}, {u}, TIMESTAMP '{t}')" for e, u, t in rows)
+             + ") AS t(event_id, user_id, ts)")
+    sql = zorder_oracle_sql().replace("FROM events", "FROM wide_events")
+    want = {e: z for e, _, z in duck.sql(
+        sql.replace("SELECT event_id, user_id,", "SELECT event_id, user_id,")
+    ).fetchall()}
+    assert got == want
+    assert len(set(got.values())) == len(got)
+
+
+def test_compact_aborts_on_concurrent_writer_and_keeps_table(spark, tmp_path):
+    """The publish gate (ADVICE r6): a file committed between compact's
+    read and its swap must abort the compaction with the table
+    untouched — not vanish in the rename swap."""
+    import pytest
+
+    from kafka_topic_dumper_spark import sinks
+    from kafka_topic_dumper_spark.sinks import layout as sink_layout
+
+    path = str(tmp_path / "tbl")
+    spark.range(100).withColumn("v", F.col("id") * 2).repartition(4).write.parquet(path)
+    files0 = sorted(sink_layout._parquet_files(path))
+
+    # simulate a writer racing the rewrite: drop a new commit into the
+    # table right after compact's initial listing, by intercepting the
+    # first re-listing through a patched _parquet_files
+    real = sink_layout._parquet_files
+    state = {"injected": False}
+
+    def racing(p):
+        out = real(p)
+        if not state["injected"] and p == path:
+            state["injected"] = True
+            spark.range(5).withColumn("v", F.col("id")).coalesce(1).write.mode(
+                "append"
+            ).parquet(path)
+        return out
+
+    sink_layout._parquet_files = racing
+    try:
+        with pytest.raises(RuntimeError, match="concurrent writer"):
+            sink_layout.compact(spark, path)
+    finally:
+        sink_layout._parquet_files = real
+
+    # table intact: original files still present, no half-published tmp
+    import os
+
+    assert set(files0) <= set(sorted(sink_layout._parquet_files(path)))
+    assert not os.path.exists(path + "._compacting")
+    assert spark.read.parquet(path).count() == 105
