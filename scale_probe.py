@@ -202,6 +202,25 @@ def probes(t: dict[str, DataFrame], r: int = 1):
         nbits = 8 + (6 if r >= 100 else 3 if r >= 10 else 0)
         return similarity.mutual_knn_clusters(t["embeddings"], nbits=nbits)
 
+    def _with_cc(fn, method):
+        # A/B the CC engine on identical inputs: flip the module
+        # default, build the (lazy) plan, restore — count() later
+        # executes whatever connected_components dispatched to
+        from kafka_topic_dumper_spark.operators import graph as graph_mod
+
+        prev = graph_mod.CC_METHOD
+        graph_mod.CC_METHOD = method
+        try:
+            return fn()
+        finally:
+            graph_mod.CC_METHOD = prev
+
+    def minhash_clusters_contraction():
+        return _with_cc(minhash_clusters, "contraction")
+
+    def mutual_knn_clusters_contraction():
+        return _with_cc(mutual_knn_clusters, "contraction")
+
     def bm25():
         from kafka_topic_dumper_spark.operators import text
 
@@ -246,6 +265,8 @@ def probes(t: dict[str, DataFrame], r: int = 1):
         "epoch_shuffle": epoch_order,
         "similarity_knn_graph": knng,
         "similarity_mutual_knn_clusters": mutual_knn_clusters,
+        "dedup_minhash_clusters_contraction": minhash_clusters_contraction,
+        "similarity_mutual_knn_clusters_contraction": mutual_knn_clusters_contraction,
         "text_bm25_topk": bm25,
         "text_bpe_pair_counts": bpe_pairs,
         "layout_zorder_events": zorder,
