@@ -75,7 +75,17 @@ def sessionize_stream(
     the open session must not REWIND the session clock — ``last_us``
     advances with max() (the batch twin's session_end is max(ts)) and
     ``start_us`` retreats with min(), so cross-batch stragglers fold
-    in instead of corrupting the next gap test (code-review r6)."""
+    in instead of corrupting the next gap test (code-review r6).
+
+    Session-timezone caveat (flush_timeout only): the kernel sees
+    session-local wall-clock values while the engine's watermark lives
+    in the instant domain, so under a non-UTC session the flush timer
+    fires offset-late (sessions still flush, just on a shifted
+    horizon; output VALUES are unaffected — the wall-time round trip
+    cancels). Run flush-horizon-sensitive comparisons under UTC (the
+    registry/driver default) or derive the timeout from
+    ``state.getCurrentWatermarkMs()`` if exact non-UTC horizons ever
+    matter."""
     # cast unconditionally: a string ts from a JSON-decoded source
     # must become a timestamp BEFORE sort/arith, watermark or not
     events = events.withColumn("ts", F.col("ts").cast("timestamp"))
