@@ -81,6 +81,7 @@ _VERIFY_PRIORITY = [
     # --- (d) NEW round-7 rows (never driver-stamped) ---
     "streaming_sessionize_state",
     "multimodal_decode_png",
+    "streaming_dedup_minhash",
     # --- (e) last driver-stamped round 5 ---
     "p1_project_key_value",
     "p3_hot_reload_predicate",

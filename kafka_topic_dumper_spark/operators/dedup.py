@@ -1004,6 +1004,44 @@ def semdedup_oracle_sql(centroid_cte: str | None = None) -> str:
         """
 
 
+def minhash_banded_cte_sql(k: int = 32, bands: int = 8) -> str:
+    """DuckDB CTE prefix ``toks → sh → hashed → sig → banded`` that
+    replays :func:`minhash_signatures` + :func:`minhash_band_keys`
+    exactly (same md5-derived (a, b) literals, same md5 band keys), so
+    any oracle needing LSH bucket membership composes on top of it.
+    Shared by the batch pair/cluster/star oracles here and the
+    streaming filter oracle in streaming/queries.py."""
+    rpb = k // bands
+    min_cols = ",\n                   ".join(
+        f"min((h * {a} + {b}) % {MERSENNE61}) AS m{i}"
+        for i, (a, b) in enumerate(minhash_params(k))
+    )
+    band_selects = "\n            UNION ALL\n            ".join(
+        "SELECT doc_id, {bi} AS band, md5(concat_ws(',', {ms})) AS band_key FROM sig".format(
+            bi=bi, ms=", ".join(f"m{bi * rpb + j}" for j in range(rpb))
+        )
+        for bi in range(bands)
+    )
+    return f"""toks AS (
+            SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+            FROM toks
+        ), hashed AS (
+            SELECT doc_id, ({h32_duckdb_sql('shingle')} % {HASH_DOMAIN31}) AS h
+            FROM sh
+        ), sig AS (
+            SELECT doc_id,
+                   {min_cols}
+            FROM hashed GROUP BY doc_id
+        ), banded AS (
+            {band_selects}
+        )"""
+
+
 def register(reg) -> None:
     @reg(
         "dedup_exact",
@@ -1115,38 +1153,10 @@ def register(reg) -> None:
 
     # MinHash oracle: the exact same pipeline in DuckDB SQL, built from
     # the same md5-derived (a, b) literals (functions/portable_hash.py).
-    k, bands, rpb = 32, 8, 4
-    min_cols = ",\n                   ".join(
-        f"min((h * {a} + {b}) % {MERSENNE61}) AS m{i}"
-        for i, (a, b) in enumerate(minhash_params(k))
-    )
-    band_selects = "\n            UNION ALL\n            ".join(
-        "SELECT doc_id, {bi} AS band, md5(concat_ws(',', {ms})) AS band_key FROM sig".format(
-            bi=bi, ms=", ".join(f"m{bi * rpb + j}" for j in range(rpb))
-        )
-        for bi in range(bands)
-    )
-
     # Shared CTE prefix: tokens → shingles → portable hash → signature
-    # → banded keys. Reused by the pair, cluster, and star-edge oracles.
-    minhash_banded_cte = f"""toks AS (
-            SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
-            FROM documents
-        ), sh AS (
-            SELECT DISTINCT doc_id,
-                   unnest(list_transform(range(1, len(t) - 1),
-                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
-            FROM toks
-        ), hashed AS (
-            SELECT doc_id, ({h32_duckdb_sql('shingle')} % {HASH_DOMAIN31}) AS h
-            FROM sh
-        ), sig AS (
-            SELECT doc_id,
-                   {min_cols}
-            FROM hashed GROUP BY doc_id
-        ), banded AS (
-            {band_selects}
-        )"""
+    # → banded keys. Reused by the pair, cluster, star-edge, and
+    # streaming-filter oracles (the latter in streaming/queries.py).
+    minhash_banded_cte = minhash_banded_cte_sql()
 
     minhash_pairs_sql = f"""
         WITH {minhash_banded_cte}, cand AS (

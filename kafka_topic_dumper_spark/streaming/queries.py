@@ -130,6 +130,40 @@ def _docs_split_stream_input(spark: SparkSession, sf_dir: str, n_files: int = 4)
     return _STREAM_INPUT_CACHE[key]
 
 
+def _docs_range_split_stream_input(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> str:
+    """Documents split into ``n_files`` DOC_ID-RANGE parquet files with
+    ascending modification times (same mtime trick as
+    :func:`_events_range_split_stream_input`), so a
+    ``maxFilesPerTrigger=1`` reader replays them as id-ordered
+    micro-batches. The streaming near-dup filter needs id order: its
+    keep rule is "no near-dup with a SMALLER doc_id seen so far", which
+    equals the batch rule only when smaller ids never arrive later —
+    the backfill-replay contract (a live ingest would use arrival order
+    as the precedence instead)."""
+    key = ("docs_range_split", sf_dir, n_files)
+    if key not in _STREAM_INPUT_CACHE:
+        import atexit
+        import glob
+        import os
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="stream_input_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        path = f"{root}/docs_range_split"
+        load_table(spark, sf_dir, "documents").select(
+            "doc_id", "text"
+        ).repartitionByRange(n_files, "doc_id").write.parquet(path)
+        parts = sorted(glob.glob(f"{path}/part-*.parquet"))
+        base = int(os.path.getmtime(parts[-1])) + 10
+        for i, p in enumerate(parts):
+            os.utime(p, (base + i, base + i))
+        _STREAM_INPUT_CACHE[key] = path
+    return _STREAM_INPUT_CACHE[key]
+
+
 def _events_split_stream_input(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
     """Events as ``n_files`` parquet files for multi-micro-batch
     replay (same rationale as :func:`_docs_split_stream_input`)."""
@@ -550,3 +584,127 @@ def register(reg) -> None:
             "sum_value",
             "converted",
         )
+
+    # Streaming near-dup ingest filter (foreachBatch): the online form
+    # of MinHash-LSH dedup a training-data ingest actually runs — each
+    # micro-batch of documents is admitted only if no LSH bucket
+    # co-member with a smaller doc_id exists in the batch or in the
+    # accumulated band-key index of every prior batch. The index lives
+    # in hash-bucketed parquet (pbucket = xxhash64(band_key) % 16), so
+    # a batch's probe reads ONLY the buckets its own band keys hash to
+    # (partition-pruned scan, like streaming_merge_latest_state's
+    # bucket-pruned rewrite) and the per-batch cost scales with batch
+    # size × collision rate, never with corpus size; dedup state lives
+    # on storage, not in executor memory (contrast dropDuplicates,
+    # whose state store must HOLD every key ever seen). Ordered
+    # doc_id-range replay makes "earlier batch" = "smaller doc_id", so
+    # the result is a pure function of the data — the oracle is the
+    # batch rule: keep a doc iff it is the MIN doc_id in every LSH
+    # bucket it occupies (bucket co-membership criterion, the
+    # SlimPajama/RefinedWeb-style filter; minhash_cluster_dedup's
+    # closure semantics, restricted to direct collisions). This
+    # registry twin runs checkpoint-free into a fresh tempdir (each
+    # call is a complete bounded replay); a restartable production
+    # deployment would add a checkpointLocation and make both appends
+    # idempotent under batch retry by writing them into
+    # ``ingest_batch=<batch_id>`` overwrite dirs, exactly the scheme
+    # sources/ingest.py already implements for the quarantining
+    # ingest.
+    from kafka_topic_dumper_spark.operators.dedup import (
+        minhash_band_keys,
+        minhash_banded_cte_sql,
+        minhash_signatures,
+    )
+
+    @reg(
+        "streaming_dedup_minhash",
+        f"""
+        WITH {minhash_banded_cte_sql()}, dropped AS (
+            SELECT DISTINCT b1.doc_id
+            FROM banded b1 JOIN banded b2
+              ON b1.band = b2.band AND b1.band_key = b2.band_key
+             AND b2.doc_id < b1.doc_id
+        )
+        SELECT d.doc_id FROM documents d
+        WHERE d.doc_id NOT IN (SELECT doc_id FROM dropped)
+        """,
+    )
+    def streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Admitted doc_ids after the streaming MinHash-LSH ingest
+        filter: 4 doc_id-range micro-batches, band-key index persisted
+        and bucket-prune-probed across batches."""
+        import atexit
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix="stream_minhash_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        index_path = f"{root}/band_index"
+        kept_path = f"{root}/kept"
+        state = {"initialized": False, "n_batches": 0}
+
+        def filter_batch(batch_df, batch_id: int) -> None:
+            sp = batch_df.sparkSession
+            banded = (
+                minhash_band_keys(minhash_signatures(batch_df))
+                .withColumn(
+                    "pbucket",
+                    F.pmod(F.xxhash64("band_key"), F.lit(16)).cast("int"),
+                )
+                .persist()
+            )
+            try:
+                partners = banded.select("band", "band_key", "doc_id", "pbucket")
+                if state["initialized"]:
+                    touched = [
+                        r.pbucket
+                        for r in banded.select("pbucket").distinct().collect()
+                    ]
+                    prior = sp.read.parquet(index_path).where(
+                        F.col("pbucket").isin(touched)
+                    )
+                    partners = partners.unionByName(
+                        prior.select(*partners.columns)
+                    )
+                dropped = (
+                    banded.alias("n")
+                    .join(
+                        partners.alias("p"),
+                        (F.col("n.band") == F.col("p.band"))
+                        & (F.col("n.band_key") == F.col("p.band_key"))
+                        & (F.col("p.doc_id") < F.col("n.doc_id")),
+                        "left_semi",
+                    )
+                    .select("doc_id")
+                    .distinct()
+                )
+                kept = batch_df.join(dropped, "doc_id", "left_anti").select(
+                    "doc_id"
+                )
+                # kept must materialize BEFORE the index append extends
+                # the partner set (same ordering discipline as the
+                # MERGE row's persist-before-overwrite).
+                kept.write.mode("append").parquet(kept_path)
+                banded.write.mode("append").partitionBy("pbucket").parquet(
+                    index_path
+                )
+                state["initialized"] = True
+                state["n_batches"] += 1
+            finally:
+                banded.unpersist()
+
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(_docs_range_split_stream_input(spark, sf_dir))
+        )
+        q = (
+            stream.writeStream.foreachBatch(filter_batch)
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(300):
+            q.stop()
+            raise RuntimeError("streaming minhash replay exceeded 300 s")
+        assert state["n_batches"] >= 3, "replay must exercise cross-batch state"
+        return spark.read.parquet(kept_path)

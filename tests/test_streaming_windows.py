@@ -411,3 +411,44 @@ def test_streaming_merge_latest_state_matches_batch_argmax(spark):
         .collect()
     )
     assert got == want
+
+
+def test_streaming_dedup_minhash_matches_batch_rule(spark):
+    """The streaming MinHash ingest filter must admit exactly the docs
+    the batch rule keeps (min doc_id in every LSH bucket the doc
+    occupies) — batch boundaries cannot matter because the replay is
+    doc_id-range-ordered; the callable itself asserts >= 3 micro-batch
+    state merges ran."""
+    from kafka_topic_dumper_spark.operators.dedup import (
+        minhash_band_keys,
+        minhash_signatures,
+    )
+    from kafka_topic_dumper_spark.registry import QUERIES
+
+    sf = "/root/testdata/sf0.001"
+    got = sorted(
+        r.doc_id for r in QUERIES["streaming_dedup_minhash"](spark, sf).collect()
+    )
+    docs = load_table(spark, sf, "documents")
+    banded = minhash_band_keys(minhash_signatures(docs))
+    dropped = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("b.doc_id") < F.col("a.doc_id")),
+            "left_semi",
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    want = sorted(
+        r.doc_id
+        for r in docs.join(dropped, "doc_id", "left_anti")
+        .select("doc_id")
+        .collect()
+    )
+    n_docs = docs.count()
+    assert got == want
+    assert len(got) < n_docs, "corpus has planted near-dups; some must drop"
