@@ -968,29 +968,15 @@ def semdedup_oracle_sql(centroid_cte: str | None = None) -> str:
     similarity.ivf_oracle_sql — then lowest-vec_id-survives within each
     cell at cosine >= tau). ``centroid_cte`` supplies the codebook;
     default is the deterministic sample selection."""
-    from kafka_topic_dumper_spark.operators.similarity import IVF_CENTROID_CTE
+    from kafka_topic_dumper_spark.operators.similarity import (
+        IVF_CENTROID_CTE,
+        ivf_assignment_ctes,
+    )
 
     cte = centroid_cte or IVF_CENTROID_CTE
     return f"""
-        WITH v AS (
-            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-            FROM embeddings WHERE embedding IS NOT NULL
-        ), n AS (
-            SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
-            FROM v
-        ), c AS (
-            {cte}
-        ), ac AS (
-            SELECT n.vec_id, n.v, n.nrm, c.cid,
-                   list_sum(list_transform(range(1, 65), i -> n.v[i] * c.c[i]))
-                       / (n.nrm * c.c_nrm) AS cos_c
-            FROM n, c
-        ), assigned AS (
-            SELECT vec_id, v, nrm, cid AS cell FROM (
-                SELECT *, row_number() OVER (PARTITION BY vec_id
-                           ORDER BY cos_c DESC, cid) AS rn
-                FROM ac
-            ) WHERE rn = 1
+        WITH {ivf_assignment_ctes(cte, null_filter=True)}, assigned AS (
+            SELECT vec_id, v, nrm, cid AS cell FROM ranked WHERE rn = 1
         ), dropped AS (
             SELECT DISTINCT hi.vec_id
             FROM assigned hi JOIN assigned lo

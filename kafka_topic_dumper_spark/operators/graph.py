@@ -70,8 +70,14 @@ def connected_components(
     fixpoint (propagation is monotone: labels only ever decrease, so
     non-convergence means the diameter exceeds the budget, not a
     cycle)."""
-    if (method or CC_METHOD) == "contraction":
+    chosen = method or CC_METHOD
+    if chosen == "contraction":
         return connected_components_contraction(edges, src, dst, max_iter)
+    if chosen != "propagation":
+        raise ValueError(
+            f"unknown connected-components method {chosen!r}; "
+            "expected 'propagation' or 'contraction'"
+        )
     from kafka_topic_dumper_spark.functions.caching import tracked_persist
 
     # The symmetric edge list is the ITERATION-INVARIANT input: every
@@ -210,8 +216,6 @@ def connected_components_contraction(
     (count equality + exceptAll empty on DISTINCT edge sets), not by a
     hashable signature, and each round's output is lineage-truncated
     like the propagation loop."""
-    from kafka_topic_dumper_spark.functions.caching import tracked_persist
-
     sc = edges.sparkSession.sparkContext
 
     def _truncate(df: DataFrame) -> DataFrame:
@@ -219,18 +223,23 @@ def connected_components_contraction(
             return df.checkpoint(eager=True)
         return df.localCheckpoint(eager=True)
 
-    e = (
-        edges.select(F.col(src).alias("u"), F.col(dst).alias("v"))
-        .filter(F.col("u") != F.col("v"))
+    # Materialize the (possibly expensive) upstream edge derivation
+    # ONCE, self-loops included, then derive both the node universe and
+    # the working edge set from the truncated blocks: nodes must come
+    # from the UNFILTERED edges so a node appearing only in self-loop
+    # edges still gets labeled (as propagation does — the two engines
+    # are contract-equal), and deriving it post-checkpoint means the
+    # final labels join re-reads cheap local blocks instead of
+    # re-running the whole candidate pipeline.
+    e_all = _truncate(
+        edges.select(F.col(src).alias("u"), F.col(dst).alias("v")).distinct()
+    )
+    nodes = (
+        e_all.select(F.col("u").alias("node"))
+        .union(e_all.select(F.col("v").alias("node")))
         .distinct()
     )
-    # remember the full node universe before contraction rewires edges
-    nodes = tracked_persist(
-        e.select(F.col("u").alias("node"))
-        .union(e.select(F.col("v").alias("node")))
-        .distinct()
-    )
-    e = _truncate(e)
+    e = e_all.filter(F.col("u") != F.col("v"))
 
     def _large_star(ed: DataFrame) -> DataFrame:
         sym = ed.union(ed.select(F.col("v").alias("u"), F.col("u").alias("v")))
@@ -276,20 +285,16 @@ def connected_components_contraction(
     global LAST_SWEEP_COUNT
     LAST_SWEEP_COUNT = rounds
     if not converged:
-        nodes.unpersist()
         raise RuntimeError(
             f"connected_components_contraction did not converge in "
             f"{max_rounds} rounds"
         )
     # At the fixpoint every non-root points at its component min; roots
     # (the minima) have no outgoing edge — they label themselves.
-    labels = nodes.join(
+    return nodes.join(
         e.select(F.col("u").alias("node"), F.col("v").alias("component_id")),
         "node",
         "left",
     ).select(
         "node", F.coalesce("component_id", F.col("node")).alias("component_id")
     )
-    out = labels
-    nodes.unpersist()
-    return out

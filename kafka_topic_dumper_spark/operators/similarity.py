@@ -1166,14 +1166,23 @@ IVF_CENTROID_CTE = "SELECT vec_id AS cid, v AS c, nrm AS c_nrm FROM n WHERE vec_
 PQ_CENTROID_CTE = "SELECT vec_id AS cid, j, sv AS cv FROM sub WHERE vec_id < 16"
 
 
-def ivf_oracle_sql(centroid_cte: str = IVF_CENTROID_CTE) -> str:
-    """DuckDB oracle for the IVF top-k plan (assignment argmax with cid
-    tie-break, nprobe=2 probe set, per-cell candidate join, rank by
-    (cos DESC, neighbor_id)); ``centroid_cte`` supplies the codebook."""
-    return f"""
-        WITH v AS (
+def ivf_assignment_ctes(
+    centroid_cte: str = IVF_CENTROID_CTE, null_filter: bool = False
+) -> str:
+    """The shared coarse-assignment CTE chain ``v → n → c → ac →
+    ranked``: doubled embeddings, norms, the codebook, the
+    cosine-to-every-centroid cross join, and the (cos DESC, cid)
+    argmax ranking. ONE copy of the float dot-product expression whose
+    byte-identical sharing keeps every consumer's cross-engine
+    bit-equality argument honest — composed by the IVF top-k oracle
+    here and the SemDeDup oracle in operators/dedup.py
+    (``null_filter=True`` adds SemDeDup's defensive NULL-embedding
+    guard; the assignment semantics are unchanged either way on
+    NULL-free data)."""
+    where = " WHERE embedding IS NOT NULL" if null_filter else ""
+    return f"""v AS (
             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
-            FROM embeddings
+            FROM embeddings{where}
         ), n AS (
             SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
             FROM v
@@ -1188,7 +1197,15 @@ def ivf_oracle_sql(centroid_cte: str = IVF_CENTROID_CTE) -> str:
             SELECT *, row_number() OVER (PARTITION BY vec_id
                        ORDER BY cos_c DESC, cid) AS rn
             FROM ac
-        ), assigned AS (
+        )"""
+
+
+def ivf_oracle_sql(centroid_cte: str = IVF_CENTROID_CTE) -> str:
+    """DuckDB oracle for the IVF top-k plan (assignment argmax with cid
+    tie-break, nprobe=2 probe set, per-cell candidate join, rank by
+    (cos DESC, neighbor_id)); ``centroid_cte`` supplies the codebook."""
+    return f"""
+        WITH {ivf_assignment_ctes(centroid_cte)}, assigned AS (
             SELECT vec_id, v, nrm, cid AS cell FROM ranked WHERE rn = 1
         ), probes AS (
             SELECT vec_id AS query_id, cid AS cell FROM ranked

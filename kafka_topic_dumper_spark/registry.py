@@ -75,10 +75,20 @@ def _register(name: str, oracle: str | Callable[[str], str] | None = None):
 
 def resolve_oracles(sf_dir: str) -> dict[str, str]:
     """ORACLES plus every lazy oracle built for ``sf_dir`` — the full
-    name → SQL map a differential check should run."""
+    name → SQL map a differential check should run.
+
+    The leading comment stamps WHICH corpus the embedded literals were
+    replayed from: the Spark query trains on whatever sf_dir the
+    caller passes per invocation, so if a differential ever runs the
+    two at different scale factors (driver contract: both sf0.01;
+    override via SPARK_GRAFT_ORACLE_SF_DIR) the recorded oracle text
+    itself explains the mismatch instead of masquerading as an
+    operator bug (code-review r7)."""
     out = dict(ORACLES)
     for name, build in LAZY_ORACLES.items():
-        out[name] = build(sf_dir)
+        out[name] = f"-- trained-state literals replayed from {sf_dir}\n" + build(
+            sf_dir
+        )
     return out
 
 

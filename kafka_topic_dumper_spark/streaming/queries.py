@@ -109,114 +109,83 @@ def _drain(stream_df: DataFrame, name: str, output_mode: str = "append"):
     _LAST_SINK[base] = name
 
 
-def _docs_split_stream_input(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
-    """Documents re-materialized as ``n_files`` parquet files so a
-    ``maxFilesPerTrigger=1`` reader replays them as n_files separate
-    micro-batches — the state-merge path (not a single-batch degenerate
-    run) is what the streaming-dedup row exercises."""
-    key = ("docs_split", sf_dir, n_files)
+def _split_stream_input(
+    spark: SparkSession,
+    sf_dir: str,
+    table: str,
+    cols: tuple,
+    n_files: int = 4,
+    range_cols: tuple | None = None,
+) -> str:
+    """Materialize ``table`` as ``n_files`` parquet files for
+    ``maxFilesPerTrigger=1`` replay — n_files separate micro-batches,
+    so every streaming row exercises the state-merge path rather than
+    a single-batch degenerate run.
+
+    ``range_cols=None``: random ``repartition`` split (order-free
+    state, e.g. set-union dedup). ``range_cols=(...)``: a
+    ``repartitionByRange`` split with ascending file mtimes, so the
+    file source (which replays by (mtime, path)) delivers the batches
+    in key order — required when the operator's semantics depend on
+    arrival order (watermark-monotone sessionizers, the smaller-id-
+    first precedence of the streaming near-dup filter).
+    ``repartitionByRange`` keeps the split distributed (one range
+    shuffle — the same primitive a 100 TB backfill replay would use);
+    partition k lands in the k-th part file."""
+    key = (table, sf_dir, n_files, range_cols)
     if key not in _STREAM_INPUT_CACHE:
         import atexit
+        import glob
+        import os
         import shutil
         import tempfile
 
         root = tempfile.mkdtemp(prefix="stream_input_")
         atexit.register(shutil.rmtree, root, ignore_errors=True)
-        path = f"{root}/docs_split"
-        load_table(spark, sf_dir, "documents").select(
-            "doc_id", "text"
-        ).repartition(n_files).write.parquet(path)
+        path = f"{root}/{table}_split"
+        df = load_table(spark, sf_dir, table).select(*cols)
+        if range_cols:
+            df = df.repartitionByRange(n_files, *range_cols)
+        else:
+            df = df.repartition(n_files)
+        df.write.parquet(path)
+        if range_cols:
+            parts = sorted(glob.glob(f"{path}/part-*.parquet"))
+            base = int(os.path.getmtime(parts[-1])) + 10
+            for i, p in enumerate(parts):
+                os.utime(p, (base + i, base + i))
         _STREAM_INPUT_CACHE[key] = path
     return _STREAM_INPUT_CACHE[key]
+
+
+def _docs_split_stream_input(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
+    return _split_stream_input(spark, sf_dir, "documents", ("doc_id", "text"), n_files)
 
 
 def _docs_range_split_stream_input(
     spark: SparkSession, sf_dir: str, n_files: int = 4
 ) -> str:
-    """Documents split into ``n_files`` DOC_ID-RANGE parquet files with
-    ascending modification times (same mtime trick as
-    :func:`_events_range_split_stream_input`), so a
-    ``maxFilesPerTrigger=1`` reader replays them as id-ordered
-    micro-batches. The streaming near-dup filter needs id order: its
-    keep rule is "no near-dup with a SMALLER doc_id seen so far", which
-    equals the batch rule only when smaller ids never arrive later —
-    the backfill-replay contract (a live ingest would use arrival order
-    as the precedence instead)."""
-    key = ("docs_range_split", sf_dir, n_files)
-    if key not in _STREAM_INPUT_CACHE:
-        import atexit
-        import glob
-        import os
-        import shutil
-        import tempfile
-
-        root = tempfile.mkdtemp(prefix="stream_input_")
-        atexit.register(shutil.rmtree, root, ignore_errors=True)
-        path = f"{root}/docs_range_split"
-        load_table(spark, sf_dir, "documents").select(
-            "doc_id", "text"
-        ).repartitionByRange(n_files, "doc_id").write.parquet(path)
-        parts = sorted(glob.glob(f"{path}/part-*.parquet"))
-        base = int(os.path.getmtime(parts[-1])) + 10
-        for i, p in enumerate(parts):
-            os.utime(p, (base + i, base + i))
-        _STREAM_INPUT_CACHE[key] = path
-    return _STREAM_INPUT_CACHE[key]
+    return _split_stream_input(
+        spark, sf_dir, "documents", ("doc_id", "text"), n_files,
+        range_cols=("doc_id",),
+    )
 
 
 def _events_split_stream_input(spark: SparkSession, sf_dir: str, n_files: int = 4) -> str:
-    """Events as ``n_files`` parquet files for multi-micro-batch
-    replay (same rationale as :func:`_docs_split_stream_input`)."""
-    key = ("events_split", sf_dir, n_files)
-    if key not in _STREAM_INPUT_CACHE:
-        import atexit
-        import shutil
-        import tempfile
-
-        root = tempfile.mkdtemp(prefix="stream_input_")
-        atexit.register(shutil.rmtree, root, ignore_errors=True)
-        path = f"{root}/events_split"
-        load_table(spark, sf_dir, "events").select(
-            "event_id", "user_id", "event_type", "ts"
-        ).repartition(n_files).write.parquet(path)
-        _STREAM_INPUT_CACHE[key] = path
-    return _STREAM_INPUT_CACHE[key]
+    return _split_stream_input(
+        spark, sf_dir, "events",
+        ("event_id", "user_id", "event_type", "ts"), n_files,
+    )
 
 
 def _events_range_split_stream_input(
     spark: SparkSession, sf_dir: str, n_files: int = 4
 ) -> str:
-    """Events split into ``n_files`` TIME-RANGE parquet files with
-    ascending modification times, so a ``maxFilesPerTrigger=1`` reader
-    replays them as time-ordered micro-batches. Unlike the random
-    ``repartition`` split, range order means no event ever arrives
-    behind the watermark a previous batch advanced — required for the
-    stateful sessionizer, whose closed sessions cannot re-open for a
-    straggler the way the dedup row's set-union state can absorb one.
-    ``repartitionByRange`` keeps the split distributed (one range
-    shuffle, the same primitive a 100 TB backfill replay would use);
-    partition k lands in the k-th part file, whose mtime we bump into
-    ascending order because the file source replays by (mtime, path)."""
-    key = ("events_range_split", sf_dir, n_files)
-    if key not in _STREAM_INPUT_CACHE:
-        import atexit
-        import glob
-        import os
-        import shutil
-        import tempfile
-
-        root = tempfile.mkdtemp(prefix="stream_input_")
-        atexit.register(shutil.rmtree, root, ignore_errors=True)
-        path = f"{root}/events_range_split"
-        load_table(spark, sf_dir, "events").select(
-            "event_id", "user_id", "event_type", "value", "ts"
-        ).repartitionByRange(n_files, "ts", "event_id").write.parquet(path)
-        parts = sorted(glob.glob(f"{path}/part-*.parquet"))
-        base = int(os.path.getmtime(parts[-1])) + 10
-        for i, p in enumerate(parts):
-            os.utime(p, (base + i, base + i))
-        _STREAM_INPUT_CACHE[key] = path
-    return _STREAM_INPUT_CACHE[key]
+    return _split_stream_input(
+        spark, sf_dir, "events",
+        ("event_id", "user_id", "event_type", "value", "ts"), n_files,
+        range_cols=("ts", "event_id"),
+    )
 
 
 def register(reg) -> None:
@@ -511,8 +480,13 @@ def register(reg) -> None:
     # express — replayed through four TIME-RANGE micro-batches with an
     # event-time flush timer. The oracle is the batch gaps-and-islands
     # chain (same CTE text as sessionize_events) plus the flush
-    # horizon: a trailing unconverted session appears iff the terminal
-    # watermark (max ts, delay 0) passed its last_event + gap — the
+    # horizon, expressed in the operator's EXACT timer arithmetic: the
+    # timer ts is ms-floored (stateful.py last_us // 1000 + gap·1000),
+    # the watermark is the ms-floored max event time (delay 0), and
+    # GroupState timeouts fire only when the watermark STRICTLY
+    # exceeds the timer — hence epoch_ms(m) > epoch_ms(session_end) +
+    # gap_ms, not an inclusive µs-exact interval compare (which would
+    # diverge on a session ending exactly gap before max ts) — the
     # predicate tests/test_stateful_streaming.py proved against the
     # operator.
     @reg(
@@ -553,7 +527,7 @@ def register(reg) -> None:
         FROM horizon
         WHERE session_id != max_sid
            OR converted = 1
-           OR session_end + INTERVAL 1800 SECOND <= m
+           OR epoch_ms(m) > epoch_ms(session_end) + 1800000
         """,
     )
     def streaming_sessionize_state(spark: SparkSession, sf_dir: str) -> DataFrame:

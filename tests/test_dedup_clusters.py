@@ -155,3 +155,31 @@ def test_cc_method_dispatch(spark):
     finally:
         G.CC_METHOD = prev
     assert got2 == want
+
+
+def test_cc_self_loop_nodes_and_unknown_method(spark):
+    """A node appearing ONLY in self-loop edges must be labeled by
+    BOTH engines (the contraction engine derives its node universe
+    before filtering self-loops), and an unrecognized method raises
+    instead of silently running propagation."""
+    import pytest as _pytest
+
+    from kafka_topic_dumper_spark.operators.graph import (
+        connected_components_contraction,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (5, 5), (7, 7), (7, 8)], "src long, dst long"
+    )
+    want = {(1, 1), (2, 1), (5, 5), (7, 7), (8, 7)}
+    prop = {
+        (r.node, r.component_id)
+        for r in connected_components(edges, method="propagation").collect()
+    }
+    cont = {
+        (r.node, r.component_id)
+        for r in connected_components_contraction(edges).collect()
+    }
+    assert prop == cont == want
+    with _pytest.raises(ValueError, match="unknown connected-components"):
+        connected_components(edges, method="contractoin")

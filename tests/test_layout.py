@@ -235,9 +235,7 @@ def test_zorder_key_survives_snowflake_scale_id_domain(spark, duck):
              + ", ".join(f"({e}, {u}, TIMESTAMP '{t}')" for e, u, t in rows)
              + ") AS t(event_id, user_id, ts)")
     sql = zorder_oracle_sql().replace("FROM events", "FROM wide_events")
-    want = {e: z for e, _, z in duck.sql(
-        sql.replace("SELECT event_id, user_id,", "SELECT event_id, user_id,")
-    ).fetchall()}
+    want = {e: z for e, _, z in duck.sql(sql).fetchall()}
     assert got == want
     assert len(set(got.values())) == len(got)
 

@@ -99,13 +99,32 @@ def test_sessionize_stream_timeout_flushes_trailing(spark, events_stream_path):
 
     full = sessionize(batch_events)
     max_ts = batch_events.agg(F.max("ts")).collect()[0][0]
+    # the operator's exact timer rule: ms-floored timestamps, timeout
+    # fires only when the watermark STRICTLY exceeds last_event + gap
+    import datetime as _dt
+
+    _delta = max_ts - _dt.datetime(1970, 1, 1)
+    wm_ms = (
+        (_delta.days * 86400 + _delta.seconds) * 1000
+        + _delta.microseconds // 1000
+    )
     w = Window.partitionBy("user_id")
     flushed_or_closed = full.withColumn(
         "max_sid", F.max("session_id").over(w)
     ).filter(
         (F.col("session_id") != F.col("max_sid"))
         | (F.col("converted") == 1)
-        | (F.col("session_end") + F.expr("INTERVAL 1800 SECONDS") <= F.lit(max_ts))
+        | (
+            F.lit(int(wm_ms))
+            > F.floor(
+                F.expr(
+                    "timestampdiff(MICROSECOND,"
+                    " TIMESTAMP_NTZ '1970-01-01 00:00:00', session_end)"
+                )
+                / 1000
+            )
+            + 1_800_000
+        )
     )
     expected = {
         (r.user_id, r.session_id): (r.session_start, r.session_end, r.n_events)
@@ -169,3 +188,58 @@ def test_sessionize_stream_session_ids_survive_micro_batches(spark, tmp_path):
     )
     # two purchase-closed sessions, distinct consecutive ids
     assert got == [(7, 1, 2, 1), (7, 2, 2, 1)], got
+
+
+def test_sessionize_flush_horizon_boundary_is_strict(spark, tmp_path):
+    """A trailing session ending EXACTLY gap seconds before max ts
+    must NOT flush (GroupState timeouts fire only when the watermark
+    strictly exceeds the ms-floored timer), while one ending 1 ms
+    earlier must — the boundary the oracle's epoch_ms strict-> form
+    encodes (code-review r7)."""
+    schema = (
+        "event_id long, user_id long, event_type string,"
+        " value double, ts timestamp_ntz"
+    )
+
+    def run(rows, name):
+        src = str(tmp_path / name)
+        spark.createDataFrame(
+            rows,
+            "event_id long, user_id long, event_type string,"
+            " value double, ts string",
+        ).withColumn("ts", F.col("ts").cast("timestamp_ntz")).coalesce(
+            1
+        ).write.parquet(src)
+        stream = spark.readStream.schema(schema).parquet(src)
+        q = (
+            sessionize_stream(stream, flush_timeout=True)
+            .writeStream.format("memory")
+            .queryName(f"sessions_{name}")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        assert q.awaitTermination(120)
+        return {
+            (r.user_id, r.session_id)
+            for r in spark.table(f"sessions_{name}").collect()
+        }
+
+    # equality: user 1's session ends exactly 1800 s before max ts
+    got_eq = run(
+        [
+            (1, 1, "view", 1.0, "2024-01-01 00:00:00"),
+            (2, 2, "view", 1.0, "2024-01-01 00:30:00"),
+        ],
+        "boundary_eq",
+    )
+    assert got_eq == set(), got_eq
+    # 1 ms past the horizon: user 1 flushes, user 2 (trailing) doesn't
+    got_gt = run(
+        [
+            (1, 1, "view", 1.0, "2024-01-01 00:00:00"),
+            (2, 2, "view", 1.0, "2024-01-01 00:30:00.001"),
+        ],
+        "boundary_gt",
+    )
+    assert got_gt == {(1, 1)}, got_gt

@@ -508,10 +508,14 @@ def test_png_decoder_greyscale_path(spark):
     from kafka_topic_dumper_spark.operators.multimodal import decode_png_images
 
     # pixels row0 = [10, 20, 30], row1 = [40, 60, 80]
-    row0, row1 = bytes([10, 20, 30]), bytes([40, 60, 80])
-    # filter 2 (Up) on row0 with zero prev; filter 1 (Sub) on row1
+    row0 = bytes([10, 20, 30])
+    # filter 2 (Up) on row0 with zero prev; filter 4 (Paeth) on row1 at
+    # bpp=1 — the single-channel Paeth case where every byte after the
+    # first has a genuine left neighbor. Hand-computed predictors for
+    # raw [40, 60, 80] over prior [10, 20, 30]: byte 0 picks up (10),
+    # bytes 1-2 pick left (40, 60) -> filtered [30, 20, 20].
     f_row0 = bytes([2]) + row0
-    f_row1 = bytes([1]) + bytes([(row1[0]) & 0xFF, (60 - 40) & 0xFF, (80 - 60) & 0xFF])
+    f_row1 = bytes([4]) + bytes([(40 - 10) & 0xFF, (60 - 40) & 0xFF, (80 - 60) & 0xFF])
 
     def chunk(tag, data):
         return (
