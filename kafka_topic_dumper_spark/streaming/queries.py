@@ -188,6 +188,103 @@ def _events_range_split_stream_input(
     )
 
 
+def run_minhash_stream_filter(
+    spark: SparkSession,
+    input_path: str,
+    min_batches: int = 3,
+    timeout: int = 300,
+) -> DataFrame:
+    """Drive the streaming MinHash-LSH ingest filter over the parquet
+    files at ``input_path`` (replayed one file per micro-batch, which
+    must be in ascending doc_id order — see
+    :func:`_docs_range_split_stream_input`) and return the admitted
+    ``doc_id`` rows. Shared by the registry row and the scale probe so
+    both measure the same implementation."""
+    import atexit
+    import shutil
+    import tempfile
+
+    from kafka_topic_dumper_spark.operators.dedup import (
+        minhash_band_keys,
+        minhash_signatures,
+    )
+
+    root = tempfile.mkdtemp(prefix="stream_minhash_")
+    atexit.register(shutil.rmtree, root, ignore_errors=True)
+    index_path = f"{root}/band_index"
+    kept_path = f"{root}/kept"
+    state = {"initialized": False, "n_batches": 0}
+
+    def filter_batch(batch_df, batch_id: int) -> None:
+        sp = batch_df.sparkSession
+        banded = (
+            minhash_band_keys(minhash_signatures(batch_df))
+            .withColumn(
+                "pbucket",
+                F.pmod(F.xxhash64("band_key"), F.lit(16)).cast("int"),
+            )
+            .persist()
+        )
+        try:
+            partners = banded.select("band", "band_key", "doc_id", "pbucket")
+            if state["initialized"]:
+                touched = [
+                    r.pbucket
+                    for r in banded.select("pbucket").distinct().collect()
+                ]
+                prior = sp.read.parquet(index_path).where(
+                    F.col("pbucket").isin(touched)
+                )
+                partners = partners.unionByName(
+                    prior.select(*partners.columns)
+                )
+            dropped = (
+                banded.alias("n")
+                .join(
+                    partners.alias("p"),
+                    (F.col("n.band") == F.col("p.band"))
+                    & (F.col("n.band_key") == F.col("p.band_key"))
+                    & (F.col("p.doc_id") < F.col("n.doc_id")),
+                    "left_semi",
+                )
+                .select("doc_id")
+                .distinct()
+            )
+            kept = batch_df.join(dropped, "doc_id", "left_anti").select(
+                "doc_id"
+            )
+            # kept must materialize BEFORE the index append extends
+            # the partner set (same ordering discipline as the
+            # MERGE row's persist-before-overwrite).
+            kept.write.mode("append").parquet(kept_path)
+            banded.write.mode("append").partitionBy("pbucket").parquet(
+                index_path
+            )
+            state["initialized"] = True
+            state["n_batches"] += 1
+        finally:
+            banded.unpersist()
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(input_path)
+    )
+    q = (
+        stream.writeStream.foreachBatch(filter_batch)
+        .trigger(availableNow=True)
+        .start()
+    )
+    if not q.awaitTermination(timeout):
+        q.stop()
+        raise RuntimeError(f"streaming minhash replay exceeded {timeout} s")
+    assert state["n_batches"] >= min_batches, (
+        "replay must exercise cross-batch state"
+    )
+    return spark.read.parquet(kept_path)
+
+
+
 def register(reg) -> None:
     from kafka_topic_dumper_spark.operators.text import (
         bigram_lm_model,
@@ -585,9 +682,7 @@ def register(reg) -> None:
     # sources/ingest.py already implements for the quarantining
     # ingest.
     from kafka_topic_dumper_spark.operators.dedup import (
-        minhash_band_keys,
         minhash_banded_cte_sql,
-        minhash_signatures,
     )
 
     @reg(
@@ -606,79 +701,8 @@ def register(reg) -> None:
     def streaming_dedup_minhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Admitted doc_ids after the streaming MinHash-LSH ingest
         filter: 4 doc_id-range micro-batches, band-key index persisted
-        and bucket-prune-probed across batches."""
-        import atexit
-        import shutil
-        import tempfile
-
-        root = tempfile.mkdtemp(prefix="stream_minhash_")
-        atexit.register(shutil.rmtree, root, ignore_errors=True)
-        index_path = f"{root}/band_index"
-        kept_path = f"{root}/kept"
-        state = {"initialized": False, "n_batches": 0}
-
-        def filter_batch(batch_df, batch_id: int) -> None:
-            sp = batch_df.sparkSession
-            banded = (
-                minhash_band_keys(minhash_signatures(batch_df))
-                .withColumn(
-                    "pbucket",
-                    F.pmod(F.xxhash64("band_key"), F.lit(16)).cast("int"),
-                )
-                .persist()
-            )
-            try:
-                partners = banded.select("band", "band_key", "doc_id", "pbucket")
-                if state["initialized"]:
-                    touched = [
-                        r.pbucket
-                        for r in banded.select("pbucket").distinct().collect()
-                    ]
-                    prior = sp.read.parquet(index_path).where(
-                        F.col("pbucket").isin(touched)
-                    )
-                    partners = partners.unionByName(
-                        prior.select(*partners.columns)
-                    )
-                dropped = (
-                    banded.alias("n")
-                    .join(
-                        partners.alias("p"),
-                        (F.col("n.band") == F.col("p.band"))
-                        & (F.col("n.band_key") == F.col("p.band_key"))
-                        & (F.col("p.doc_id") < F.col("n.doc_id")),
-                        "left_semi",
-                    )
-                    .select("doc_id")
-                    .distinct()
-                )
-                kept = batch_df.join(dropped, "doc_id", "left_anti").select(
-                    "doc_id"
-                )
-                # kept must materialize BEFORE the index append extends
-                # the partner set (same ordering discipline as the
-                # MERGE row's persist-before-overwrite).
-                kept.write.mode("append").parquet(kept_path)
-                banded.write.mode("append").partitionBy("pbucket").parquet(
-                    index_path
-                )
-                state["initialized"] = True
-                state["n_batches"] += 1
-            finally:
-                banded.unpersist()
-
-        stream = (
-            spark.readStream.schema("doc_id long, text string")
-            .option("maxFilesPerTrigger", 1)
-            .parquet(_docs_range_split_stream_input(spark, sf_dir))
+        and bucket-prune-probed across batches
+        (:func:`run_minhash_stream_filter`)."""
+        return run_minhash_stream_filter(
+            spark, _docs_range_split_stream_input(spark, sf_dir)
         )
-        q = (
-            stream.writeStream.foreachBatch(filter_batch)
-            .trigger(availableNow=True)
-            .start()
-        )
-        if not q.awaitTermination(300):
-            q.stop()
-            raise RuntimeError("streaming minhash replay exceeded 300 s")
-        assert state["n_batches"] >= 3, "replay must exercise cross-batch state"
-        return spark.read.parquet(kept_path)

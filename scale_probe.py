@@ -246,6 +246,38 @@ def probes(t: dict[str, DataFrame], r: int = 1):
         # (replica suffixes), so the broadcast lookup never grows
         return packing.tokenize_pack_ids(t["documents"], seq_len=512, buckets=32)
 
+    def stream_minhash():
+        # the ONLINE near-dup filter: write the replicated corpus as 4
+        # doc_id-range files (one range shuffle — the same backfill
+        # split the registry row uses; write time is included in the
+        # probe, it is part of the streaming path's real cost), then
+        # drive the shared foreachBatch filter across the 4
+        # micro-batches. Probes the cross-batch index claim: per-batch
+        # cost tracks batch size x collision rate, not corpus size.
+        import atexit
+        import glob
+        import os
+        import shutil
+        import tempfile
+
+        from kafka_topic_dumper_spark.streaming.queries import (
+            run_minhash_stream_filter,
+        )
+
+        root = tempfile.mkdtemp(prefix="probe_stream_minhash_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        path = f"{root}/docs"
+        t["documents"].select("doc_id", "text").repartitionByRange(
+            4, "doc_id"
+        ).write.parquet(path)
+        parts = sorted(glob.glob(f"{path}/part-*.parquet"))
+        base = int(os.path.getmtime(parts[-1])) + 10
+        for i, p in enumerate(parts):
+            os.utime(p, (base + i, base + i))
+        return run_minhash_stream_filter(
+            t["documents"].sparkSession, path, timeout=1800
+        )
+
     return {
         "q1_agg": q1_agg,
         "q3_join": q3_join,
@@ -271,6 +303,7 @@ def probes(t: dict[str, DataFrame], r: int = 1):
         "text_bpe_pair_counts": bpe_pairs,
         "layout_zorder_events": zorder,
         "pipeline_tokenize_pack_ids": tok_pack,
+        "streaming_dedup_minhash": stream_minhash,
     }
 
 
