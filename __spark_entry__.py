@@ -82,6 +82,8 @@ _VERIFY_PRIORITY = [
     "streaming_sessionize_state",
     "multimodal_decode_png",
     "streaming_dedup_minhash",
+    "text_quality_calibrated_rank",
+    "sample_token_budget",
     # --- (e) last driver-stamped round 5 ---
     "p1_project_key_value",
     "p3_hot_reload_predicate",

@@ -106,43 +106,64 @@ def pack_sequences(
     )
 
 
-def doc_start_offsets(docs: DataFrame, buckets: int = 32) -> DataFrame | None:
-    """(doc_id, n_tok, s) — every document's global token start offset
-    in doc_id layout order, via the two-phase distributed prefix sum
-    (see module docstring). Returns None for an empty corpus. Shared by
-    :func:`pack_sequences` (doc→sequence slices) and
-    :func:`tokenize_pack_ids` (token→sequence cell placement)."""
-    toks = tracked_persist(token_counts(docs))
-    lo, hi = toks.agg(F.min("doc_id"), F.max("doc_id")).first()
+def ordered_prefix_sum(
+    vals: DataFrame,
+    key: str,
+    val: str,
+    tie: str | None = None,
+    buckets: int = 32,
+) -> DataFrame | None:
+    """``(input columns…, s)`` — exclusive prefix sum of ``val`` in
+    ascending ``(key[, tie])`` order via the two-phase distributed
+    scheme (see module docstring): range-bucket on the INTEGER ``key``,
+    per-bucket totals → driver-side exclusive prefix (one row per
+    bucket, metadata-plane) → broadcast bases + parallel local window
+    cumsums. Equal keys always land in one bucket, so the within-bucket
+    ``(key, tie)`` window order composes to the exact global order —
+    the property that lets any total order with an integer sort key
+    (doc_id layout, quality-descending curation) reuse this instead of
+    the single-partition global window that would bottleneck at scale.
+    Returns None for empty input."""
+    vals = tracked_persist(vals)
+    lo, hi = vals.agg(F.min(key), F.max(key)).first()
     if lo is None:
         return None
     width = max(1, (hi - lo + buckets) // buckets)
-    bucketed = toks.withColumn(
-        "bucket", F.expr(f"(doc_id - {lo}) div {width}")
-    )
-    # phase 1+3: per-bucket totals -> exclusive prefix on the driver
-    # (one row per bucket — metadata-plane), broadcast back as bases
-    totals = bucketed.groupBy("bucket").agg(F.sum("n_tok").alias("tot")).collect()
+    bucketed = vals.withColumn("bucket", F.expr(f"({key} - {lo}) div {width}"))
+    totals = bucketed.groupBy("bucket").agg(F.sum(val).alias("tot")).collect()
     bases, acc = [], 0
     for row in sorted(totals, key=lambda r: r["bucket"]):
         bases.append((row["bucket"], acc))
-        acc += row["tot"] or 0  # sum() over an all-NULL-text bucket is NULL
-    base_df = docs.sparkSession.createDataFrame(
+        acc += row["tot"] or 0  # sum() over an all-NULL bucket is NULL
+    base_df = vals.sparkSession.createDataFrame(
         bases, "bucket bigint, base bigint"
     )
-    # phase 2: parallel local cumsums (exclusive), one window per bucket
+    order = [key] + ([tie] if tie else [])
     w = (
         Window.partitionBy("bucket")
-        .orderBy("doc_id")
+        .orderBy(*order)
         .rowsBetween(Window.unboundedPreceding, -1)
     )
     return (
         bucketed.withColumn(
-            "local_start", F.coalesce(F.sum("n_tok").over(w), F.lit(0))
+            "local_start", F.coalesce(F.sum(val).over(w), F.lit(0))
         )
         .join(F.broadcast(base_df), "bucket")
-        .select("doc_id", "n_tok", (F.col("base") + F.col("local_start")).alias("s"))
+        .withColumn("s", F.col("base") + F.col("local_start"))
+        .drop("bucket", "base", "local_start")
     )
+
+
+def doc_start_offsets(docs: DataFrame, buckets: int = 32) -> DataFrame | None:
+    """(doc_id, n_tok, s) — every document's global token start offset
+    in doc_id layout order (:func:`ordered_prefix_sum` keyed on
+    doc_id). Returns None for an empty corpus. Shared by
+    :func:`pack_sequences` (doc→sequence slices) and
+    :func:`tokenize_pack_ids` (token→sequence cell placement)."""
+    ps = ordered_prefix_sum(token_counts(docs), "doc_id", "n_tok", buckets=buckets)
+    if ps is None:
+        return None
+    return ps.select("doc_id", "n_tok", "s")
 
 
 def pack_oracle_ctes(seq_len: int = DEFAULT_SEQ_LEN, src: str = "documents") -> str:

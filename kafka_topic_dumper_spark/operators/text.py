@@ -137,10 +137,13 @@ def lang_id(docs: DataFrame) -> DataFrame:
     )
 
 
-def quality_score(docs: DataFrame) -> DataFrame:
+def quality_score(docs: DataFrame, extra_cols: tuple = ()) -> DataFrame:
     """Length / punctuation / stopword-ratio quality heuristic. The
     formula is arbitrary but fixed; what matters is the plan shape —
-    single projection pass, no shuffle."""
+    single projection pass, no shuffle. ``extra_cols`` carries
+    pass-through columns (e.g. ``source`` for the per-source
+    calibration) so consumers don't pay a doc_id join to get them
+    back."""
     toks = _tokens()
     n_tokens = F.size(toks).cast("bigint")
     n_chars = F.length("text").cast("bigint")
@@ -155,10 +158,78 @@ def quality_score(docs: DataFrame) -> DataFrame:
     )
     return docs.select(
         "doc_id",
+        *extra_cols,
         n_tokens.alias("n_tokens"),
         F.round(punct_ratio, 4).alias("punct_ratio"),
         F.round(sw_ratio, 4).alias("stopword_ratio"),
         F.round(score, 4).alias("quality_score"),
+    )
+
+
+def quality_calibrated_rank(docs: DataFrame) -> DataFrame:
+    """Per-SOURCE quality calibration: rank every document within its
+    source by the heuristic score and flag the top half — the
+    FineWeb-style correction for a global quality cutoff silently
+    starving whole domains whose score distribution sits lower (a
+    global threshold keeps 90 % of one source and 4 % of another; a
+    per-source rank keeps comparable fractions). One shuffle keyed by
+    source; skewed sources land on AQE. Integer rank over the already
+    cross-engine-exact rounded score (ties broken by doc_id) keeps the
+    keep decision bit-exact."""
+    q = quality_score(docs, extra_cols=("source",)).where(
+        F.col("quality_score").isNotNull() & ~F.isnan("quality_score")
+    )
+    wo = Window.partitionBy("source").orderBy(
+        F.col("quality_score").desc(), "doc_id"
+    )
+    wp = Window.partitionBy("source")
+    return q.select(
+        "doc_id",
+        "source",
+        F.row_number().over(wo).cast("bigint").alias("rank_in_source"),
+        F.count(F.lit(1)).over(wp).cast("bigint").alias("n_source"),
+    ).withColumn(
+        "keep_top_half",
+        (F.col("rank_in_source") * 2 <= F.col("n_source")).cast("int"),
+    )
+
+
+def token_budget_selection(
+    docs: DataFrame, budget_tokens: int = 15_000, buckets: int = 32
+) -> DataFrame:
+    """Greedy quality-first corpus selection under a global token
+    budget (the data-constrained-scaling curation step: keep the best
+    documents until the budget is spent). The cumulative token count
+    in quality-descending order comes from the SAME two-phase
+    distributed prefix sum the packing capstone uses
+    (packing.ordered_prefix_sum keyed on the negated integer
+    centi-score, doc_id tie-break) — NOT a single-partition global
+    window, which is the classic cumulative-sum scale trap. A doc is
+    kept iff its inclusive cumulative count fits the budget."""
+    from kafka_topic_dumper_spark.operators.packing import ordered_prefix_sum
+
+    q = (
+        quality_score(docs)
+        .where(F.col("quality_score").isNotNull() & ~F.isnan("quality_score"))
+        .select(
+            "doc_id",
+            "n_tokens",
+            (-F.round(F.col("quality_score") * 10000))
+            .cast("bigint")
+            .alias("qkey"),
+        )
+    )
+    ps = ordered_prefix_sum(q, "qkey", "n_tokens", tie="doc_id", buckets=buckets)
+    if ps is None:
+        return docs.sparkSession.createDataFrame(
+            [], "doc_id long, n_tokens long, cum_tokens long"
+        )
+    return (
+        ps.withColumn(
+            "cum_tokens", (F.col("s") + F.col("n_tokens")).cast("bigint")
+        )
+        .where(F.col("cum_tokens") <= budget_tokens)
+        .select("doc_id", "n_tokens", "cum_tokens")
     )
 
 
@@ -1453,3 +1524,56 @@ def register(reg) -> None:
         """Benchmark-decontamination overlap counts (4-gram portable
         hashes vs the doc_id %% 25 probe slice); integer-only output."""
         return contamination_overlap(load_table(spark, sf_dir, "documents"))
+
+    @reg(
+        "text_quality_calibrated_rank",
+        """
+        WITH {hq}, src AS (
+            SELECT hq.doc_id, d.source, hq.quality_score
+            FROM hq JOIN documents d ON d.doc_id = hq.doc_id
+            WHERE hq.quality_score IS NOT NULL AND NOT isnan(hq.quality_score)
+        ), ranked AS (
+            SELECT doc_id, source,
+                   CAST(row_number() OVER (PARTITION BY source
+                        ORDER BY quality_score DESC, doc_id) AS BIGINT)
+                       AS rank_in_source,
+                   CAST(count(*) OVER (PARTITION BY source) AS BIGINT)
+                       AS n_source
+            FROM src
+        )
+        SELECT doc_id, source, rank_in_source, n_source,
+               CAST(CASE WHEN 2 * rank_in_source <= n_source
+                    THEN 1 ELSE 0 END AS INTEGER) AS keep_top_half
+        FROM ranked
+        """.format(hq=quality_score_oracle_ctes()),
+    )
+    def text_quality_calibrated_rank(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-source quality rank + top-half keep flag (global-cutoff
+        domain-starvation correction); integer rank over the rounded
+        score, doc_id tie-break."""
+        return quality_calibrated_rank(load_table(spark, sf_dir, "documents"))
+
+    @reg(
+        "sample_token_budget",
+        """
+        WITH {hq}, scored AS (
+            SELECT doc_id, n_tokens,
+                   CAST(-round(quality_score * 10000) AS BIGINT) AS qkey
+            FROM hq
+            WHERE quality_score IS NOT NULL AND NOT isnan(quality_score)
+        ), ordered AS (
+            SELECT doc_id, n_tokens,
+                   sum(n_tokens) OVER (ORDER BY qkey, doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS s
+            FROM scored
+        )
+        SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
+               CAST(coalesce(s, 0) + n_tokens AS BIGINT) AS cum_tokens
+        FROM ordered
+        WHERE coalesce(s, 0) + n_tokens <= 15000
+        """.format(hq=quality_score_oracle_ctes()),
+    )
+    def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Greedy quality-first selection under a 15k-token budget via
+        the distributed ordered prefix sum."""
+        return token_budget_selection(load_table(spark, sf_dir, "documents"))

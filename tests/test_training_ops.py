@@ -535,3 +535,43 @@ def test_png_decoder_greyscale_path(spark):
     [r] = decode_png_images(df).collect()
     assert (r.width, r.height, r.n_channels) == (3, 2, 1)
     assert r.pixel_sum == 10 + 20 + 30 + 40 + 60 + 80
+
+
+def test_quality_calibration_and_token_budget(spark):
+    """Per-source calibration keeps exactly floor(n/2) docs per source;
+    the token-budget selection is the greedy quality-descending prefix
+    that fits, computed by the distributed ordered prefix sum (never a
+    single-partition window) — checked against a driver-side replay."""
+    from kafka_topic_dumper_spark.operators.text import (
+        quality_calibrated_rank,
+        quality_score,
+        token_budget_selection,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    cal = quality_calibrated_rank(docs).collect()
+    by_source = {}
+    for r in cal:
+        by_source.setdefault(r.source, []).append(r)
+    for source, rows in by_source.items():
+        n = rows[0].n_source
+        assert len(rows) == n
+        assert sum(r.keep_top_half for r in rows) == n // 2, source
+        assert sorted(r.rank_in_source for r in rows) == list(range(1, n + 1))
+
+    budget = 15_000
+    got = {r.doc_id: r.cum_tokens for r in token_budget_selection(docs).collect()}
+    scored = sorted(
+        (
+            (-round(r.quality_score * 10000), r.doc_id, r.n_tokens)
+            for r in quality_score(docs).collect()
+            if r.quality_score is not None
+        ),
+    )
+    want, acc = {}, 0
+    for _qkey, doc_id, n_tok in scored:
+        if acc + n_tok > budget:
+            break
+        acc += n_tok
+        want[doc_id] = acc
+    assert got == want and 0 < len(got)
