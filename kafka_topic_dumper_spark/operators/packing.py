@@ -123,7 +123,17 @@ def ordered_prefix_sum(
     the property that lets any total order with an integer sort key
     (doc_id layout, quality-descending curation) reuse this instead of
     the single-partition global window that would bottleneck at scale.
-    Returns None for empty input."""
+    Returns None for empty input. ``key`` must be NULL-free (a NULL
+    has no place in a total order — the caller decides whether to
+    filter or default such rows) and the names ``bucket``/``base``/
+    ``local_start``/``s`` are reserved for the internals (code-review
+    r7: both were silent hazards for future callers)."""
+    reserved = {"bucket", "base", "local_start", "s"} & set(vals.columns)
+    if reserved:
+        raise ValueError(
+            f"ordered_prefix_sum reserves column names {sorted(reserved)}; "
+            "rename them in the input"
+        )
     vals = tracked_persist(vals)
     lo, hi = vals.agg(F.min(key), F.max(key)).first()
     if lo is None:
@@ -131,6 +141,14 @@ def ordered_prefix_sum(
     width = max(1, (hi - lo + buckets) // buckets)
     bucketed = vals.withColumn("bucket", F.expr(f"({key} - {lo}) div {width}"))
     totals = bucketed.groupBy("bucket").agg(F.sum(val).alias("tot")).collect()
+    if any(row["bucket"] is None for row in totals):
+        # free to detect here (totals is already driver-side); a NULL
+        # key has no place in a total order and would otherwise crash
+        # the sort below with a TypeError
+        raise ValueError(
+            f"ordered_prefix_sum key column {key!r} contains NULLs — "
+            "filter or default them before ordering"
+        )
     bases, acc = [], 0
     for row in sorted(totals, key=lambda r: r["bucket"]):
         bases.append((row["bucket"], acc))

@@ -38,6 +38,10 @@ def _tokens() -> Column:
 
 CONTAMINATION_K = 4
 CONTAMINATION_PROBE_MOD = 25
+# Default global token budget for the greedy quality-first selection —
+# ONE definition consumed by both token_budget_selection and its
+# DuckDB oracle (code-review r7: a literal in each desynchronizes).
+TOKEN_BUDGET_DEFAULT = 15_000
 
 
 def contamination_overlap(
@@ -195,7 +199,7 @@ def quality_calibrated_rank(docs: DataFrame) -> DataFrame:
 
 
 def token_budget_selection(
-    docs: DataFrame, budget_tokens: int = 15_000, buckets: int = 32
+    docs: DataFrame, budget_tokens: int = TOKEN_BUDGET_DEFAULT, buckets: int = 32
 ) -> DataFrame:
     """Greedy quality-first corpus selection under a global token
     budget (the data-constrained-scaling curation step: keep the best
@@ -1570,8 +1574,8 @@ def register(reg) -> None:
         SELECT doc_id, CAST(n_tokens AS BIGINT) AS n_tokens,
                CAST(coalesce(s, 0) + n_tokens AS BIGINT) AS cum_tokens
         FROM ordered
-        WHERE coalesce(s, 0) + n_tokens <= 15000
-        """.format(hq=quality_score_oracle_ctes()),
+        WHERE coalesce(s, 0) + n_tokens <= {budget}
+        """.format(hq=quality_score_oracle_ctes(), budget=TOKEN_BUDGET_DEFAULT),
     )
     def sample_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Greedy quality-first selection under a 15k-token budget via

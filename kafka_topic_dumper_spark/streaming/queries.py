@@ -109,6 +109,27 @@ def _drain(stream_df: DataFrame, name: str, output_mode: str = "append"):
     _LAST_SINK[base] = name
 
 
+def write_ranged_replay_files(
+    df: DataFrame, path: str, n_files: int, range_cols: tuple
+) -> None:
+    """Write ``df`` as ``n_files`` range-partitioned parquet files with
+    ascending modification times, so a ``maxFilesPerTrigger=1`` file
+    source (which replays by (mtime, path)) delivers them in key
+    order. The mtime bump is load-bearing — ordered-replay semantics
+    (watermark monotonicity, the streaming filter's smaller-id-first
+    precedence) depend on it — so this is the ONE copy of the trick,
+    shared by the stream-input cache below and scale_probe.py
+    (code-review r7)."""
+    import glob
+    import os
+
+    df.repartitionByRange(n_files, *range_cols).write.parquet(path)
+    parts = sorted(glob.glob(f"{path}/part-*.parquet"))
+    base = int(os.path.getmtime(parts[-1])) + 10
+    for i, p in enumerate(parts):
+        os.utime(p, (base + i, base + i))
+
+
 def _split_stream_input(
     spark: SparkSession,
     sf_dir: str,
@@ -135,8 +156,6 @@ def _split_stream_input(
     key = (table, sf_dir, n_files, range_cols)
     if key not in _STREAM_INPUT_CACHE:
         import atexit
-        import glob
-        import os
         import shutil
         import tempfile
 
@@ -145,15 +164,9 @@ def _split_stream_input(
         path = f"{root}/{table}_split"
         df = load_table(spark, sf_dir, table).select(*cols)
         if range_cols:
-            df = df.repartitionByRange(n_files, *range_cols)
+            write_ranged_replay_files(df, path, n_files, range_cols)
         else:
-            df = df.repartition(n_files)
-        df.write.parquet(path)
-        if range_cols:
-            parts = sorted(glob.glob(f"{path}/part-*.parquet"))
-            base = int(os.path.getmtime(parts[-1])) + 10
-            for i, p in enumerate(parts):
-                os.utime(p, (base + i, base + i))
+            df.repartition(n_files).write.parquet(path)
         _STREAM_INPUT_CACHE[key] = path
     return _STREAM_INPUT_CACHE[key]
 

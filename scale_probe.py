@@ -255,25 +255,20 @@ def probes(t: dict[str, DataFrame], r: int = 1):
         # micro-batches. Probes the cross-batch index claim: per-batch
         # cost tracks batch size x collision rate, not corpus size.
         import atexit
-        import glob
-        import os
         import shutil
         import tempfile
 
         from kafka_topic_dumper_spark.streaming.queries import (
             run_minhash_stream_filter,
+            write_ranged_replay_files,
         )
 
         root = tempfile.mkdtemp(prefix="probe_stream_minhash_")
         atexit.register(shutil.rmtree, root, ignore_errors=True)
         path = f"{root}/docs"
-        t["documents"].select("doc_id", "text").repartitionByRange(
-            4, "doc_id"
-        ).write.parquet(path)
-        parts = sorted(glob.glob(f"{path}/part-*.parquet"))
-        base = int(os.path.getmtime(parts[-1])) + 10
-        for i, p in enumerate(parts):
-            os.utime(p, (base + i, base + i))
+        write_ranged_replay_files(
+            t["documents"].select("doc_id", "text"), path, 4, ("doc_id",)
+        )
         return run_minhash_stream_filter(
             t["documents"].sparkSession, path, timeout=1800
         )
