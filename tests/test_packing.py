@@ -184,3 +184,63 @@ def test_tokenize_pack_ids_cell_invariants(spark):
     # some real vocabulary hits, and unk exists only if the corpus has
     # more distinct tokens than the vocab (it doesn't at sf0.001)
     assert any(c.token_id > 0 for c in cells)
+
+
+def test_ordered_prefix_sum_property(spark):
+    """Property: the generic two-phase prefix sum equals a serial
+    Python cumsum under the (key, tie) order for random key
+    distributions — duplicate keys (forced same-bucket), negative
+    keys, skewed ranges, bucket counts from 1 to many."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from kafka_topic_dumper_spark.operators.packing import ordered_prefix_sum
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.tuples(
+                st.integers(-1_000_000, 1_000_000),  # key (dup allowed)
+                st.integers(0, 50),                  # val
+            ),
+            min_size=1,
+            max_size=40,
+        ),
+        st.integers(1, 8),  # buckets
+    )
+    def run(rows, buckets):
+        data = [(i, k, v) for i, (k, v) in enumerate(rows)]
+        df = spark.createDataFrame(data, "tie bigint, k bigint, v bigint")
+        got = {
+            r.tie: r.s
+            for r in ordered_prefix_sum(
+                df, "k", "v", tie="tie", buckets=buckets
+            ).collect()
+        }
+        expected, acc = {}, 0
+        for i, k, v in sorted(data, key=lambda t: (t[1], t[0])):
+            expected[i] = acc
+            acc += v
+        assert got == expected
+
+    run()
+
+
+def test_ordered_prefix_sum_guards(spark):
+    """NULL keys and reserved column names are rejected loudly."""
+    import pytest as _pytest
+
+    from kafka_topic_dumper_spark.operators.packing import ordered_prefix_sum
+
+    with_null = spark.createDataFrame(
+        [(1, 1), (None, 2)], "k bigint, v bigint"
+    )
+    with _pytest.raises(ValueError, match="NULL"):
+        ordered_prefix_sum(with_null, "k", "v")
+    reserved = spark.createDataFrame([(1, 2, 3)], "k bigint, v bigint, s bigint")
+    with _pytest.raises(ValueError, match="reserves"):
+        ordered_prefix_sum(reserved, "k", "v")
