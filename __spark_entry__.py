@@ -84,6 +84,7 @@ _VERIFY_PRIORITY = [
     "streaming_dedup_minhash",
     "text_quality_calibrated_rank",
     "sample_token_budget",
+    "multimodal_wav_features",
     # --- (e) last driver-stamped round 5 ---
     "p1_project_key_value",
     "p3_hot_reload_predicate",

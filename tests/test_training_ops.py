@@ -575,3 +575,48 @@ def test_quality_calibration_and_token_budget(spark):
         acc += n_tok
         want[doc_id] = acc
     assert got == want and 0 < len(got)
+
+
+def test_wav_parser_chunk_walk_and_guards(spark):
+    """The RIFF parser must honor chunk even-padding (an odd-sized
+    junk chunk before data shifts every later offset by its pad byte),
+    skip unknown chunks, and reject bad magics / truncated chunks /
+    unsupported formats loudly; int64 widening must survive the
+    abs(-32768) int16-overflow footgun."""
+    import struct
+
+    import pytest as _pytest
+
+    from kafka_topic_dumper_spark.operators.multimodal import wav_features
+
+    def wav(junk_odd=False, rate=8000, samples=(-32768, 5, -7)):
+        pcm = struct.pack(f"<{len(samples)}h", *samples)
+        fmt = struct.pack("<HHIIHH", 1, 1, rate, rate * 2, 2, 16)
+        chunks = b"fmt " + struct.pack("<I", len(fmt)) + fmt
+        if junk_odd:
+            chunks += b"JUNK" + struct.pack("<I", 3) + b"abc" + b"\x00"
+        chunks += b"data" + struct.pack("<I", len(pcm)) + pcm
+        return b"RIFF" + struct.pack("<I", 4 + len(chunks)) + b"WAVE" + chunks
+
+    def run(payload):
+        df = spark.createDataFrame(
+            [(1, bytearray(payload))], "doc_id long, payload binary"
+        )
+        return wav_features(df).collect()
+
+    for junk in (False, True):
+        [r] = run(wav(junk_odd=junk))
+        assert (r.n_samples, r.peak_abs, r.sum_abs) == (3, 32768, 32780)
+        assert r.zero_crossings == 2 and r.sum_abs_ds2 == 32768 + 7
+
+    with _pytest.raises(Exception, match="not a RIFF"):
+        run(b"JUNKxxxxWAVE")
+    with _pytest.raises(Exception, match="truncated"):
+        run(wav()[:-1])
+    stereo = wav()
+    stereo = stereo.replace(
+        struct.pack("<HHIIHH", 1, 1, 8000, 16000, 2, 16),
+        struct.pack("<HHIIHH", 1, 2, 8000, 32000, 4, 16),
+    )
+    with _pytest.raises(Exception, match="unsupported WAV subset"):
+        run(stereo)
