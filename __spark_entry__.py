@@ -85,6 +85,8 @@ _VERIFY_PRIORITY = [
     "text_quality_calibrated_rank",
     "sample_token_budget",
     "multimodal_wav_features",
+    "multimodal_decode_gif",
+    "multimodal_avi_frames",
     # --- (e) last driver-stamped round 5 ---
     "p1_project_key_value",
     "p3_hot_reload_predicate",

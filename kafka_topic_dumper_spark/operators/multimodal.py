@@ -34,7 +34,14 @@ scanline filters) with the stdlib only, oracle-verified per pixel —
 and AUDIO has a real path as well: ``synth_wav_audio`` /
 ``wav_features`` build and chunk-walk spec-conformant RIFF/WAVE
 streams (PCM 16-bit mono) with integer-exact feature extraction.
-Only JPEG/video remain stubbed behind the import-probe.
+Later in round 7, GIF gained a real decode (``synth_gif_images`` /
+``decode_gif_images`` — from-scratch LZW with width growth, dictionary
+reset, and the KwKwK case) and VIDEO a real container walk
+(``synth_avi_video`` / ``sample_avi_frames`` — RIFF hdrl/movi lists,
+frame timestamps read from the avih header). The only remaining stubs
+are the LOSSY codecs (JPEG, H.264) — doubly blocked: the libraries are
+absent AND lossy reconstruction has no integer-exact SQL oracle, so
+they would be rows-only even if decodable.
 """
 
 from __future__ import annotations
@@ -730,6 +737,401 @@ def wav_features(payloads: DataFrame) -> DataFrame:
     return payloads.mapInPandas(run, schema=_WAV_FEATURE_SCHEMA)
 
 
+
+
+# --- GIF (LZW) — real lossless codec, stdlib only ------------------------
+
+def _build_lzw():
+    """Construct the GIF-variant LZW codec pair as NESTED functions:
+    their non-importable qualname forces cloudpickle to serialize them
+    BY VALUE into any mapInPandas closure that captures them, so the
+    GIF kernels work on executors that cannot import this package
+    (the /tmp-driver harness case the verify recipe simulates — a
+    module-level def here pickles by reference and raised
+    ModuleNotFoundError on workers; caught by that exact recipe).
+    The module-level ``lzw_encode``/``lzw_decode`` aliases below keep
+    the unit-test surface, which round-trips streams large enough to
+    exercise width growth, the 4096 reset, and the KwKwK case."""
+
+    def lzw_encode(data: bytes, min_code: int = 8) -> bytes:
+        clear, end = 1 << min_code, (1 << min_code) + 1
+        out = bytearray()
+        buf = nbits = 0
+
+        def emit(code: int, width: int) -> None:
+            nonlocal buf, nbits
+            buf |= code << nbits
+            nbits += width
+            while nbits >= 8:
+                out.append(buf & 0xFF)
+                buf >>= 8
+                nbits -= 8
+
+        def fresh() -> dict:
+            return {bytes([i]): i for i in range(1 << min_code)}
+
+        table = fresh()
+        next_code = end + 1
+        width = min_code + 1
+        emit(clear, width)
+        w = b""
+        for ch in data:
+            wc = w + bytes([ch])
+            if wc in table:
+                w = wc
+                continue
+            emit(table[w], width)
+            if next_code < 4096:
+                table[wc] = next_code
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
+            else:
+                emit(clear, width)
+                table = fresh()
+                next_code = end + 1
+                width = min_code + 1
+            w = bytes([ch])
+        if w:
+            emit(table[w], width)
+        emit(end, width)
+        if nbits:
+            out.append(buf & 0xFF)
+        return bytes(out)
+
+
+    def lzw_decode(data: bytes, min_code: int = 8) -> bytes:
+        clear, end = 1 << min_code, (1 << min_code) + 1
+        pos = 0  # bit position
+        nbytes = len(data)
+
+        def read(width: int) -> int | None:
+            nonlocal pos
+            if pos + width > nbytes * 8:
+                return None
+            v = 0
+            for b in range(width):
+                i = pos + b
+                v |= ((data[i >> 3] >> (i & 7)) & 1) << b
+            pos += width
+            return v
+
+        def fresh() -> list:
+            return [bytes([i]) for i in range(1 << min_code)] + [b"", b""]
+
+        table = fresh()
+        width = min_code + 1
+        out = bytearray()
+        prev: bytes | None = None
+        while True:
+            code = read(width)
+            if code is None or code == end:
+                break
+            if code == clear:
+                table = fresh()
+                width = min_code + 1
+                prev = None
+                continue
+            if prev is None:
+                entry = table[code]
+            else:
+                if code < len(table):
+                    entry = table[code]
+                elif code == len(table):
+                    entry = prev + prev[:1]  # KwKwK
+                else:
+                    raise ValueError(f"corrupt LZW stream: code {code}")
+                if len(table) < 4096:
+                    table.append(prev + entry[:1])
+                    # one-behind compensation: the decoder's table trails
+                    # the encoder's by exactly one entry at read time (the
+                    # encoder adds E_k right after emitting c_k; the
+                    # decoder reconstructs E_k only upon receiving
+                    # c_{k+1}), so the width bump the encoder applied after
+                    # filling index (1<<width)-1 must fire here one entry
+                    # EARLY to read c_{k+1} at the encoder's width
+                    if len(table) + 1 == (1 << width) and width < 12:
+                        width += 1
+            out += entry
+            prev = entry
+        return bytes(out)
+
+
+    return lzw_encode, lzw_decode
+
+
+lzw_encode, lzw_decode = _build_lzw()
+
+
+def synth_gif_images(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL GIF87a payloads: the arithmetic raster of
+    :func:`synth_raw_images` as 8-bit palette indices
+    (index[i] = (doc_id + i) %% 256) over a 256-entry greyscale global
+    color table, LZW-compressed through :func:`lzw_encode` and wrapped
+    in a spec-conformant GIF stream (logical screen descriptor, image
+    descriptor, 255-byte data sub-blocks, trailer)."""
+    _ensure_arrow_batch(docs)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+        import pandas as _pd
+
+        palette = b"".join(bytes([j, j, j]) for j in range(256))
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                w = 8 + int(doc_id) % 9
+                h = 8 + int(doc_id) % 7
+                idx = np.arange(w * h, dtype=np.int64)
+                px = ((int(doc_id) + idx) % 256).astype(np.uint8).tobytes()
+                lzw = lzw_encode(px)
+                blocks = b"".join(
+                    bytes([len(lzw[i : i + 255])]) + lzw[i : i + 255]
+                    for i in range(0, len(lzw), 255)
+                )
+                payloads.append(
+                    b"GIF87a"
+                    + struct.pack("<HHBBB", w, h, 0xF7, 0, 0)
+                    + palette
+                    + b"\x2C"
+                    + struct.pack("<HHHH", 0, 0, w, h)
+                    + b"\x00"
+                    + bytes([8])
+                    + blocks
+                    + b"\x00"
+                    + b"\x3B"
+                )
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        run, schema="doc_id long, payload binary"
+    )
+
+
+_GIF_DECODE_SCHEMA = (
+    "doc_id long, width int, height int, n_pixels long,"
+    " index_sum long, rgb_sum long"
+)
+
+
+def decode_gif_images(payloads: DataFrame) -> DataFrame:
+    """REAL GIF decode with the stdlib only: signature check (87a/89a),
+    logical-screen + color-table parse, extension-block skipping,
+    sub-block reassembly, :func:`lzw_decode`, and a pixel-count
+    integrity check — features are the palette-index sum and the
+    palette-RESOLVED RGB sum (so a wrong color table, not just wrong
+    indices, breaks the differential)."""
+    _ensure_arrow_batch(payloads)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+        import pandas as _pd
+
+        def decode(buf: bytes):
+            if buf[:6] not in (b"GIF87a", b"GIF89a"):
+                raise ValueError("not a GIF stream")
+            w, h, packed, _bg, _ar = struct.unpack_from("<HHBBB", buf, 6)
+            pos = 13
+            palette = None
+            if packed & 0x80:
+                size = 3 * (2 << (packed & 0x07))
+                palette = buf[pos : pos + size]
+                pos += size
+            while True:
+                marker = buf[pos]
+                pos += 1
+                if marker == 0x21:  # extension: label + sub-blocks
+                    pos += 1
+                    while buf[pos]:
+                        pos += 1 + buf[pos]
+                    pos += 1
+                elif marker == 0x2C:
+                    break
+                else:
+                    raise ValueError(f"unexpected GIF block 0x{marker:02x}")
+            _l, _t, iw, ih, ipacked = struct.unpack_from("<HHHHB", buf, pos)
+            pos += 9
+            if ipacked & 0x80:
+                size = 3 * (2 << (ipacked & 0x07))
+                palette = buf[pos : pos + size]
+                pos += size
+            if palette is None:
+                raise ValueError("GIF stream without a color table")
+            min_code = buf[pos]
+            pos += 1
+            lzw = bytearray()
+            while buf[pos]:
+                n = buf[pos]
+                lzw += buf[pos + 1 : pos + 1 + n]
+                pos += 1 + n
+            idx = np.frombuffer(
+                lzw_decode(bytes(lzw), min_code), dtype=np.uint8
+            ).astype(np.int64)
+            if len(idx) != iw * ih:
+                raise ValueError(
+                    f"decoded {len(idx)} pixels for {iw}x{ih} raster"
+                )
+            pal = np.frombuffer(palette, dtype=np.uint8).astype(
+                np.int64
+            ).reshape(-1, 3)
+            return (
+                int(iw),
+                int(ih),
+                int(len(idx)),
+                int(idx.sum()),
+                int(pal[idx].sum()),
+            )
+
+        for pdf in batches:
+            rows = [decode(bytes(b)) for b in pdf["payload"]]
+            out = _pd.DataFrame(
+                rows,
+                columns=["width", "height", "n_pixels", "index_sum", "rgb_sum"],
+            )
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            out["width"] = out["width"].astype("int32")
+            out["height"] = out["height"].astype("int32")
+            yield out
+
+    return payloads.mapInPandas(run, schema=_GIF_DECODE_SCHEMA)
+
+
+
+
+# --- AVI (RIFF container) — real frame walk, stdlib only ------------------
+
+def synth_avi_video(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL AVI containers: RIFF('AVI ') with a
+    LIST('hdrl') main header (25 fps → dwMicroSecPerFrame 40000, frame
+    count, dimensions) and a LIST('movi') holding
+    k = doc_id %% 5 + 1 uncompressed '00db' frames — each frame the
+    arithmetic RAW raster pixel[i] = (doc_id + 7·frame + i) %% 256 at
+    w = 8 + doc_id %% 9, h = 8 + doc_id %% 7, RGB. Frames with odd
+    byte counts exercise RIFF's even-padding rule on the walk side."""
+    _ensure_arrow_batch(docs)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+        import pandas as _pd
+
+        def chunk(tag: bytes, body: bytes) -> bytes:
+            return tag + struct.pack("<I", len(body)) + body + (
+                b"\x00" if len(body) & 1 else b""
+            )
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = 8 + d % 9
+                h = 8 + d % 7
+                k = d % 5 + 1
+                frames = b""
+                for f in range(k):
+                    idx = np.arange(w * h * 3, dtype=np.int64)
+                    px = ((d + 7 * f + idx) % 256).astype(np.uint8)
+                    frames += chunk(b"00db", px.tobytes())
+                avih = struct.pack(
+                    "<14I", 40000, 0, 0, 0, k, 0, 1, 0, w, h, 0, 0, 0, 0
+                )
+                hdrl = b"LIST" + struct.pack(
+                    "<I", 4 + len(chunk(b"avih", avih))
+                ) + b"hdrl" + chunk(b"avih", avih)
+                movi = b"LIST" + struct.pack("<I", 4 + len(frames)) + b"movi" + frames
+                body = b"AVI " + hdrl + movi
+                payloads.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        run, schema="doc_id long, payload binary"
+    )
+
+
+_AVI_FRAME_SCHEMA = (
+    "doc_id long, frame_idx int, frame_offset_ms long,"
+    " frame_bytes long, pixel_sum long"
+)
+
+
+def sample_avi_frames(payloads: DataFrame) -> DataFrame:
+    """REAL video-container frame sampling — the non-stub counterpart
+    of :func:`sample_frames`: walk the RIFF tree (even-padding
+    honored), read dwMicroSecPerFrame out of the avih header so frame
+    timestamps come from the FILE, not an assumption, then emit one
+    row per '00db' frame chunk in the movi list with its integer pixel
+    sum. A 1→N Arrow-batched flat-map; the frame payload itself never
+    leaves the kernel."""
+    _ensure_arrow_batch(payloads)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+        import pandas as _pd
+
+        def walk(buf: bytes):
+            if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+                raise ValueError("not a RIFF/AVI stream")
+            us_per_frame = None
+            frames = []
+            pos = 12
+
+            def scan(lo: int, hi: int) -> None:
+                nonlocal us_per_frame
+                p = lo
+                while p + 8 <= hi:
+                    tag = buf[p : p + 4]
+                    (size,) = struct.unpack_from("<I", buf, p + 4)
+                    body_lo, body_hi = p + 8, p + 8 + size
+                    if body_hi > hi:
+                        raise ValueError(f"truncated {tag!r} chunk")
+                    if tag == b"LIST":
+                        scan(body_lo + 4, body_hi)
+                    elif tag == b"avih":
+                        (us_per_frame,) = struct.unpack_from("<I", buf, body_lo)
+                    elif tag == b"00db":
+                        frames.append(buf[body_lo:body_hi])
+                    p = body_hi + (size & 1)
+
+            scan(pos, len(buf))
+            if us_per_frame is None:
+                raise ValueError("missing avih header")
+            out = []
+            for i, frame in enumerate(frames):
+                px = np.frombuffer(frame, dtype=np.uint8).astype(np.int64)
+                out.append(
+                    (i, i * us_per_frame // 1000, len(frame), int(px.sum()))
+                )
+            return out
+
+        for pdf in batches:
+            doc_ids, idxs, offs, sizes, sums = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                for i, off, nbytes, psum in walk(bytes(payload)):
+                    doc_ids.append(doc_id)
+                    idxs.append(i)
+                    offs.append(off)
+                    sizes.append(nbytes)
+                    sums.append(psum)
+            yield _pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "frame_idx": _pd.array(idxs, dtype="int32"),
+                    "frame_offset_ms": _pd.array(offs, dtype="int64"),
+                    "frame_bytes": _pd.array(sizes, dtype="int64"),
+                    "pixel_sum": _pd.array(sums, dtype="int64"),
+                }
+            )
+
+    return payloads.mapInPandas(run, schema=_AVI_FRAME_SCHEMA)
+
+
 def register(reg) -> None:
     @reg(
         "multimodal_binary_meta",
@@ -960,4 +1362,64 @@ def register(reg) -> None:
         anywhere breaks a sum."""
         return wav_features(
             synth_wav_audio(load_table(spark, sf_dir, "documents"))
+        )
+
+    @reg(
+        "multimodal_decode_gif",
+        """
+        WITH dims AS (
+            SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h
+            FROM documents
+        )
+        SELECT d.doc_id, CAST(d.w AS INTEGER) AS width,
+               CAST(d.h AS INTEGER) AS height,
+               CAST(d.w * d.h AS BIGINT) AS n_pixels,
+               CAST(sum((d.doc_id + t.i) % 256) AS BIGINT) AS index_sum,
+               CAST(3 * sum((d.doc_id + t.i) % 256) AS BIGINT) AS rgb_sum
+        FROM dims d,
+             LATERAL (SELECT unnest(range(0, d.w * d.h)) AS i) t
+        GROUP BY d.doc_id, d.w, d.h
+        """,
+    )
+    def multimodal_decode_gif(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """REAL GIF decode with the stdlib only: spec-conformant GIF87a
+        streams (greyscale global color table, from-scratch LZW with
+        width growth and dictionary reset) round-trip through the
+        chunk-walking decoder; the oracle reconstructs every palette
+        index arithmetically and the greyscale table makes
+        rgb_sum = 3 x index_sum, so a wrong index OR a wrong palette
+        read breaks a sum."""
+        return decode_gif_images(
+            synth_gif_images(load_table(spark, sf_dir, "documents"))
+        )
+
+    @reg(
+        "multimodal_avi_frames",
+        """
+        WITH dims AS (
+            SELECT doc_id, 8 + doc_id % 9 AS w, 8 + doc_id % 7 AS h,
+                   doc_id % 5 + 1 AS k
+            FROM documents
+        ), frames AS (
+            SELECT d.doc_id, d.w, d.h, t.f
+            FROM dims d, LATERAL (SELECT unnest(range(0, d.k)) AS f) t
+        )
+        SELECT fr.doc_id, CAST(fr.f AS INTEGER) AS frame_idx,
+               CAST(fr.f * 40 AS BIGINT) AS frame_offset_ms,
+               CAST(fr.w * fr.h * 3 AS BIGINT) AS frame_bytes,
+               CAST(sum((fr.doc_id + 7 * fr.f + t.i) % 256) AS BIGINT)
+                   AS pixel_sum
+        FROM frames fr,
+             LATERAL (SELECT unnest(range(0, fr.w * fr.h * 3)) AS i) t
+        GROUP BY fr.doc_id, fr.f, fr.w, fr.h
+        """,
+    )
+    def multimodal_avi_frames(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """REAL video-container frame extraction: spec-shaped AVI
+        (RIFF hdrl/movi lists, even-padded chunks) walked by the
+        from-scratch parser; frame timestamps derive from the avih
+        header's dwMicroSecPerFrame and every frame's pixel sum is
+        arithmetic-exact against the oracle."""
+        return sample_avi_frames(
+            synth_avi_video(load_table(spark, sf_dir, "documents"))
         )

@@ -620,3 +620,77 @@ def test_wav_parser_chunk_walk_and_guards(spark):
     )
     with _pytest.raises(Exception, match="unsupported WAV subset"):
         run(stereo)
+
+
+def test_lzw_round_trip_all_branches():
+    """The GIF LZW codec must round-trip through every branch: width
+    growth 9->12, the 4096 dictionary reset, the KwKwK just-defined
+    code, empty/1-byte streams, and random data."""
+    import random
+
+    from kafka_topic_dumper_spark.operators.multimodal import (
+        lzw_decode,
+        lzw_encode,
+    )
+
+    for n in (0, 1, 2, 224, 255, 256, 5000, 20000):
+        data = bytes((i * 7 + i // 3) % 256 for i in range(n))
+        assert lzw_decode(lzw_encode(data)) == data, n
+    for n in (1, 3, 1000, 30000):  # runs of one byte: KwKwK territory
+        assert lzw_decode(lzw_encode(b"a" * n)) == b"a" * n, n
+    data = bytes([1, 2, 3, 4] * 30000)  # low entropy: forces 4096 reset
+    assert lzw_decode(lzw_encode(data)) == data
+    rng = random.Random(7)
+    for trial in range(20):
+        data = bytes(rng.randrange(256) for _ in range(rng.randrange(9000)))
+        assert lzw_decode(lzw_encode(data)) == data, trial
+
+
+def test_gif_and_avi_parser_guards(spark):
+    """The GIF walk must accept 89a signatures and skip extension
+    blocks; both container parsers must reject corrupt streams
+    loudly."""
+    import struct
+
+    import pytest as _pytest
+
+    from kafka_topic_dumper_spark.operators.multimodal import (
+        decode_gif_images,
+        lzw_encode,
+        sample_avi_frames,
+        synth_gif_images,
+    )
+
+    def run(fn, payload):
+        df = spark.createDataFrame(
+            [(1, bytearray(payload))], "doc_id long, payload binary"
+        )
+        return fn(df).collect()
+
+    # build a GIF89a with a graphic-control extension before the image
+    [base] = (
+        synth_gif_images(
+            spark.createDataFrame([(3,)], "doc_id long")
+        ).collect()
+    )
+    gif = bytes(base.payload)
+    ext = b"\x21\xf9\x04\x00\x00\x00\x00\x00"  # GCE: label+4-byte block+term
+    img_at = 6 + 7 + 768  # header + logical screen descriptor + palette
+    assert gif[img_at] == 0x2C
+    gif89 = b"GIF89a" + gif[6:img_at] + ext + gif[img_at:]
+    [r] = run(decode_gif_images, gif89)
+    w, h = 8 + 3 % 9, 8 + 3 % 7
+    assert (r.width, r.height, r.n_pixels) == (w, h, w * h)
+    assert r.index_sum == sum((3 + i) % 256 for i in range(w * h))
+    assert r.rgb_sum == 3 * r.index_sum
+
+    with _pytest.raises(Exception, match="not a GIF"):
+        run(decode_gif_images, b"NOTAGIF!")
+    with _pytest.raises(Exception, match="not a RIFF/AVI"):
+        run(sample_avi_frames, b"RIFF" + struct.pack("<I", 4) + b"WAVE")
+    with _pytest.raises(Exception, match="corrupt LZW|decoded"):
+        broken = bytearray(gif)
+        # image descriptor (10B) + min-code byte + sub-block length,
+        # then flip an LZW data byte
+        broken[img_at + 10 + 1 + 1 + 1] ^= 0x55
+        run(decode_gif_images, bytes(broken))
