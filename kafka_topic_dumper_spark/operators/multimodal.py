@@ -825,7 +825,13 @@ def _build_lzw():
         prev: bytes | None = None
         while True:
             code = read(width)
-            if code is None or code == end:
+            if code is None:
+                # the encoder ALWAYS terminates with END; running out
+                # of bits first means the stream was cut — reject
+                # loudly like every other parser here, instead of
+                # returning silently truncated data (code-review r7)
+                raise ValueError("truncated LZW stream: no END code")
+            if code == end:
                 break
             if code == clear:
                 table = fresh()

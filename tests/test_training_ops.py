@@ -644,6 +644,13 @@ def test_lzw_round_trip_all_branches():
     for trial in range(20):
         data = bytes(rng.randrange(256) for _ in range(rng.randrange(9000)))
         assert lzw_decode(lzw_encode(data)) == data, trial
+    # a stream cut before its END code must raise, not silently return
+    # a truncated prefix
+    import pytest as _pytest
+
+    full = lzw_encode(bytes(range(200)))
+    with _pytest.raises(ValueError, match="truncated LZW"):
+        lzw_decode(full[:-2])
 
 
 def test_gif_and_avi_parser_guards(spark):
