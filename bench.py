@@ -116,6 +116,19 @@ HEADLINE_V5 = [
     "dedup_quality_survivor",
 ]
 
+# v6 set: the round-7 additions — the real-codec modality paths
+# (stdlib PNG/GIF/WAV/AVI kernels; the cost is the mapInPandas
+# encode/decode round trip over the corpus) and the curation
+# operators. Tracked from round 7 on; baselines in BENCH_BASELINE.md.
+HEADLINE_V6 = [
+    "multimodal_decode_png",
+    "multimodal_decode_gif",
+    "multimodal_wav_features",
+    "multimodal_avi_frames",
+    "text_quality_calibrated_rank",
+    "sample_token_budget",
+]
+
 
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -215,6 +228,7 @@ def main() -> int:
     timings_v3 = time_set(HEADLINE_V3)
     timings_v4 = time_set(HEADLINE_V4)
     timings_v5 = time_set(HEADLINE_V5)
+    timings_v6 = time_set(HEADLINE_V6)
 
     # Build-vs-probe split for the stored-index rows (r6, per the r5
     # verdict): the stored queries now build their on-disk index ONCE
@@ -319,6 +333,8 @@ def main() -> int:
                 "value_v4": round(sum(timings_v4.values()), 3),
                 "queries_v5": timings_v5,
                 "value_v5": round(sum(timings_v5.values()), 3),
+                "queries_v6": timings_v6,
+                "value_v6": round(sum(timings_v6.values()), 3),
                 "queries_prod": timings_prod,
                 "control_q1": round(control_q1, 3),
                 "n_runs": N_RUNS,
