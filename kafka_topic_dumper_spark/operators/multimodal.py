@@ -589,10 +589,21 @@ def decode_png_images(payloads: DataFrame) -> DataFrame:
             return w, h, nch, out.reshape(h, w, nch)
 
         for pdf in batches:
-            pdf = pdf[pdf["payload"].notna()]
             doc_ids, ws, hs, cs, sums = [], [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                w, h, nch, img = decode(bytes(payload))
+                # uniform NULL contract across the four real decoders
+                # (ADVICE r7): raise loudly rather than drop the row —
+                # silent drops hide upstream bugs from the differential
+                if payload is None:
+                    raise ValueError(f"NULL PNG payload (doc_id={doc_id})")
+                try:
+                    w, h, nch, img = decode(bytes(payload))
+                except (IndexError, struct.error) as exc:
+                    # truncated input must surface as the SAME loud
+                    # ValueError the explicit checks use (ADVICE r7)
+                    raise ValueError(
+                        f"truncated PNG stream (doc_id={doc_id}): {exc}"
+                    ) from exc
                 doc_ids.append(doc_id)
                 ws.append(w)
                 hs.append(h)
@@ -718,7 +729,16 @@ def wav_features(payloads: DataFrame) -> DataFrame:
             )
 
         for pdf in batches:
-            rows = [parse(bytes(b)) for b in pdf["payload"]]
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                if b is None:
+                    raise ValueError(f"NULL WAV payload (doc_id={doc_id})")
+                try:
+                    rows.append(parse(bytes(b)))
+                except (IndexError, struct.error) as exc:
+                    raise ValueError(
+                        f"truncated WAV stream (doc_id={doc_id}): {exc}"
+                    ) from exc
             out = _pd.DataFrame(
                 rows,
                 columns=[
@@ -794,6 +814,19 @@ def _build_lzw():
             w = bytes([ch])
         if w:
             emit(table[w], width)
+            # Mirror the decoder's bookkeeping for the FINAL data code
+            # before emitting END: the decoder appends one table entry
+            # on receiving it and (early-compensated) bumps the code
+            # width when the table reaches 2^width - 1, so END must be
+            # emitted at that SAME bumped width — otherwise a stream
+            # whose final append lands exactly on the boundary makes
+            # the decoder read END at width+1 and, if the bitstream
+            # also ends byte-aligned, raise "truncated LZW stream" on
+            # valid encoder output (ADVICE r7, fuzz-confirmed).
+            if next_code < 4096:
+                next_code += 1
+                if next_code == (1 << width) and width < 12:
+                    width += 1
         emit(end, width)
         if nbits:
             out.append(buf & 0xFF)
@@ -993,7 +1026,16 @@ def decode_gif_images(payloads: DataFrame) -> DataFrame:
             )
 
         for pdf in batches:
-            rows = [decode(bytes(b)) for b in pdf["payload"]]
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                if b is None:
+                    raise ValueError(f"NULL GIF payload (doc_id={doc_id})")
+                try:
+                    rows.append(decode(bytes(b)))
+                except (IndexError, struct.error) as exc:
+                    raise ValueError(
+                        f"truncated GIF stream (doc_id={doc_id}): {exc}"
+                    ) from exc
             out = _pd.DataFrame(
                 rows,
                 columns=["width", "height", "n_pixels", "index_sum", "rgb_sum"],
@@ -1119,7 +1161,15 @@ def sample_avi_frames(payloads: DataFrame) -> DataFrame:
         for pdf in batches:
             doc_ids, idxs, offs, sizes, sums = [], [], [], [], []
             for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
-                for i, off, nbytes, psum in walk(bytes(payload)):
+                if payload is None:
+                    raise ValueError(f"NULL AVI payload (doc_id={doc_id})")
+                try:
+                    frame_rows = walk(bytes(payload))
+                except (IndexError, struct.error) as exc:
+                    raise ValueError(
+                        f"truncated AVI stream (doc_id={doc_id}): {exc}"
+                    ) from exc
+                for i, off, nbytes, psum in frame_rows:
                     doc_ids.append(doc_id)
                     idxs.append(i)
                     offs.append(off)

@@ -701,3 +701,67 @@ def test_gif_and_avi_parser_guards(spark):
         # then flip an LZW data byte
         broken[img_at + 10 + 1 + 1 + 1] ^= 0x55
         run(decode_gif_images, bytes(broken))
+
+
+def test_lzw_end_of_stream_width_boundary():
+    """Low-alphabet randomized round-trips pin the ADVICE-r7 edge: the
+    encoder must mirror the decoder's final table append + early width
+    bump before emitting END, or streams whose last append lands on a
+    2^width - 1 boundary (and end byte-aligned) decode as 'truncated'."""
+    import random
+
+    from kafka_topic_dumper_spark.operators.multimodal import (
+        lzw_decode,
+        lzw_encode,
+    )
+
+    rng = random.Random(1234)
+    for trial in range(400):
+        alpha = rng.choice([2, 3, 4])
+        n = rng.randint(200, 1500)
+        data = bytes(rng.randrange(alpha) for _ in range(n))
+        assert lzw_decode(lzw_encode(data)) == data, (trial, alpha, n)
+
+
+def test_decoder_null_and_truncation_contract(spark):
+    """All four real decoders share ONE failure contract (ADVICE r7):
+    a NULL payload raises ValueError('NULL ...'), and a hard-truncated
+    stream raises ValueError('truncated ...') — never a raw TypeError,
+    IndexError, or struct.error leaking out of the kernel."""
+    import pytest as _pytest
+    from py4j.protocol import Py4JJavaError
+
+    from kafka_topic_dumper_spark.operators import multimodal as mm
+
+    kernels = {
+        "PNG": (mm.synth_png_images, mm.decode_png_images),
+        "WAV": (mm.synth_wav_audio, mm.wav_features),
+        "GIF": (mm.synth_gif_images, mm.decode_gif_images),
+        "AVI": (mm.synth_avi_video, mm.sample_avi_frames),
+    }
+    docs = spark.createDataFrame([(5,)], "doc_id long")
+    for name, (synth, decode) in kernels.items():
+        [row] = synth(docs).collect()
+        payload = bytes(row.payload)
+
+        def run(p):
+            df = spark.createDataFrame(
+                [(5, bytearray(p) if p is not None else None)],
+                "doc_id long, payload binary",
+            )
+            return decode(df).collect()
+
+        with _pytest.raises(Exception) as null_exc:
+            run(None)
+        assert f"NULL {name} payload" in str(null_exc.value), name
+        # cut mid-structure at several points; every cut must surface
+        # as a ValueError carrying a loud message, not a raw
+        # IndexError/struct.error traceback type
+        for cut in (len(payload) // 3, len(payload) - 3):
+            with _pytest.raises(Exception) as trunc_exc:
+                run(payload[:cut])
+            msg = str(trunc_exc.value)
+            assert "ValueError" in msg or isinstance(
+                trunc_exc.value, ValueError
+            ), (name, cut, msg[:500])
+            assert "TypeError" not in msg, (name, cut)
