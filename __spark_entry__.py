@@ -27,68 +27,14 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Verification-priority order. Each round's driver checks the FIRST ~50
-# declared queries, so this list is rotated per round. Round-7 rotation
-# (r6 verdict, item 1): clear the driver-stamp backlog — the 36 queries
-# whose latest stamp is r2/r4 LEAD the window (r2 first), followed by
-# the 5 newly-oracled rows (their oracles are new this round) and the
-# new r7 rows; r5/r6-stamped rows trail. Ordering only — coverage is
-# always the full set.
+# declared queries, so this list is rotated per round. Round-8 rotation
+# (r7 verdict, item 1): after r7 the latest stamps were 50xr7 / 45xr6 /
+# 47xr5 — the oldest (r5) cohort LEADS, new r8 rows follow so they get
+# stamped in the same window, then r6, then r7. Ordering only —
+# coverage is always the full set.
 _VERIFY_PRIORITY = [
-    # --- (a) last driver-stamped round 2 ---
-    "q2_cheapest_supplier",
-    "q7_nation_volume_shipping",
-    "q8_nation_market_share",
-    "q9_product_profit",
-    "q11_important_stock_value",
-    "q13_customer_order_distribution",
-    "q15_top_supplier",
-    "q20_potential_part_promotion",
-    "q21_late_shipping_suppliers",
-    "q22_dormant_customers",
-    "pack_training_sequences",
-    "sample_domain_mixture",
-    "pipeline_clean_dedup_pack",
-    "stats_exact_percentiles",
-    "stats_key_skew_profile",
-    "dedup_cluster_components",
-    "grouping_sets_order_matrix",
-    "multimodal_phash_neardup",
-    # --- (b) last driver-stamped round 4 ---
-    "q1_pricing_summary",
-    "o3_limit_top_orders",
-    "rollup_order_revenue",
-    "setops_customer_cohorts",
-    "join_semi_anti_customers",
-    "sample_stratified_by_lang",
-    "sample_train_val_test_split",
-    "multimodal_frame_sample",
-    "multimodal_resize_stub",
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_stats",
-    "text_source_profile",
-    "text_token_doc_frequency",
-    "text_repetition_quality",
-    "text_lang_corpus_stats",
-    "text_fingerprint",
-    "text_winnowing_fingerprints",
-    # --- (c) oracles NEW this round (were rows-only in r6) ---
-    "text_bpe_merges",
-    "text_bpe_encode",
-    "similarity_topk_ivf_trained",
-    "dedup_semantic_trained",
-    "similarity_topk_pq_trained",
-    # --- (d) NEW round-7 rows (never driver-stamped) ---
-    "streaming_sessionize_state",
-    "multimodal_decode_png",
-    "streaming_dedup_minhash",
-    "text_quality_calibrated_rank",
-    "sample_token_budget",
-    "multimodal_wav_features",
-    "multimodal_decode_gif",
-    "multimodal_avi_frames",
-    # --- (e) last driver-stamped round 5 ---
-    "p1_project_key_value",
+    # --- (a) r5-stamped cohort (47) — two rounds old after the r7
+    # rotation; they LEAD the r8 window (r7 verdict item 1) ---
     "p3_hot_reload_predicate",
     "a1_latest_dump_id",
     "a2_argmax_latest_state",
@@ -136,7 +82,11 @@ _VERIFY_PRIORITY = [
     "join_full_outer_reconcile",
     "approx_aggregates",
     "pipeline_quality_dedup_pack",
-    # --- (f) freshly stamped round 6 ---
+    # --- (b) NEW round-8 rows (never driver-stamped) are inserted
+    # here as they land, so they share the ~50-query window with the
+    # tail of the r5 cohort ---
+
+    # --- (c) r6-stamped cohort (45) ---
     "a4_offset_clamp",
     "dedup_quality_survivor",
     "dedup_minhash_clusters",
@@ -182,6 +132,57 @@ _VERIFY_PRIORITY = [
     "streaming_dedup_exact",
     "streaming_merge_latest_state",
     "streaming_user_sessions",
+    # --- (d) r7-stamped cohort (50, freshest) ---
+    "q2_cheapest_supplier",
+    "q7_nation_volume_shipping",
+    "q8_nation_market_share",
+    "q9_product_profit",
+    "q11_important_stock_value",
+    "q13_customer_order_distribution",
+    "q15_top_supplier",
+    "q20_potential_part_promotion",
+    "q21_late_shipping_suppliers",
+    "q22_dormant_customers",
+    "pack_training_sequences",
+    "sample_domain_mixture",
+    "pipeline_clean_dedup_pack",
+    "stats_exact_percentiles",
+    "stats_key_skew_profile",
+    "dedup_cluster_components",
+    "grouping_sets_order_matrix",
+    "multimodal_phash_neardup",
+    "q1_pricing_summary",
+    "o3_limit_top_orders",
+    "rollup_order_revenue",
+    "setops_customer_cohorts",
+    "join_semi_anti_customers",
+    "sample_stratified_by_lang",
+    "sample_train_val_test_split",
+    "multimodal_frame_sample",
+    "multimodal_resize_stub",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_stats",
+    "text_source_profile",
+    "text_token_doc_frequency",
+    "text_repetition_quality",
+    "text_lang_corpus_stats",
+    "text_fingerprint",
+    "text_winnowing_fingerprints",
+    "text_bpe_merges",
+    "text_bpe_encode",
+    "similarity_topk_ivf_trained",
+    "dedup_semantic_trained",
+    "similarity_topk_pq_trained",
+    "streaming_sessionize_state",
+    "multimodal_decode_png",
+    "streaming_dedup_minhash",
+    "text_quality_calibrated_rank",
+    "sample_token_budget",
+    "multimodal_wav_features",
+    "multimodal_decode_gif",
+    "multimodal_avi_frames",
+    "p1_project_key_value",
 ]
 
 
