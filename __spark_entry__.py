@@ -85,7 +85,7 @@ _VERIFY_PRIORITY = [
     # --- (b) NEW round-8 rows (never driver-stamped) are inserted
     # here as they land, so they share the ~50-query window with the
     # tail of the r5 cohort ---
-
+    "multimodal_decode_jpeg",
     # --- (c) r6-stamped cohort (45) ---
     "a4_offset_clamp",
     "dedup_quality_survivor",

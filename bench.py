@@ -129,6 +129,14 @@ HEADLINE_V6 = [
     "sample_token_budget",
 ]
 
+# v7 set: the round-8 additions. Tracked from round 8 on; baselines
+# in BENCH_BASELINE.md. The JPEG row prices the full encode+decode
+# round trip (integer-DCT numpy stages + per-symbol Python Huffman —
+# the same contract-pricing framing as the GIF LZW row).
+HEADLINE_V7 = [
+    "multimodal_decode_jpeg",
+]
+
 
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -249,6 +257,7 @@ def main() -> int:
     timings_v4 = time_set(HEADLINE_V4)
     timings_v5 = time_set(HEADLINE_V5)
     timings_v6 = time_set(HEADLINE_V6)
+    timings_v7 = time_set(HEADLINE_V7)
 
     # Build-vs-probe split for the stored-index rows (r6, per the r5
     # verdict): the stored queries now build their on-disk index ONCE
@@ -350,6 +359,8 @@ def main() -> int:
                 "value_v5": round(sum(timings_v5.values()), 3),
                 "queries_v6": timings_v6,
                 "value_v6": round(sum(timings_v6.values()), 3),
+                "queries_v7": timings_v7,
+                "value_v7": round(sum(timings_v7.values()), 3),
                 "queries_prod": timings_prod,
                 "control_q1": round(control_q1, 3),
                 "control_q1_pre": control_q1_pre,

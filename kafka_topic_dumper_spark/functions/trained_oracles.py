@@ -261,3 +261,103 @@ def bpe_encode_oracle_sql(sf_dir: str, n_merges: int = 8) -> str:
         FROM stream s JOIN seg g USING (word)
         GROUP BY s.doc_id
         """
+
+
+# --- baseline-JPEG decode replay (round 8) --------------------------------
+#
+# The JPEG registry row (operators/multimodal.py synth→encode→decode)
+# is lossy, so no closed-form SQL reconstructs the decoded pixels —
+# but for a FIXED integer decoder the output is deterministic. The
+# replay below re-states the mathematical pipeline INDEPENDENTLY:
+# raster synth → edge-pad → fixed-point fDCT → Annex-K quantization →
+# dequantization → fixed-point IDCT → clamp/crop/sum. It deliberately
+# does NOT re-implement the entropy coding: Huffman+zigzag are
+# lossless, so the quantized coefficients are the whole information
+# content of the stream. Consequently the differential check asserts
+# (a) every integer-DCT/quantization step bit-for-bit and (b) that the
+# kernel's entropy encode→decode round trip is in fact lossless — a
+# non-symmetric Huffman bug changes decoded coefficients and fails the
+# hash; a symmetric one is pinned separately by the handcrafted-stream
+# unit test in tests/test_training_ops.py.
+#
+# Spec constants (the DCT basis and quant table) are shared verbatim —
+# they are published JPEG/Annex-K numbers, not code.
+
+_JPEG_M_ROWS = (
+    (2896, 2896, 2896, 2896, 2896, 2896, 2896, 2896),
+    (4017, 3406, 2276, 799, -799, -2276, -3406, -4017),
+    (3784, 1567, -1567, -3784, -3784, -1567, 1567, 3784),
+    (3406, -799, -4017, -2276, 2276, 4017, 799, -3406),
+    (2896, -2896, -2896, 2896, 2896, -2896, -2896, 2896),
+    (2276, -4017, 799, 3406, -3406, -799, 4017, -2276),
+    (1567, -3784, 3784, -1567, -1567, 3784, -3784, 1567),
+    (799, -2276, 3406, -4017, 4017, -3406, 2276, -799),
+)
+
+_JPEG_Q_ROWS = (
+    (16, 11, 10, 16, 24, 40, 51, 61),
+    (12, 12, 14, 19, 26, 58, 60, 55),
+    (14, 13, 16, 24, 40, 57, 69, 56),
+    (14, 17, 22, 29, 51, 87, 80, 62),
+    (18, 22, 37, 56, 68, 109, 103, 77),
+    (24, 35, 55, 64, 81, 104, 113, 92),
+    (49, 64, 78, 87, 103, 121, 120, 101),
+    (72, 92, 95, 98, 112, 100, 103, 99),
+)
+
+
+@lru_cache(maxsize=8)
+def _jpeg_expected_rows(sf_dir: str) -> tuple:
+    """(doc_id, width, height, n_pixels, pixel_sum) per document —
+    the decoded-pixel expectation for the fixed integer codec."""
+    import duckdb
+    import numpy as np
+
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+        ).fetchall()
+    ]
+    M = np.array(_JPEG_M_ROWS, dtype=np.int64)
+    Q = np.array(_JPEG_Q_ROWS, dtype=np.int64)
+    HALF = 1 << 25
+    out = []
+    for d in ids:
+        d = int(d)
+        w, h = 8 + d % 9, 8 + d % 7
+        p = ((d + np.arange(w * h, dtype=np.int64)) % 256).reshape(h, w)
+        H8, W8 = -(-h // 8) * 8, -(-w // 8) * 8
+        img = np.pad(p, ((0, H8 - h), (0, W8 - w)), mode="edge")
+        blocks = (
+            img.reshape(H8 // 8, 8, W8 // 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+            - 128
+        )
+        F = (np.matmul(np.matmul(M, blocks), M.T) + HALF) >> 26
+        q = np.where(
+            F >= 0, (F * 2 + Q) // (2 * Q), -(((-F) * 2 + Q) // (2 * Q))
+        )
+        deq = q * Q
+        P = (np.matmul(np.matmul(M.T, deq), M) + HALF) >> 26
+        rec = np.clip(P + 128, 0, 255)
+        rec = (
+            rec.reshape(H8 // 8, W8 // 8, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(H8, W8)[:h, :w]
+        )
+        out.append((d, w, h, w * h, int(rec.sum())))
+    return tuple(out)
+
+
+def jpeg_decode_oracle_sql(sf_dir: str) -> str:
+    rows = ",\n               ".join(
+        f"(CAST({d} AS BIGINT), CAST({w} AS INTEGER), CAST({h} AS INTEGER),"
+        f" CAST({n} AS BIGINT), CAST({s} AS BIGINT))"
+        for d, w, h, n, s in _jpeg_expected_rows(sf_dir)
+    )
+    return f"""
+        SELECT * FROM (VALUES {rows})
+        AS _j(doc_id, width, height, n_pixels, pixel_sum)
+        """

@@ -38,10 +38,20 @@ Later in round 7, GIF gained a real decode (``synth_gif_images`` /
 ``decode_gif_images`` — from-scratch LZW with width growth, dictionary
 reset, and the KwKwK case) and VIDEO a real container walk
 (``synth_avi_video`` / ``sample_avi_frames`` — RIFF hdrl/movi lists,
-frame timestamps read from the avih header). The only remaining stubs
-are the LOSSY codecs (JPEG, H.264) — doubly blocked: the libraries are
-absent AND lossy reconstruction has no integer-exact SQL oracle, so
-they would be rows-only even if decodable.
+frame timestamps read from the avih header). Round 8 closed the last
+image stub: ``synth_jpeg_images`` / ``decode_jpeg_images`` are a REAL
+from-scratch baseline-JPEG codec (fixed-point integer DCT, Annex-K
+quantization, standard Huffman tables) whose deterministic decode is
+literal-oracled by an independent replay in
+functions/trained_oracles.py. The one remaining stub is H.264: a
+from-scratch conformant decoder needs CABAC/CAVLC entropy decoding,
+intra prediction across 9+ modes, inter motion compensation with
+quarter-pel interpolation, and the in-loop deblocking filter — each
+individually the size of this whole module, and unlike JPEG there is
+no meaningful "tiny subset" an encoder we also control could target
+without the result being H.264 in name only. The AVI walk already
+exercises the container/frame plumbing a real decoder would plug
+into.
 """
 
 from __future__ import annotations
@@ -1188,6 +1198,475 @@ def sample_avi_frames(payloads: DataFrame) -> DataFrame:
     return payloads.mapInPandas(run, schema=_AVI_FRAME_SCHEMA)
 
 
+# --- JPEG (baseline sequential, greyscale) — real lossy codec -------------
+#
+# From-scratch baseline JPEG with the stdlib + numpy only (r7 verdict
+# item 4): the encoder runs a fixed-point integer DCT, Annex-K
+# luminance quantization, and standard-table Huffman entropy coding
+# into a spec-conformant SOI/DQT/SOF0/DHT/SOS/EOI stream; the decoder
+# parses the marker segments, rebuilds the canonical Huffman codes,
+# entropy-decodes, dequantizes, and applies the SAME fixed-point
+# integer IDCT. Lossy reconstruction has no closed-form SQL oracle,
+# but for a FIXED integer decoder the output is deterministic — the
+# registry row is therefore literal-oracled by an independent pure-
+# Python replay (functions/trained_oracles.py, the BPE/k-means
+# pattern). All arithmetic is int64 with floor-shifts, so the kernel
+# and the replay agree bit-for-bit on every pixel.
+
+# Fixed-point DCT basis: M[u][x] = round(8192 * c(u)/2 * cos((2x+1)u*pi/16)),
+# c(0)=1/sqrt(2). F = (M P M^T + 2^25) >> 26 (orthonormal basis scaled
+# by 2^13 per axis). Spec constants, shared verbatim with the oracle
+# replay — what is NOT shared is any code.
+_JPEG_DCT_M = (
+    (2896, 2896, 2896, 2896, 2896, 2896, 2896, 2896),
+    (4017, 3406, 2276, 799, -799, -2276, -3406, -4017),
+    (3784, 1567, -1567, -3784, -3784, -1567, 1567, 3784),
+    (3406, -799, -4017, -2276, 2276, 4017, 799, -3406),
+    (2896, -2896, -2896, 2896, 2896, -2896, -2896, 2896),
+    (2276, -4017, 799, 3406, -3406, -799, 4017, -2276),
+    (1567, -3784, 3784, -1567, -1567, 3784, -3784, 1567),
+    (799, -2276, 3406, -4017, 4017, -3406, 2276, -799),
+)
+
+# Annex K luminance quantization table, row-major.
+_JPEG_QTABLE = (
+    16, 11, 10, 16, 24, 40, 51, 61,
+    12, 12, 14, 19, 26, 58, 60, 55,
+    14, 13, 16, 24, 40, 57, 69, 56,
+    14, 17, 22, 29, 51, 87, 80, 62,
+    18, 22, 37, 56, 68, 109, 103, 77,
+    24, 35, 55, 64, 81, 104, 113, 92,
+    49, 64, 78, 87, 103, 121, 120, 101,
+    72, 92, 95, 98, 112, 100, 103, 99,
+)
+
+# Zigzag scan order: position k in the scan reads row-major index
+# _JPEG_ZIGZAG[k].
+_JPEG_ZIGZAG = (
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63,
+)
+
+# Standard (Annex K) luminance Huffman specs: BITS (codes per length
+# 1..16) + HUFFVAL, exactly as a stock JPEG library would emit — any
+# spec-compliant external decoder can read our streams.
+_JPEG_DC_BITS = (0, 1, 5, 1, 1, 1, 1, 1, 1, 0, 0, 0, 0, 0, 0, 0)
+_JPEG_DC_VALS = tuple(range(12))
+_JPEG_AC_BITS = (0, 2, 1, 3, 3, 2, 4, 3, 5, 5, 4, 4, 0, 0, 1, 0x7D)
+_JPEG_AC_VALS = tuple(
+    bytes.fromhex(
+        "01020300041105122131410613516107227114328191a108"
+        "2342b1c11552d1f02433627282090a161718191a25262728"
+        "292a3435363738393a434445464748494a53545556575859"
+        "5a636465666768696a737475767778797a83848586878889"
+        "8a92939495969798999aa2a3a4a5a6a7a8a9aab2b3b4b5b6"
+        "b7b8b9bac2c3c4c5c6c7c8c9cad2d3d4d5d6d7d8d9dae1e2"
+        "e3e4e5e6e7e8e9eaf1f2f3f4f5f6f7f8f9fa"
+    )
+)
+
+
+def _build_jpeg():
+    """Construct the baseline-JPEG codec pair as NESTED functions so
+    cloudpickle ships them BY VALUE into mapInPandas closures (the
+    same worker-import remedy as :func:`_build_lzw`); module-level
+    aliases keep the unit-test surface."""
+
+    DCT_M = _JPEG_DCT_M
+    QT = _JPEG_QTABLE
+    ZIG = _JPEG_ZIGZAG
+    DC_BITS, DC_VALS = _JPEG_DC_BITS, _JPEG_DC_VALS
+    AC_BITS, AC_VALS = _JPEG_AC_BITS, _JPEG_AC_VALS
+
+    def _canonical_codes(bits, vals):
+        """(BITS, HUFFVAL) -> {symbol: (code, length)} per the spec's
+        canonical assignment."""
+        out = {}
+        code = 0
+        k = 0
+        for length in range(1, 17):
+            for _ in range(bits[length - 1]):
+                out[vals[k]] = (code, length)
+                code += 1
+                k += 1
+            code <<= 1
+        return out
+
+    def _category(v: int) -> int:
+        return abs(v).bit_length()
+
+    def jpeg_encode_gray(px) -> bytes:
+        """8-bit greyscale raster (h, w) uint8 ndarray -> baseline
+        sequential JPEG bytes (single component, no subsampling, no
+        restart markers). Edge blocks are padded by edge replication."""
+        import struct
+
+        import numpy as np
+
+        h, w = px.shape
+        if not (0 < w < 65536 and 0 < h < 65536):
+            raise ValueError(f"bad raster dims {w}x{h}")
+        H8, W8 = -(-h // 8) * 8, -(-w // 8) * 8
+        img = np.pad(
+            px.astype(np.int64), ((0, H8 - h), (0, W8 - w)), mode="edge"
+        )
+        blocks = (
+            img.reshape(H8 // 8, 8, W8 // 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(-1, 8, 8)
+            - 128
+        )
+        M = np.array(DCT_M, dtype=np.int64)
+        F = np.einsum("ux,nxy,vy->nuv", M, blocks, M)
+        F = (F + (1 << 25)) >> 26
+        Q = np.array(QT, dtype=np.int64).reshape(8, 8)
+        # sign-aware round-half-up on |F| — replayed verbatim by the
+        # oracle, floor-div on non-negative operands only
+        q = np.sign(F) * ((np.abs(F) * 2 + Q) // (2 * Q))
+        zq = q.reshape(-1, 64)[:, list(ZIG)]
+
+        dc_code = _canonical_codes(DC_BITS, DC_VALS)
+        ac_code = _canonical_codes(AC_BITS, AC_VALS)
+        out = bytearray()
+        acc = nacc = 0
+
+        def put(code: int, length: int) -> None:
+            nonlocal acc, nacc
+            acc = (acc << length) | code
+            nacc += length
+            while nacc >= 8:
+                byte = (acc >> (nacc - 8)) & 0xFF
+                out.append(byte)
+                if byte == 0xFF:
+                    out.append(0x00)  # byte stuffing
+                nacc -= 8
+            acc &= (1 << nacc) - 1
+
+        def put_val(v: int, cat: int) -> None:
+            if cat:
+                put(v if v >= 0 else v + (1 << cat) - 1, cat)
+
+        pred = 0
+        for blk in zq:
+            blk = [int(x) for x in blk]
+            diff = blk[0] - pred
+            pred = blk[0]
+            cat = _category(diff)
+            c, ln = dc_code[cat]
+            put(c, ln)
+            put_val(diff, cat)
+            run = 0
+            last_nz = max(
+                (k for k in range(1, 64) if blk[k]), default=0
+            )
+            for k in range(1, last_nz + 1):
+                v = blk[k]
+                if v == 0:
+                    run += 1
+                    continue
+                while run > 15:
+                    c, ln = ac_code[0xF0]  # ZRL
+                    put(c, ln)
+                    run -= 16
+                cat = _category(v)
+                c, ln = ac_code[(run << 4) | cat]
+                put(c, ln)
+                put_val(v, cat)
+                run = 0
+            if last_nz < 63:
+                c, ln = ac_code[0x00]  # EOB
+                put(c, ln)
+        if nacc:
+            put((1 << (8 - nacc)) - 1, 8 - nacc)  # pad with 1s
+
+        def seg(marker: int, body: bytes) -> bytes:
+            return struct.pack(">HH", marker, len(body) + 2) + body
+
+        qt_zig = bytes(QT[ZIG[k]] for k in range(64))
+        dht = bytes(DC_BITS) + bytes(DC_VALS)
+        aht = bytes(AC_BITS) + bytes(AC_VALS)
+        return (
+            b"\xff\xd8"
+            + seg(0xFFDB, b"\x00" + qt_zig)
+            + seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+            + seg(0xFFC4, b"\x00" + dht)
+            + seg(0xFFC4, b"\x10" + aht)
+            + seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+            + bytes(out)
+            + b"\xff\xd9"
+        )
+
+    def jpeg_decode_gray(buf: bytes):
+        """Baseline JPEG bytes -> (width, height, uint8 raster). Loud
+        ValueError on anything outside the supported subset (baseline
+        sequential, single 8-bit greyscale component, no subsampling,
+        no restart intervals) and on truncated/corrupt streams."""
+        import struct
+
+        import numpy as np
+
+        if buf[:2] != b"\xff\xd8":
+            raise ValueError("not a JPEG stream (missing SOI)")
+        pos = 2
+        qtables: dict[int, list[int]] = {}
+        htables: dict[tuple[int, int], dict] = {}
+        w = h = None
+        comp_q = comp_dc = comp_ac = None
+        data_at = None
+        while data_at is None:
+            if pos + 4 > len(buf):
+                raise ValueError("truncated JPEG stream: no SOS")
+            if buf[pos] != 0xFF:
+                raise ValueError(f"bad marker alignment at {pos}")
+            marker = (buf[pos] << 8) | buf[pos + 1]
+            (ln,) = struct.unpack_from(">H", buf, pos + 2)
+            body = buf[pos + 4 : pos + 2 + ln]
+            if len(body) != ln - 2:
+                raise ValueError(f"truncated segment 0x{marker:04x}")
+            if marker == 0xFFDB:  # DQT (possibly several tables)
+                p = 0
+                while p < len(body):
+                    pq, tq = body[p] >> 4, body[p] & 0x0F
+                    if pq != 0:
+                        raise ValueError("unsupported 16-bit quant table")
+                    t = list(body[p + 1 : p + 65])
+                    if len(t) != 64:
+                        raise ValueError("truncated DQT body")
+                    inv = [0] * 64
+                    for k in range(64):
+                        inv[ZIG[k]] = t[k]
+                    qtables[tq] = inv
+                    p += 65
+            elif marker == 0xFFC4:  # DHT (possibly several tables)
+                p = 0
+                while p < len(body):
+                    tc, th = body[p] >> 4, body[p] & 0x0F
+                    bits = list(body[p + 1 : p + 17])
+                    if len(bits) != 16:
+                        raise ValueError("truncated DHT body")
+                    n = sum(bits)
+                    vals = list(body[p + 17 : p + 17 + n])
+                    if len(vals) != n:
+                        raise ValueError("truncated DHT values")
+                    codes = _canonical_codes(bits, vals)
+                    htables[(tc, th)] = {
+                        (ln_, code): sym for sym, (code, ln_) in codes.items()
+                    }
+                    p += 17 + n
+            elif marker == 0xFFC0:  # SOF0 baseline
+                prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
+                if prec != 8 or ncomp != 1:
+                    raise ValueError(
+                        "unsupported JPEG subset: need 8-bit single-"
+                        f"component baseline, got prec={prec} ncomp={ncomp}"
+                    )
+                cid, hv, comp_q = body[6], body[7], body[8]
+                if hv != 0x11:
+                    raise ValueError("unsupported JPEG subsampling")
+            elif marker in (0xFFC1, 0xFFC2, 0xFFC3, 0xFFC5, 0xFFC6,
+                            0xFFC7, 0xFFC9, 0xFFCA, 0xFFCB, 0xFFCD,
+                            0xFFCE, 0xFFCF):
+                raise ValueError(
+                    f"unsupported JPEG frame type 0x{marker:04x}"
+                    " (baseline sequential only)"
+                )
+            elif marker == 0xFFDD:
+                raise ValueError("unsupported JPEG restart interval")
+            elif marker == 0xFFDA:  # SOS
+                if body[0] != 1:
+                    raise ValueError("unsupported multi-component scan")
+                comp_dc, comp_ac = body[2] >> 4, body[2] & 0x0F
+                data_at = pos + 2 + ln
+            # APPn / COM / anything else with a length: skip
+            pos += 2 + ln
+        if w is None or comp_q not in qtables:
+            raise ValueError("missing SOF0 or quant table before SOS")
+        dc_tab = htables.get((0, comp_dc))
+        ac_tab = htables.get((1, comp_ac))
+        if dc_tab is None or ac_tab is None:
+            raise ValueError("missing Huffman tables before SOS")
+
+        # unstuff the entropy segment up to EOI
+        ent = bytearray()
+        p = data_at
+        while True:
+            if p >= len(buf):
+                raise ValueError("truncated JPEG stream: no EOI")
+            b = buf[p]
+            if b != 0xFF:
+                ent.append(b)
+                p += 1
+                continue
+            if p + 1 >= len(buf):
+                raise ValueError("truncated JPEG stream: dangling 0xFF")
+            nxt = buf[p + 1]
+            if nxt == 0x00:
+                ent.append(0xFF)
+                p += 2
+            elif nxt == 0xD9:  # EOI
+                break
+            else:
+                raise ValueError(
+                    f"unexpected marker 0xff{nxt:02x} in entropy stream"
+                )
+
+        bitpos = 0
+        nbits = len(ent) * 8
+
+        def read_bit() -> int:
+            nonlocal bitpos
+            if bitpos >= nbits:
+                raise ValueError("truncated JPEG entropy stream")
+            b = (ent[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
+            bitpos += 1
+            return b
+
+        def read_bits(n: int) -> int:
+            v = 0
+            for _ in range(n):
+                v = (v << 1) | read_bit()
+            return v
+
+        def huff(tab) -> int:
+            code = 0
+            for length in range(1, 17):
+                code = (code << 1) | read_bit()
+                sym = tab.get((length, code))
+                if sym is not None:
+                    return sym
+            raise ValueError("invalid Huffman code in entropy stream")
+
+        def extend(v: int, cat: int) -> int:
+            if cat == 0:
+                return 0
+            return v if v >= (1 << (cat - 1)) else v - (1 << cat) + 1
+
+        bw, bh = -(-w // 8), -(-h // 8)
+        nblk = bw * bh
+        zq = np.zeros((nblk, 64), dtype=np.int64)
+        pred = 0
+        for n in range(nblk):
+            cat = huff(dc_tab)
+            pred += extend(read_bits(cat), cat)
+            zq[n, 0] = pred
+            k = 1
+            while k < 64:
+                rs = huff(ac_tab)
+                if rs == 0x00:  # EOB
+                    break
+                if rs == 0xF0:  # ZRL
+                    k += 16
+                    continue
+                run, cat = rs >> 4, rs & 0x0F
+                k += run
+                if k > 63:
+                    raise ValueError("AC run overflows block")
+                zq[n, k] = extend(read_bits(cat), cat)
+                k += 1
+
+        coef = np.zeros((nblk, 64), dtype=np.int64)
+        coef[:, list(ZIG)] = zq
+        Q = np.array(qtables[comp_q], dtype=np.int64).reshape(8, 8)
+        C = coef.reshape(-1, 8, 8) * Q
+        M = np.array(DCT_M, dtype=np.int64)
+        P = (np.einsum("ux,nuv,vy->nxy", M, C, M) + (1 << 25)) >> 26
+        P = np.clip(P + 128, 0, 255).astype(np.uint8)
+        img = (
+            P.reshape(bh, bw, 8, 8)
+            .transpose(0, 2, 1, 3)
+            .reshape(bh * 8, bw * 8)[:h, :w]
+        )
+        return w, h, img
+
+    return jpeg_encode_gray, jpeg_decode_gray
+
+
+jpeg_encode_gray, jpeg_decode_gray = _build_jpeg()
+
+
+def synth_jpeg_images(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL baseline-JPEG payloads: the arithmetic
+    greyscale raster p[y][x] = (doc_id + y*w + x) %% 256 at
+    w = 8 + doc_id %% 9, h = 8 + doc_id %% 7 (non-multiples of 8
+    exercise edge-block padding), pushed through the from-scratch
+    integer-DCT encoder. The 255→0 wraps give the entropy coder real
+    high-frequency content."""
+    _ensure_arrow_batch(docs)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+        import pandas as _pd
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = 8 + d % 9
+                h = 8 + d % 7
+                idx = np.arange(w * h, dtype=np.int64)
+                px = ((d + idx) % 256).astype(np.uint8).reshape(h, w)
+                payloads.append(jpeg_encode_gray(px))
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        run, schema="doc_id long, payload binary"
+    )
+
+
+_JPEG_DECODE_SCHEMA = (
+    "doc_id long, width int, height int, n_pixels long, pixel_sum long"
+)
+
+
+def decode_jpeg_images(payloads: DataFrame) -> DataFrame:
+    """REAL lossy-codec decode — the last image stub falls: baseline
+    JPEG marker parse, canonical Huffman rebuild, entropy decode,
+    dequantize, fixed-point integer IDCT. Deterministic for a fixed
+    decoder, so the registry row is literal-oracled by the independent
+    pure-Python replay in functions/trained_oracles.py (the BPE
+    pattern). Scale shape: pure Arrow map stage, payload-proportional,
+    no shuffle; the per-symbol Huffman loop is Python (same honest
+    contract-pricing note as the GIF LZW row — a deployment swaps a
+    native codec behind the same kernel signature)."""
+    _ensure_arrow_batch(payloads)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+        import pandas as _pd
+
+        for pdf in batches:
+            doc_ids, ws, hs, npx, sums = [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    raise ValueError(f"NULL JPEG payload (doc_id={doc_id})")
+                try:
+                    w, h, img = jpeg_decode_gray(bytes(payload))
+                except (IndexError, struct.error) as exc:
+                    raise ValueError(
+                        f"truncated JPEG stream (doc_id={doc_id}): {exc}"
+                    ) from exc
+                doc_ids.append(doc_id)
+                ws.append(w)
+                hs.append(h)
+                npx.append(w * h)
+                sums.append(int(img.astype(np.int64).sum()))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "width": _pd.array(ws, dtype="int32"),
+                    "height": _pd.array(hs, dtype="int32"),
+                    "n_pixels": _pd.array(npx, dtype="int64"),
+                    "pixel_sum": _pd.array(sums, dtype="int64"),
+                }
+            )
+
+    return payloads.mapInPandas(run, schema=_JPEG_DECODE_SCHEMA)
+
+
 def register(reg) -> None:
     @reg(
         "multimodal_binary_meta",
@@ -1478,4 +1957,22 @@ def register(reg) -> None:
         arithmetic-exact against the oracle."""
         return sample_avi_frames(
             synth_avi_video(load_table(spark, sf_dir, "documents"))
+        )
+
+    from kafka_topic_dumper_spark.functions.trained_oracles import (
+        jpeg_decode_oracle_sql,
+    )
+
+    @reg("multimodal_decode_jpeg", jpeg_decode_oracle_sql)
+    def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """REAL lossy-codec path — the last image stub falls (r7
+        verdict item 4): spec-conformant baseline JPEGs (fixed-point
+        integer DCT, Annex-K quantization, standard Huffman tables)
+        round-trip through the from-scratch decoder. Lossy output has
+        no closed-form SQL, so the oracle is the independent integer
+        replay in functions/trained_oracles.py (the BPE/k-means
+        literal pattern): quantize→dequantize→IDCT per block, which
+        also proves the kernel's entropy round trip lossless."""
+        return decode_jpeg_images(
+            synth_jpeg_images(load_table(spark, sf_dir, "documents"))
         )

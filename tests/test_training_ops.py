@@ -738,6 +738,7 @@ def test_decoder_null_and_truncation_contract(spark):
         "WAV": (mm.synth_wav_audio, mm.wav_features),
         "GIF": (mm.synth_gif_images, mm.decode_gif_images),
         "AVI": (mm.synth_avi_video, mm.sample_avi_frames),
+        "JPEG": (mm.synth_jpeg_images, mm.decode_jpeg_images),
     }
     docs = spark.createDataFrame([(5,)], "doc_id long")
     for name, (synth, decode) in kernels.items():
@@ -765,3 +766,120 @@ def test_decoder_null_and_truncation_contract(spark):
                 trunc_exc.value, ValueError
             ), (name, cut, msg[:500])
             assert "TypeError" not in msg, (name, cut)
+
+
+def test_jpeg_codec_round_trip_and_determinism():
+    """The from-scratch baseline JPEG pair: determinism (same bytes →
+    same pixels, twice), flat-image exactness (DC-only path), smooth-
+    image closeness, dimension preservation incl. non-multiple-of-8
+    edge blocks, and agreement with the independent oracle replay."""
+    import numpy as np
+
+    from kafka_topic_dumper_spark.functions.trained_oracles import (
+        _jpeg_expected_rows,
+    )
+    from kafka_topic_dumper_spark.operators.multimodal import (
+        jpeg_decode_gray,
+        jpeg_encode_gray,
+    )
+
+    rng = np.random.default_rng(42)
+    for _ in range(10):
+        h, w = int(rng.integers(8, 33)), int(rng.integers(8, 33))
+        px = rng.integers(0, 256, size=(h, w)).astype(np.uint8)
+        buf = jpeg_encode_gray(px)
+        w2, h2, img = jpeg_decode_gray(buf)
+        assert (w2, h2) == (w, h)
+        assert jpeg_decode_gray(buf)[2].tobytes() == img.tobytes()
+
+    flat = np.full((24, 17), 200, np.uint8)  # 17 → edge-replicated pad
+    _, _, rec = jpeg_decode_gray(jpeg_encode_gray(flat))
+    assert (rec == 200).all()
+
+    y, x = np.mgrid[0:32, 0:32]
+    smooth = ((np.sin(x / 6) + np.sin(y / 7)) * 40 + 128).astype(np.uint8)
+    _, _, rec = jpeg_decode_gray(jpeg_encode_gray(smooth))
+    assert np.abs(rec.astype(int) - smooth.astype(int)).max() <= 8
+
+    # kernel == independent replay on the registry raster family
+    for d, w, h, n, s in _jpeg_expected_rows("/root/testdata/sf0.001")[:40]:
+        px = (
+            ((d + np.arange(w * h, dtype=np.int64)) % 256)
+            .astype(np.uint8)
+            .reshape(h, w)
+        )
+        w2, h2, img = jpeg_decode_gray(jpeg_encode_gray(px))
+        assert (w2, h2, w2 * h2, int(img.astype(np.int64).sum())) == (
+            w,
+            h,
+            n,
+            s,
+        ), d
+
+
+def test_jpeg_handcrafted_stream_and_subset_rejection():
+    """Entropy-layer semantics pinned against a HAND-ASSEMBLED stream
+    (catches symmetric encoder/decoder Huffman bugs the lossless
+    round trip cannot), plus loud rejection of everything outside the
+    supported subset."""
+    import struct
+
+    import numpy as np
+    import pytest as _pytest
+
+    from kafka_topic_dumper_spark.operators.multimodal import (
+        _JPEG_AC_BITS,
+        _JPEG_AC_VALS,
+        _JPEG_DC_BITS,
+        _JPEG_DC_VALS,
+        _JPEG_QTABLE,
+        _JPEG_ZIGZAG,
+        jpeg_decode_gray,
+        jpeg_encode_gray,
+    )
+
+    def seg(marker, body):
+        return struct.pack(">HH", marker, len(body) + 2) + body
+
+    qt_zig = bytes(_JPEG_QTABLE[_JPEG_ZIGZAG[k]] for k in range(64))
+    headers = (
+        b"\xff\xd8"
+        + seg(0xFFDB, b"\x00" + qt_zig)
+        + seg(0xFFC0, struct.pack(">BHHB", 8, 8, 8, 1) + b"\x01\x11\x00")
+        + seg(0xFFC4, b"\x00" + bytes(_JPEG_DC_BITS) + bytes(_JPEG_DC_VALS))
+        + seg(0xFFC4, b"\x10" + bytes(_JPEG_AC_BITS) + bytes(_JPEG_AC_VALS))
+        + seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+    )
+    # One 8x8 block, hand-coded: DC category 2 (canonical DC code for
+    # symbol 2 is '011'), value bits '10' = +2, then EOB (AC code
+    # '1010'). Dequantized DC = 2*16 = 32; IDCT of a pure-DC block is
+    # flat: (2896*32*2896*64... ) — every pixel = (2896*(32*2896*8)>>? )
+    # Computed via the spec arithmetic below rather than hardcoded.
+    bits = "011" + "10" + "1010"
+    bits += "1" * (-len(bits) % 8)
+    ent = bytes(int(bits[i : i + 8], 2) for i in range(0, len(bits), 8))
+    stream = headers + ent + b"\xff\xd9"
+    w, h, img = jpeg_decode_gray(stream)
+    assert (w, h) == (8, 8)
+    # expected flat value: P = ((M^T C M) + 2^25) >> 26 with only
+    # C[0][0] = 32; every entry = (2896*32*2896 + 2^25) >> 26 = 128+...
+    expect = ((2896 * 32 * 2896 + (1 << 25)) >> 26) + 128
+    assert (img == expect).all(), (img[0][0], expect)
+
+    # subset rejection
+    flat = np.full((8, 8), 128, np.uint8)
+    good = jpeg_encode_gray(flat)
+    with _pytest.raises(ValueError, match="missing SOI"):
+        jpeg_decode_gray(b"NOPE" + good[2:])
+    sof2 = good.replace(b"\xff\xc0", b"\xff\xc2", 1)
+    with _pytest.raises(ValueError, match="frame type"):
+        jpeg_decode_gray(sof2)
+    with _pytest.raises(ValueError, match="restart"):
+        jpeg_decode_gray(
+            good[:2] + seg(0xFFDD, b"\x00\x04") + good[2:]
+        )
+    with _pytest.raises(ValueError, match="truncated|no EOI|no SOS"):
+        jpeg_decode_gray(good[:-4])
+    # APPn/COM segments must be skipped, not rejected
+    app0 = good[:2] + seg(0xFFE0, b"JFIF\x00") + good[2:]
+    assert jpeg_decode_gray(app0)[2].tobytes() == jpeg_decode_gray(good)[2].tobytes()
