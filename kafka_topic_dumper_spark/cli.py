@@ -93,6 +93,19 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     p.add_argument(
         "--vocab-size", type=int, default=1024, help="prep: closed vocabulary size"
     )
+    p.add_argument(
+        "--near-dup",
+        choices=["none", "minhash"],
+        default="none",
+        help=(
+            "prep: optional near-duplicate admission stage after the "
+            "exact canonical dedup — 'minhash' replays the survivors "
+            "through the ONLINE streaming MinHash-LSH ingest filter "
+            "(the same operator as the streaming_dedup_minhash "
+            "registry row), so the capstone pipeline exercises the "
+            "production online path end-to-end"
+        ),
+    )
     return p.parse_args(argv)
 
 
@@ -268,6 +281,44 @@ def main(argv: list[str] | None = None) -> int:
                 "doc_id",
                 "left_semi",
             ).persist()
+            if opts.near_dup == "minhash":
+                # online near-dup admission (r7 verdict item 7): the
+                # exact-dedup survivors replay through the streaming
+                # MinHash-LSH ingest filter in doc_id-ranged micro-
+                # batches — identical semantics to the registry row's
+                # batch rule (a doc is dropped iff a SMALLER-id doc
+                # shares any LSH band key), but exercised via the
+                # production online path: per-batch signatures probing
+                # the bucket-partitioned on-storage band index.
+                import tempfile
+
+                from kafka_topic_dumper_spark.streaming.queries import (
+                    run_minhash_stream_filter,
+                    write_ranged_replay_files,
+                )
+
+                replay = os.path.join(
+                    tempfile.mkdtemp(prefix="prep_neardup_"), "replay"
+                )
+                write_ranged_replay_files(
+                    survivors.select("doc_id", "text"),
+                    replay,
+                    4,
+                    ("doc_id",),
+                )
+                admitted = run_minhash_stream_filter(spark, replay)
+                narrowed = survivors.join(
+                    admitted, "doc_id", "left_semi"
+                ).persist()
+                survivors.unpersist()
+                survivors = narrowed
+            # admitted-set manifest: which doc_ids survived quality +
+            # exact dedup (+ optional near-dup admission) — the
+            # lineage record a downstream auditor or resumable
+            # backfill joins against
+            survivors.select("doc_id").write.mode("overwrite").parquet(
+                os.path.join(opts.output, "kept_docs")
+            )
             vocab = token_vocab(survivors, opts.vocab_size)
             vocab.write.mode("overwrite").parquet(
                 os.path.join(opts.output, "vocab")

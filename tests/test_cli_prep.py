@@ -57,3 +57,89 @@ def test_prep_dry_run(spark, tmp_path):
     import os
 
     assert not os.path.exists(out)
+
+
+def test_prep_near_dup_minhash_matches_batch_rule(spark, tmp_path):
+    """`prep --near-dup=minhash` must admit EXACTLY the set the
+    registry row's oracle rule defines over the exact-dedup survivors:
+    a doc is dropped iff a smaller-id survivor shares any MinHash-LSH
+    band key. The CLI runs the ONLINE streaming filter; the
+    expectation here is the independent batch computation."""
+    from pyspark.sql import functions as F
+
+    from kafka_topic_dumper_spark.operators.dedup import (
+        canonical_mapping,
+        minhash_band_keys,
+        minhash_signatures,
+    )
+    from kafka_topic_dumper_spark.operators.text import quality_classifier
+
+    out = str(tmp_path / "prep_neardup_out")
+    rc = cli.main(
+        [
+            "prep",
+            "--input",
+            f"{SF}/documents.parquet",
+            "--output",
+            out,
+            "--seq-len",
+            "128",
+            "--vocab-size",
+            "256",
+            "--near-dup",
+            "minhash",
+        ]
+    )
+    assert rc == 0
+    got = {r.doc_id for r in spark.read.parquet(out + "/kept_docs").collect()}
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    kept = docs.join(
+        quality_classifier(docs).filter(F.col("keep")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    survivors = kept.join(
+        canonical_mapping(kept).filter(F.col("is_dup") == 0).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    banded = minhash_band_keys(minhash_signatures(survivors))
+    dropped = (
+        banded.alias("a")
+        .join(
+            banded.alias("b"),
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_key") == F.col("b.band_key"))
+            & (F.col("b.doc_id") < F.col("a.doc_id")),
+            "left_semi",
+        )
+        .select("doc_id")
+        .distinct()
+    )
+    expect = {
+        r.doc_id
+        for r in survivors.join(dropped, "doc_id", "left_anti")
+        .select("doc_id")
+        .collect()
+    }
+    assert got == expect
+    assert len(got) < survivors.count() or not (
+        {r.doc_id for r in dropped.collect()}
+    ), "corpus should exercise the near-dup drop path"
+
+
+def test_prep_writes_kept_docs_manifest(spark, tmp_path):
+    """The default (no near-dup) prep writes the admitted-set manifest
+    too, and it equals the quality+exact-dedup survivor set."""
+    import os
+
+    out = str(tmp_path / "prep_manifest_out")
+    rc = cli.main(
+        ["prep", "--input", f"{SF}/documents.parquet", "--output", out,
+         "--seq-len", "128", "--vocab-size", "256"]
+    )
+    assert rc == 0
+    assert os.path.isdir(out + "/kept_docs")
+    n = spark.read.parquet(out + "/kept_docs").count()
+    assert 0 < n <= spark.read.parquet(f"{SF}/documents.parquet").count()
