@@ -31,6 +31,9 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import Window
 
+# set by the stream_sessionize probe: state rows carried per batch
+LAST_STATE_ROWS = None
+
 
 def replicate(df: DataFrame, r: int, id_cols: list[str]) -> DataFrame:
     """R× the table, remapping every key in ``id_cols`` to ``id*R + rep``
@@ -246,6 +249,68 @@ def probes(t: dict[str, DataFrame], r: int = 1):
         # (replica suffixes), so the broadcast lookup never grows
         return packing.tokenize_pack_ids(t["documents"], seq_len=512, buckets=32)
 
+    def stream_sessionize():
+        # the applyInPandasWithState sessionizer (r7 verdict item 6):
+        # replay the replicated events as 4 ts-range micro-batches and
+        # drain through a REAL parquet sink with a checkpoint. The
+        # 100 TB risk is state growth — the claim under test is that
+        # state is ONE fixed-width tuple per distinct user ever seen
+        # (O(keys), not O(events)); numRowsTotal per batch is captured
+        # from the query progress into LAST_STATE_ROWS so the decade
+        # table can print state rows carried per batch next to wall.
+        import atexit
+        import shutil
+        import tempfile
+
+        from kafka_topic_dumper_spark.streaming.queries import (
+            write_ranged_replay_files,
+        )
+        from kafka_topic_dumper_spark.streaming.stateful import (
+            sessionize_stream,
+        )
+
+        global LAST_STATE_ROWS
+        root = tempfile.mkdtemp(prefix="probe_stream_sess_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        path = f"{root}/events"
+        write_ranged_replay_files(
+            t["events"].select(
+                "event_id", "user_id", "event_type", "value", "ts"
+            ),
+            path,
+            4,
+            ("ts", "event_id"),
+        )
+        spark = t["events"].sparkSession
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string,"
+                " value double, ts timestamp_ntz"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(path)
+        )
+        q = (
+            sessionize_stream(stream, flush_timeout=True)
+            .writeStream.format("parquet")
+            .option("path", f"{root}/out")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(1800):
+            q.stop()
+            raise RuntimeError("sessionize probe exceeded 1800 s")
+        per_batch = []
+        for p in q.recentProgress:
+            if not isinstance(p, dict):
+                p = json.loads(p.json)
+            for op in p.get("stateOperators", []):
+                per_batch.append(int(op.get("numRowsTotal", -1)))
+        LAST_STATE_ROWS = per_batch
+        return spark.read.parquet(f"{root}/out")
+
     def stream_minhash():
         # the ONLINE near-dup filter: write the replicated corpus as 4
         # doc_id-range files (one range shuffle — the same backfill
@@ -299,6 +364,7 @@ def probes(t: dict[str, DataFrame], r: int = 1):
         "layout_zorder_events": zorder,
         "pipeline_tokenize_pack_ids": tok_pack,
         "streaming_dedup_minhash": stream_minhash,
+        "streaming_sessionize_state": stream_sessionize,
     }
 
 
@@ -327,6 +393,8 @@ def main() -> None:
             from kafka_topic_dumper_spark.operators import graph as graph_mod
 
             graph_mod.LAST_SWEEP_COUNT = None
+            global LAST_STATE_ROWS
+            LAST_STATE_ROWS = None
             t0 = time.monotonic()
             rows = fn().count()
             secs = round(time.monotonic() - t0, 2)
@@ -334,6 +402,8 @@ def main() -> None:
             rec = {"R": r, "probe": name, "sec": secs, "rows": rows, "heap_mb": heap_mb(spark)}
             if graph_mod.LAST_SWEEP_COUNT is not None:
                 rec["cc_sweeps"] = graph_mod.LAST_SWEEP_COUNT
+            if LAST_STATE_ROWS is not None:
+                rec["state_rows_per_batch"] = LAST_STATE_ROWS
             print(json.dumps(rec), flush=True)
         print(json.dumps({"R": r, "probe": "TOTAL", "sec": round(total, 2)}), flush=True)
 
