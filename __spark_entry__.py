@@ -86,6 +86,7 @@ _VERIFY_PRIORITY = [
     # here as they land, so they share the ~50-query window with the
     # tail of the r5 cohort ---
     "multimodal_decode_jpeg",
+    "streaming_interval_join",
     # --- (c) r6-stamped cohort (45) ---
     "a4_offset_clamp",
     "dedup_quality_survivor",

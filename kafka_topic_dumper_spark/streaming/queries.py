@@ -669,6 +669,97 @@ def register(reg) -> None:
             "converted",
         )
 
+    # Stream-stream interval join (round 8): the one Structured
+    # Streaming join shape the registry lacked. Click→purchase
+    # attribution — every click joins every purchase by the SAME user
+    # within the following 30 minutes. Both sides are real file
+    # streams over the ts-ranged replay files; each carries a 1-hour
+    # watermark and the join condition bounds event time on both
+    # sides, which is exactly what lets the engine EVICT buffered
+    # click state once the purchase-side watermark passes
+    # click_ts + 30 min — bounded state at 100 TB (state ∝ rows inside
+    # the watermark horizon, never the stream's history). For an
+    # INNER join with a two-sided time bound the engine guarantees no
+    # match is missed, so a bounded AvailableNow replay emits exactly
+    # the batch interval join — the oracle below.
+    @reg(
+        "streaming_interval_join",
+        """
+        SELECT c.event_id AS click_id, p.event_id AS purchase_id,
+               c.user_id,
+               datediff('microsecond', c.ts, p.ts) AS us_to_purchase
+        FROM events c JOIN events p
+          ON p.user_id = c.user_id
+         AND c.event_type = 'click' AND p.event_type = 'purchase'
+         AND p.ts >= c.ts
+         AND p.ts <= c.ts + INTERVAL 30 MINUTE
+        """,
+    )
+    def streaming_interval_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Watermarked stream-stream inner join with a time-range
+        condition (click→purchase within 30 min), replayed over four
+        ts-range micro-batches so matches span batch boundaries
+        through buffered join state. The join itself is the shared
+        :func:`streaming.windows.interval_join_stream` operator; this
+        row contributes the oracle-gated drive."""
+        from kafka_topic_dumper_spark.streaming.windows import (
+            interval_join_stream,
+        )
+
+        path = _events_range_split_stream_input(spark, sf_dir)
+        schema = (
+            "event_id long, user_id long, event_type string,"
+            " value double, ts timestamp_ntz"
+        )
+
+        def side(event_type: str, id_alias: str, ts_alias: str) -> DataFrame:
+            # stream-stream joins require TIMESTAMP (LTZ) event time —
+            # NTZ watermarks are rejected ([EVENT_TIME_IS_NOT_ON_
+            # TIMESTAMP_TYPE]). Rebase the NTZ wall time onto the
+            # instant domain by pure integer arithmetic
+            # (timestamp_micros of the µs-since-epoch diff), NOT a
+            # cast: a cast routes through the session timezone, and a
+            # DST-observing session would bend relative event-time
+            # distances across a transition. This mapping is bijective
+            # and session-timezone-free, so the join predicate and the
+            # µs differences below are bit-identical under any session
+            # timezone (the Kiritimati sweep covers it).
+            return (
+                spark.readStream.schema(schema)
+                .option("maxFilesPerTrigger", 1)
+                .parquet(path)
+                .filter(F.col("event_type") == event_type)
+                .select(
+                    F.col("event_id").alias(id_alias),
+                    "user_id",
+                    F.expr(
+                        "timestamp_micros(timestampdiff(MICROSECOND,"
+                        " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
+                    ).alias(ts_alias),
+                )
+            )
+
+        joined = interval_join_stream(
+            side("click", "click_id", "c_ts"),
+            side("purchase", "purchase_id", "p_ts"),
+            "user_id",
+            "c_ts",
+            "p_ts",
+            max_delay="30 minutes",
+            watermark="1 hour",
+        )
+        out = joined.select(
+            "click_id",
+            "purchase_id",
+            "user_id",
+            F.expr("timestampdiff(MICROSECOND, c_ts, p_ts)").alias(
+                "us_to_purchase"
+            ),
+        )
+        name = f"streaming_interval_join_sink_{next(_SINK_SEQ)}"
+        _drain(out, name)
+        return spark.table(name)
+
     # Streaming near-dup ingest filter (foreachBatch): the online form
     # of MinHash-LSH dedup a training-data ingest actually runs — each
     # micro-batch of documents is admitted only if no LSH bucket

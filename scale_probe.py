@@ -311,6 +311,85 @@ def probes(t: dict[str, DataFrame], r: int = 1):
         LAST_STATE_ROWS = per_batch
         return spark.read.parquet(f"{root}/out")
 
+    def stream_interval_join():
+        # the stream-stream interval join (round 8): the 100 TB claim
+        # under test is BOUNDED join state — both sides watermarked,
+        # condition time-bounded, so buffered rows are evicted once
+        # the opposite watermark passes; state must track the rows
+        # inside the horizon, not the stream's history.
+        import atexit
+        import shutil
+        import tempfile
+
+        from kafka_topic_dumper_spark.streaming.queries import (
+            write_ranged_replay_files,
+        )
+        from kafka_topic_dumper_spark.streaming.windows import (
+            interval_join_stream,
+        )
+
+        global LAST_STATE_ROWS
+        root = tempfile.mkdtemp(prefix="probe_stream_ij_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        path = f"{root}/events"
+        write_ranged_replay_files(
+            t["events"].select(
+                "event_id", "user_id", "event_type", "value", "ts"
+            ),
+            path,
+            4,
+            ("ts", "event_id"),
+        )
+        spark = t["events"].sparkSession
+
+        def side(event_type, id_alias, ts_alias):
+            return (
+                spark.readStream.schema(
+                    "event_id long, user_id long, event_type string,"
+                    " value double, ts timestamp_ntz"
+                )
+                .option("maxFilesPerTrigger", 1)
+                .parquet(path)
+                .filter(F.col("event_type") == event_type)
+                .select(
+                    F.col("event_id").alias(id_alias),
+                    "user_id",
+                    F.expr(
+                        "timestamp_micros(timestampdiff(MICROSECOND,"
+                        " TIMESTAMP_NTZ '1970-01-01 00:00:00', ts))"
+                    ).alias(ts_alias),
+                )
+            )
+
+        out = interval_join_stream(
+            side("click", "click_id", "c_ts"),
+            side("purchase", "purchase_id", "p_ts"),
+            "user_id",
+            "c_ts",
+            "p_ts",
+            max_delay="30 minutes",
+            watermark="1 hour",
+        ).select("click_id", "purchase_id")
+        q = (
+            out.writeStream.format("parquet")
+            .option("path", f"{root}/out")
+            .option("checkpointLocation", f"{root}/ckpt")
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        if not q.awaitTermination(1800):
+            q.stop()
+            raise RuntimeError("interval-join probe exceeded 1800 s")
+        per_batch = []
+        for p in q.recentProgress:
+            if not isinstance(p, dict):
+                p = json.loads(p.json)
+            for op in p.get("stateOperators", []):
+                per_batch.append(int(op.get("numRowsTotal", -1)))
+        LAST_STATE_ROWS = per_batch
+        return spark.read.parquet(f"{root}/out")
+
     def stream_minhash():
         # the ONLINE near-dup filter: write the replicated corpus as 4
         # doc_id-range files (one range shuffle — the same backfill
@@ -364,6 +443,7 @@ def probes(t: dict[str, DataFrame], r: int = 1):
         "layout_zorder_events": zorder,
         "pipeline_tokenize_pack_ids": tok_pack,
         "streaming_dedup_minhash": stream_minhash,
+        "streaming_interval_join": stream_interval_join,
         "streaming_sessionize_state": stream_sessionize,
     }
 
