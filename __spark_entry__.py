@@ -87,6 +87,7 @@ _VERIFY_PRIORITY = [
     # tail of the r5 cohort ---
     "multimodal_decode_jpeg",
     "streaming_interval_join",
+    "similarity_topk_rp",
     # --- (c) r6-stamped cohort (45) ---
     "a4_offset_clamp",
     "dedup_quality_survivor",

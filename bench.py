@@ -135,6 +135,7 @@ HEADLINE_V6 = [
 # the same contract-pricing framing as the GIF LZW row).
 HEADLINE_V7 = [
     "multimodal_decode_jpeg",
+    "similarity_topk_rp",
 ]
 
 

@@ -1102,6 +1102,152 @@ def ivfpq_topk(
     )
 
 
+RP_DIM = 16
+# pool=100 (5% of the sf corpus) reads recall@10 ≈ 0.74 vs exact on
+# the synthetic near-random embeddings — the hard case for any sketch;
+# widening the sketch (24/32 dims) moved recall <1%, the pool is the
+# operative knob here, and at production scale the pool stays FIXED
+# while the corpus grows (the re-rank is pool×|queries| rows)
+RP_POOL = 100
+# slice the shared LCG plane stream far past every LSH table's slice
+# (N_LSH_TABLES=8 × ≤14 bits < 512) so the sketch is independent of
+# the bucketing hyperplanes
+_RP_PLANE_OFFSET = 512
+
+
+def _rp_planes(dim: int = 64, rp_dim: int = RP_DIM) -> list[list[float]]:
+    return _hyperplanes(dim, _RP_PLANE_OFFSET + rp_dim)[_RP_PLANE_OFFSET:]
+
+
+def rp_score_chain(qpfx: str, npfx: str, rp_dim: int = RP_DIM) -> str:
+    """The 16-term sketch dot product as ONE left-associated chain —
+    the identical string SHAPE (operand order, associativity) feeds
+    both engines, so the float scores are bit-identical and the
+    (score DESC, neighbor_id) pre-rank cannot diverge on near-ties."""
+    return " + ".join(f"({qpfx}{j} * {npfx}{j})" for j in range(rp_dim))
+
+
+def rp_project(emb: DataFrame, id_alias: str, col_prefix: str = "p") -> DataFrame:
+    """Johnson-Lindenstrauss sketch: project the 64-dim embedding onto
+    RP_DIM Rademacher (±1) directions. Each component is the same
+    left-associated ± chain trick as :func:`lsh_bucket_expr` — a
+    straight-line codegen expression over the RAW float elements (cast
+    per element, exact), bit-identical to the DuckDB mirror built from
+    the same plane rows. One projection map stage over the corpus; no
+    shuffle, no Python."""
+    cols = [F.col("vec_id").alias(id_alias)]
+    for j, plane in enumerate(_rp_planes()):
+        chain = _chain(
+            [
+                ("+" if s > 0 else "-") + f" CAST(embedding[{d}] AS DOUBLE)"
+                for d, s in enumerate(plane)
+            ]
+        )
+        cols.append(F.expr(chain).alias(f"{col_prefix}{j}"))
+    return emb.select(*cols)
+
+
+def rp_topk(
+    emb: DataFrame, query_ids: list[int], k: int = 10, pool: int = RP_POOL
+) -> DataFrame:
+    """Sketch-then-rerank ANN: rank ALL candidates by the 16-dim
+    JL-sketch dot product (4× cheaper per pair than the full 64-dim
+    cosine, and the shuffle payload shrinks the same 4×), keep the
+    top-``pool`` per query, then re-rank only that pool with the exact
+    cosine. The third ANN family next to bucketed LSH and coarse-cell
+    IVF: no recall cliff from bucket boundaries — every vector gets a
+    sketch score — at the cost of a corpus-wide (but sketch-cheap)
+    scan. At 100 TB the projection is a map stage fused into the scan,
+    the pre-rank is a per-query TopK over 16-double rows, and the
+    exact re-rank touches pool×|queries| rows — metadata-sized."""
+    proj = rp_project(emb, "neighbor_id", "p")
+    qproj = rp_project(
+        emb.filter(F.col("vec_id").isin(query_ids)), "query_id", "qp"
+    )
+    cand = proj.join(
+        F.broadcast(qproj), F.col("query_id") != F.col("neighbor_id")
+    ).withColumn("proj_score", F.expr(rp_score_chain("qp", "p")))
+    w1 = Window.partitionBy("query_id").orderBy(
+        F.col("proj_score").desc(), F.col("neighbor_id")
+    )
+    pool_df = (
+        cand.withColumn("prank", F.row_number().over(w1))
+        .filter(F.col("prank") <= pool)
+        .select("query_id", "neighbor_id")
+    )
+    base = _as_double_vec(emb, "neighbor_id", "vb")
+    q = _as_double_vec(
+        emb.filter(F.col("vec_id").isin(query_ids)), "query_id", "va"
+    )
+    pairs = (
+        pool_df.join(base, "neighbor_id")
+        .join(F.broadcast(q), "query_id")
+        .withColumn(
+            "cos",
+            pair_dot_udf()(F.col("va"), F.col("vb"))
+            / (F.col("va_nrm") * F.col("vb_nrm")),
+        )
+    )
+    w2 = Window.partitionBy("query_id").orderBy(
+        F.col("cos").desc(), F.col("neighbor_id")
+    )
+    return (
+        pairs.withColumn("rank", F.row_number().over(w2).cast("integer"))
+        .filter(F.col("rank") <= k)
+        .select("query_id", "neighbor_id", "rank")
+    )
+
+
+def rp_oracle_sql(k: int = 10, pool: int = RP_POOL) -> str:
+    """DuckDB mirror of :func:`rp_topk`: identical plane rows, the
+    identical per-component ± chains (via :func:`plane_chain_sql`),
+    and the identical left-associated 16-term score chain — the sketch
+    pre-rank is bit-exact, then the exact-cosine re-rank over the same
+    pool."""
+    qids = ", ".join(str(q) for q in QUERY_IDS)
+    proj_cols = ",\n                   ".join(
+        f"{plane_chain_sql(plane)} AS p{j}"
+        for j, plane in enumerate(_rp_planes())
+    )
+    score = rp_score_chain("q.p", "n.p")
+    return f"""
+        WITH v AS (
+            SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+            FROM embeddings
+        ), p AS (
+            SELECT vec_id,
+                   {proj_cols}
+            FROM v
+        ), cand AS (
+            SELECT q.vec_id AS query_id, n.vec_id AS neighbor_id,
+                   {score} AS proj_score
+            FROM p q JOIN p n ON q.vec_id != n.vec_id
+            WHERE q.vec_id IN ({qids})
+        ), pool AS (
+            SELECT query_id, neighbor_id FROM (
+                SELECT *, row_number() OVER (PARTITION BY query_id
+                           ORDER BY proj_score DESC, neighbor_id) AS prank
+                FROM cand
+            ) WHERE prank <= {pool}
+        ), n2 AS (
+            SELECT vec_id, v, sqrt(list_sum(list_transform(v, x -> x * x))) AS nrm
+            FROM v
+        ), exact AS (
+            SELECT pl.query_id, pl.neighbor_id,
+                   list_sum(list_transform(range(1, 65), i -> q.v[i] * b.v[i]))
+                       / (q.nrm * b.nrm) AS cos
+            FROM pool pl
+            JOIN n2 q ON q.vec_id = pl.query_id
+            JOIN n2 b ON b.vec_id = pl.neighbor_id
+        )
+        SELECT query_id, neighbor_id,
+               CAST(row_number() OVER (PARTITION BY query_id
+                    ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
+        FROM exact
+        QUALIFY rank <= {k}
+        """
+
+
 def quantize_int8(emb: DataFrame) -> DataFrame:
     """Symmetric per-vector int8 scalar quantization of the embedding
     column, with the reconstruction-quality stats a vector-store
@@ -1322,6 +1468,15 @@ def register(reg) -> None:
         return cosine_topk_bruteforce(
             load_table(spark, sf_dir, "embeddings"), QUERY_IDS, 10
         )
+
+    @reg("similarity_topk_rp", rp_oracle_sql())
+    def similarity_topk_rp(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Johnson-Lindenstrauss sketch-then-rerank ANN (round 8): a
+        16-dim Rademacher projection pre-ranks every candidate (bit-
+        exact cross-engine via shared left-associated chains), the
+        top-50 pool re-ranks by exact cosine — the third ANN family
+        next to bucketed LSH and coarse-cell IVF."""
+        return rp_topk(load_table(spark, sf_dir, "embeddings"), QUERY_IDS, 10)
 
     @reg("similarity_knn_graph", knn_graph_oracle_sql())
     def similarity_knn_graph(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -319,3 +319,21 @@ def test_ivfpq_recall_floor(spark):
         _topk_sets(similarity.ivfpq_topk(emb, similarity.QUERY_IDS, 10)), exact
     )
     assert got >= 0.3, f"IVF-PQ recall degraded: {got:.2f}"
+
+
+def test_rp_sketch_recall_floor_and_beats_noise(spark):
+    """JL sketch-then-rerank: recall@10 vs exact must clear a floor
+    AND decisively beat the random-pool expectation (pool/corpus ≈ 5%
+    at this SF) — the sketch must carry real signal, not just pool
+    width."""
+    emb = load_table(spark, SF, "embeddings")
+    exact = _topk_sets(
+        similarity.cosine_topk_bruteforce(emb, similarity.QUERY_IDS, 10)
+    )
+    got = _mean_recall(
+        _topk_sets(similarity.rp_topk(emb, similarity.QUERY_IDS, 10)), exact
+    )
+    n = emb.count()
+    noise_expectation = similarity.RP_POOL / n  # 0.2 at this 500-vec SF
+    assert got >= 0.5, f"RP sketch recall degraded: {got:.2f}"
+    assert got - noise_expectation >= 0.3, (got, noise_expectation)
