@@ -88,6 +88,7 @@ _VERIFY_PRIORITY = [
     "multimodal_decode_jpeg",
     "streaming_interval_join",
     "similarity_topk_rp",
+    "text_unicode_normalize",
     # --- (c) r6-stamped cohort (45) ---
     "a4_offset_clamp",
     "dedup_quality_survivor",

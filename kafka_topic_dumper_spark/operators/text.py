@@ -1132,8 +1132,78 @@ def train_val_test_split(docs: DataFrame) -> DataFrame:
     return docs.select("doc_id", split.alias("split"))
 
 
+def nfc_normalize_strings(df: DataFrame, col: str = "raw") -> DataFrame:
+    """Unicode NFC normalization of a string column — the canonical
+    first step of text canonicalization (decomposed e+COMBINING ACUTE
+    and composed é must dedup/fingerprint identically). Spark has no
+    built-in Unicode normalizer, so this is an Arrow-batched map
+    kernel over C-backed ``unicodedata`` — no shuffle, no per-row
+    Python function calls beyond the normalize itself; NULL passes
+    through as NULL (the SQL contract, matching DuckDB's
+    ``nfc_normalize``). Adds an ``nfc`` column; downstream metrics
+    (lengths, digests) stay JVM-side built-ins."""
+    fields = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+
+    def run(batches):
+        import unicodedata
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["nfc"] = pdf[col].map(
+                lambda s: None if s is None else unicodedata.normalize("NFC", s)
+            )
+            yield pdf
+
+    return df.mapInPandas(run, schema=f"{fields}, nfc string")
+
+
 def register(reg) -> None:
     sw = {k: ", ".join(f"'{w}'" for w in v) for k, v in STOPWORDS.items()}
+
+    @reg(
+        "text_unicode_normalize",
+        """
+        WITH dec AS (
+            SELECT doc_id, replace(text, 'e', 'e' || chr(769)) AS raw
+            FROM documents
+        ), n AS (
+            SELECT doc_id, raw, nfc_normalize(raw) AS nfc FROM dec
+        )
+        SELECT doc_id,
+               CAST(length(raw) AS BIGINT) AS len_decomposed,
+               CAST(length(nfc) AS BIGINT) AS len_nfc,
+               CAST(length(raw) - length(nfc) AS BIGINT) AS n_composed,
+               md5(nfc) AS nfc_md5
+        FROM n
+        """,
+    )
+    def text_unicode_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Unicode NFC canonicalization (round 8): every 'e' in the
+        corpus is decomposed to e+U+0301, then the Arrow unicodedata
+        kernel re-composes — code-point lengths and the md5 of the
+        normalized text are checked against DuckDB's nfc_normalize,
+        so the two engines' Unicode tables are differentially pinned
+        per document."""
+        docs = load_table(spark, sf_dir, "documents")
+        dec = docs.select(
+            "doc_id",
+            # explicit escape below: the replacement must be the DECOMPOSED
+            # two-code-point sequence e + U+0301 COMBINING ACUTE, never a
+            # source-encoding-dependent precomposed literal
+            F.replace(
+                F.col("text"), F.lit("e"), F.lit("e\u0301")
+            ).alias("raw"),
+        )
+        n = nfc_normalize_strings(dec, "raw")
+        return n.select(
+            "doc_id",
+            F.length("raw").cast("long").alias("len_decomposed"),
+            F.length("nfc").cast("long").alias("len_nfc"),
+            (F.length("raw") - F.length("nfc")).cast("long").alias("n_composed"),
+            F.md5(F.encode(F.col("nfc"), "UTF-8")).alias("nfc_md5"),
+        )
 
     @reg(
         "text_lang_id",

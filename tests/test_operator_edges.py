@@ -324,3 +324,27 @@ def test_corpus_drift_empty_snapshot_yields_null_shares(spark, empty_docs):
     r = rows[0]
     assert r.toks_b == 0 and r.share_b is None and r.share_drift is None
     assert r.share_a == 1.0
+
+
+def test_nfc_normalize_null_empty_and_idempotent(spark):
+    """The NFC kernel: NULL→NULL (the SQL contract), empty→empty,
+    decomposed sequences compose, and NFC is idempotent."""
+    from kafka_topic_dumper_spark.operators.text import nfc_normalize_strings
+
+    df = spark.createDataFrame(
+        [(1, "cafe\u0301"), (2, None), (3, ""), (4, "caf\u00e9")],
+        "doc_id long, raw string",
+    )
+    got = {r.doc_id: r.nfc for r in nfc_normalize_strings(df, "raw").collect()}
+    assert got[1] == "caf\u00e9"  # composed
+    assert got[2] is None
+    assert got[3] == ""
+    assert got[4] == "caf\u00e9"
+    # idempotent: normalizing the normalized column changes nothing
+    again = nfc_normalize_strings(
+        spark.createDataFrame(
+            [(k, v) for k, v in got.items()], "doc_id long, raw string"
+        ),
+        "raw",
+    )
+    assert {r.doc_id: r.nfc for r in again.collect()} == got
