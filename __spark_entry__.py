@@ -89,6 +89,7 @@ _VERIFY_PRIORITY = [
     "streaming_interval_join",
     "similarity_topk_rp",
     "text_unicode_normalize",
+    "graph_pagerank_supplier_network",
     # --- (c) r6-stamped cohort (45) ---
     "a4_offset_clamp",
     "dedup_quality_survivor",

@@ -298,3 +298,147 @@ def connected_components_contraction(
     ).select(
         "node", F.coalesce("component_id", F.col("node")).alias("component_id")
     )
+
+
+# --- PageRank (round 8) ---------------------------------------------------
+
+PR_SCALE = 1_000_000_000
+PR_ITERS = 10
+PR_DAMPING_PCT = 85
+
+
+def pagerank_fixed_point(
+    edges: DataFrame,
+    iters: int = PR_ITERS,
+    damping_pct: int = PR_DAMPING_PCT,
+) -> DataFrame:
+    """Fixed-iteration PageRank over a directed edge list, in INTEGER
+    fixed-point so the result is bit-exact across engines: ranks start
+    at 1e9 per node, each step is
+    ``r' = teleport + (85 · Σ_{u→v} (r(u) div deg(u))) div 100`` with
+    floor division at both points — integer sums are order-free, so no
+    float-accumulation-order divergence is possible (the established
+    cross-engine discipline; contrast the centi-logit classifier).
+    Mass lost to the floors is deterministic and identical in the
+    DuckDB replay.
+
+    Spark-first shape: each iteration is ONE edge-sized equi-join
+    (ranks are node-sized, joined on the edge source) plus ONE
+    dst-keyed integer sum — the same two shuffles per sweep as the CC
+    propagation engine, edge-linear at 100 TB. Ranks are eagerly
+    ``localCheckpoint``ed per iteration: the logical plan would
+    otherwise nest one join tree per sweep and Catalyst chokes on the
+    exponential lineage long before the data is big (the CC lesson,
+    see the module docstring). Dangling nodes cannot occur here —
+    the node set derives from the edge list and callers pass
+    symmetrized graphs; a general-purpose deployment would add the
+    dangling-mass redistribution term."""
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .persist()
+    )
+    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+    ed = edges.join(deg, "src").persist()
+    teleport = PR_SCALE * (100 - damping_pct) // 100
+    ranks = nodes.select("node", F.lit(PR_SCALE).cast("long").alias("r"))
+    for _ in range(iters):
+        contrib = ed.join(ranks, ed.src == ranks.node).select(
+            F.col("dst").alias("node"), F.expr("r div deg").alias("c")
+        )
+        s = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = nodes.join(s, "node", "left").select(
+            "node",
+            (
+                F.lit(teleport)
+                + F.expr(f"({damping_pct} * coalesce(s, CAST(0 AS BIGINT))) div 100")
+            ).cast("long").alias("r"),
+        )
+        ranks = ranks.localCheckpoint(eager=True)
+    nodes.unpersist()
+    ed.unpersist()
+    return ranks
+
+
+def pagerank_oracle_sql(
+    edges_cte: str, iters: int = PR_ITERS, damping_pct: int = PR_DAMPING_PCT
+) -> str:
+    """DuckDB mirror: the identical integer recurrence UNROLLED into
+    one CTE per iteration (r1..rN) — no recursive-CTE aggregate
+    restrictions, and the unrolled chain is exactly the Spark loop."""
+    teleport = PR_SCALE * (100 - damping_pct) // 100
+    steps = [
+        f"""r0 AS (
+            SELECT node, CAST({PR_SCALE} AS BIGINT) AS r FROM nodes
+        )"""
+    ]
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""r{i} AS (
+            SELECT n.node,
+                   CAST({teleport} + ({damping_pct} * coalesce(s.s, 0)) // 100
+                        AS BIGINT) AS r
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, sum(r.r // d.deg) AS s
+                FROM edges e
+                JOIN r{i - 1} r ON e.src = r.node
+                JOIN deg d ON e.src = d.src
+                GROUP BY e.dst
+            ) s ON n.node = s.node
+        )"""
+        )
+    chain = ",\n        ".join(steps)
+    return f"""
+        WITH {edges_cte}, nodes AS (
+            SELECT src AS node FROM edges
+            UNION
+            SELECT dst FROM edges
+        ), deg AS (
+            SELECT src, count(*) AS deg FROM edges GROUP BY src
+        ),
+        {chain}
+        SELECT node, r FROM r{iters}
+        """
+
+
+def register(reg) -> None:
+    from pyspark.sql import SparkSession
+
+    from kafka_topic_dumper_spark.sources.tables import load_table
+
+    edges_cte = """edges AS (
+            SELECT src, dst FROM (
+                SELECT DISTINCT o.o_custkey * 2 AS src,
+                       l.l_suppkey * 2 + 1 AS dst
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            )
+            UNION ALL
+            SELECT dst, src FROM (
+                SELECT DISTINCT o.o_custkey * 2 AS src,
+                       l.l_suppkey * 2 + 1 AS dst
+                FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            )
+        )"""
+
+    @reg("graph_pagerank_supplier_network", pagerank_oracle_sql(edges_cte))
+    def graph_pagerank_supplier_network(spark: SparkSession, sf_dir: str):
+        """PageRank over the symmetrized customer↔supplier bipartite
+        graph (an edge per distinct trading pair from lineitem⋈orders):
+        10 integer fixed-point iterations, bit-exact vs the unrolled
+        DuckDB recurrence. The graph-centrality curation primitive
+        (domain authority weighting, influence-weighted sampling)."""
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders")
+        pairs = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .select(
+                (F.col("o_custkey") * 2).alias("c"),
+                (F.col("l_suppkey") * 2 + 1).alias("s"),
+            )
+            .distinct()
+        )
+        edges = pairs.select(
+            F.col("c").alias("src"), F.col("s").alias("dst")
+        ).union(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        return pagerank_fixed_point(edges)

@@ -602,9 +602,11 @@ def register_extensions() -> None:
     extension module is mid-build."""
     from kafka_topic_dumper_spark.streaming import queries as streaming_queries
 
+    from kafka_topic_dumper_spark.operators import graph
+
     for mod in (
         dedup, similarity, text, multimodal, analytics, tpch_full, packing,
-        layout, bpe, streaming_queries,
+        layout, bpe, graph, streaming_queries,
     ):
         mod.register(_register)
 

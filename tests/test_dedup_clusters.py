@@ -183,3 +183,35 @@ def test_cc_self_loop_nodes_and_unknown_method(spark):
     assert prop == cont == want
     with _pytest.raises(ValueError, match="unknown connected-components"):
         connected_components(edges, method="contractoin")
+
+
+def test_pagerank_fixed_point_properties(spark):
+    """Integer fixed-point PageRank: matches a pure-Python replay on a
+    hand graph, ranks sum below total injected mass (floor losses
+    only), and a sink-free symmetric star ranks the hub highest."""
+    from kafka_topic_dumper_spark.operators.graph import (
+        PR_SCALE,
+        pagerank_fixed_point,
+    )
+
+    # star: hub 0 — leaves 1..4 (symmetrized)
+    edges = [(0, i) for i in range(1, 5)] + [(i, 0) for i in range(1, 5)]
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.r for r in pagerank_fixed_point(df, iters=10).collect()}
+
+    # independent replay
+    from collections import defaultdict
+
+    nodes = {0, 1, 2, 3, 4}
+    deg = defaultdict(int)
+    for s, _ in edges:
+        deg[s] += 1
+    r = {n: PR_SCALE for n in nodes}
+    for _ in range(10):
+        s = defaultdict(int)
+        for u, v in edges:
+            s[v] += r[u] // deg[u]
+        r = {n: 150_000_000 + (85 * s[n]) // 100 for n in nodes}
+    assert got == r
+    assert got[0] == max(got.values())  # hub dominates
+    assert sum(got.values()) <= len(nodes) * PR_SCALE
