@@ -249,6 +249,27 @@ def probes(t: dict[str, DataFrame], r: int = 1):
         # (replica suffixes), so the broadcast lookup never grows
         return packing.tokenize_pack_ids(t["documents"], seq_len=512, buckets=32)
 
+    def pagerank():
+        # 10 fixed iterations x (edge join + dst sum); edge-linear per
+        # iteration with localCheckpoint lineage truncation — the
+        # weighted-iteration cousin of the CC probes
+        from kafka_topic_dumper_spark.operators.graph import (
+            pagerank_fixed_point,
+        )
+
+        pairs = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .select(
+                (F.col("o_custkey") * 2).alias("c"),
+                (F.col("l_suppkey") * 2 + 1).alias("s"),
+            )
+            .distinct()
+        )
+        edges = pairs.select(
+            F.col("c").alias("src"), F.col("s").alias("dst")
+        ).union(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
+        return pagerank_fixed_point(edges)
+
     def stream_sessionize():
         # the applyInPandasWithState sessionizer (r7 verdict item 6):
         # replay the replicated events as 4 ts-range micro-batches and
@@ -445,6 +466,7 @@ def probes(t: dict[str, DataFrame], r: int = 1):
         "streaming_dedup_minhash": stream_minhash,
         "streaming_interval_join": stream_interval_join,
         "streaming_sessionize_state": stream_sessionize,
+        "graph_pagerank": pagerank,
     }
 
 
