@@ -90,6 +90,7 @@ _VERIFY_PRIORITY = [
     "similarity_topk_rp",
     "text_unicode_normalize",
     "graph_pagerank_supplier_network",
+    "dedup_ngram_containment",
     # --- (c) r6-stamped cohort (45) ---
     "a4_offset_clamp",
     "dedup_quality_survivor",

@@ -183,6 +183,26 @@ def ngram_jaccard_pairs(docs: DataFrame, max_df: int = NGRAM_MAX_DF) -> DataFram
     Measured at sf0.1 local[32]: 2.27 s → 1.55 s best-of-4."""
     from kafka_topic_dumper_spark.functions.portable_hash import h60_spark_sql
 
+    common, counts = _ngram_overlap(docs, max_df)
+    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
+    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
+    return (
+        common.join(ca, "doc_a")
+        .join(cb, "doc_b")
+        .withColumn(
+            "jaccard",
+            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+        )
+    )
+
+
+def _ngram_overlap(docs: DataFrame, max_df: int):
+    """The shared inverted-index core of the exact-overlap family:
+    (common(doc_a < doc_b, n_common), counts(doc_id, n_shingles)) with
+    the df cap applied once under a single sh_h shuffle — see
+    :func:`ngram_jaccard_pairs` for the full plan-shape rationale."""
+    from kafka_topic_dumper_spark.functions.portable_hash import h60_spark_sql
+
     sh_all = shingled(docs).select(
         "doc_id", F.expr(h60_spark_sql("shingle")).alias("sh_h")
     )
@@ -200,15 +220,50 @@ def ngram_jaccard_pairs(docs: DataFrame, max_df: int = NGRAM_MAX_DF) -> DataFram
     )
     common = pairs.groupBy("doc_a", "doc_b").agg(F.count("*").alias("n_common"))
     counts = sh.groupBy("doc_id").agg(F.count("*").alias("n_shingles"))
-    ca = counts.select(F.col("doc_id").alias("doc_a"), F.col("n_shingles").alias("n_a"))
-    cb = counts.select(F.col("doc_id").alias("doc_b"), F.col("n_shingles").alias("n_b"))
-    return (
-        common.join(ca, "doc_a")
-        .join(cb, "doc_b")
-        .withColumn(
-            "jaccard",
-            F.col("n_common") / (F.col("n_a") + F.col("n_b") - F.col("n_common")),
+    return common, counts
+
+
+CONTAINMENT_MIN_PCT = 50
+
+
+def ngram_containment_pairs(
+    docs: DataFrame,
+    max_df: int = NGRAM_MAX_DF,
+    min_pct: int = CONTAINMENT_MIN_PCT,
+) -> DataFrame:
+    """Directed n-gram CONTAINMENT — the asymmetric cousin of Jaccard:
+    ``containment(src→dst) = |grams(src) ∩ grams(dst)| / |grams(src)|``.
+    The quote/excerpt/boilerplate detector Jaccard misses: a short doc
+    fully embedded in a long one has low Jaccard (the union is huge)
+    but 100% containment — exactly the contamination/provenance signal
+    a training-data pipeline filters on (doc-in-doc, benchmark-in-
+    corpus). Same single-shuffle inverted index as Jaccard (shared
+    :func:`_ngram_overlap`); the score is the INTEGER percentage
+    ``(100·n_common) div n_src`` so the threshold compare is bit-exact
+    cross-engine — no float division anywhere."""
+    common, counts = _ngram_overlap(docs, max_df)
+    directed = common.select(
+        F.col("doc_a").alias("src_doc"),
+        F.col("doc_b").alias("dst_doc"),
+        "n_common",
+    ).union(
+        common.select(
+            F.col("doc_b").alias("src_doc"),
+            F.col("doc_a").alias("dst_doc"),
+            "n_common",
         )
+    )
+    n_src = counts.select(
+        F.col("doc_id").alias("src_doc"), F.col("n_shingles").alias("n_src")
+    )
+    return (
+        directed.join(n_src, "src_doc")
+        .withColumn(
+            "containment_pct",
+            F.expr("(100 * n_common) div n_src").cast("int"),
+        )
+        .filter(F.col("containment_pct") >= min_pct)
+        .select("src_doc", "dst_doc", "containment_pct")
     )
 
 
@@ -1088,6 +1143,50 @@ def register(reg) -> None:
             .limit(20)
             .select("doc_a", "doc_b")
         )
+
+    @reg(
+        "dedup_ngram_containment",
+        f"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+            FROM toks
+        ), hashed_all AS (
+            SELECT doc_id, {h60_duckdb_sql('shingle')} AS sh_h FROM sh
+        ), hot AS (
+            SELECT sh_h FROM hashed_all GROUP BY sh_h
+            HAVING count(*) > {NGRAM_MAX_DF}
+        ), hashed AS (
+            SELECT * FROM hashed_all
+            WHERE sh_h NOT IN (SELECT sh_h FROM hot)
+        ), counts AS (
+            SELECT doc_id, count(*) AS n FROM hashed GROUP BY doc_id
+        ), common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM hashed a JOIN hashed b
+              ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        ), directed AS (
+            SELECT doc_a AS src_doc, doc_b AS dst_doc, n_common FROM common
+            UNION ALL
+            SELECT doc_b, doc_a, n_common FROM common
+        )
+        SELECT d.src_doc, d.dst_doc,
+               CAST((100 * d.n_common) // c.n AS INTEGER) AS containment_pct
+        FROM directed d JOIN counts c ON c.doc_id = d.src_doc
+        WHERE (100 * d.n_common) // c.n >= {CONTAINMENT_MIN_PCT}
+        """,
+    )
+    def dedup_ngram_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Directed exact word-3-gram containment ≥ 50%% (round 8) —
+        the doc-in-doc / excerpt / contamination-provenance signal:
+        integer-percent scores over the SAME single-shuffle inverted
+        index as the Jaccard row, asymmetric per direction."""
+        return ngram_containment_pairs(load_table(spark, sf_dir, "documents"))
 
     @reg(
         "dedup_canonical_mapping",

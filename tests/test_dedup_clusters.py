@@ -215,3 +215,26 @@ def test_pagerank_fixed_point_properties(spark):
     assert got == r
     assert got[0] == max(got.values())  # hub dominates
     assert sum(got.values()) <= len(nodes) * PR_SCALE
+
+
+def test_ngram_containment_directed_asymmetry(spark):
+    """Containment must be directional: a short doc whose grams are a
+    strict subset of a long doc reads 100% one way and <100% the
+    other; Jaccard (symmetric) cannot express this."""
+    from kafka_topic_dumper_spark.operators.dedup import (
+        ngram_containment_pairs,
+    )
+
+    short = "alpha beta gamma delta epsilon"
+    long_ = short + " zeta eta theta iota kappa lam mu nu xi"
+    df = spark.createDataFrame(
+        [(1, short), (2, long_), (3, "totally different words here now ok")],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.src_doc, r.dst_doc): r.containment_pct
+        for r in ngram_containment_pairs(df, min_pct=1).collect()
+    }
+    assert got[(1, 2)] == 100          # short fully inside long
+    assert 0 < got[(2, 1)] < 100       # long only partially covered
+    assert (1, 3) not in got and (3, 1) not in got
