@@ -91,6 +91,10 @@ _VERIFY_PRIORITY = [
     "text_unicode_normalize",
     "graph_pagerank_supplier_network",
     "dedup_ngram_containment",
+    "dedup_setsim_prefix_join",
+    "curation_pareto_frontier",
+    "text_cms_heavy_hitters",
+    "dedup_bloom_admission",
     # --- (c) r6-stamped cohort (45) ---
     "a4_offset_clamp",
     "dedup_quality_survivor",

@@ -136,6 +136,9 @@ HEADLINE_V6 = [
 HEADLINE_V7 = [
     "multimodal_decode_jpeg",
     "similarity_topk_rp",
+    "graph_pagerank_supplier_network",
+    "dedup_ngram_containment",
+    "text_unicode_normalize",
 ]
 
 

@@ -73,3 +73,29 @@ def minhash_params(k: int) -> list[tuple[int, int]]:
         )
         for i in range(k)
     ]
+
+
+def bloom_params(j: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for ``j`` Bloom-filter bit-position
+    hashes — same scheme as :func:`cms_params`, salted independently."""
+    return [
+        (
+            (h32_py(f"bloom-a-{i}") % (HASH_DOMAIN31 - 1)) + 1,
+            h32_py(f"bloom-b-{i}"),
+        )
+        for i in range(j)
+    ]
+
+
+def cms_params(depth: int) -> list[tuple[int, int]]:
+    """Deterministic (a, b) pairs for the count-min sketch's ``depth``
+    universal-hash rows — same md5-derived-literal scheme and the same
+    int64-safety envelope as :func:`minhash_params`, salted differently
+    so the CMS rows are independent of the MinHash permutations."""
+    return [
+        (
+            (h32_py(f"cms-a-{i}") % (HASH_DOMAIN31 - 1)) + 1,
+            h32_py(f"cms-b-{i}"),
+        )
+        for i in range(depth)
+    ]

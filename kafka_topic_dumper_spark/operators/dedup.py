@@ -269,6 +269,183 @@ def ngram_containment_pairs(
 
 INCR_BATCH_MOD = 10
 
+BLOOM_BITS = 2048
+BLOOM_HASHES = 2
+
+_NORM_FP = "md5(trim(regexp_replace(lower(text), '\\\\s+', ' ')))"
+
+
+def bloom_admission(
+    docs: DataFrame,
+    m: int = BLOOM_BITS,
+    j: int = BLOOM_HASHES,
+    batch_mod: int = INCR_BATCH_MOD,
+) -> DataFrame:
+    """Batch-vs-corpus dedup admission through a BLOOM FILTER instead
+    of the exact fingerprint set (:func:`incremental_dedup`): the
+    corpus is summarized as the set-bit positions of an ``m``-bit /
+    ``j``-hash Bloom filter, and a new-batch doc is flagged
+    ``maybe_known`` iff ALL ``j`` of its bit positions are set.
+
+    Why this exists next to the exact path: the exact admission join
+    must broadcast (or shuffle) state proportional to CORPUS
+    CARDINALITY — billions of fingerprints at 100 TB — while the Bloom
+    summary is a FIXED ``m`` bits no matter the corpus size, the
+    standard first-stage admission filter in front of an exact check.
+    The filter is represented relationally (one row per SET bit, ≤ m
+    rows, broadcast) and membership is "count of matched positions =
+    j" — no bitmap UDF, pure joins, so Catalyst sees everything.
+
+    m=2048 / j=2 against ~450 corpus fingerprints is deliberately
+    UNDERSIZED (~36% fill → ~13% false-positive rate) so the
+    ``false_positive`` column — maybe_known but NOT actually known,
+    computed against the exact set — is non-trivially exercised by the
+    differential: Bloom false positives are a deterministic function
+    of the md5-derived (a, b) literals (functions/portable_hash.
+    bloom_params), so both engines flag the IDENTICAL docs."""
+    from kafka_topic_dumper_spark.functions.portable_hash import bloom_params
+
+    f = docs.select(
+        "doc_id",
+        F.expr(f"{h32_spark_sql(_NORM_FP)} % {HASH_DOMAIN31}").alias("x"),
+    )
+    corpus = f.filter(F.col("doc_id") % batch_mod != 0)
+    batch = f.filter(F.col("doc_id") % batch_mod == 0)
+
+    pos = F.array(
+        *[
+            F.expr(f"(({a} * x + {b}) % {MERSENNE61}) % {m}")
+            for a, b in bloom_params(j)
+        ]
+    )
+    bits = (
+        corpus.select(F.explode(pos).alias("bit")).distinct()
+    )  # ≤ m rows — the whole filter state
+    known = corpus.select("x").distinct()
+
+    probes = batch.select("doc_id", "x", F.explode(pos).alias("bit"))
+    maybe = (
+        probes.join(F.broadcast(bits), "bit")
+        .groupBy("doc_id", "x")
+        .agg(F.count("*").alias("n_hit"))
+        .filter(F.col("n_hit") == j)
+        .select("doc_id", "x", F.lit(1).alias("maybe_known"))
+    )
+    return (
+        batch.join(maybe.select("doc_id", "maybe_known"), "doc_id", "left")
+        .join(known.withColumnRenamed("x", "kx"), F.col("x") == F.col("kx"), "left")
+        .select(
+            "doc_id",
+            F.coalesce("maybe_known", F.lit(0)).cast("int").alias("maybe_known"),
+            F.when(F.col("kx").isNotNull(), 1).otherwise(0).cast("int").alias(
+                "actually_known"
+            ),
+        )
+        .withColumn(
+            "false_positive",
+            ((F.col("maybe_known") == 1) & (F.col("actually_known") == 0))
+            .cast("int"),
+        )
+    )
+
+
+SETSIM_MIN_PCT = 80
+
+
+def setsim_prefix_join_pairs(
+    docs: DataFrame, min_pct: int = SETSIM_MIN_PCT
+) -> DataFrame:
+    """ALL doc pairs with exact shingle-set Jaccard ≥ ``min_pct``% via
+    PPJoin-style PREFIX FILTERING (Chaudhuri et al. ICDE'06 / Xiao et
+    al. WWW'08) — the lossless candidate-pruning path for
+    threshold-similarity joins, and the third member of the exact-
+    overlap family next to the df-capped inverted index
+    (:func:`ngram_jaccard_pairs`) and MinHash-LSH (probabilistic).
+
+    Why it scales: if J(A,B) ≥ t, the pair MUST share at least one
+    element among the first ``|X| - ⌈t·|X|⌉ + 1`` elements of each set
+    under ANY fixed global element order. Ordering rare-first (by
+    document frequency) makes those prefixes the most selective
+    possible, so the candidate join touches only rare elements —
+    corpus-furniture shingles never generate pairs, with NO df cap and
+    NO recall loss. The filter is exact, not probabilistic: the oracle
+    for this row is the NAIVE all-pairs inverted-index join, so the
+    driver differential literally proves losslessness on this corpus.
+
+    Plan shape (one logical pass per concern, no UDFs):
+    - df per element: window COUNT under one sh_h shuffle;
+    - per-doc size n and rare-first position: two windows over ONE
+      doc_id exchange (count on the unordered spec, row_number on the
+      (df, sh_h)-ordered spec — sh_h ties portably, both engines would
+      agree, though the oracle never needs the order);
+    - prefix length ``n - ⌈min_pct·n/100⌉ + 1`` in pure integer math
+      ((min_pct·n + 99) div 100 — no floats anywhere);
+    - candidates: prefix⋈prefix on sh_h with the lossless length prune
+      100·min(nA,nB) ≥ min_pct·max(nA,nB), then distinct;
+    - verify: exact intersection count via a candidate-bounded join
+      against the full sets — cost O(|candidates|·set size), never
+      all-pairs.
+
+    Scores are integer percent (floor) for bit-exact cross-engine
+    compare. Reference analogue: none (the reference has no similarity
+    machinery); this extends SURVEY §2.10's dedup family."""
+    from kafka_topic_dumper_spark.functions.portable_hash import h60_spark_sql
+
+    sh = shingled(docs).select(
+        "doc_id", F.expr(h60_spark_sql("shingle")).alias("sh_h")
+    )
+    sh_df = sh.withColumn("df", F.count("*").over(Window.partitionBy("sh_h")))
+    wd = Window.partitionBy("doc_id")
+    ranked = (
+        sh_df.withColumn("n", F.count("*").over(wd))
+        .withColumn("pos", F.row_number().over(wd.orderBy("df", "sh_h")))
+    )
+    prefix = ranked.filter(
+        F.col("pos") <= F.expr(f"n - (({min_pct} * n + 99) div 100) + 1")
+    ).select("doc_id", "sh_h", "n")
+
+    a = prefix.select(
+        F.col("doc_id").alias("doc_a"), "sh_h", F.col("n").alias("n_a")
+    )
+    b = prefix.select(
+        F.col("doc_id").alias("doc_b"), "sh_h", F.col("n").alias("n_b")
+    )
+    cand = (
+        a.join(b, "sh_h")
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(
+            100 * F.least("n_a", "n_b") >= min_pct * F.greatest("n_a", "n_b")
+        )
+        .select("doc_a", "doc_b", "n_a", "n_b")
+        .distinct()
+    )
+
+    sa = sh.select(F.col("doc_id").alias("doc_a"), "sh_h")
+    sb = sh.select(F.col("doc_id").alias("doc_b"), "sh_h")
+    common = (
+        cand.join(sa, "doc_a")
+        .join(sb, ["doc_b", "sh_h"])
+        .groupBy("doc_a", "doc_b", "n_a", "n_b")
+        .agg(F.count("*").alias("n_common"))
+    )
+    return (
+        common.filter(
+            100 * F.col("n_common")
+            >= min_pct * (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+        )
+        .select(
+            "doc_a",
+            "doc_b",
+            F.col("n_common").cast("long").alias("n_common"),
+            (F.col("n_a") + F.col("n_b") - F.col("n_common"))
+            .cast("long")
+            .alias("union_size"),
+            F.expr(
+                "CAST((100 * n_common) div (n_a + n_b - n_common) AS INT)"
+            ).alias("jaccard_pct"),
+        )
+    )
+
 
 def incremental_dedup(docs: DataFrame, batch_mod: int = INCR_BATCH_MOD) -> DataFrame:
     """Continuous-ingestion dedup: flag a NEW batch of documents
@@ -1187,6 +1364,102 @@ def register(reg) -> None:
         integer-percent scores over the SAME single-shuffle inverted
         index as the Jaccard row, asymmetric per direction."""
         return ngram_containment_pairs(load_table(spark, sf_dir, "documents"))
+
+    @reg(
+        "dedup_setsim_prefix_join",
+        f"""
+        WITH toks AS (
+            SELECT doc_id, string_split_regex(lower(text), '\\s+') AS t
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS shingle
+            FROM toks
+        ), hashed AS (
+            SELECT doc_id, {h60_duckdb_sql('shingle')} AS sh_h FROM sh
+        ), counts AS (
+            SELECT doc_id, count(*) AS n FROM hashed GROUP BY doc_id
+        ), common AS (
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b, count(*) AS n_common
+            FROM hashed a JOIN hashed b
+              ON a.sh_h = b.sh_h AND a.doc_id < b.doc_id
+            GROUP BY 1, 2
+        )
+        SELECT doc_a, doc_b,
+               CAST(n_common AS BIGINT) AS n_common,
+               CAST(ca.n + cb.n - n_common AS BIGINT) AS union_size,
+               CAST((100 * n_common) // (ca.n + cb.n - n_common) AS INTEGER)
+                   AS jaccard_pct
+        FROM common
+        JOIN counts ca ON ca.doc_id = doc_a
+        JOIN counts cb ON cb.doc_id = doc_b
+        WHERE 100 * n_common >= {SETSIM_MIN_PCT} * (ca.n + cb.n - n_common)
+        """,
+    )
+    def dedup_setsim_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """All pairs at exact shingle-Jaccard ≥ 80% via PPJoin-style
+        prefix filtering (round 8). The oracle is the NAIVE all-pairs
+        inverted-index join — no prefix filter — so a hash-match here
+        is a machine-checked proof that the pruning is lossless on
+        this corpus, not just fast."""
+        return setsim_prefix_join_pairs(load_table(spark, sf_dir, "documents"))
+
+    from kafka_topic_dumper_spark.functions.portable_hash import bloom_params
+
+    _bloom_fp = h32_duckdb_sql(
+        r"md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"
+    )
+    _bloom_pos = [
+        f"(({a} * x + {b}) % {MERSENNE61}) % {BLOOM_BITS}"
+        for a, b in bloom_params(BLOOM_HASHES)
+    ]
+    _bits_union = "\n                UNION ALL\n                ".join(
+        f"SELECT {p} AS bit FROM corpus" for p in _bloom_pos
+    )
+    _probe_union = "\n                UNION ALL\n                ".join(
+        f"SELECT doc_id, x, {p} AS bit FROM batch" for p in _bloom_pos
+    )
+
+    @reg(
+        "dedup_bloom_admission",
+        f"""
+        WITH f AS (
+            SELECT doc_id, ({_bloom_fp} % {HASH_DOMAIN31}) AS x
+            FROM documents
+        ), corpus AS (
+            SELECT doc_id, x FROM f WHERE doc_id % {INCR_BATCH_MOD} != 0
+        ), batch AS (
+            SELECT doc_id, x FROM f WHERE doc_id % {INCR_BATCH_MOD} = 0
+        ), bits AS (
+            SELECT DISTINCT bit FROM (
+                {_bits_union}
+            )
+        ), known AS (
+            SELECT DISTINCT x FROM corpus
+        ), probes AS (
+            {_probe_union}
+        ), maybe AS (
+            SELECT doc_id FROM probes JOIN bits USING (bit)
+            GROUP BY doc_id, x HAVING count(*) = {BLOOM_HASHES}
+        )
+        SELECT b.doc_id,
+               CAST(CASE WHEN mb.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                    AS INTEGER) AS maybe_known,
+               CAST(CASE WHEN k.x IS NOT NULL THEN 1 ELSE 0 END
+                    AS INTEGER) AS actually_known,
+               CAST(CASE WHEN mb.doc_id IS NOT NULL AND k.x IS NULL
+                    THEN 1 ELSE 0 END AS INTEGER) AS false_positive
+        FROM batch b
+        LEFT JOIN maybe mb ON b.doc_id = mb.doc_id
+        LEFT JOIN known k ON b.x = k.x
+        """,
+    )
+    def dedup_bloom_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Bloom-filter batch admission (round 8): fixed-m broadcast
+        state instead of corpus-cardinality state, false positives
+        deterministic and surfaced next to the exact check."""
+        return bloom_admission(load_table(spark, sf_dir, "documents"))
 
     @reg(
         "dedup_canonical_mapping",

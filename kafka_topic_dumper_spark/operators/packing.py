@@ -172,6 +172,70 @@ def ordered_prefix_sum(
     )
 
 
+def ordered_prefix_max(
+    vals: DataFrame,
+    key: str,
+    val: str,
+    tie: str | None = None,
+    buckets: int = 32,
+) -> DataFrame | None:
+    """``(input columns…, m)`` — EXCLUSIVE prefix MAX of ``val`` in
+    ascending ``(key[, tie])`` order: the running-extremum sibling of
+    :func:`ordered_prefix_sum`, same two-phase distributed scheme
+    (range-bucket on the INTEGER key → per-bucket maxima → driver-side
+    exclusive running max over the bucket roster, metadata-plane →
+    broadcast bases + parallel local window maxima) instead of the
+    single-partition global window that bottlenecks at scale. ``m`` is
+    NULL for rows with no strictly-preceding row.
+
+    Callers needing strictly-smaller-KEY semantics (a skyline frontier,
+    not a row scan) must pre-aggregate to DISTINCT keys first — within
+    equal keys the ROWS frame makes "preceding" an arbitrary subset of
+    the tie group, exactly as in the sum variant. Same reserved-name
+    and NULL-free-key contract as :func:`ordered_prefix_sum`."""
+    reserved = {"bucket", "base", "local_m", "m"} & set(vals.columns)
+    if reserved:
+        raise ValueError(
+            f"ordered_prefix_max reserves column names {sorted(reserved)}; "
+            "rename them in the input"
+        )
+    vals = tracked_persist(vals)
+    lo, hi = vals.agg(F.min(key), F.max(key)).first()
+    if lo is None:
+        return None
+    width = max(1, (hi - lo + buckets) // buckets)
+    bucketed = vals.withColumn("bucket", F.expr(f"({key} - {lo}) div {width}"))
+    tops = bucketed.groupBy("bucket").agg(F.max(val).alias("top")).collect()
+    if any(row["bucket"] is None for row in tops):
+        raise ValueError(
+            f"ordered_prefix_max key column {key!r} contains NULLs — "
+            "filter or default them before ordering"
+        )
+    bases, acc = [], None
+    for row in sorted(tops, key=lambda r: r["bucket"]):
+        bases.append((row["bucket"], acc))
+        if row["top"] is not None and (acc is None or row["top"] > acc):
+            acc = row["top"]
+    base_df = vals.sparkSession.createDataFrame(
+        bases, "bucket bigint, base bigint"
+    )
+    order = [key] + ([tie] if tie else [])
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(*order)
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    return (
+        bucketed.withColumn("local_m", F.max(val).over(w))
+        .join(F.broadcast(base_df), "bucket")
+        # greatest() skips NULLs (both engines), so a missing base or an
+        # empty local prefix degrades to the other side; NULL only when
+        # nothing precedes at all — the documented sentinel.
+        .withColumn("m", F.greatest(F.col("base"), F.col("local_m")))
+        .drop("bucket", "base", "local_m")
+    )
+
+
 def doc_start_offsets(docs: DataFrame, buckets: int = 32) -> DataFrame | None:
     """(doc_id, n_tok, s) — every document's global token start offset
     in doc_id layout order (:func:`ordered_prefix_sum` keyed on

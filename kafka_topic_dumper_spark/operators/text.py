@@ -237,6 +237,142 @@ def token_budget_selection(
     )
 
 
+def pareto_frontier(docs: DataFrame) -> DataFrame:
+    """Skyline / Pareto-frontier curation: the documents NOT dominated
+    on (shorter ``n_chars``, more ``n_distinct_tokens``) — the
+    two-objective "most lexical diversity per byte" selection a
+    curation pipeline uses when no single score ranks the corpus. A doc
+    is dominated iff some other doc is ≤ its length AND ≥ its
+    diversity, strictly better in at least one; equal-coordinate docs
+    never dominate each other (both survive).
+
+    Plan shape — NOT the quadratic dominance test: aggregate to one
+    row per distinct length (max diversity per length group, one
+    map-side-combinable shuffle), take the EXCLUSIVE prefix max over
+    lengths via the two-phase distributed scheme
+    (:func:`~kafka_topic_dumper_spark.operators.packing.ordered_prefix_max`
+    — no single-partition global window), keep length groups whose max
+    strictly beats every shorter group, then join survivors back. The
+    oracle IS the naive quadratic NOT EXISTS, so the driver
+    differential proves the O(n log n) frontier equals the O(n²)
+    definition. Both metrics are integers — bit-exact cross-engine."""
+    from kafka_topic_dumper_spark.operators.packing import ordered_prefix_max
+
+    m = docs.select(
+        "doc_id",
+        F.col("n_chars").cast("bigint").alias("n_chars"),
+        F.size(F.array_distinct(_tokens())).cast("bigint").alias(
+            "n_distinct_tokens"
+        ),
+    )
+    grp = m.groupBy("n_chars").agg(
+        F.max("n_distinct_tokens").alias("grp_max")
+    )
+    pm = ordered_prefix_max(grp, "n_chars", "grp_max")
+    if pm is None:
+        return m.limit(0)
+    keep = pm.where(
+        F.col("m").isNull() | (F.col("grp_max") > F.col("m"))
+    ).select("n_chars", "grp_max")
+    return (
+        m.join(keep, "n_chars")
+        .where(F.col("n_distinct_tokens") == F.col("grp_max"))
+        .select("doc_id", "n_chars", "n_distinct_tokens")
+    )
+
+
+CMS_DEPTH = 3
+CMS_WIDTH = 64
+CMS_TOPK = 25
+
+# word bigrams with duplicates (true occurrence counts — sketches count
+# occurrences, not distinct membership); sequence() DESCENDS when the
+# doc has < 2 tokens, hence the CASE guard (same hazard as _SHINGLES in
+# operators/dedup.py)
+_BIGRAMS = (
+    "CASE WHEN size({t}) >= 2 THEN "
+    "transform(sequence(0, size({t}) - 2), "
+    "i -> concat_ws(' ', {t}[i], {t}[i+1])) "
+    "ELSE CAST(array() AS array<string>) END"
+).format(t="toks")
+
+
+def cms_heavy_hitters(
+    docs: DataFrame,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    k: int = CMS_TOPK,
+) -> DataFrame:
+    """Heavy hitters via a COUNT-MIN SKETCH (Cormode & Muthukrishnan
+    2005) over word-bigram occurrences: ``depth`` universal-hash rows ×
+    ``width`` counters; a key's estimate is the MIN of its ``depth``
+    counters, always ≥ the true count (one-sided error).
+
+    Why this is the 100 TB frequency path: the sketch aggregate is a
+    plain groupBy on (row, bucket) — fully map-side combinable, so each
+    executor reduces its splits to AT MOST depth×width rows (192 here)
+    before any shuffle, and the merged sketch is the same tiny table no
+    matter the corpus size. Estimating then BROADCASTS those 192 rows —
+    frequency queries never touch a corpus-sized structure. The exact
+    count per key (shown beside the estimate to surface the
+    overestimate) is the classic hash-groupBy; a real pipeline keeps
+    only the sketch.
+
+    All arithmetic is integer (md5-derived (a,b) literals shared with
+    the oracle — functions/portable_hash.cms_params — modular into
+    int64-safe domains), so estimates are bit-exact cross-engine,
+    collisions included: width=64 against a bigram space of ~vocab² is
+    CHOSEN to collide, making the overestimate column genuinely
+    non-zero under the differential."""
+    from kafka_topic_dumper_spark.functions.portable_hash import (
+        HASH_DOMAIN31,
+        MERSENNE61,
+        cms_params,
+    )
+
+    occ = (
+        docs.select(_tokens().alias("toks"))
+        .select(F.explode(F.expr(_BIGRAMS)).alias("bigram"))
+        .withColumn(
+            "x", F.expr(f"{h32_spark_sql('bigram')} % {HASH_DOMAIN31}")
+        )
+    )
+    buckets = F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"),
+                F.expr(f"(({a} * x + {b}) % {MERSENNE61}) % {width}").alias(
+                    "bkt"
+                ),
+            )
+            for i, (a, b) in enumerate(cms_params(depth))
+        ]
+    )
+    counters = (
+        occ.select(F.explode(buckets).alias("rb"))
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.bkt").alias("bkt"))
+        .agg(F.count("*").alias("c"))
+    )
+    exact = occ.groupBy("bigram", "x").agg(F.count("*").alias("exact"))
+    est = (
+        exact.select("bigram", "exact", F.explode(buckets).alias("rb"))
+        .select("bigram", "exact", F.col("rb.r").alias("r"), F.col("rb.bkt").alias("bkt"))
+        .join(F.broadcast(counters), ["r", "bkt"])
+        .groupBy("bigram", "exact")
+        .agg(F.min("c").alias("est"))
+    )
+    return (
+        est.orderBy(F.col("est").desc(), "bigram")
+        .limit(k)
+        .select(
+            "bigram",
+            F.col("est").cast("bigint").alias("est_count"),
+            F.col("exact").cast("bigint").alias("exact_count"),
+            (F.col("est") - F.col("exact")).cast("bigint").alias("overcount"),
+        )
+    )
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
     """Token counting: whitespace tokens, BPE-ish regex pieces
     (letter-runs | digits | single punctuation), distinct tokens, and
@@ -1159,6 +1295,64 @@ def nfc_normalize_strings(df: DataFrame, col: str = "raw") -> DataFrame:
     return df.mapInPandas(run, schema=f"{fields}, nfc string")
 
 
+def cms_oracle_sql(
+    depth: int = CMS_DEPTH, width: int = CMS_WIDTH, k: int = CMS_TOPK
+) -> str:
+    """DuckDB replay of :func:`cms_heavy_hitters` — same md5-derived
+    (a, b) literals, same modular bucket arithmetic (a·x ≤ 2^62, int64-
+    safe in both engines), same min-of-rows estimate."""
+    from kafka_topic_dumper_spark.functions.portable_hash import (
+        HASH_DOMAIN31,
+        MERSENNE61,
+        cms_params,
+    )
+
+    params = cms_params(depth)
+    rb_occ = "\n            UNION ALL\n            ".join(
+        f"SELECT {i} AS r, (({a} * x + {b}) % {MERSENNE61}) % {width} AS bkt"
+        " FROM hx"
+        for i, (a, b) in enumerate(params)
+    )
+    rb_key = "\n            UNION ALL\n            ".join(
+        f"SELECT bigram, exact, {i} AS r,"
+        f" (({a} * x + {b}) % {MERSENNE61}) % {width} AS bkt FROM exact_t"
+        for i, (a, b) in enumerate(params)
+    )
+    return f"""
+        WITH toks AS (
+            SELECT string_split_regex(lower(text), '\\s+') AS t
+            FROM documents
+        ), occ AS (
+            SELECT unnest(list_transform(range(1, len(t)),
+                   i -> t[i] || ' ' || t[i+1])) AS bigram
+            FROM toks
+        ), hx AS (
+            SELECT bigram,
+                   ({h32_duckdb_sql('bigram')} % {HASH_DOMAIN31}) AS x
+            FROM occ
+        ), rb AS (
+            {rb_occ}
+        ), counters AS (
+            SELECT r, bkt, count(*) AS c FROM rb GROUP BY 1, 2
+        ), exact_t AS (
+            SELECT bigram, x, count(*) AS exact FROM hx GROUP BY 1, 2
+        ), bk AS (
+            {rb_key}
+        ), est AS (
+            SELECT bigram, exact, min(c.c) AS est
+            FROM bk JOIN counters c USING (r, bkt)
+            GROUP BY 1, 2
+        )
+        SELECT bigram,
+               CAST(est AS BIGINT) AS est_count,
+               CAST(exact AS BIGINT) AS exact_count,
+               CAST(est - exact AS BIGINT) AS overcount
+        FROM est
+        ORDER BY est DESC, bigram
+        LIMIT {k}
+        """
+
+
 def register(reg) -> None:
     sw = {k: ", ".join(f"'{w}'" for w in v) for k, v in STOPWORDS.items()}
 
@@ -1651,3 +1845,38 @@ def register(reg) -> None:
         """Greedy quality-first selection under a 15k-token budget via
         the distributed ordered prefix sum."""
         return token_budget_selection(load_table(spark, sf_dir, "documents"))
+
+    @reg(
+        "curation_pareto_frontier",
+        r"""
+        WITH m AS (
+            SELECT doc_id, CAST(n_chars AS BIGINT) AS n_chars,
+                   CAST(len(list_distinct(string_split_regex(lower(text),
+                        '\s+'))) AS BIGINT) AS n_distinct_tokens
+            FROM documents
+        )
+        SELECT doc_id, n_chars, n_distinct_tokens
+        FROM m a
+        WHERE NOT EXISTS (
+            SELECT 1 FROM m b
+            WHERE b.n_chars <= a.n_chars
+              AND b.n_distinct_tokens >= a.n_distinct_tokens
+              AND (b.n_chars < a.n_chars
+                   OR b.n_distinct_tokens > a.n_distinct_tokens)
+        )
+        """,
+    )
+    def curation_pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Non-dominated docs on (shorter, more lexically diverse) via
+        the distributed prefix-max frontier (round 8). The oracle is
+        the QUADRATIC dominance definition, so a hash-match proves the
+        O(n log n) plan computes the textbook skyline."""
+        return pareto_frontier(load_table(spark, sf_dir, "documents"))
+
+    @reg("text_cms_heavy_hitters", cms_oracle_sql())
+    def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Top-25 bigram heavy hitters via a 3×64 count-min sketch
+        (round 8), exact counts alongside to surface the one-sided
+        overestimate; the 192-counter sketch is the only state that
+        ever crosses the shuffle."""
+        return cms_heavy_hitters(load_table(spark, sf_dir, "documents"))

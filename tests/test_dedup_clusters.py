@@ -238,3 +238,51 @@ def test_ngram_containment_directed_asymmetry(spark):
     assert got[(1, 2)] == 100          # short fully inside long
     assert 0 < got[(2, 1)] < 100       # long only partially covered
     assert (1, 3) not in got and (3, 1) not in got
+
+
+def test_setsim_prefix_join_lossless_vs_naive(spark):
+    """PPJoin prefix filtering must return EXACTLY the pairs the naive
+    all-pairs inverted-index join finds at the same threshold — the
+    pruning is a candidate filter, never a recall trade."""
+    from kafka_topic_dumper_spark.operators.dedup import (
+        ngram_jaccard_pairs,
+        setsim_prefix_join_pairs,
+    )
+
+    docs = load_table(spark, SF, "documents")
+    got = {
+        (r.doc_a, r.doc_b, r.n_common, r.union_size)
+        for r in setsim_prefix_join_pairs(docs).collect()
+    }
+    naive = ngram_jaccard_pairs(docs, max_df=10**9)  # cap inert
+    want = {
+        (r.doc_a, r.doc_b, r.n_common, r.n_a + r.n_b - r.n_common)
+        for r in naive.collect()
+        if 100 * r.n_common >= 80 * (r.n_a + r.n_b - r.n_common)
+    }
+    assert got == want and got
+
+
+def test_setsim_prefix_join_integer_threshold_boundary(spark):
+    """>= semantics on the integer-percent threshold: a pair at exactly
+    J=4/6 (66.67%) is IN at min_pct=66 and OUT at min_pct=67, and the
+    reported score is the floor percent."""
+    from kafka_topic_dumper_spark.operators.dedup import (
+        setsim_prefix_join_pairs,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a b c d e f g"), (2, "a b c d e f g"), (3, "a b c d e f z")],
+        "doc_id long, text string",
+    )
+
+    def pairs(pct):
+        return {
+            (r.doc_a, r.doc_b): r.jaccard_pct
+            for r in setsim_prefix_join_pairs(df, min_pct=pct).collect()
+        }
+
+    at66 = pairs(66)
+    assert at66[(1, 2)] == 100 and at66[(1, 3)] == 66 and at66[(2, 3)] == 66
+    at67 = pairs(67)
+    assert (1, 3) not in at67 and (2, 3) not in at67 and (1, 2) in at67

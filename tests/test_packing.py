@@ -244,3 +244,59 @@ def test_ordered_prefix_sum_guards(spark):
     reserved = spark.createDataFrame([(1, 2, 3)], "k bigint, v bigint, s bigint")
     with _pytest.raises(ValueError, match="reserves"):
         ordered_prefix_sum(reserved, "k", "v")
+
+
+def test_ordered_prefix_max_property(spark):
+    """Property: the two-phase exclusive prefix MAX equals a serial
+    Python running max under the (key, tie) order — duplicate keys are
+    exercised only through the tie column (the documented contract:
+    equal keys without a tie have no defined row order)."""
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from kafka_topic_dumper_spark.operators.packing import ordered_prefix_max
+
+    @settings(
+        max_examples=6,
+        deadline=None,
+        suppress_health_check=[HealthCheck.function_scoped_fixture],
+    )
+    @given(
+        st.lists(
+            st.integers(-1_000_000, 1_000_000),  # keys (dups allowed)
+            min_size=1,
+            max_size=40,
+        ),
+        st.integers(1, 8),  # buckets
+    )
+    def run(keys, buckets):
+        rows = [
+            (k, i, (k * 7 + i * 13) % 101) for i, k in enumerate(keys)
+        ]  # (key, tie, val) — val deterministic from inputs
+        df = spark.createDataFrame(rows, "k bigint, t bigint, v bigint")
+        out = ordered_prefix_max(df, "k", "v", tie="t", buckets=buckets)
+        got = {(r.k, r.t): r.m for r in out.collect()}
+        expected, acc = {}, None
+        for k, t, v in sorted(rows, key=lambda r: (r[0], r[1])):
+            expected[(k, t)] = acc
+            if acc is None or v > acc:
+                acc = v
+        assert got == expected
+
+    run()
+
+
+def test_ordered_prefix_max_guards(spark):
+    """NULL keys and reserved column names are rejected loudly."""
+    import pytest as _pytest
+
+    from kafka_topic_dumper_spark.operators.packing import ordered_prefix_max
+
+    with_null = spark.createDataFrame(
+        [(1, 1), (None, 2)], "k bigint, v bigint"
+    )
+    with _pytest.raises(ValueError, match="NULL"):
+        ordered_prefix_max(with_null, "k", "v")
+    reserved = spark.createDataFrame([(1, 2, 3)], "k bigint, v bigint, m bigint")
+    with _pytest.raises(ValueError, match="reserves"):
+        ordered_prefix_max(reserved, "k", "v")

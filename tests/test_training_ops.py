@@ -883,3 +883,88 @@ def test_jpeg_handcrafted_stream_and_subset_rejection():
     # APPn/COM segments must be skipped, not rejected
     app0 = good[:2] + seg(0xFFE0, b"JFIF\x00") + good[2:]
     assert jpeg_decode_gray(app0)[2].tobytes() == jpeg_decode_gray(good)[2].tobytes()
+
+
+def test_pareto_frontier_equals_bruteforce(spark):
+    """The windowed O(n log n) skyline must equal the quadratic
+    dominance definition, including the tie cases: equal-coordinate
+    docs never dominate each other (both survive), while an equal-
+    length doc with strictly more distinct tokens kills its peer."""
+    from kafka_topic_dumper_spark.operators.text import pareto_frontier
+
+    rows = [
+        (1, "a b c"),        # len 5, 3 distinct
+        (2, "a a a"),        # len 5, 1 distinct — dominated by 1
+        (3, "a b c"),        # exact tie with 1 — both survive
+        (4, "a b"),          # len 3, 2 distinct — frontier
+        (5, "a b c d e f"),  # len 11, 6 distinct — frontier
+        (6, "a b c d"),      # len 7, 4 distinct — frontier
+        (7, "a a b b c c"),  # len 11, 3 distinct — dominated by 1/6
+    ]
+    df = spark.createDataFrame(
+        [(i, t, len(t)) for i, t in rows],
+        "doc_id long, text string, n_chars long",
+    )
+    got = {r.doc_id for r in pareto_frontier(df).collect()}
+    # brute force over the same metrics
+    m = {i: (len(t), len(set(t.split()))) for i, t in rows}
+    want = {
+        i
+        for i, (x, y) in m.items()
+        if not any(
+            (bx <= x and by >= y and (bx < x or by > y))
+            for j, (bx, by) in m.items()
+            if j != i
+        )
+    }
+    assert got == want == {1, 3, 4, 5, 6}
+
+
+def test_cms_estimate_never_undercounts(spark):
+    """Count-min's one-sided error: for EVERY key (not just top-k) the
+    sketch estimate is >= the exact count, and the sketch state is
+    bounded by depth x width regardless of corpus size."""
+    from kafka_topic_dumper_spark.operators.text import cms_heavy_hitters
+    from kafka_topic_dumper_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    # k large enough to return every distinct bigram
+    out = cms_heavy_hitters(docs, depth=3, width=16, k=10**6).collect()
+    assert out and all(r.est_count >= r.exact_count for r in out)
+    assert any(r.overcount > 0 for r in out)  # width=16 must collide
+
+    # the counter table itself is the scale contract: <= depth*width rows
+    from pyspark.sql import functions as F
+    from kafka_topic_dumper_spark.functions.portable_hash import (
+        HASH_DOMAIN31, MERSENNE61, cms_params,
+    )
+    from kafka_topic_dumper_spark.operators.text import _BIGRAMS, _tokens
+    occ = (
+        docs.select(_tokens().alias("toks"))
+        .select(F.explode(F.expr(_BIGRAMS)).alias("bigram"))
+    )
+    assert occ.count() > 3 * 16  # corpus genuinely larger than the sketch
+
+
+def test_bloom_admission_never_misses(spark):
+    """Bloom's contract: NO false negatives — any batch doc whose
+    fingerprint exists in the corpus MUST be flagged maybe_known; and
+    the undersized demo filter does produce false positives."""
+    from kafka_topic_dumper_spark.operators.dedup import bloom_admission
+    from kafka_topic_dumper_spark.sources.tables import load_table
+
+    # synthetic: batch doc 10 is an exact dup of corpus doc 1
+    rows = [(i, f"unique text number {i}") for i in range(1, 10)]
+    rows += [(10, rows[0][1]), (20, "never seen before text")]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {r.doc_id: r for r in bloom_admission(df).collect()}
+    assert set(got) == {10, 20}
+    assert got[10].actually_known == 1 and got[10].maybe_known == 1
+    assert got[10].false_positive == 0
+
+    # corpus-level invariant at sf0.001: actually_known=1 → maybe_known=1
+    out = bloom_admission(
+        load_table(spark, "/root/testdata/sf0.001", "documents")
+    ).collect()
+    assert out
+    assert not any(r.actually_known == 1 and r.maybe_known == 0 for r in out)
