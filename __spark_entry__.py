@@ -95,6 +95,7 @@ _VERIFY_PRIORITY = [
     "curation_pareto_frontier",
     "text_cms_heavy_hitters",
     "dedup_bloom_admission",
+    "dedup_editdist_join",
     # --- (c) r6-stamped cohort (45) ---
     "a4_offset_clamp",
     "dedup_quality_survivor",

@@ -349,6 +349,121 @@ def bloom_admission(
     )
 
 
+EDITDIST_MAX = 30
+EDITDIST_Q = 3
+
+
+def editdist_join_pairs(
+    docs: DataFrame, max_dist: int = EDITDIST_MAX, q: int = EDITDIST_Q
+) -> DataFrame:
+    """All doc pairs with EXACT character edit distance ≤ ``max_dist``
+    via the Q-GRAM COUNT LEMMA (Gravano et al., VLDB'01): if
+    ed(a, b) ≤ D, the positional q-gram MULTISETS of a and b share at
+    least ``max(|a|,|b|) - q + 1 - q·D`` grams — each edit destroys at
+    most q grams. Candidates therefore come from a gram-hash join with
+    a multiset-intersection count (Σ min(cnt_a, cnt_b)) against that
+    bound, plus the lossless length prune ``| |a|-|b| | ≤ D`` (an edit
+    changes length by ≤ 1); only surviving pairs pay the O(len²)
+    levenshtein verify. Never all-pairs — the quadratic DP runs on the
+    lemma survivors only.
+
+    Short-doc completeness: when ``max(|a|,|b|) ≤ q-1+q·D`` the lemma
+    bound is ≤ 0 — such a pair may share ZERO grams yet still be within
+    D, so the gram join can't see it. Those docs (a corpus-skew-free
+    tiny subset by definition: both sides short) get an explicit
+    within-subset pair enumeration, unioned in before verification.
+
+    Both engines implement classic unit-cost levenshtein, and the gram
+    arithmetic is integer counts over the portable 60-bit gram hash —
+    the oracle is the NAIVE length-pruned all-pairs scan, so the driver
+    differential proves the lemma pruning lossless on this corpus."""
+    from kafka_topic_dumper_spark.functions.portable_hash import h60_spark_sql
+
+    d = docs.select(
+        "doc_id", "text", F.length("text").cast("bigint").alias("len")
+    )
+    grams = d.select(
+        "doc_id",
+        "len",
+        F.explode(
+            F.expr(
+                f"CASE WHEN length(text) >= {q} THEN "
+                f"transform(sequence(1, length(text) - {q} + 1), "
+                f"i -> substring(text, i, {q})) "
+                "ELSE CAST(array() AS array<string>) END"
+            )
+        ).alias("g"),
+    )
+    # Length-band bucketing on top of the gram join: with band width
+    # W = D+1, any pair within the length prune differs by at most one
+    # band, so the a-side joins on ITS band and the b-side fans out to
+    # band±1 — each qualifying pair meets in exactly one key (a's
+    # band), no dedup needed, and the join fan-out drops from
+    # Σ_g df(g)² to same-or-adjacent-length-band pairs only (~6× here;
+    # the factor grows with length spread). Lossless: the abs() prune
+    # below is still applied exactly.
+    band_w = max_dist + 1
+    gcnt = (
+        grams.groupBy("doc_id", "len", F.expr(h60_spark_sql("g")).alias("gh"))
+        .agg(F.count("*").alias("c"))
+        .withColumn("band", F.expr(f"len div {band_w}"))
+    )
+    a = gcnt.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("len").alias("len_a"),
+        "gh",
+        F.col("c").alias("ca"),
+        "band",
+    )
+    b = gcnt.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("len").alias("len_b"),
+        "gh",
+        F.col("c").alias("cb"),
+        F.explode(
+            F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)
+        ).alias("band"),
+    )
+    shared = (
+        a.join(b, ["gh", "band"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.abs(F.col("len_a") - F.col("len_b")) <= max_dist)
+        .groupBy("doc_a", "doc_b", "len_a", "len_b")
+        .agg(F.sum(F.least("ca", "cb")).alias("shared"))
+    )
+    lemma = shared.filter(
+        F.col("shared")
+        >= F.greatest("len_a", "len_b") - (q - 1) - q * max_dist
+    ).select("doc_a", "doc_b")
+
+    short_cut = (q - 1) + q * max_dist
+    s = d.filter(F.col("len") <= short_cut)
+    sp = (
+        s.select(F.col("doc_id").alias("doc_a"), F.col("len").alias("len_a"))
+        .join(
+            s.select(
+                F.col("doc_id").alias("doc_b"), F.col("len").alias("len_b")
+            ),
+            F.col("doc_a") < F.col("doc_b"),
+        )
+        .filter(F.abs(F.col("len_a") - F.col("len_b")) <= max_dist)
+        .select("doc_a", "doc_b")
+    )
+    cands = lemma.union(sp).distinct()
+
+    ta = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    tb = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    return (
+        cands.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn(
+            "edit_distance", F.levenshtein("text_a", "text_b").cast("int")
+        )
+        .filter(F.col("edit_distance") <= max_dist)
+        .select("doc_a", "doc_b", "edit_distance")
+    )
+
+
 SETSIM_MIN_PCT = 80
 
 
@@ -1364,6 +1479,28 @@ def register(reg) -> None:
         integer-percent scores over the SAME single-shuffle inverted
         index as the Jaccard row, asymmetric per direction."""
         return ngram_containment_pairs(load_table(spark, sf_dir, "documents"))
+
+    @reg(
+        "dedup_editdist_join",
+        f"""
+        WITH d AS (
+            SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
+            FROM documents
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_distance
+        FROM d a JOIN d b
+          ON a.doc_id < b.doc_id
+         AND abs(a.len - b.len) <= {EDITDIST_MAX}
+        WHERE levenshtein(a.text, b.text) <= {EDITDIST_MAX}
+        """,
+    )
+    def dedup_editdist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """All pairs at exact edit distance ≤ 30 via q-gram-lemma
+        pruning (round 8). The oracle is the naive length-pruned
+        all-pairs levenshtein scan, so a hash-match proves the lemma
+        filter lossless on this corpus."""
+        return editdist_join_pairs(load_table(spark, sf_dir, "documents"))
 
     @reg(
         "dedup_setsim_prefix_join",

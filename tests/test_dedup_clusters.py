@@ -286,3 +286,56 @@ def test_setsim_prefix_join_integer_threshold_boundary(spark):
     assert at66[(1, 2)] == 100 and at66[(1, 3)] == 66 and at66[(2, 3)] == 66
     at67 = pairs(67)
     assert (1, 3) not in at67 and (2, 3) not in at67 and (1, 2) in at67
+
+
+def test_editdist_join_lossless_vs_naive(spark):
+    """The q-gram-lemma + length-band pruning must return EXACTLY the
+    pairs the naive length-pruned all-pairs levenshtein scan finds."""
+    from kafka_topic_dumper_spark.operators.dedup import editdist_join_pairs
+
+    # half the corpus keeps the naive side ~4x cheaper while still
+    # crossing every plan branch (lemma, banding, short fallback)
+    docs = load_table(spark, SF, "documents").filter(F.col("doc_id") % 2 == 0)
+    got = {
+        (r.doc_a, r.doc_b, r.edit_distance)
+        for r in editdist_join_pairs(docs).collect()
+    }
+    d = docs.select("doc_id", "text", F.length("text").alias("len"))
+    a = d.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("text").alias("ta"),
+        F.col("len").alias("la"),
+    )
+    b = d.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("text").alias("tb"),
+        F.col("len").alias("lb"),
+    )
+    naive = (
+        a.join(
+            b,
+            (F.col("doc_a") < F.col("doc_b"))
+            & (F.abs(F.col("la") - F.col("lb")) <= 30),
+        )
+        .withColumn("ed", F.levenshtein("ta", "tb"))
+        .filter(F.col("ed") <= 30)
+    )
+    want = {(r.doc_a, r.doc_b, r.ed) for r in naive.collect()}
+    assert got == want and got
+
+
+def test_editdist_join_short_doc_fallback(spark):
+    """Docs short enough that the lemma bound is <= 0 can share ZERO
+    q-grams yet be within distance — they must come through the
+    explicit short-pair path, not get silently dropped."""
+    from kafka_topic_dumper_spark.operators.dedup import editdist_join_pairs
+
+    df = spark.createDataFrame(
+        [(1, "abc"), (2, "xyz"), (3, "a" * 200)],
+        "doc_id long, text string",
+    )
+    got = {
+        (r.doc_a, r.doc_b): r.edit_distance
+        for r in editdist_join_pairs(df).collect()
+    }
+    assert got == {(1, 2): 3}  # zero shared grams, ed=3; doc 3 length-pruned
