@@ -96,6 +96,7 @@ _VERIFY_PRIORITY = [
     "text_cms_heavy_hitters",
     "dedup_bloom_admission",
     "dedup_editdist_join",
+    "text_hll_shingle_cardinality",
     # --- (c) r6-stamped cohort (45) ---
     "a4_offset_clamp",
     "dedup_quality_survivor",

@@ -373,6 +373,83 @@ def cms_heavy_hitters(
     )
 
 
+HLL_M = 64  # registers; p = 6 index bits, 26-bit rank suffix, rho ≤ 27
+
+
+def hll_shingle_cardinality(docs: DataFrame) -> DataFrame:
+    """Per-source distinct-shingle cardinality via a from-scratch
+    HYPERLOGLOG (Flajolet et al. 2007) — the third mergeable sketch in
+    the family (count-min = frequency, Bloom = membership, HLL =
+    cardinality). 64 registers per group; register j holds the max
+    rho (position of the first 1-bit in the hash's 26-bit rank
+    suffix) seen in bucket j; the raw estimate is α₆₄·m²/Σ2^(−M_j).
+
+    Scale contract: the register table is ≤ 64 rows per group after a
+    map-side-combinable MAX aggregation — counting billions of
+    distinct keys per group costs a fixed 64-row state, vs
+    count(DISTINCT) whose shuffle carries every distinct key. The
+    exact count runs alongside here only to surface the
+    approximation error under the differential.
+
+    Bit-exact cross-engine despite the double: every term 2^(−M) is a
+    dyadic rational built by integer shift (never pow()), their sum
+    needs ≤ 33 mantissa bits so double addition is EXACT and
+    order-independent (distributed sums can't wobble), and the final
+    α·m²/S is one IEEE multiply + divide from shared literals. The
+    small-range LinearCounting branch is deliberately OMITTED — it
+    needs ln(), which no two libms agree on bit-for-bit; with
+    n ≈ 4000 distinct per source vs m = 64 the raw branch is the
+    exercised regime (zero_registers output pins V = 0). rho uses the
+    portable bitlen trick length(strip-leading-zeros(bin(w)))."""
+    from kafka_topic_dumper_spark.operators.dedup import _SHINGLES
+
+    sh = (
+        docs.select("source", _tokens().alias("tokens"))
+        .select("source", F.explode(F.expr(_SHINGLES)).alias("shingle"))
+        .distinct()
+    )
+    hx = sh.select("source", F.expr(h32_spark_sql("shingle")).alias("x"))
+    rb = hx.select(
+        "source",
+        "x",
+        (F.col("x") % HLL_M).alias("bucket"),
+        F.expr(f"x div {HLL_M}").alias("w"),
+    ).withColumn(
+        "rho",
+        F.when(F.col("w") == 0, F.lit(27)).otherwise(
+            27 - F.length(F.expr("trim(LEADING '0' FROM bin(w))"))
+        ),
+    )
+    regs = rb.groupBy("source", "bucket").agg(F.max("rho").alias("mreg"))
+    per = regs.groupBy("source").agg(
+        F.count("*").alias("present"),
+        F.sum(
+            F.expr("CAST(1 AS DOUBLE) / CAST(shiftleft(1L, mreg) AS DOUBLE)")
+        ).alias("s_present"),
+    )
+    exact = hx.groupBy("source").agg(
+        F.countDistinct("x").alias("n_exact")
+    )
+    return (
+        per.join(exact, "source")
+        .select(
+            "source",
+            F.col("n_exact").cast("bigint").alias("n_exact"),
+            (F.lit(HLL_M) - F.col("present")).cast("int").alias(
+                "zero_registers"
+            ),
+            (
+                F.expr("CAST(0.709 AS DOUBLE) * 4096")
+                / (
+                    F.col("s_present")
+                    + (F.lit(HLL_M) - F.col("present")).cast("double")
+                )
+            ).alias("hll_estimate"),
+        )
+        .orderBy("source")
+    )
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
     """Token counting: whitespace tokens, BPE-ish regex pieces
     (letter-runs | digits | single punctuation), distinct tokens, and
@@ -1872,6 +1949,56 @@ def register(reg) -> None:
         the QUADRATIC dominance definition, so a hash-match proves the
         O(n log n) plan computes the textbook skyline."""
         return pareto_frontier(load_table(spark, sf_dir, "documents"))
+
+    @reg(
+        "text_hll_shingle_cardinality",
+        f"""
+        WITH toks AS (
+            SELECT source, string_split_regex(lower(text), '\\s+') AS t
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT source,
+                   unnest(list_transform(range(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                       AS shingle
+            FROM toks
+        ), hx AS (
+            SELECT source, {h32_duckdb_sql('shingle')} AS x FROM sh
+        ), rb AS (
+            SELECT source, x, x % {HLL_M} AS bucket, x // {HLL_M} AS w
+            FROM hx
+        ), rho_t AS (
+            SELECT source, x, bucket,
+                   CASE WHEN w = 0 THEN 27
+                        ELSE 27 - length(ltrim(bin(w), '0')) END AS rho
+            FROM rb
+        ), regs AS (
+            SELECT source, bucket, max(rho) AS mreg
+            FROM rho_t GROUP BY 1, 2
+        ), per AS (
+            SELECT source, count(*) AS present,
+                   sum(CAST(1 AS DOUBLE) / (1::BIGINT << mreg)) AS s_present
+            FROM regs GROUP BY 1
+        ), exact AS (
+            SELECT source, count(DISTINCT x) AS n_exact FROM hx GROUP BY 1
+        )
+        SELECT p.source,
+               CAST(e.n_exact AS BIGINT) AS n_exact,
+               CAST({HLL_M} - p.present AS INTEGER) AS zero_registers,
+               CAST(0.709 AS DOUBLE) * 4096
+                   / (p.s_present + CAST({HLL_M} - p.present AS DOUBLE))
+                   AS hll_estimate
+        FROM per p JOIN exact e ON p.source = e.source
+        ORDER BY p.source
+        """,
+    )
+    def text_hll_shingle_cardinality(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Per-source distinct-shingle cardinality by a 64-register
+        HyperLogLog (round 8); exact count alongside to expose the
+        approximation error; fixed 64-row state per group."""
+        return hll_shingle_cardinality(load_table(spark, sf_dir, "documents"))
 
     @reg("text_cms_heavy_hitters", cms_oracle_sql())
     def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:
