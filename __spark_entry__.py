@@ -97,6 +97,7 @@ _VERIFY_PRIORITY = [
     "dedup_bloom_admission",
     "dedup_editdist_join",
     "text_hll_shingle_cardinality",
+    "streaming_cms_heavy_hitters",
     # --- (c) r6-stamped cohort (45) ---
     "a4_offset_clamp",
     "dedup_quality_survivor",

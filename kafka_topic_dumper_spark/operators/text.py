@@ -297,6 +297,97 @@ _BIGRAMS = (
 ).format(t="toks")
 
 
+def cms_bigram_occurrences(docs: DataFrame) -> DataFrame:
+    """(bigram, x) occurrence rows (non-distinct — sketches count
+    occurrences) with the portable 31-bit hash. Stateless projection,
+    so it applies unchanged to a STREAMING DataFrame — the streaming
+    CMS row reuses it verbatim."""
+    from kafka_topic_dumper_spark.functions.portable_hash import (
+        HASH_DOMAIN31,
+    )
+
+    return (
+        docs.select(_tokens().alias("toks"))
+        .select(F.explode(F.expr(_BIGRAMS)).alias("bigram"))
+        .withColumn(
+            "x", F.expr(f"{h32_spark_sql('bigram')} % {HASH_DOMAIN31}")
+        )
+    )
+
+
+def _cms_bucket_array(depth: int, width: int):
+    """array<struct<r,bkt>> of the ``depth`` (row, bucket) targets for
+    the hash value in column ``x``."""
+    from kafka_topic_dumper_spark.functions.portable_hash import (
+        MERSENNE61,
+        cms_params,
+    )
+
+    return F.array(
+        *[
+            F.struct(
+                F.lit(i).alias("r"),
+                F.expr(f"(({a} * x + {b}) % {MERSENNE61}) % {width}").alias(
+                    "bkt"
+                ),
+            )
+            for i, (a, b) in enumerate(cms_params(depth))
+        ]
+    )
+
+
+def cms_counters(
+    occ: DataFrame, depth: int = CMS_DEPTH, width: int = CMS_WIDTH
+) -> DataFrame:
+    """The sketch itself: (r, bkt, c) counters, ≤ depth×width rows.
+    A plain groupBy-count, so on a stream it is exactly the unbounded
+    complete-mode aggregation whose state IS the sketch."""
+    return (
+        occ.select(F.explode(_cms_bucket_array(depth, width)).alias("rb"))
+        .groupBy(F.col("rb.r").alias("r"), F.col("rb.bkt").alias("bkt"))
+        .agg(F.count("*").alias("c"))
+    )
+
+
+def cms_topk(
+    occ: DataFrame,
+    counters: DataFrame,
+    depth: int = CMS_DEPTH,
+    width: int = CMS_WIDTH,
+    k: int = CMS_TOPK,
+) -> DataFrame:
+    """Top-``k`` keys by sketch estimate (min over the key's ``depth``
+    counters, broadcast join against the tiny counter table), exact
+    counts alongside to surface the one-sided error."""
+    exact = occ.groupBy("bigram", "x").agg(F.count("*").alias("exact"))
+    est = (
+        exact.select(
+            "bigram",
+            "exact",
+            F.explode(_cms_bucket_array(depth, width)).alias("rb"),
+        )
+        .select(
+            "bigram",
+            "exact",
+            F.col("rb.r").alias("r"),
+            F.col("rb.bkt").alias("bkt"),
+        )
+        .join(F.broadcast(counters), ["r", "bkt"])
+        .groupBy("bigram", "exact")
+        .agg(F.min("c").alias("est"))
+    )
+    return (
+        est.orderBy(F.col("est").desc(), "bigram")
+        .limit(k)
+        .select(
+            "bigram",
+            F.col("est").cast("bigint").alias("est_count"),
+            F.col("exact").cast("bigint").alias("exact_count"),
+            (F.col("est") - F.col("exact")).cast("bigint").alias("overcount"),
+        )
+    )
+
+
 def cms_heavy_hitters(
     docs: DataFrame,
     depth: int = CMS_DEPTH,
@@ -324,53 +415,8 @@ def cms_heavy_hitters(
     collisions included: width=64 against a bigram space of ~vocab² is
     CHOSEN to collide, making the overestimate column genuinely
     non-zero under the differential."""
-    from kafka_topic_dumper_spark.functions.portable_hash import (
-        HASH_DOMAIN31,
-        MERSENNE61,
-        cms_params,
-    )
-
-    occ = (
-        docs.select(_tokens().alias("toks"))
-        .select(F.explode(F.expr(_BIGRAMS)).alias("bigram"))
-        .withColumn(
-            "x", F.expr(f"{h32_spark_sql('bigram')} % {HASH_DOMAIN31}")
-        )
-    )
-    buckets = F.array(
-        *[
-            F.struct(
-                F.lit(i).alias("r"),
-                F.expr(f"(({a} * x + {b}) % {MERSENNE61}) % {width}").alias(
-                    "bkt"
-                ),
-            )
-            for i, (a, b) in enumerate(cms_params(depth))
-        ]
-    )
-    counters = (
-        occ.select(F.explode(buckets).alias("rb"))
-        .groupBy(F.col("rb.r").alias("r"), F.col("rb.bkt").alias("bkt"))
-        .agg(F.count("*").alias("c"))
-    )
-    exact = occ.groupBy("bigram", "x").agg(F.count("*").alias("exact"))
-    est = (
-        exact.select("bigram", "exact", F.explode(buckets).alias("rb"))
-        .select("bigram", "exact", F.col("rb.r").alias("r"), F.col("rb.bkt").alias("bkt"))
-        .join(F.broadcast(counters), ["r", "bkt"])
-        .groupBy("bigram", "exact")
-        .agg(F.min("c").alias("est"))
-    )
-    return (
-        est.orderBy(F.col("est").desc(), "bigram")
-        .limit(k)
-        .select(
-            "bigram",
-            F.col("est").cast("bigint").alias("est_count"),
-            F.col("exact").cast("bigint").alias("exact_count"),
-            (F.col("est") - F.col("exact")).cast("bigint").alias("overcount"),
-        )
-    )
+    occ = cms_bigram_occurrences(docs)
+    return cms_topk(occ, cms_counters(occ, depth, width), depth, width, k)
 
 
 HLL_M = 64  # registers; p = 6 index bits, 26-bit rank suffix, rho ≤ 27

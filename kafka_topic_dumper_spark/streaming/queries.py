@@ -302,6 +302,10 @@ def register(reg) -> None:
     from kafka_topic_dumper_spark.operators.text import (
         bigram_lm_model,
         bigram_lm_oracle_ctes,
+        cms_bigram_occurrences,
+        cms_counters,
+        cms_oracle_sql,
+        cms_topk,
     )
     from kafka_topic_dumper_spark.streaming.windows import (
         hourly_rollup_stream,
@@ -412,6 +416,36 @@ def register(reg) -> None:
         name = f"streaming_dedup_exact_sink_{next(_SINK_SEQ)}"
         _drain(agg, name, output_mode="complete")
         return spark.table(name)
+
+    # Streaming count-min sketch: the sketch counters ARE streaming
+    # state — an unbounded complete-mode groupBy on (row, bucket)
+    # whose state is bounded by depth×width (192 rows) FOREVER, the
+    # canonical "sketch as stream summary" shape. maxFilesPerTrigger=1
+    # over a 4-file split forces 4 micro-batch merges; counter
+    # increments are associative+commutative, so the drained sketch is
+    # a pure function of the data regardless of batch boundaries. The
+    # drained counters then feed the SAME top-k estimator as the batch
+    # row, and the oracle is the SAME batch CMS SQL — a hash-match
+    # proves the incrementally-built sketch byte-identical to the
+    # batch-built one.
+    @reg("streaming_cms_heavy_hitters", cms_oracle_sql())
+    def streaming_cms_heavy_hitters(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Bigram heavy hitters from a CMS built incrementally over a
+        4-micro-batch document stream (round 8): stream → stateless
+        bigram/bucket projection → complete-mode counter aggregation →
+        drain → batch top-k estimate from the streamed sketch."""
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(_docs_split_stream_input(spark, sf_dir))
+        )
+        counters = cms_counters(cms_bigram_occurrences(stream))
+        name = f"streaming_cms_sink_{next(_SINK_SEQ)}"
+        _drain(counters, name, output_mode="complete")
+        occ = cms_bigram_occurrences(load_table(spark, sf_dir, "documents"))
+        return cms_topk(occ, spark.table(name))
 
     # Streaming session windows: gap-based sessionization through the
     # REAL session_window operator with merge-on-overlap state. The

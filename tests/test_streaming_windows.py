@@ -452,3 +452,40 @@ def test_streaming_dedup_minhash_matches_batch_rule(spark):
     n_docs = docs.count()
     assert got == want
     assert len(got) < n_docs, "corpus has planted near-dups; some must drop"
+
+
+def test_streaming_cms_counters_equal_batch(spark):
+    """The CMS built over 4 micro-batches must equal the batch sketch
+    counter-for-counter (increments are associative+commutative, so
+    batch boundaries cannot change the state)."""
+    from kafka_topic_dumper_spark.operators.text import (
+        cms_bigram_occurrences,
+        cms_counters,
+    )
+    from kafka_topic_dumper_spark.sources.tables import load_table
+    from kafka_topic_dumper_spark.streaming.queries import (
+        _docs_split_stream_input,
+        _drain,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_docs_split_stream_input(spark, sf))
+    )
+    _drain(
+        cms_counters(cms_bigram_occurrences(stream)),
+        "cms_counter_twin_sink",
+        output_mode="complete",
+    )
+    got = {
+        (r.r, r.bkt): r.c for r in spark.table("cms_counter_twin_sink").collect()
+    }
+    want = {
+        (r.r, r.bkt): r.c
+        for r in cms_counters(
+            cms_bigram_occurrences(load_table(spark, sf, "documents"))
+        ).collect()
+    }
+    assert got == want and len(got) <= 3 * 64
