@@ -98,6 +98,8 @@ _VERIFY_PRIORITY = [
     "dedup_editdist_join",
     "text_hll_shingle_cardinality",
     "streaming_cms_heavy_hitters",
+    "stats_equidepth_histogram",
+    "stats_groupwise_ols",
     # --- (c) r6-stamped cohort (45) ---
     "a4_offset_clamp",
     "dedup_quality_survivor",

@@ -344,6 +344,93 @@ def cohort_retention(events: DataFrame) -> DataFrame:
     )
 
 
+EQUIDEPTH_K = 16
+
+
+def equidepth_histogram(orders: DataFrame, k: int = EQUIDEPTH_K) -> DataFrame:
+    """EXACT equal-frequency (equi-depth) histogram over order value —
+    the ANALYZE-style statistic an optimizer wants — WITHOUT the
+    single-partition ntile()/row_number() window that bottlenecks a
+    global ranking at scale: the global row number comes from the
+    two-phase distributed prefix sum (packing.ordered_prefix_sum keyed
+    on integer cents, o_orderkey tie), i.e. range-bucketed parallel
+    cumsums + metadata-plane bases. Bucket of a row with exclusive
+    rank s is ``(s·k) div N`` — identical to NTILE's fill rule up to
+    remainder placement, and the DuckDB oracle replays this exact
+    integer formula over row_number(), so the distributed ranking is
+    proven equal to the serial one. All arithmetic integer; bucket
+    edges are exact cents."""
+    from kafka_topic_dumper_spark.functions.exact_money import cents
+    from kafka_topic_dumper_spark.operators.packing import ordered_prefix_sum
+
+    vals = orders.select(
+        cents(F.col("o_totalprice")).alias("price_cents"),
+        "o_orderkey",
+        F.lit(1).alias("one"),
+    )
+    n = vals.count()
+    ps = ordered_prefix_sum(vals, "price_cents", "one", tie="o_orderkey")
+    if ps is None:
+        return orders.sparkSession.createDataFrame(
+            [], "bucket int, n_rows long, lo_cents long, hi_cents long"
+        )
+    return (
+        ps.withColumn("bucket", F.expr(f"CAST((s * {k}) div {n} AS INT)"))
+        .groupBy("bucket")
+        .agg(
+            F.count("*").cast("bigint").alias("n_rows"),
+            F.min("price_cents").cast("bigint").alias("lo_cents"),
+            F.max("price_cents").cast("bigint").alias("hi_cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
+def groupwise_ols(events: DataFrame) -> DataFrame:
+    """Per-event-type ordinary least squares of value (integer cents)
+    on hour-of-day — closed-form slope/intercept from the four
+    classic sums, which are plain map-side-combinable integer
+    aggregates: NO iterative solver, no per-group collect, one
+    shuffle. slope = (n·Σxy − Σx·Σy)/(n·Σx² − (Σx)²), intercept =
+    (Σy − slope·Σx)/n.
+
+    Exactness: every sum is int64 (value in cents, hour ≤ 23), so
+    aggregation order cannot wobble; the final int64→double
+    conversions and the two divisions are single IEEE operations with
+    identical operand values in both engines — bit-identical results
+    without any rounding step. int64 headroom: n·Σxy per group tops
+    out around 10^17 at a few 10^4 rows/group here; at 10^8+ rows per
+    group move the sums to DECIMAL (same switch rationale as
+    functions/exact_money.py)."""
+    from kafka_topic_dumper_spark.functions.exact_money import cents
+
+    xy = events.select(
+        "event_type",
+        F.hour("ts").cast("bigint").alias("x"),
+        cents(F.col("value")).alias("y"),
+    )
+    agg = xy.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+    )
+    slope = (
+        (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast("double")
+        / (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast("double")
+    )
+    return agg.select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n_rows"),
+        slope.alias("slope_cents_per_hour"),
+        (
+            (F.col("sy").cast("double") - slope * F.col("sx").cast("double"))
+            / F.col("n").cast("double")
+        ).alias("intercept_cents"),
+    )
+
+
 def register(reg) -> None:
     @reg(
         "asof_join_last_purchase",
@@ -1396,6 +1483,66 @@ def register(reg) -> None:
         return salted_join(orders, cust, "o_custkey", "c_custkey").select(
             "o_orderkey", "o_totalprice", "c_name"
         )
+
+    @reg(
+        "stats_equidepth_histogram",
+        f"""
+        WITH v AS (
+            SELECT CAST(round(o_totalprice * 100, 0) AS BIGINT)
+                       AS price_cents,
+                   o_orderkey
+            FROM orders
+        ), r AS (
+            SELECT price_cents,
+                   row_number() OVER (ORDER BY price_cents, o_orderkey) - 1
+                       AS s,
+                   count(*) OVER () AS n
+            FROM v
+        )
+        SELECT CAST((s * {EQUIDEPTH_K}) // n AS INTEGER) AS bucket,
+               CAST(count(*) AS BIGINT) AS n_rows,
+               CAST(min(price_cents) AS BIGINT) AS lo_cents,
+               CAST(max(price_cents) AS BIGINT) AS hi_cents
+        FROM r GROUP BY 1
+        """,
+    )
+    def stats_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Exact 16-bucket equi-depth histogram of order value via the
+        distributed prefix-sum ranking (round 8); the oracle replays
+        the identical integer fill rule over a serial row_number."""
+        return equidepth_histogram(load_table(spark, sf_dir, "orders"))
+
+    @reg(
+        "stats_groupwise_ols",
+        """
+        WITH xy AS (
+            SELECT event_type,
+                   CAST(hour(ts) AS BIGINT) AS x,
+                   CAST(round(value * 100, 0) AS BIGINT) AS y
+            FROM events
+        ), agg AS (
+            SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx
+            FROM xy GROUP BY 1
+        )
+        SELECT event_type,
+               CAST(n AS BIGINT) AS n_rows,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE)
+                   AS slope_cents_per_hour,
+               (CAST(sy AS DOUBLE)
+                - (CAST(n * sxy - sx * sy AS DOUBLE)
+                   / CAST(n * sxx - sx * sx AS DOUBLE))
+                  * CAST(sx AS DOUBLE))
+                   / CAST(n AS DOUBLE) AS intercept_cents
+        FROM agg
+        """,
+    )
+    def stats_groupwise_ols(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Closed-form per-group OLS of value-cents on hour-of-day
+        (round 8): four integer sums, one shuffle, bit-identical
+        doubles from single IEEE operations."""
+        return groupwise_ols(load_table(spark, sf_dir, "events"))
 
     @reg(
         "stats_exact_percentiles",

@@ -229,6 +229,37 @@ def probes(t: dict[str, DataFrame], r: int = 1):
 
         return text.bm25_topk(t["documents"])
 
+    def setsim():
+        # answer-shaped quadratic on this corpus: the replica variants
+        # of each doc form R-sized near-dup cliques at J ≥ 80%, so the
+        # OUTPUT itself grows ~R²·docs — same contrast as the minhash
+        # pair probe. What the probe charges to the machinery: the
+        # rare-first prefixes must keep the candidate join off the
+        # corpus-furniture shingles at every R (df of shared shingles
+        # grows R×, but so does their global rank).
+        return dedup.setsim_prefix_join_pairs(t["documents"])
+
+    def editdist():
+        # the replica suffix is lengthened beyond the D=30 horizon
+        # (two md5 blocks per replica id — cross-replica pad distance
+        # ≥ ~48) so variants of the same doc do NOT pair: that
+        # quadratic answer is charged to the setsim probe above. The
+        # answer here stays the 25 planted pairs × R (same-replica
+        # twins share the pad), so this probe isolates the PRUNING
+        # machinery's growth — gram-count shuffle, count-lemma filter,
+        # adjacent-length-band join — at corpus scale.
+        docs = t["documents"]
+        if r > 1:
+            docs = docs.withColumn(
+                "text",
+                F.concat(
+                    F.col("text"),
+                    F.lit(" "),
+                    F.repeat(F.md5((F.col("doc_id") % r).cast("string")), 2),
+                ),
+            )
+        return dedup.editdist_join_pairs(docs)
+
     def bpe_pairs():
         # the BPE scaling claim on display: corpus R× up, the word
         # VOCABULARY stays ~constant (replicas add only the "r<k>"
@@ -460,6 +491,8 @@ def probes(t: dict[str, DataFrame], r: int = 1):
         "dedup_minhash_clusters_contraction": minhash_clusters_contraction,
         "similarity_mutual_knn_clusters_contraction": mutual_knn_clusters_contraction,
         "text_bm25_topk": bm25,
+        "dedup_setsim_prefix_join": setsim,
+        "dedup_editdist_join": editdist,
         "text_bpe_pair_counts": bpe_pairs,
         "layout_zorder_events": zorder,
         "pipeline_tokenize_pack_ids": tok_pack,

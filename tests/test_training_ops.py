@@ -1014,3 +1014,51 @@ def test_hll_rho_matches_python_reference(spark):
     for r in out:
         assert r.zero_registers == 0  # raw-branch regime, LC never needed
         assert 0.5 * r.n_exact < r.hll_estimate < 2.0 * r.n_exact
+
+
+def test_equidepth_histogram_fill_rule(spark):
+    """Distributed prefix-sum ranking must reproduce the serial fill
+    rule exactly: bucket sizes differ by at most 1, cover N, and edges
+    are non-overlapping ascending."""
+    from kafka_topic_dumper_spark.operators.analytics import (
+        EQUIDEPTH_K,
+        equidepth_histogram,
+    )
+    from kafka_topic_dumper_spark.sources.tables import load_table
+
+    orders = load_table(spark, "/root/testdata/sf0.001", "orders")
+    rows = sorted(
+        equidepth_histogram(orders).collect(), key=lambda r: r.bucket
+    )
+    n = orders.count()
+    assert [r.bucket for r in rows] == list(range(EQUIDEPTH_K))
+    sizes = [r.n_rows for r in rows]
+    assert sum(sizes) == n and max(sizes) - min(sizes) <= 1
+    for prev, cur in zip(rows, rows[1:]):
+        assert prev.hi_cents <= cur.lo_cents  # ties may touch, not cross
+        assert prev.lo_cents <= prev.hi_cents
+
+
+def test_groupwise_ols_matches_closed_form(spark):
+    """The Spark OLS must equal the exact-integer closed form computed
+    in Python to the last bit (same int sums, same IEEE ops)."""
+    from collections import defaultdict
+
+    from kafka_topic_dumper_spark.operators.analytics import groupwise_ols
+    from kafka_topic_dumper_spark.sources.tables import load_table
+
+    events = load_table(spark, "/root/testdata/sf0.001", "events")
+    got = {r.event_type: r for r in groupwise_ols(events).collect()}
+
+    acc = defaultdict(lambda: [0, 0, 0, 0, 0])  # n, sx, sy, sxy, sxx
+    for r in events.select("event_type", "ts", "value").collect():
+        x = r.ts.hour
+        y = round(r.value * 100)
+        a = acc[r.event_type]
+        a[0] += 1; a[1] += x; a[2] += y; a[3] += x * y; a[4] += x * x
+    for et, (n, sx, sy, sxy, sxx) in acc.items():
+        slope = float(n * sxy - sx * sy) / float(n * sxx - sx * sx)
+        intercept = (float(sy) - slope * float(sx)) / float(n)
+        assert got[et].n_rows == n
+        assert got[et].slope_cents_per_hour == slope, et
+        assert got[et].intercept_cents == intercept, et
