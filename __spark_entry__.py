@@ -100,6 +100,7 @@ _VERIFY_PRIORITY = [
     "streaming_cms_heavy_hitters",
     "stats_equidepth_histogram",
     "stats_groupwise_ols",
+    "graph_triangle_counts",
     # --- (c) r6-stamped cohort (45) ---
     "a4_offset_clamp",
     "dedup_quality_survivor",

@@ -139,6 +139,18 @@ HEADLINE_V7 = [
     "graph_pagerank_supplier_network",
     "dedup_ngram_containment",
     "text_unicode_normalize",
+    # second r8 wave: the sketch family + curation/stats rows. The
+    # editdist join is deliberately NOT benched: exact all-pairs-
+    # within-threshold over 5k docs of 31-word-vocab text is ~45 s of
+    # honest DP work (SCALE_PROBE.md round 8) — a per-round bench row
+    # would price the corpus pathology, not the engine.
+    "dedup_setsim_prefix_join",
+    "curation_pareto_frontier",
+    "text_cms_heavy_hitters",
+    "dedup_bloom_admission",
+    "text_hll_shingle_cardinality",
+    "stats_equidepth_histogram",
+    "stats_groupwise_ols",
 ]
 
 

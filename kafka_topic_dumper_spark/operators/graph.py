@@ -361,6 +361,60 @@ def pagerank_fixed_point(
     return ranks
 
 
+def triangle_counts(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame:
+    """Per-node TRIANGLE participation counts over an undirected edge
+    list via the degree-oriented wedge join (Schank & Wagner 2005 /
+    Cohen's MapReduce formulation) — the classic bound: orienting every
+    edge from its lower-(degree, id) endpoint to the higher one caps
+    each node's out-degree at O(√m), so the wedge join generates
+    O(m^1.5) candidates instead of Σ deg² (a single hub would otherwise
+    be quadratic in its degree — the skew trap). Each triangle is
+    generated exactly once (its two lowest-ordered corners form the
+    wedge), then credited to all three corners.
+
+    The (degree, id) total order is packed into one integer key
+    ``deg·2^32 + id`` so orientation is a plain comparison — portable,
+    and safe while ids and degrees stay below 2^31/2^32 (true by
+    construction here; repartition the key at planetary node counts).
+    Plan: two self-joins on node-id keys + one explode/groupBy — no
+    iteration, no driver state."""
+    edges = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    deg = (
+        edges.select(F.col("u").alias("n"))
+        .union(edges.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count("*").alias("d"))
+        .select("n", (F.col("d") * F.lit(1 << 32) + F.col("n")).alias("k"))
+    )
+    e = (
+        edges.join(deg.select(F.col("n").alias("u"), F.col("k").alias("ku")), "u")
+        .join(deg.select(F.col("n").alias("v"), F.col("k").alias("kv")), "v")
+    )
+    oriented = e.select(
+        F.when(F.col("ku") < F.col("kv"), F.col("u")).otherwise(F.col("v")).alias("s"),
+        F.when(F.col("ku") < F.col("kv"), F.col("v")).otherwise(F.col("u")).alias("t"),
+        F.greatest("ku", "kv").alias("kt"),
+    )
+    o1, o2 = oriented.alias("o1"), oriented.alias("o2")
+    wedges = o1.join(
+        o2,
+        (F.col("o1.s") == F.col("o2.s")) & (F.col("o1.kt") < F.col("o2.kt")),
+    ).select(
+        F.col("o1.s").alias("x"),
+        F.col("o1.t").alias("y"),
+        F.col("o2.t").alias("z"),
+    )
+    closing = oriented.select(
+        F.col("s").alias("y"), F.col("t").alias("z")
+    )
+    tri = wedges.join(closing, ["y", "z"])
+    return (
+        tri.select(F.explode(F.array("x", "y", "z")).alias("node"))
+        .groupBy("node")
+        .agg(F.count("*").cast("bigint").alias("n_triangles"))
+    )
+
+
 def pagerank_oracle_sql(
     edges_cte: str, iters: int = PR_ITERS, damping_pct: int = PR_DAMPING_PCT
 ) -> str:
@@ -420,6 +474,42 @@ def register(reg) -> None:
                 FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
             )
         )"""
+
+    from kafka_topic_dumper_spark.operators.dedup import (
+        minhash_banded_cte_sql,
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+
+    @reg(
+        "graph_triangle_counts",
+        f"""
+        WITH {minhash_banded_cte_sql()}, cand AS (
+            SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        ), tri AS (
+            SELECT e1.u AS x, e1.v AS y, e2.v AS z
+            FROM cand e1
+            JOIN cand e2 ON e2.u = e1.v
+            JOIN cand e3 ON e3.u = e1.u AND e3.v = e2.v
+        )
+        SELECT node, CAST(count(*) AS BIGINT) AS n_triangles
+        FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+        GROUP BY node
+        """,
+    )
+    def graph_triangle_counts(spark: SparkSession, sf_dir: str):
+        """Per-doc triangle participation in the MinHash-LSH candidate
+        graph (round 8) — the local-clustering signal that separates
+        tight duplicate cliques from chance bucket collisions. Spark
+        side uses the degree-oriented O(m^1.5) wedge join; the oracle
+        is the naive id-ordered triple self-join, so the hash-match
+        proves the orientation scheme counts every triangle exactly
+        once."""
+        docs = load_table(spark, sf_dir, "documents")
+        return triangle_counts(minhash_lsh_candidates(minhash_signatures(docs)))
 
     @reg("graph_pagerank_supplier_network", pagerank_oracle_sql(edges_cte))
     def graph_pagerank_supplier_network(spark: SparkSession, sf_dir: str):

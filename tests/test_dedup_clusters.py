@@ -339,3 +339,42 @@ def test_editdist_join_short_doc_fallback(spark):
         for r in editdist_join_pairs(df).collect()
     }
     assert got == {(1, 2): 3}  # zero shared grams, ed=3; doc 3 length-pruned
+
+
+def test_triangle_counts_known_graphs(spark):
+    """K4 gives every node C(3,2)=3 triangles; a star hub (the skew
+    case the degree orientation exists for) has none; counts must come
+    out exactly once per triangle."""
+    from kafka_topic_dumper_spark.operators.graph import triangle_counts
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    star = [(100, i) for i in range(101, 121)]  # hub, no closures
+    df = spark.createDataFrame(k4 + star, "doc_a long, doc_b long")
+    got = {r.node: r.n_triangles for r in triangle_counts(df).collect()}
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+
+def test_triangle_counts_equal_naive(spark):
+    """Degree-oriented wedge counting must equal the naive id-ordered
+    triple join on the real candidate graph."""
+    from kafka_topic_dumper_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+    from kafka_topic_dumper_spark.operators.graph import triangle_counts
+
+    cand = minhash_lsh_candidates(
+        minhash_signatures(load_table(spark, SF, "documents"))
+    ).persist()
+    got = {r.node: r.n_triangles for r in triangle_counts(cand).collect()}
+    e = [(r.doc_a, r.doc_b) for r in cand.collect()]
+    es = set(e)
+    from collections import Counter
+
+    want = Counter()
+    for u, v in e:
+        for w, z in e:
+            if w == v and (u, z) in es:
+                want[u] += 1; want[v] += 1; want[z] += 1
+    assert got == dict(want)
+    cand.unpersist()
