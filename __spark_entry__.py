@@ -101,6 +101,7 @@ _VERIFY_PRIORITY = [
     "stats_equidepth_histogram",
     "stats_groupwise_ols",
     "graph_triangle_counts",
+    "streaming_hll_cardinality",
     # --- (c) r6-stamped cohort (45) ---
     "a4_offset_clamp",
     "dedup_quality_survivor",

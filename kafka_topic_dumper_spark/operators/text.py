@@ -447,34 +447,58 @@ def hll_shingle_cardinality(docs: DataFrame) -> DataFrame:
     n ≈ 4000 distinct per source vs m = 64 the raw branch is the
     exercised regime (zero_registers output pins V = 0). rho uses the
     portable bitlen trick length(strip-leading-zeros(bin(w)))."""
+    proj = hll_projection(docs)
+    regs = hll_registers(proj)
+    exact = proj.groupBy("source").agg(
+        F.countDistinct("x").alias("n_exact")
+    )
+    return hll_estimate_from_registers(regs, exact)
+
+
+def hll_projection(docs: DataFrame) -> DataFrame:
+    """(source, x, bucket, rho) rows for every shingle OCCURRENCE —
+    stateless, so it applies unchanged to a STREAMING DataFrame (the
+    streaming HLL row reuses it). No pre-distinct: HLL's register MAX
+    and countDistinct are both duplicate-insensitive, so deduping
+    first would only add a shuffle."""
     from kafka_topic_dumper_spark.operators.dedup import _SHINGLES
 
-    sh = (
-        docs.select("source", _tokens().alias("tokens"))
-        .select("source", F.explode(F.expr(_SHINGLES)).alias("shingle"))
-        .distinct()
+    sh = docs.select("source", _tokens().alias("tokens")).select(
+        "source", F.explode(F.expr(_SHINGLES)).alias("shingle")
     )
-    hx = sh.select("source", F.expr(h32_spark_sql("shingle")).alias("x"))
-    rb = hx.select(
-        "source",
-        "x",
-        (F.col("x") % HLL_M).alias("bucket"),
-        F.expr(f"x div {HLL_M}").alias("w"),
-    ).withColumn(
-        "rho",
-        F.when(F.col("w") == 0, F.lit(27)).otherwise(
-            27 - F.length(F.expr("trim(LEADING '0' FROM bin(w))"))
-        ),
+    return (
+        sh.select("source", F.expr(h32_spark_sql("shingle")).alias("x"))
+        .select(
+            "source",
+            "x",
+            (F.col("x") % HLL_M).alias("bucket"),
+            F.expr(f"x div {HLL_M}").alias("w"),
+        )
+        .withColumn(
+            "rho",
+            F.when(F.col("w") == 0, F.lit(27)).otherwise(
+                27 - F.length(F.expr("trim(LEADING '0' FROM bin(w))"))
+            ),
+        )
+        .drop("w")
     )
-    regs = rb.groupBy("source", "bucket").agg(F.max("rho").alias("mreg"))
+
+
+def hll_registers(proj: DataFrame) -> DataFrame:
+    """The sketch state: (source, bucket, mreg), ≤ 64 rows per group.
+    On a stream this groupBy-MAX is the complete-mode aggregation
+    whose state is bounded by groups×64 forever."""
+    return proj.groupBy("source", "bucket").agg(F.max("rho").alias("mreg"))
+
+
+def hll_estimate_from_registers(regs: DataFrame, exact: DataFrame) -> DataFrame:
+    """Raw-branch HLL estimate per source from a drained register
+    table, joined with the exact count for error surfacing."""
     per = regs.groupBy("source").agg(
         F.count("*").alias("present"),
         F.sum(
             F.expr("CAST(1 AS DOUBLE) / CAST(shiftleft(1L, mreg) AS DOUBLE)")
         ).alias("s_present"),
-    )
-    exact = hx.groupBy("source").agg(
-        F.countDistinct("x").alias("n_exact")
     )
     return (
         per.join(exact, "source")
@@ -1476,6 +1500,52 @@ def cms_oracle_sql(
         """
 
 
+def hll_oracle_sql() -> str:
+    """DuckDB replay of the 64-register HLL over per-source shingles —
+    shared by the batch row and the streaming-drained-register row
+    (identical semantics by construction: register MAX is
+    batch-boundary- and duplicate-insensitive)."""
+    return f"""
+        WITH toks AS (
+            SELECT source, string_split_regex(lower(text), '\\s+') AS t
+            FROM documents
+        ), sh AS (
+            SELECT DISTINCT source,
+                   unnest(list_transform(range(1, len(t) - 1),
+                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
+                       AS shingle
+            FROM toks
+        ), hx AS (
+            SELECT source, {h32_duckdb_sql('shingle')} AS x FROM sh
+        ), rb AS (
+            SELECT source, x, x % {HLL_M} AS bucket, x // {HLL_M} AS w
+            FROM hx
+        ), rho_t AS (
+            SELECT source, x, bucket,
+                   CASE WHEN w = 0 THEN 27
+                        ELSE 27 - length(ltrim(bin(w), '0')) END AS rho
+            FROM rb
+        ), regs AS (
+            SELECT source, bucket, max(rho) AS mreg
+            FROM rho_t GROUP BY 1, 2
+        ), per AS (
+            SELECT source, count(*) AS present,
+                   sum(CAST(1 AS DOUBLE) / (1::BIGINT << mreg)) AS s_present
+            FROM regs GROUP BY 1
+        ), exact AS (
+            SELECT source, count(DISTINCT x) AS n_exact FROM hx GROUP BY 1
+        )
+        SELECT p.source,
+               CAST(e.n_exact AS BIGINT) AS n_exact,
+               CAST({HLL_M} - p.present AS INTEGER) AS zero_registers,
+               CAST(0.709 AS DOUBLE) * 4096
+                   / (p.s_present + CAST({HLL_M} - p.present AS DOUBLE))
+                   AS hll_estimate
+        FROM per p JOIN exact e ON p.source = e.source
+        ORDER BY p.source
+        """
+
+
 def register(reg) -> None:
     sw = {k: ", ".join(f"'{w}'" for w in v) for k, v in STOPWORDS.items()}
 
@@ -1996,48 +2066,7 @@ def register(reg) -> None:
         O(n log n) plan computes the textbook skyline."""
         return pareto_frontier(load_table(spark, sf_dir, "documents"))
 
-    @reg(
-        "text_hll_shingle_cardinality",
-        f"""
-        WITH toks AS (
-            SELECT source, string_split_regex(lower(text), '\\s+') AS t
-            FROM documents
-        ), sh AS (
-            SELECT DISTINCT source,
-                   unnest(list_transform(range(1, len(t) - 1),
-                          i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))
-                       AS shingle
-            FROM toks
-        ), hx AS (
-            SELECT source, {h32_duckdb_sql('shingle')} AS x FROM sh
-        ), rb AS (
-            SELECT source, x, x % {HLL_M} AS bucket, x // {HLL_M} AS w
-            FROM hx
-        ), rho_t AS (
-            SELECT source, x, bucket,
-                   CASE WHEN w = 0 THEN 27
-                        ELSE 27 - length(ltrim(bin(w), '0')) END AS rho
-            FROM rb
-        ), regs AS (
-            SELECT source, bucket, max(rho) AS mreg
-            FROM rho_t GROUP BY 1, 2
-        ), per AS (
-            SELECT source, count(*) AS present,
-                   sum(CAST(1 AS DOUBLE) / (1::BIGINT << mreg)) AS s_present
-            FROM regs GROUP BY 1
-        ), exact AS (
-            SELECT source, count(DISTINCT x) AS n_exact FROM hx GROUP BY 1
-        )
-        SELECT p.source,
-               CAST(e.n_exact AS BIGINT) AS n_exact,
-               CAST({HLL_M} - p.present AS INTEGER) AS zero_registers,
-               CAST(0.709 AS DOUBLE) * 4096
-                   / (p.s_present + CAST({HLL_M} - p.present AS DOUBLE))
-                   AS hll_estimate
-        FROM per p JOIN exact e ON p.source = e.source
-        ORDER BY p.source
-        """,
-    )
+    @reg("text_hll_shingle_cardinality", hll_oracle_sql())
     def text_hll_shingle_cardinality(
         spark: SparkSession, sf_dir: str
     ) -> DataFrame:

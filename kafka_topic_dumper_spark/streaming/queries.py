@@ -175,6 +175,14 @@ def _docs_split_stream_input(spark: SparkSession, sf_dir: str, n_files: int = 4)
     return _split_stream_input(spark, sf_dir, "documents", ("doc_id", "text"), n_files)
 
 
+def _docs_source_split_stream_input(
+    spark: SparkSession, sf_dir: str, n_files: int = 4
+) -> str:
+    return _split_stream_input(
+        spark, sf_dir, "documents", ("doc_id", "text", "source"), n_files
+    )
+
+
 def _docs_range_split_stream_input(
     spark: SparkSession, sf_dir: str, n_files: int = 4
 ) -> str:
@@ -306,6 +314,10 @@ def register(reg) -> None:
         cms_counters,
         cms_oracle_sql,
         cms_topk,
+        hll_estimate_from_registers,
+        hll_oracle_sql,
+        hll_projection,
+        hll_registers,
     )
     from kafka_topic_dumper_spark.streaming.windows import (
         hourly_rollup_stream,
@@ -446,6 +458,35 @@ def register(reg) -> None:
         _drain(counters, name, output_mode="complete")
         occ = cms_bigram_occurrences(load_table(spark, sf_dir, "documents"))
         return cms_topk(occ, spark.table(name))
+
+    # Streaming HyperLogLog: like the CMS row, the REGISTER TABLE is
+    # the streaming state — groups×64 rows forever, merged by MAX
+    # (associative, commutative, idempotent: even reprocessing a batch
+    # could not corrupt it). Drained registers feed the same estimator
+    # as the batch row; same batch oracle ⇒ the hash-match proves the
+    # incrementally-built registers byte-identical.
+    @reg("streaming_hll_cardinality", hll_oracle_sql())
+    def streaming_hll_cardinality(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Per-source distinct-shingle HLL built incrementally over a
+        4-micro-batch document stream (round 8): stream → stateless
+        (source, bucket, rho) projection → complete-mode register MAX →
+        drain → batch estimate from the streamed registers."""
+        stream = (
+            spark.readStream.schema("doc_id long, text string, source string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(_docs_source_split_stream_input(spark, sf_dir))
+        )
+        regs = hll_registers(hll_projection(stream))
+        name = f"streaming_hll_sink_{next(_SINK_SEQ)}"
+        _drain(regs, name, output_mode="complete")
+        exact = (
+            hll_projection(load_table(spark, sf_dir, "documents"))
+            .groupBy("source")
+            .agg(F.countDistinct("x").alias("n_exact"))
+        )
+        return hll_estimate_from_registers(spark.table(name), exact)
 
     # Streaming session windows: gap-based sessionization through the
     # REAL session_window operator with merge-on-overlap state. The

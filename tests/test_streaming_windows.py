@@ -489,3 +489,45 @@ def test_streaming_cms_counters_equal_batch(spark):
         ).collect()
     }
     assert got == want and len(got) <= 3 * 64
+
+
+def test_streaming_hll_registers_equal_batch(spark):
+    """HLL registers built over 4 micro-batches must equal the batch
+    registers exactly — MAX merge is associative, commutative AND
+    idempotent, so batch boundaries (even replays) cannot change the
+    state; state is bounded by sources x 64."""
+    from kafka_topic_dumper_spark.operators.text import (
+        hll_projection,
+        hll_registers,
+    )
+    from kafka_topic_dumper_spark.sources.tables import load_table
+    from kafka_topic_dumper_spark.streaming.queries import (
+        _docs_source_split_stream_input,
+        _drain,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    stream = (
+        spark.readStream.schema("doc_id long, text string, source string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_docs_source_split_stream_input(spark, sf))
+    )
+    _drain(
+        hll_registers(hll_projection(stream)),
+        "hll_register_twin_sink",
+        output_mode="complete",
+    )
+    got = {
+        (r.source, r.bucket): r.mreg
+        for r in spark.table("hll_register_twin_sink").collect()
+    }
+    want = {
+        (r.source, r.bucket): r.mreg
+        for r in hll_registers(
+            hll_projection(load_table(spark, sf, "documents"))
+        ).collect()
+    }
+    assert got == want
+    from collections import Counter
+    per_source = Counter(s for s, _ in got)
+    assert per_source and max(per_source.values()) <= 64
