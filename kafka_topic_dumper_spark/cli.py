@@ -95,7 +95,7 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
     )
     p.add_argument(
         "--near-dup",
-        choices=["none", "minhash"],
+        choices=["none", "minhash", "setsim"],
         default="none",
         help=(
             "prep: optional near-duplicate admission stage after the "
@@ -103,7 +103,12 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             "through the ONLINE streaming MinHash-LSH ingest filter "
             "(the same operator as the streaming_dedup_minhash "
             "registry row), so the capstone pipeline exercises the "
-            "production online path end-to-end"
+            "production online path end-to-end; 'setsim' applies the "
+            "EXACT batch rule instead — drop every doc with a "
+            "smaller-id survivor at shingle-Jaccard >= 80%, via the "
+            "lossless PPJoin prefix-filtered similarity join "
+            "(dedup_setsim_prefix_join) — no LSH probability, no "
+            "recall trade"
         ),
     )
     return p.parse_args(argv)
@@ -309,6 +314,29 @@ def main(argv: list[str] | None = None) -> int:
                 admitted = run_minhash_stream_filter(spark, replay)
                 narrowed = survivors.join(
                     admitted, "doc_id", "left_semi"
+                ).persist()
+                survivors.unpersist()
+                survivors = narrowed
+            elif opts.near_dup == "setsim":
+                # EXACT near-dup admission (round 8): same smaller-id-
+                # survives precedence as the minhash path, but the
+                # pair set is the LOSSLESS prefix-filtered similarity
+                # join at Jaccard >= 80% — pairs are ordered
+                # doc_a < doc_b, so the drop set is exactly the
+                # distinct doc_b side.
+                from kafka_topic_dumper_spark.operators.dedup import (
+                    setsim_prefix_join_pairs,
+                )
+
+                drops = (
+                    setsim_prefix_join_pairs(
+                        survivors.select("doc_id", "text")
+                    )
+                    .select(F.col("doc_b").alias("doc_id"))
+                    .distinct()
+                )
+                narrowed = survivors.join(
+                    drops, "doc_id", "left_anti"
                 ).persist()
                 survivors.unpersist()
                 survivors = narrowed

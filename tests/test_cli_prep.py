@@ -143,3 +143,55 @@ def test_prep_writes_kept_docs_manifest(spark, tmp_path):
     assert os.path.isdir(out + "/kept_docs")
     n = spark.read.parquet(out + "/kept_docs").count()
     assert 0 < n <= spark.read.parquet(f"{SF}/documents.parquet").count()
+
+
+def test_prep_near_dup_setsim_matches_batch_rule(spark, tmp_path):
+    """`prep --near-dup=setsim` must admit exactly the quality+dedup
+    survivors minus every doc_b of a setsim pair at J >= 80% — the
+    smaller-id-survives rule over the LOSSLESS prefix-join pair set."""
+    from pyspark.sql import functions as F
+
+    from kafka_topic_dumper_spark.operators.dedup import (
+        canonical_mapping,
+        setsim_prefix_join_pairs,
+    )
+    from kafka_topic_dumper_spark.operators.text import quality_classifier
+
+    out = str(tmp_path / "prep_setsim_out")
+    rc = cli.main(
+        [
+            "prep",
+            "--input",
+            f"{SF}/documents.parquet",
+            "--output",
+            out,
+            "--seq-len",
+            "128",
+            "--vocab-size",
+            "256",
+            "--near-dup",
+            "setsim",
+        ]
+    )
+    assert rc == 0
+    got = {r.doc_id for r in spark.read.parquet(out + "/kept_docs").collect()}
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    kept = docs.join(
+        quality_classifier(docs).filter(F.col("keep")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    survivors = kept.join(
+        canonical_mapping(kept).filter(F.col("is_dup") == 0).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    drops = {
+        r.doc_b
+        for r in setsim_prefix_join_pairs(
+            survivors.select("doc_id", "text")
+        ).collect()
+    }
+    want = {r.doc_id for r in survivors.collect()} - drops
+    assert got == want and got
