@@ -102,6 +102,8 @@ _VERIFY_PRIORITY = [
     "stats_groupwise_ols",
     "graph_triangle_counts",
     "streaming_hll_cardinality",
+    "graph_clustering_coefficient",
+    "stats_event_transitions",
     # --- (c) r6-stamped cohort (45) ---
     "a4_offset_clamp",
     "dedup_quality_survivor",

@@ -431,7 +431,68 @@ def groupwise_ols(events: DataFrame) -> DataFrame:
     )
 
 
+def event_transition_matrix(events: DataFrame) -> DataFrame:
+    """First-order Markov transition counts between consecutive event
+    types PER USER (ordered by (ts, event_id) — the deterministic
+    total order every sequence operator here uses): the
+    next-action-prediction / funnel-structure statistic. One window
+    shuffle keyed by user_id (lag is computed inside each user's
+    partition — no global ordering anywhere), then a
+    map-side-combinable count rollup over at most |types|² groups.
+    The row share is the floor integer percent of the source type's
+    outgoing transitions — bit-exact cross-engine."""
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    steps = (
+        events.select("user_id", "event_type", "ts", "event_id")
+        .withColumn("next_type", F.lead("event_type").over(w))
+        .filter(F.col("next_type").isNotNull())
+    )
+    counts = steps.groupBy(
+        F.col("event_type").alias("from_type"),
+        F.col("next_type").alias("to_type"),
+    ).agg(F.count("*").alias("n_transitions"))
+    totals = counts.groupBy("from_type").agg(
+        F.sum("n_transitions").alias("n_out")
+    )
+    return counts.join(totals, "from_type").select(
+        "from_type",
+        "to_type",
+        F.col("n_transitions").cast("bigint").alias("n_transitions"),
+        F.expr("CAST((100 * n_transitions) div n_out AS INT)").alias(
+            "share_pct"
+        ),
+    )
+
+
 def register(reg) -> None:
+    @reg(
+        "stats_event_transitions",
+        """
+        WITH steps AS (
+            SELECT event_type AS from_type,
+                   lead(event_type) OVER (
+                       PARTITION BY user_id ORDER BY ts, event_id
+                   ) AS to_type
+            FROM events
+        ), counts AS (
+            SELECT from_type, to_type, count(*) AS n_transitions
+            FROM steps WHERE to_type IS NOT NULL
+            GROUP BY 1, 2
+        )
+        SELECT from_type, to_type,
+               CAST(n_transitions AS BIGINT) AS n_transitions,
+               CAST((100 * n_transitions)
+                    // sum(n_transitions) OVER (PARTITION BY from_type)
+                    AS INTEGER) AS share_pct
+        FROM counts
+        """,
+    )
+    def stats_event_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-user consecutive event-type transition matrix with
+        integer row shares (round 8) — one user-keyed window shuffle,
+        |types|²-bounded output."""
+        return event_transition_matrix(load_table(spark, sf_dir, "events"))
+
     @reg(
         "asof_join_last_purchase",
         """

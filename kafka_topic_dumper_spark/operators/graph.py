@@ -415,6 +415,42 @@ def triangle_counts(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> Dat
     )
 
 
+def clustering_coefficients(
+    pairs: DataFrame, a: str = "doc_a", b: str = "doc_b"
+) -> DataFrame:
+    """Local clustering coefficient per node — how much of each
+    node's neighborhood is itself connected, the tight-clique-vs-
+    hub-collision discriminator: ``cc = 2·T(v) / (d(v)·(d(v)−1))``
+    for nodes with degree ≥ 2, reported as the floor INTEGER percent
+    ``(200·T) div (d·(d−1))`` so the score is bit-exact cross-engine.
+    Triangle counts ride :func:`triangle_counts` (degree-oriented
+    wedge join, O(m^1.5)); degrees are one map-side-combinable
+    groupBy; nodes with no triangles still appear with cc 0."""
+    edges = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    deg = (
+        edges.select(F.col("u").alias("node"))
+        .union(edges.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count("*").alias("degree"))
+        .filter(F.col("degree") >= 2)
+    )
+    tri = triangle_counts(pairs, a, b)
+    return (
+        deg.join(tri, "node", "left")
+        .select(
+            "node",
+            F.col("degree").cast("bigint").alias("degree"),
+            F.coalesce("n_triangles", F.lit(0)).cast("bigint").alias(
+                "n_triangles"
+            ),
+            F.expr(
+                "CAST((200 * coalesce(n_triangles, 0))"
+                " div (degree * (degree - 1)) AS INT)"
+            ).alias("cc_pct"),
+        )
+    )
+
+
 def pagerank_oracle_sql(
     edges_cte: str, iters: int = PR_ITERS, damping_pct: int = PR_DAMPING_PCT
 ) -> str:
@@ -510,6 +546,47 @@ def register(reg) -> None:
         once."""
         docs = load_table(spark, sf_dir, "documents")
         return triangle_counts(minhash_lsh_candidates(minhash_signatures(docs)))
+
+    @reg(
+        "graph_clustering_coefficient",
+        f"""
+        WITH {minhash_banded_cte_sql()}, cand AS (
+            SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        ), deg AS (
+            SELECT node, count(*) AS degree FROM (
+                SELECT u AS node FROM cand
+                UNION ALL SELECT v FROM cand
+            ) GROUP BY node HAVING count(*) >= 2
+        ), tri AS (
+            SELECT e1.u AS x, e1.v AS y, e2.v AS z
+            FROM cand e1
+            JOIN cand e2 ON e2.u = e1.v
+            JOIN cand e3 ON e3.u = e1.u AND e3.v = e2.v
+        ), tcnt AS (
+            SELECT node, count(*) AS n_triangles
+            FROM (SELECT unnest([x, y, z]) AS node FROM tri)
+            GROUP BY node
+        )
+        SELECT d.node,
+               CAST(d.degree AS BIGINT) AS degree,
+               CAST(coalesce(t.n_triangles, 0) AS BIGINT) AS n_triangles,
+               CAST((200 * coalesce(t.n_triangles, 0))
+                    // (d.degree * (d.degree - 1)) AS INTEGER) AS cc_pct
+        FROM deg d LEFT JOIN tcnt t ON d.node = t.node
+        """,
+    )
+    def graph_clustering_coefficient(spark: SparkSession, sf_dir: str):
+        """Local clustering coefficient over the MinHash-LSH candidate
+        graph (round 8): integer-percent neighborhood density per node
+        — near-1 for genuine duplicate cliques, near-0 for chance
+        bucket collisions around a hub."""
+        docs = load_table(spark, sf_dir, "documents")
+        return clustering_coefficients(
+            minhash_lsh_candidates(minhash_signatures(docs))
+        )
 
     @reg("graph_pagerank_supplier_network", pagerank_oracle_sql(edges_cte))
     def graph_pagerank_supplier_network(spark: SparkSession, sf_dir: str):

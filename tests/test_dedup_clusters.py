@@ -378,3 +378,20 @@ def test_triangle_counts_equal_naive(spark):
                 want[u] += 1; want[v] += 1; want[z] += 1
     assert got == dict(want)
     cand.unpersist()
+
+
+def test_clustering_coefficient_known_graphs(spark):
+    """K4 → every node cc=100%; a 3-path's middle node has degree 2,
+    no triangle, cc=0; endpoints (degree 1) are excluded."""
+    from kafka_topic_dumper_spark.operators.graph import (
+        clustering_coefficients,
+    )
+
+    k4 = [(a, b) for a in range(1, 5) for b in range(1, 5) if a < b]
+    path = [(10, 11), (11, 12)]
+    df = spark.createDataFrame(k4 + path, "doc_a long, doc_b long")
+    got = {r.node: (r.degree, r.n_triangles, r.cc_pct)
+           for r in clustering_coefficients(df).collect()}
+    assert {n: got[n] for n in (1, 2, 3, 4)} == {n: (3, 3, 100) for n in (1, 2, 3, 4)}
+    assert got[11] == (2, 0, 0)
+    assert 10 not in got and 12 not in got

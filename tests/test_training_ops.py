@@ -1062,3 +1062,32 @@ def test_groupwise_ols_matches_closed_form(spark):
         assert got[et].n_rows == n
         assert got[et].slope_cents_per_hour == slope, et
         assert got[et].intercept_cents == intercept, et
+
+
+def test_event_transition_matrix_crafted(spark):
+    """Per-user lag semantics: transitions never cross users, shares
+    are floor percents of each source type's outgoing total."""
+    import datetime as dt
+
+    from kafka_topic_dumper_spark.operators.analytics import (
+        event_transition_matrix,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        # user 1: a -> b -> a
+        (1, 1, "a", t0), (2, 1, "b", t0 + dt.timedelta(minutes=1)),
+        (3, 1, "a", t0 + dt.timedelta(minutes=2)),
+        # user 2: a -> c  (no cross-user a->a between id 3 and this)
+        (4, 2, "a", t0), (5, 2, "c", t0 + dt.timedelta(minutes=1)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp_ntz"
+    )
+    got = {(r.from_type, r.to_type): (r.n_transitions, r.share_pct)
+           for r in event_transition_matrix(df).collect()}
+    assert got == {
+        ("a", "b"): (1, 50),
+        ("a", "c"): (1, 50),
+        ("b", "a"): (1, 100),
+    }
