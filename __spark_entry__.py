@@ -104,6 +104,7 @@ _VERIFY_PRIORITY = [
     "streaming_hll_cardinality",
     "graph_clustering_coefficient",
     "stats_event_transitions",
+    "graph_label_propagation",
     # --- (c) r6-stamped cohort (45) ---
     "a4_offset_clamp",
     "dedup_quality_survivor",

@@ -30,7 +30,7 @@ reliable checkpoint() to a cluster store instead)."""
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame
+from pyspark.sql import DataFrame, Window
 from pyspark.sql import functions as F
 
 # Observability for the scale probe: sweep count of the most recent
@@ -451,6 +451,90 @@ def clustering_coefficients(
     )
 
 
+LPA_SWEEPS = 4
+
+
+def label_propagation(
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    sweeps: int = LPA_SWEEPS,
+) -> DataFrame:
+    """Community detection by SYNCHRONOUS label propagation
+    (Raghavan et al. 2007), made fully deterministic: every node
+    starts as its own label; each sweep every node adopts the most
+    frequent label among its neighbors, ties broken by the SMALLEST
+    label (the argmax is a row_number over (count DESC, label ASC) —
+    no RNG, no visit order). A fixed ``sweeps`` count rather than a
+    convergence test keeps the plan finite and the oracle an unrolled
+    CTE chain — the same discipline as the PageRank row. Communities
+    are finer than connected components: a sparse bridge between two
+    dense near-dup cliques keeps one COMPONENT but two LABEL
+    communities.
+
+    Per sweep: one edge-sized join (labels are node-sized, joined on
+    the symmetrized edge source) + one (node,label) count + one
+    per-node top-1 window — edge-linear, and the label table is
+    localCheckpointed per sweep to truncate the exponential lineage
+    (the CC/PageRank lesson)."""
+    edges = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    labels = sym.select(F.col("u").alias("node")).distinct().select(
+        "node", F.col("node").alias("lbl")
+    )
+    for _ in range(sweeps):
+        votes = (
+            sym.join(labels, sym.u == labels.node)
+            .groupBy(F.col("v").alias("nd"), "lbl")
+            .agg(F.count("*").alias("c"))
+        )
+        w = Window.partitionBy("nd").orderBy(F.col("c").desc(), F.col("lbl"))
+        labels = (
+            votes.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .select(F.col("nd").alias("node"), "lbl")
+            .localCheckpoint(eager=True)
+        )
+    sym.unpersist()
+    return labels.select("node", F.col("lbl").alias("community_id"))
+
+
+def lpa_oracle_sql(cand_cte: str, sweeps: int = LPA_SWEEPS) -> str:
+    """Unrolled DuckDB replay of :func:`label_propagation` over a
+    ``cand(u, v)`` edge CTE — one (votes, top-1) CTE pair per sweep,
+    identical (count DESC, label ASC) tie-break."""
+    parts = [
+        f"""{cand_cte}, sym AS (
+            SELECT u, v FROM cand UNION ALL SELECT v, u FROM cand
+        ), l0 AS (
+            SELECT DISTINCT u AS node, u AS lbl FROM sym
+        )"""
+    ]
+    for i in range(sweeps):
+        parts.append(f""", v{i + 1} AS (
+            SELECT e.v AS nd, l.lbl, count(*) AS c
+            FROM sym e JOIN l{i} l ON l.node = e.u
+            GROUP BY 1, 2
+        ), l{i + 1} AS (
+            SELECT nd AS node, lbl FROM (
+                SELECT nd, lbl,
+                       row_number() OVER (
+                           PARTITION BY nd ORDER BY c DESC, lbl
+                       ) AS rn
+                FROM v{i + 1}
+            ) WHERE rn = 1
+        )""")
+    return (
+        "WITH "
+        + "".join(parts)
+        + f"""
+        SELECT node, lbl AS community_id FROM l{sweeps}
+        """
+    )
+
+
 def pagerank_oracle_sql(
     edges_cte: str, iters: int = PR_ITERS, damping_pct: int = PR_DAMPING_PCT
 ) -> str:
@@ -546,6 +630,25 @@ def register(reg) -> None:
         once."""
         docs = load_table(spark, sf_dir, "documents")
         return triangle_counts(minhash_lsh_candidates(minhash_signatures(docs)))
+
+    _cand_cte = f"""{minhash_banded_cte_sql()}, cand AS (
+            SELECT DISTINCT a.doc_id AS u, b.doc_id AS v
+            FROM banded a JOIN banded b
+              ON a.band = b.band AND a.band_key = b.band_key
+             AND a.doc_id < b.doc_id
+        )"""
+
+    @reg("graph_label_propagation", lpa_oracle_sql(_cand_cte))
+    def graph_label_propagation(spark: SparkSession, sf_dir: str):
+        """Deterministic 4-sweep synchronous label-propagation
+        communities over the MinHash-LSH candidate graph (round 8):
+        finer than connected components — dense near-dup cliques keep
+        their own label across a sparse bridge. Bit-exact vs the
+        unrolled DuckDB sweep chain."""
+        docs = load_table(spark, sf_dir, "documents")
+        return label_propagation(
+            minhash_lsh_candidates(minhash_signatures(docs))
+        )
 
     @reg(
         "graph_clustering_coefficient",

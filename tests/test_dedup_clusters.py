@@ -395,3 +395,21 @@ def test_clustering_coefficient_known_graphs(spark):
     assert {n: got[n] for n in (1, 2, 3, 4)} == {n: (3, 3, 100) for n in (1, 2, 3, 4)}
     assert got[11] == (2, 0, 0)
     assert 10 not in got and 12 not in got
+
+
+def test_label_propagation_splits_bridged_cliques(spark):
+    """Two triangles joined by one bridge edge: ONE connected
+    component but TWO label-propagation communities — the density
+    signal CC cannot express. Deterministic labels verified against
+    the hand-computed synchronous sweep."""
+    from kafka_topic_dumper_spark.operators.graph import label_propagation
+
+    edges = [(1, 2), (1, 3), (2, 3), (4, 5), (4, 6), (5, 6), (3, 4)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {r.node: r.community_id for r in label_propagation(df).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 4: 3, 5: 3, 6: 3}
+    comp = {
+        r.node: r.component_id
+        for r in connected_components(df, "doc_a", "doc_b").collect()
+    }
+    assert len(set(comp.values())) == 1  # one component, two communities
