@@ -105,6 +105,7 @@ _VERIFY_PRIORITY = [
     "graph_clustering_coefficient",
     "stats_event_transitions",
     "graph_label_propagation",
+    "streaming_bloom_admission",
     # --- (c) r6-stamped cohort (45) ---
     "a4_offset_clamp",
     "dedup_quality_survivor",

@@ -303,27 +303,48 @@ def bloom_admission(
     differential: Bloom false positives are a deterministic function
     of the md5-derived (a, b) literals (functions/portable_hash.
     bloom_params), so both engines flag the IDENTICAL docs."""
-    from kafka_topic_dumper_spark.functions.portable_hash import bloom_params
+    f = bloom_fingerprints(docs)
+    corpus = f.filter(F.col("doc_id") % batch_mod != 0)
+    batch = f.filter(F.col("doc_id") % batch_mod == 0)
+    bits = (
+        corpus.select(F.explode(bloom_positions(m, j)).alias("bit")).distinct()
+    )  # ≤ m rows — the whole filter state
+    return bloom_admit(batch, bits, corpus.select("x").distinct(), m, j)
 
-    f = docs.select(
+
+def bloom_fingerprints(docs: DataFrame) -> DataFrame:
+    """(doc_id, x) normalized-text fingerprint hashes — stateless, so
+    it applies unchanged to a STREAMING DataFrame (the streaming Bloom
+    row reuses it)."""
+    return docs.select(
         "doc_id",
         F.expr(f"{h32_spark_sql(_NORM_FP)} % {HASH_DOMAIN31}").alias("x"),
     )
-    corpus = f.filter(F.col("doc_id") % batch_mod != 0)
-    batch = f.filter(F.col("doc_id") % batch_mod == 0)
 
-    pos = F.array(
+
+def bloom_positions(m: int = BLOOM_BITS, j: int = BLOOM_HASHES):
+    """array<long> of the j bit positions for the hash in column x."""
+    from kafka_topic_dumper_spark.functions.portable_hash import bloom_params
+
+    return F.array(
         *[
             F.expr(f"(({a} * x + {b}) % {MERSENNE61}) % {m}")
             for a, b in bloom_params(j)
         ]
     )
-    bits = (
-        corpus.select(F.explode(pos).alias("bit")).distinct()
-    )  # ≤ m rows — the whole filter state
-    known = corpus.select("x").distinct()
 
-    probes = batch.select("doc_id", "x", F.explode(pos).alias("bit"))
+
+def bloom_admit(
+    batch: DataFrame,
+    bits: DataFrame,
+    known: DataFrame,
+    m: int = BLOOM_BITS,
+    j: int = BLOOM_HASHES,
+) -> DataFrame:
+    """Admission verdicts for ``batch`` (doc_id, x) against a set-bit
+    table ``bits`` (bit) — however built, batch or drained from a
+    stream — plus the exact ``known`` (x) set for error surfacing."""
+    probes = batch.select("doc_id", "x", F.explode(bloom_positions(m, j)).alias("bit"))
     maybe = (
         probes.join(F.broadcast(bits), "bit")
         .groupBy("doc_id", "x")
@@ -1375,6 +1396,60 @@ def minhash_banded_cte_sql(k: int = 32, bands: int = 8) -> str:
         )"""
 
 
+def bloom_oracle_sql() -> str:
+    """DuckDB replay of the Bloom admission verdicts — shared by the
+    batch row and the streaming-drained-bits row (identical by
+    construction: bit-set union is associative, commutative and
+    idempotent, so batch boundaries cannot change the filter)."""
+    from kafka_topic_dumper_spark.functions.portable_hash import bloom_params
+
+    _bloom_fp = h32_duckdb_sql(
+        r"md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"
+    )
+    _bloom_pos = [
+        f"(({a} * x + {b}) % {MERSENNE61}) % {BLOOM_BITS}"
+        for a, b in bloom_params(BLOOM_HASHES)
+    ]
+    _bits_union = "\n                UNION ALL\n                ".join(
+        f"SELECT {p} AS bit FROM corpus" for p in _bloom_pos
+    )
+    _probe_union = "\n                UNION ALL\n                ".join(
+        f"SELECT doc_id, x, {p} AS bit FROM batch" for p in _bloom_pos
+    )
+
+    return f"""
+        WITH f AS (
+            SELECT doc_id, ({_bloom_fp} % {HASH_DOMAIN31}) AS x
+            FROM documents
+        ), corpus AS (
+            SELECT doc_id, x FROM f WHERE doc_id % {INCR_BATCH_MOD} != 0
+        ), batch AS (
+            SELECT doc_id, x FROM f WHERE doc_id % {INCR_BATCH_MOD} = 0
+        ), bits AS (
+            SELECT DISTINCT bit FROM (
+                {_bits_union}
+            )
+        ), known AS (
+            SELECT DISTINCT x FROM corpus
+        ), probes AS (
+            {_probe_union}
+        ), maybe AS (
+            SELECT doc_id FROM probes JOIN bits USING (bit)
+            GROUP BY doc_id, x HAVING count(*) = {BLOOM_HASHES}
+        )
+        SELECT b.doc_id,
+               CAST(CASE WHEN mb.doc_id IS NOT NULL THEN 1 ELSE 0 END
+                    AS INTEGER) AS maybe_known,
+               CAST(CASE WHEN k.x IS NOT NULL THEN 1 ELSE 0 END
+                    AS INTEGER) AS actually_known,
+               CAST(CASE WHEN mb.doc_id IS NOT NULL AND k.x IS NULL
+                    THEN 1 ELSE 0 END AS INTEGER) AS false_positive
+        FROM batch b
+        LEFT JOIN maybe mb ON b.doc_id = mb.doc_id
+        LEFT JOIN known k ON b.x = k.x
+        """
+
+
 def register(reg) -> None:
     @reg(
         "dedup_exact",
@@ -1542,56 +1617,7 @@ def register(reg) -> None:
         this corpus, not just fast."""
         return setsim_prefix_join_pairs(load_table(spark, sf_dir, "documents"))
 
-    from kafka_topic_dumper_spark.functions.portable_hash import bloom_params
-
-    _bloom_fp = h32_duckdb_sql(
-        r"md5(trim(regexp_replace(lower(text), '\s+', ' ', 'g')))"
-    )
-    _bloom_pos = [
-        f"(({a} * x + {b}) % {MERSENNE61}) % {BLOOM_BITS}"
-        for a, b in bloom_params(BLOOM_HASHES)
-    ]
-    _bits_union = "\n                UNION ALL\n                ".join(
-        f"SELECT {p} AS bit FROM corpus" for p in _bloom_pos
-    )
-    _probe_union = "\n                UNION ALL\n                ".join(
-        f"SELECT doc_id, x, {p} AS bit FROM batch" for p in _bloom_pos
-    )
-
-    @reg(
-        "dedup_bloom_admission",
-        f"""
-        WITH f AS (
-            SELECT doc_id, ({_bloom_fp} % {HASH_DOMAIN31}) AS x
-            FROM documents
-        ), corpus AS (
-            SELECT doc_id, x FROM f WHERE doc_id % {INCR_BATCH_MOD} != 0
-        ), batch AS (
-            SELECT doc_id, x FROM f WHERE doc_id % {INCR_BATCH_MOD} = 0
-        ), bits AS (
-            SELECT DISTINCT bit FROM (
-                {_bits_union}
-            )
-        ), known AS (
-            SELECT DISTINCT x FROM corpus
-        ), probes AS (
-            {_probe_union}
-        ), maybe AS (
-            SELECT doc_id FROM probes JOIN bits USING (bit)
-            GROUP BY doc_id, x HAVING count(*) = {BLOOM_HASHES}
-        )
-        SELECT b.doc_id,
-               CAST(CASE WHEN mb.doc_id IS NOT NULL THEN 1 ELSE 0 END
-                    AS INTEGER) AS maybe_known,
-               CAST(CASE WHEN k.x IS NOT NULL THEN 1 ELSE 0 END
-                    AS INTEGER) AS actually_known,
-               CAST(CASE WHEN mb.doc_id IS NOT NULL AND k.x IS NULL
-                    THEN 1 ELSE 0 END AS INTEGER) AS false_positive
-        FROM batch b
-        LEFT JOIN maybe mb ON b.doc_id = mb.doc_id
-        LEFT JOIN known k ON b.x = k.x
-        """,
-    )
+    @reg("dedup_bloom_admission", bloom_oracle_sql())
     def dedup_bloom_admission(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Bloom-filter batch admission (round 8): fixed-m broadcast
         state instead of corpus-cardinality state, false positives

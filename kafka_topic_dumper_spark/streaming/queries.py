@@ -488,6 +488,53 @@ def register(reg) -> None:
         )
         return hll_estimate_from_registers(spark.table(name), exact)
 
+    # Streaming Bloom filter — the third streaming sketch beside CMS
+    # and HLL, completing the trio: the SET-BIT TABLE is the streaming
+    # state (complete-mode distinct over bit positions, ≤ m rows
+    # forever; set-union is associative, commutative and idempotent).
+    # The corpus side streams in; the drained bits then admit the
+    # batch side through the same verdict assembly as the batch row,
+    # against the same oracle.
+    from kafka_topic_dumper_spark.operators.dedup import (
+        INCR_BATCH_MOD,
+        bloom_admit,
+        bloom_fingerprints,
+        bloom_oracle_sql,
+        bloom_positions,
+    )
+
+    @reg("streaming_bloom_admission", bloom_oracle_sql())
+    def streaming_bloom_admission(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Bloom admission whose corpus bit-set is built incrementally
+        over a 4-micro-batch stream (round 8): stream → stateless
+        fingerprint/bit projection → complete-mode distinct-bit state →
+        drain → batch-side admission verdicts from the streamed
+        filter."""
+        stream = (
+            spark.readStream.schema("doc_id long, text string")
+            .option("maxFilesPerTrigger", 1)
+            .parquet(_docs_split_stream_input(spark, sf_dir))
+        )
+        corpus_bits = (
+            bloom_fingerprints(stream)
+            .filter(F.col("doc_id") % INCR_BATCH_MOD != 0)
+            .select(F.explode(bloom_positions()).alias("bit"))
+            .groupBy("bit")
+            .agg(F.count("*").alias("n"))
+        )
+        name = f"streaming_bloom_sink_{next(_SINK_SEQ)}"
+        _drain(corpus_bits, name, output_mode="complete")
+        f = bloom_fingerprints(load_table(spark, sf_dir, "documents"))
+        batch = f.filter(F.col("doc_id") % INCR_BATCH_MOD == 0)
+        known = (
+            f.filter(F.col("doc_id") % INCR_BATCH_MOD != 0)
+            .select("x")
+            .distinct()
+        )
+        return bloom_admit(batch, spark.table(name).select("bit"), known)
+
     # Streaming session windows: gap-based sessionization through the
     # REAL session_window operator with merge-on-overlap state. The
     # oracle is the batch gaps-and-islands with the operator's exact

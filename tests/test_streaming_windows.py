@@ -531,3 +531,48 @@ def test_streaming_hll_registers_equal_batch(spark):
     from collections import Counter
     per_source = Counter(s for s, _ in got)
     assert per_source and max(per_source.values()) <= 64
+
+
+def test_streaming_bloom_bits_equal_batch(spark):
+    """The Bloom bit set built over 4 micro-batches must equal the
+    batch-built set exactly (set union is associative, commutative,
+    idempotent), and stay bounded by m."""
+    from pyspark.sql import functions as F
+
+    from kafka_topic_dumper_spark.operators.dedup import (
+        BLOOM_BITS,
+        INCR_BATCH_MOD,
+        bloom_fingerprints,
+        bloom_positions,
+    )
+    from kafka_topic_dumper_spark.sources.tables import load_table
+    from kafka_topic_dumper_spark.streaming.queries import (
+        _docs_split_stream_input,
+        _drain,
+    )
+
+    sf = "/root/testdata/sf0.001"
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(_docs_split_stream_input(spark, sf))
+    )
+    _drain(
+        bloom_fingerprints(stream)
+        .filter(F.col("doc_id") % INCR_BATCH_MOD != 0)
+        .select(F.explode(bloom_positions()).alias("bit"))
+        .groupBy("bit")
+        .agg(F.count("*").alias("n")),
+        "bloom_bits_twin_sink",
+        output_mode="complete",
+    )
+    got = {r.bit for r in spark.table("bloom_bits_twin_sink").collect()}
+    want = {
+        r.bit
+        for r in bloom_fingerprints(load_table(spark, sf, "documents"))
+        .filter(F.col("doc_id") % INCR_BATCH_MOD != 0)
+        .select(F.explode(bloom_positions()).alias("bit"))
+        .distinct()
+        .collect()
+    }
+    assert got == want and 0 < len(got) <= BLOOM_BITS
