@@ -229,6 +229,33 @@ def probes(t: dict[str, DataFrame], r: int = 1):
 
         return text.bm25_topk(t["documents"])
 
+    def triangles():
+        # the R-sized near-dup cliques make the candidate graph
+        # triangle-RICH (each k-clique holds C(k,3) triangles): the
+        # claim under test is that degree orientation keeps the wedge
+        # join bounded by out-degree² (≤ (k-1)²/4-ish per clique
+        # member), never raw degree² — clique density must not go
+        # quadratic in R beyond the answer itself
+        from kafka_topic_dumper_spark.operators.graph import triangle_counts
+
+        return triangle_counts(
+            dedup.minhash_lsh_candidates(
+                dedup.minhash_signatures(t["documents"])
+            )
+        )
+
+    def lpa():
+        # 4 synchronous sweeps, each one edge join + one (node,label)
+        # count + one per-node top-1 window — edge-linear per sweep
+        # with per-sweep localCheckpoint, same discipline as PageRank
+        from kafka_topic_dumper_spark.operators.graph import label_propagation
+
+        return label_propagation(
+            dedup.minhash_lsh_candidates(
+                dedup.minhash_signatures(t["documents"])
+            )
+        )
+
     def setsim():
         # answer-shaped quadratic on this corpus: the replica variants
         # of each doc form R-sized near-dup cliques at J ≥ 80%, so the
@@ -493,6 +520,8 @@ def probes(t: dict[str, DataFrame], r: int = 1):
         "text_bm25_topk": bm25,
         "dedup_setsim_prefix_join": setsim,
         "dedup_editdist_join": editdist,
+        "graph_triangle_counts": triangles,
+        "graph_label_propagation": lpa,
         "text_bpe_pair_counts": bpe_pairs,
         "layout_zorder_events": zorder,
         "pipeline_tokenize_pack_ids": tok_pack,
