@@ -104,7 +104,10 @@ def _drain(stream_df: DataFrame, name: str, output_mode: str = "append"):
         raise RuntimeError(f"streaming drain of {name!r} exceeded 300 s")
     base = name.rsplit("_", 1)[0]
     prev = _LAST_SINK.get(base)
-    if prev is not None:
+    # prev == name happens when a FIXED sink name is drained twice in
+    # one session (twin tests) — dropping it would delete the view
+    # that was just written
+    if prev is not None and prev != name:
         stream_df.sparkSession.catalog.dropTempView(prev)
     _LAST_SINK[base] = name
 
@@ -153,7 +156,12 @@ def _split_stream_input(
     ``repartitionByRange`` keeps the split distributed (one range
     shuffle — the same primitive a 100 TB backfill replay would use);
     partition k lands in the k-th part file."""
-    key = (table, sf_dir, n_files, range_cols)
+    # cols MUST be part of the key: two callers over the same table
+    # with different projections would otherwise collide and the later
+    # one would read files missing its columns (found by the r8 suite
+    # when the 3-col HLL split landed on the cached 2-col docs split —
+    # schema-on-read silently yielded NULL source for every row)
+    key = (table, sf_dir, n_files, range_cols, cols)
     if key not in _STREAM_INPUT_CACHE:
         import atexit
         import shutil
