@@ -99,13 +99,27 @@ def test_zorder_write_prunes_2d_predicates(spark, tmp_path):
     events = load_table(spark, "/root/testdata/sf0.01", "events")
     zpath = str(tmp_path / "events_z")
     tpath = str(tmp_path / "events_t")
-    write_zordered(events, zpath, n_files=16)
-    (
-        events.repartitionByRange(16, "ts")
-        .sortWithinPartitions("ts")
-        .write.mode("overwrite")
-        .parquet(tpath)
-    )
+    # repartitionByRange picks boundaries from a SAMPLE whose seed
+    # varies with session history (RDD id), so boundary luck — not the
+    # layout — can cost a few files and flake the threshold when the
+    # full suite runs first. Sampling 10k rows/partition covers the
+    # 10k-row table: boundaries become exact quantiles, and the test
+    # measures the LAYOUT, deterministically.
+    prev = spark.conf.get("spark.sql.execution.rangeExchange.sampleSizePerPartition", None)
+    spark.conf.set("spark.sql.execution.rangeExchange.sampleSizePerPartition", "10000")
+    try:
+        write_zordered(events, zpath, n_files=16)
+        (
+            events.repartitionByRange(16, "ts")
+            .sortWithinPartitions("ts")
+            .write.mode("overwrite")
+            .parquet(tpath)
+        )
+    finally:
+        if prev is None:
+            spark.conf.unset("spark.sql.execution.rangeExchange.sampleSizePerPartition")
+        else:
+            spark.conf.set("spark.sql.execution.rangeExchange.sampleSizePerPartition", prev)
 
     # identical contents either way
     za = spark.read.parquet(zpath)
