@@ -106,6 +106,7 @@ _VERIFY_PRIORITY = [
     "stats_event_transitions",
     "graph_label_propagation",
     "streaming_bloom_admission",
+    "source_orc_roundtrip",
     # --- (c) r6-stamped cohort (45) ---
     "a4_offset_clamp",
     "dedup_quality_survivor",

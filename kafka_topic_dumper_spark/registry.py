@@ -603,10 +603,11 @@ def register_extensions() -> None:
     from kafka_topic_dumper_spark.streaming import queries as streaming_queries
 
     from kafka_topic_dumper_spark.operators import graph
+    from kafka_topic_dumper_spark.sources import ingest as ingest_sources
 
     for mod in (
         dedup, similarity, text, multimodal, analytics, tpch_full, packing,
-        layout, bpe, graph, streaming_queries,
+        layout, bpe, graph, streaming_queries, ingest_sources,
     ):
         mod.register(_register)
 

@@ -125,3 +125,19 @@ def test_streaming_ingest_quarantine_and_idempotent_restart(spark, tmp_path):
     q2.awaitTermination(120)
     assert spark.read.parquet(out + "/clean").count() == 6
     assert read_quarantine(spark, out).count() == 1
+
+
+def test_orc_roundtrip_preserves_documents(spark, tmp_path):
+    """Native ORC write+read must preserve every row and column of the
+    corpus exactly (schema included) — the second columnar format."""
+    from kafka_topic_dumper_spark.sources.ingest import read_orc, write_orc
+    from kafka_topic_dumper_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    path = str(tmp_path / "docs_orc")
+    write_orc(docs, path)
+    back = read_orc(spark, path)
+    assert back.schema == docs.schema
+    want = sorted(map(tuple, docs.collect()))
+    got = sorted(map(tuple, back.collect()))
+    assert got == want
