@@ -107,6 +107,8 @@ _VERIFY_PRIORITY = [
     "graph_label_propagation",
     "streaming_bloom_admission",
     "source_orc_roundtrip",
+    "source_jsonl_roundtrip",
+    "source_csv_roundtrip",
     # --- (c) r6-stamped cohort (45) ---
     "a4_offset_clamp",
     "dedup_quality_survivor",

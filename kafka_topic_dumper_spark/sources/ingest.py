@@ -222,7 +222,67 @@ def orc_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
     return read_orc(spark, _ORC_CACHE[key])
 
 
+def _roundtrip_cache(spark: SparkSession, sf_dir: str, fmt: str) -> DataFrame:
+    """documents materialized once per (process, sf_dir, fmt) in the
+    given text format, then read back through the PERMISSIVE quarantine
+    reader (jsonl/csv) or the native reader (orc)."""
+    key = (f"documents_{fmt}", sf_dir)
+    if key not in _ORC_CACHE:
+        import atexit
+        import shutil
+        import tempfile
+
+        root = tempfile.mkdtemp(prefix=f"{fmt}_roundtrip_")
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        path = f"{root}/documents_{fmt}"
+        from kafka_topic_dumper_spark.sources.tables import load_table
+
+        docs = load_table(spark, sf_dir, "documents")
+        if fmt == "jsonl":
+            docs.write.mode("overwrite").json(path)
+        elif fmt == "csv":
+            docs.write.mode("overwrite").option("header", "true").csv(path)
+        else:
+            raise ValueError(fmt)
+        _ORC_CACHE[key] = path
+    path = _ORC_CACHE[key]
+    reader = read_jsonl if fmt == "jsonl" else read_csv
+    return reader(spark, path)
+
+
 def register(reg) -> None:
+    _ROUNDTRIP_ORACLE = """
+        SELECT doc_id, md5(text) AS text_md5, lang, source,
+               CAST(n_chars AS BIGINT) AS n_chars
+        FROM documents
+        """
+
+    def _emit(df: DataFrame) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.md5("text").alias("text_md5"),
+            "lang",
+            "source",
+            F.col("n_chars").cast("bigint").alias("n_chars"),
+        )
+
+    @reg("source_jsonl_roundtrip", _ROUNDTRIP_ORACLE)
+    def source_jsonl_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """documents → JSONL write → PERMISSIVE quarantine reader
+        (round 8): the text landing format round-trips byte-exact
+        (JSON escaping carries any character) with zero rows
+        quarantined, against the parquet-backed oracle."""
+        d = _roundtrip_cache(spark, sf_dir, "jsonl")
+        return _emit(d.filter(F.col(CORRUPT_COL).isNull()))
+
+    @reg("source_csv_roundtrip", _ROUNDTRIP_ORACLE)
+    def source_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """documents → CSV write (quoted) → PERMISSIVE quarantine
+        reader (round 8): same byte-exact round-trip contract through
+        the second text format."""
+        d = _roundtrip_cache(spark, sf_dir, "csv")
+        return _emit(d.filter(F.col(CORRUPT_COL).isNull()))
+
     @reg(
         "source_orc_roundtrip",
         """
