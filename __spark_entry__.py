@@ -109,6 +109,7 @@ _VERIFY_PRIORITY = [
     "source_orc_roundtrip",
     "source_jsonl_roundtrip",
     "source_csv_roundtrip",
+    "stats_hourly_autocorrelation",
     # --- (c) r6-stamped cohort (45) ---
     "a4_offset_clamp",
     "dedup_quality_survivor",

@@ -464,7 +464,102 @@ def event_transition_matrix(events: DataFrame) -> DataFrame:
     )
 
 
+def hourly_autocorrelation(events: DataFrame) -> DataFrame:
+    """Lag-1 Pearson autocorrelation of the hourly event-count series
+    per event type — the burstiness/periodicity diagnostic. Adjacent
+    hours pair by an EQUI-JOIN on ``h+1`` (hours with a gap simply
+    contribute no pair) instead of a lag window over a globally
+    ordered series — no single-partition global sort anywhere, the
+    same discipline as the prefix-sum family.
+
+    Exactness: counts are integers, so all five sums are exact int64;
+    the final ``(nΣxy−ΣxΣy)/√((nΣxx−Σx²)(nΣyy−Σy²))`` is four IEEE
+    operations (two int64→double conversions per operand group, one
+    multiply, one CORRECTLY-ROUNDED sqrt — sqrt is an IEEE 754 basic
+    operation, bit-identical everywhere — one divide) over identical
+    operand values in both engines. Constant series (zero variance)
+    are filtered out rather than emitting NaN (NaN never compares
+    equal, in any engine)."""
+    from kafka_topic_dumper_spark.functions.ntz_time import trunc_hour_ntz
+
+    hc = events.groupBy(
+        "event_type", trunc_hour_ntz("ts").alias("h")
+    ).agg(F.count("*").alias("c"))
+    nxt = hc.select(
+        "event_type",
+        F.expr("h + INTERVAL 1 HOUR").alias("h"),
+        F.col("c").alias("y"),
+    )
+    pairs = hc.select("event_type", "h", F.col("c").alias("x")).join(
+        nxt, ["event_type", "h"]
+    )
+    agg = pairs.groupBy("event_type").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    return (
+        agg.filter(
+            (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx") > 0)
+            & (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy") > 0)
+        )
+        .select(
+            "event_type",
+            F.col("n").cast("bigint").alias("n_pairs"),
+            (
+                (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+                    "double"
+                )
+                / F.sqrt(
+                    (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                    .cast("double")
+                    * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+                    .cast("double")
+                )
+            ).alias("lag1_autocorr"),
+        )
+    )
+
+
 def register(reg) -> None:
+    @reg(
+        "stats_hourly_autocorrelation",
+        """
+        WITH hc AS (
+            SELECT event_type, date_trunc('hour', ts) AS h,
+                   count(*) AS c
+            FROM events GROUP BY 1, 2
+        ), pairs AS (
+            SELECT a.event_type, a.c AS x, b.c AS y
+            FROM hc a JOIN hc b
+              ON a.event_type = b.event_type
+             AND b.h = a.h + INTERVAL 1 HOUR
+        ), agg AS (
+            SELECT event_type, count(*) AS n, sum(x) AS sx, sum(y) AS sy,
+                   sum(x * y) AS sxy, sum(x * x) AS sxx, sum(y * y) AS syy
+            FROM pairs GROUP BY 1
+        )
+        SELECT event_type,
+               CAST(n AS BIGINT) AS n_pairs,
+               CAST(n * sxy - sx * sy AS DOUBLE)
+                   / sqrt(CAST(n * sxx - sx * sx AS DOUBLE)
+                          * CAST(n * syy - sy * sy AS DOUBLE))
+                   AS lag1_autocorr
+        FROM agg
+        WHERE n * sxx - sx * sx > 0 AND n * syy - sy * sy > 0
+        """,
+    )
+    def stats_hourly_autocorrelation(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Per-type lag-1 autocorrelation of hourly event counts
+        (round 8): adjacency by equi-join, exact integer sums, one
+        correctly-rounded sqrt — bit-identical doubles cross-engine."""
+        return hourly_autocorrelation(load_table(spark, sf_dir, "events"))
+
     @reg(
         "stats_event_transitions",
         """

@@ -1091,3 +1091,33 @@ def test_event_transition_matrix_crafted(spark):
         ("a", "c"): (1, 50),
         ("b", "a"): (1, 100),
     }
+
+
+def test_hourly_autocorrelation_known_series(spark):
+    """A linearly increasing hourly series has lag-1 r = 1.0 exactly;
+    a constant series is filtered (zero variance, never NaN)."""
+    import datetime as dt
+
+    from kafka_topic_dumper_spark.operators.analytics import (
+        hourly_autocorrelation,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = []
+    eid = 0
+    # "up": counts 1,2,3,4 across four consecutive hours
+    for h, n in enumerate([1, 2, 3, 4]):
+        for _ in range(n):
+            eid += 1
+            rows.append((eid, 1, "up", t0 + dt.timedelta(hours=h, minutes=eid % 50)))
+    # "flat": constant 2 per hour — zero variance, must be filtered
+    for h in range(4):
+        for _ in range(2):
+            eid += 1
+            rows.append((eid, 1, "flat", t0 + dt.timedelta(hours=h, minutes=eid % 50)))
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp_ntz"
+    )
+    got = {r.event_type: r for r in hourly_autocorrelation(df).collect()}
+    assert set(got) == {"up"}
+    assert got["up"].n_pairs == 3 and got["up"].lag1_autocorr == 1.0
