@@ -110,6 +110,7 @@ _VERIFY_PRIORITY = [
     "source_jsonl_roundtrip",
     "source_csv_roundtrip",
     "stats_hourly_autocorrelation",
+    "text_tfidf_keywords",
     # --- (c) r6-stamped cohort (45) ---
     "a4_offset_clamp",
     "dedup_quality_survivor",

@@ -520,6 +520,54 @@ def hll_estimate_from_registers(regs: DataFrame, exact: DataFrame) -> DataFrame:
     )
 
 
+TFIDF_TOPK = 3
+
+
+def tfidf_keywords(docs: DataFrame, k: int = TFIDF_TOPK) -> DataFrame:
+    """Top-``k`` keywords per document by TF-IDF — LOG-FREE: the usual
+    ``tf·log(N/df)`` ranks documents' terms identically to the
+    rational ``tf·N/df`` whenever only the ORDER matters (log is
+    monotone in df for fixed tf... it is not jointly monotone, so this
+    is a deliberately different, fully-specified scoring: raw rarity
+    weight instead of damped). The score is one exact int64 product
+    (tf·N) and ONE IEEE division by df — deterministic cross-engine —
+    with (score DESC, token ASC) total order, so the per-doc top-k is
+    bit-reproducible.
+
+    Plan: term frequencies are one (doc, token) groupBy; document
+    frequencies one token-keyed groupBy joined back on the token key
+    (the same inverted-index shuffle everything else here rides); the
+    per-doc top-k is a WindowGroupLimit-eligible row_number — partial
+    top-k before the doc-keyed exchange, never a full per-doc sort at
+    the reducer."""
+    toks = _tokens()
+    tf = (
+        docs.select("doc_id", F.explode(toks).alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count("*").alias("tf"))
+    )
+    df_ = tf.groupBy("tok").agg(F.count("*").alias("df"))
+    n_docs = docs.count()
+    scored = tf.join(df_, "tok").select(
+        "doc_id",
+        "tok",
+        (
+            (F.col("tf") * F.lit(n_docs)).cast("double") / F.col("df").cast("double")
+        ).alias("score"),
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("score").desc(), "tok")
+    return (
+        scored.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= k)
+        .select(
+            "doc_id",
+            F.col("tok").alias("keyword"),
+            F.col("rnk").cast("int").alias("rnk"),
+            "score",
+        )
+    )
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
     """Token counting: whitespace tokens, BPE-ish regex pieces
     (letter-runs | digits | single punctuation), distinct tokens, and
@@ -2074,6 +2122,42 @@ def register(reg) -> None:
         HyperLogLog (round 8); exact count alongside to expose the
         approximation error; fixed 64-row state per group."""
         return hll_shingle_cardinality(load_table(spark, sf_dir, "documents"))
+
+    @reg(
+        "text_tfidf_keywords",
+        r"""
+        WITH tf AS (
+            SELECT doc_id, unnest(string_split_regex(lower(text), '\s+'))
+                       AS tok
+            FROM documents
+        ), tfc AS (
+            SELECT doc_id, tok, count(*) AS tf FROM tf GROUP BY 1, 2
+        ), dfc AS (
+            SELECT tok, count(*) AS df FROM tfc GROUP BY 1
+        ), scored AS (
+            SELECT t.doc_id, t.tok,
+                   CAST(t.tf * (SELECT count(*) FROM documents) AS DOUBLE)
+                       / CAST(d.df AS DOUBLE) AS score
+            FROM tfc t JOIN dfc d ON t.tok = d.tok
+        )
+        SELECT doc_id, tok AS keyword,
+               CAST(rnk AS INTEGER) AS rnk, score
+        FROM (
+            SELECT doc_id, tok, score,
+                   row_number() OVER (
+                       PARTITION BY doc_id ORDER BY score DESC, tok
+                   ) AS rnk
+            FROM scored
+        )
+        WHERE rnk <= 3
+        """,
+    )
+    def text_tfidf_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Top-3 keywords per doc by the log-free tf·N/df score
+        (round 8): one exact integer product, one IEEE division,
+        deterministic (score DESC, token ASC) order — bit-reproducible
+        keyword sets cross-engine."""
+        return tfidf_keywords(load_table(spark, sf_dir, "documents"))
 
     @reg("text_cms_heavy_hitters", cms_oracle_sql())
     def text_cms_heavy_hitters(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -1121,3 +1121,25 @@ def test_hourly_autocorrelation_known_series(spark):
     got = {r.event_type: r for r in hourly_autocorrelation(df).collect()}
     assert set(got) == {"up"}
     assert got["up"].n_pairs == 3 and got["up"].lag1_autocorr == 1.0
+
+
+def test_tfidf_keywords_rank_semantics(spark):
+    """A term unique to one doc must outrank corpus-wide terms; exactly
+    k rows per doc with ranks 1..k."""
+    from kafka_topic_dumper_spark.operators.text import tfidf_keywords
+
+    rows = [
+        (1, "common common common unique common"),
+        (2, "common words here common"),
+        (3, "common words also common common"),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    got = {
+        (r.doc_id, r.rnk): r.keyword for r in tfidf_keywords(df, k=2).collect()
+    }
+    # doc 1: 'unique' df=1 score 1*3/1=3 < 'common' tf=4 score 4*3/3=4
+    assert got[(1, 1)] == "common" and got[(1, 2)] == "unique"
+    # doc 2: 'here' (df=1, score 3.0) > 'common' (tf=2, score 2.0)
+    #        > 'words' (df=2, score 1.5)
+    assert got[(2, 1)] == "here" and got[(2, 2)] == "common"
+    assert len(got) == 6
