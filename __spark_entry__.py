@@ -111,6 +111,7 @@ _VERIFY_PRIORITY = [
     "source_csv_roundtrip",
     "stats_hourly_autocorrelation",
     "text_tfidf_keywords",
+    "stats_gini_by_segment",
     # --- (c) r6-stamped cohort (45) ---
     "a4_offset_clamp",
     "dedup_quality_survivor",

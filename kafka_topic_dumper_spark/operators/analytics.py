@@ -524,7 +524,81 @@ def hourly_autocorrelation(events: DataFrame) -> DataFrame:
     )
 
 
+def gini_by_segment(orders: DataFrame, customer: DataFrame) -> DataFrame:
+    """Gini coefficient of order value per market segment — the
+    inequality/concentration diagnostic (is revenue dominated by a few
+    whale orders?): ``G = (2·Σ i·x_i − (n+1)·Σx) / (n·Σx)`` over the
+    ascending-sorted values. Ranks come from a row_number PARTITIONED
+    by segment (a bounded-cardinality dimension — this is a per-group
+    sort, never a single-partition global window), values are exact
+    integer cents with an o_orderkey tie-break, so both Σ terms are
+    exact int64 and the single final division is the only IEEE
+    operation — bit-exact cross-engine. int64 headroom: Σ i·x tops out
+    ~10^16 here; at ~10^9 rows per segment move the sums to DECIMAL
+    (functions/exact_money.py rationale)."""
+    from kafka_topic_dumper_spark.functions.exact_money import cents
+
+    vals = orders.join(
+        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        orders.o_custkey == F.col("c_custkey"),
+    ).select(
+        F.col("c_mktsegment").alias("segment"),
+        cents(F.col("o_totalprice")).alias("x"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("segment").orderBy("x", "o_orderkey")
+    ranked = vals.withColumn("i", F.row_number().over(w))
+    agg = ranked.groupBy("segment").agg(
+        F.count("*").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    return agg.select(
+        "segment",
+        F.col("n").cast("bigint").alias("n_orders"),
+        (
+            (
+                2 * F.col("six") - (F.col("n") + 1) * F.col("sx")
+            ).cast("double")
+            / (F.col("n") * F.col("sx")).cast("double")
+        ).alias("gini"),
+    )
+
+
 def register(reg) -> None:
+    @reg(
+        "stats_gini_by_segment",
+        """
+        WITH vals AS (
+            SELECT c.c_mktsegment AS segment,
+                   CAST(round(o.o_totalprice * 100, 0) AS BIGINT) AS x,
+                   o.o_orderkey
+            FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        ), ranked AS (
+            SELECT segment, x,
+                   row_number() OVER (
+                       PARTITION BY segment ORDER BY x, o_orderkey
+                   ) AS i
+            FROM vals
+        ), agg AS (
+            SELECT segment, count(*) AS n, sum(x) AS sx, sum(i * x) AS six
+            FROM ranked GROUP BY 1
+        )
+        SELECT segment,
+               CAST(n AS BIGINT) AS n_orders,
+               CAST(2 * six - (n + 1) * sx AS DOUBLE)
+                   / CAST(n * sx AS DOUBLE) AS gini
+        FROM agg
+        """,
+    )
+    def stats_gini_by_segment(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-segment Gini of order value (round 8): exact integer
+        ranks and sums, one IEEE division — bit-identical doubles."""
+        return gini_by_segment(
+            load_table(spark, sf_dir, "orders"),
+            load_table(spark, sf_dir, "customer"),
+        )
+
     @reg(
         "stats_hourly_autocorrelation",
         """

@@ -1143,3 +1143,21 @@ def test_tfidf_keywords_rank_semantics(spark):
     #        > 'words' (df=2, score 1.5)
     assert got[(2, 1)] == "here" and got[(2, 2)] == "common"
     assert len(got) == 6
+
+
+def test_gini_known_distributions(spark):
+    """Equal values give G=0; one order holding all the value among 4
+    gives the textbook (2*400-500)/400 = 0.75."""
+    from kafka_topic_dumper_spark.operators.analytics import gini_by_segment
+
+    cust = spark.createDataFrame(
+        [(1, "EQ"), (2, "SKEW")], "c_custkey long, c_mktsegment string"
+    )
+    orders = spark.createDataFrame(
+        [(i, 1, 5.00) for i in range(1, 5)]
+        + [(10, 2, 0.00), (11, 2, 0.00), (12, 2, 0.00), (13, 2, 1.00)],
+        "o_orderkey long, o_custkey long, o_totalprice double",
+    )
+    got = {r.segment: r for r in gini_by_segment(orders, cust).collect()}
+    assert got["EQ"].gini == 0.0 and got["EQ"].n_orders == 4
+    assert got["SKEW"].gini == 0.75 and got["SKEW"].n_orders == 4
