@@ -112,6 +112,7 @@ _VERIFY_PRIORITY = [
     "stats_hourly_autocorrelation",
     "text_tfidf_keywords",
     "stats_gini_by_segment",
+    "stats_hourly_ohlc",
     # --- (c) r6-stamped cohort (45) ---
     "a4_offset_clamp",
     "dedup_quality_survivor",

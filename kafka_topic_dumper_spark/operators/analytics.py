@@ -565,7 +565,86 @@ def gini_by_segment(orders: DataFrame, customer: DataFrame) -> DataFrame:
     )
 
 
+def hourly_ohlc(events: DataFrame) -> DataFrame:
+    """OHLC (open-high-low-close) bars per (event_type, hour) — the
+    time-series downsampling primitive: open/close are the first/last
+    value under the deterministic (ts, event_id) total order,
+    high/low plain min/max. Both row_number windows share ONE
+    (event_type, hour) exchange (two sort orders over the same
+    partitioning); values are exact integer cents, so every output is
+    integer — nothing float anywhere. Hour truncation rides the
+    timezone-independent NTZ arithmetic (functions/ntz_time.py)."""
+    from kafka_topic_dumper_spark.functions.exact_money import cents
+    from kafka_topic_dumper_spark.functions.ntz_time import trunc_hour_ntz
+
+    base = events.select(
+        "event_type",
+        trunc_hour_ntz("ts").alias("window_start"),
+        cents(F.col("value")).alias("v"),
+        "ts",
+        "event_id",
+    )
+    wa = Window.partitionBy("event_type", "window_start").orderBy(
+        "ts", "event_id"
+    )
+    wd = Window.partitionBy("event_type", "window_start").orderBy(
+        F.col("ts").desc(), F.col("event_id").desc()
+    )
+    return (
+        base.withColumn("ra", F.row_number().over(wa))
+        .withColumn("rd", F.row_number().over(wd))
+        .groupBy("event_type", "window_start")
+        .agg(
+            F.count("*").cast("bigint").alias("n_events"),
+            F.max(F.when(F.col("ra") == 1, F.col("v")))
+            .cast("bigint")
+            .alias("open_cents"),
+            F.max("v").cast("bigint").alias("high_cents"),
+            F.min("v").cast("bigint").alias("low_cents"),
+            F.max(F.when(F.col("rd") == 1, F.col("v")))
+            .cast("bigint")
+            .alias("close_cents"),
+        )
+    )
+
+
 def register(reg) -> None:
+    @reg(
+        "stats_hourly_ohlc",
+        """
+        WITH base AS (
+            SELECT event_type, date_trunc('hour', ts) AS window_start,
+                   CAST(round(value * 100, 0) AS BIGINT) AS v,
+                   ts, event_id
+            FROM events
+        ), ranked AS (
+            SELECT *,
+                   row_number() OVER (
+                       PARTITION BY event_type, window_start
+                       ORDER BY ts, event_id
+                   ) AS ra,
+                   row_number() OVER (
+                       PARTITION BY event_type, window_start
+                       ORDER BY ts DESC, event_id DESC
+                   ) AS rd
+            FROM base
+        )
+        SELECT event_type, window_start,
+               CAST(count(*) AS BIGINT) AS n_events,
+               CAST(max(CASE WHEN ra = 1 THEN v END) AS BIGINT)
+                   AS open_cents,
+               CAST(max(v) AS BIGINT) AS high_cents,
+               CAST(min(v) AS BIGINT) AS low_cents,
+               CAST(max(CASE WHEN rd = 1 THEN v END) AS BIGINT)
+                   AS close_cents
+        FROM ranked GROUP BY 1, 2
+        """,
+    )
+    def stats_hourly_ohlc(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Hourly OHLC bars per event type (round 8): first/last by the
+        deterministic (ts, event_id) order, all-integer outputs."""
+        return hourly_ohlc(load_table(spark, sf_dir, "events"))
+
     @reg(
         "stats_gini_by_segment",
         """

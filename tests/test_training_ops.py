@@ -1161,3 +1161,31 @@ def test_gini_known_distributions(spark):
     got = {r.segment: r for r in gini_by_segment(orders, cust).collect()}
     assert got["EQ"].gini == 0.0 and got["EQ"].n_orders == 4
     assert got["SKEW"].gini == 0.75 and got["SKEW"].n_orders == 4
+
+
+def test_hourly_ohlc_order_semantics(spark):
+    """Open is the FIRST value by (ts, event_id) and close the LAST —
+    including the same-timestamp tie broken by event_id."""
+    import datetime as dt
+
+    from kafka_topic_dumper_spark.operators.analytics import hourly_ohlc
+
+    t0 = dt.datetime(2024, 1, 1, 9, 0)
+    rows = [
+        (2, 1, "buy", 5.00, t0),                      # same ts, higher id
+        (1, 1, "buy", 3.00, t0),                      # same ts, lower id → open
+        (3, 1, "buy", 9.00, t0 + dt.timedelta(minutes=30)),
+        (4, 1, "buy", 1.00, t0 + dt.timedelta(minutes=59)),  # close
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string, value double,"
+        " ts timestamp_ntz",
+    )
+    out = hourly_ohlc(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    assert (r.open_cents, r.high_cents, r.low_cents, r.close_cents) == (
+        300, 900, 100, 100,
+    )
+    assert r.n_events == 4
