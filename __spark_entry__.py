@@ -113,6 +113,7 @@ _VERIFY_PRIORITY = [
     "text_tfidf_keywords",
     "stats_gini_by_segment",
     "stats_hourly_ohlc",
+    "graph_pagerank_weighted",
     # --- (c) r6-stamped cohort (45) ---
     "a4_offset_clamp",
     "dedup_quality_survivor",

@@ -413,3 +413,29 @@ def test_label_propagation_splits_bridged_cliques(spark):
         for r in connected_components(df, "doc_a", "doc_b").collect()
     }
     assert len(set(comp.values())) == 1  # one component, two communities
+
+
+def test_weighted_pagerank_reduces_and_shifts(spark):
+    """With all weights 1 the weighted recurrence is IDENTICAL to the
+    unweighted engine (wtot = deg, (1*r) div wtot = r div deg); making
+    one edge heavy shifts rank toward its target."""
+    from kafka_topic_dumper_spark.operators.graph import (
+        pagerank_fixed_point,
+        pagerank_weighted,
+    )
+
+    base = [(1, 2), (2, 1), (1, 3), (3, 1), (2, 3), (3, 2)]
+    ew = spark.createDataFrame(
+        [(s, d, 1) for s, d in base], "src long, dst long, w long"
+    )
+    eu = spark.createDataFrame(base, "src long, dst long")
+    got_w = {r.node: r.r for r in pagerank_weighted(ew).collect()}
+    got_u = {r.node: r.r for r in pagerank_fixed_point(eu).collect()}
+    assert got_w == got_u
+
+    heavy = spark.createDataFrame(
+        [(s, d, 10 if (s, d) == (1, 2) else 1) for s, d in base],
+        "src long, dst long, w long",
+    )
+    got_h = {r.node: r.r for r in pagerank_weighted(heavy).collect()}
+    assert got_h[2] > got_w[2] and got_h[3] < got_w[3]
