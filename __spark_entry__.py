@@ -114,6 +114,7 @@ _VERIFY_PRIORITY = [
     "stats_gini_by_segment",
     "stats_hourly_ohlc",
     "graph_pagerank_weighted",
+    "text_vocab_growth",
     # --- (c) r6-stamped cohort (45) ---
     "a4_offset_clamp",
     "dedup_quality_survivor",

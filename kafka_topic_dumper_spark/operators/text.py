@@ -568,6 +568,43 @@ def tfidf_keywords(docs: DataFrame, k: int = TFIDF_TOPK) -> DataFrame:
     )
 
 
+def vocab_growth(docs: DataFrame, buckets: int = 32) -> DataFrame:
+    """Vocabulary growth curve (the Heaps'-law statistic) over BIGRAM
+    vocabulary in doc_id ingestion order: for every doc that
+    introduces at least one new bigram, the number introduced and the
+    cumulative vocabulary size after it. The curve is how corpus
+    curation decides when more data stops buying lexical diversity.
+
+    Distributed shape: first-occurrence doc per bigram is ONE
+    min-aggregation on the inverted-index shuffle; new-per-doc is a
+    doc-keyed count; the cumulative sum rides the two-phase
+    distributed prefix sum (packing.ordered_prefix_sum keyed on
+    doc_id) — never a single-partition running total. The oracle
+    replays the cumsum as a serial window, so the hash-match proves
+    the distributed scan equal to the serial one."""
+    from kafka_topic_dumper_spark.operators.packing import ordered_prefix_sum
+
+    bg = (
+        docs.select("doc_id", _tokens().alias("toks"))
+        .select("doc_id", F.explode(F.expr(_BIGRAMS)).alias("bigram"))
+        .distinct()
+    )
+    first = bg.groupBy("bigram").agg(F.min("doc_id").alias("first_doc"))
+    news = first.groupBy(F.col("first_doc").alias("doc_id")).agg(
+        F.count("*").alias("new_bigrams")
+    )
+    ps = ordered_prefix_sum(news, "doc_id", "new_bigrams", buckets=buckets)
+    if ps is None:
+        return docs.sparkSession.createDataFrame(
+            [], "doc_id long, new_bigrams long, vocab_size long"
+        )
+    return ps.select(
+        "doc_id",
+        F.col("new_bigrams").cast("bigint").alias("new_bigrams"),
+        (F.col("s") + F.col("new_bigrams")).cast("bigint").alias("vocab_size"),
+    )
+
+
 def token_stats(docs: DataFrame) -> DataFrame:
     """Token counting: whitespace tokens, BPE-ish regex pieces
     (letter-runs | digits | single punctuation), distinct tokens, and
@@ -2122,6 +2159,38 @@ def register(reg) -> None:
         HyperLogLog (round 8); exact count alongside to expose the
         approximation error; fixed 64-row state per group."""
         return hll_shingle_cardinality(load_table(spark, sf_dir, "documents"))
+
+    @reg(
+        "text_vocab_growth",
+        r"""
+        WITH bg AS (
+            SELECT DISTINCT doc_id,
+                   unnest(list_transform(range(1, len(t)),
+                          i -> t[i] || ' ' || t[i+1])) AS bigram
+            FROM (
+                SELECT doc_id,
+                       string_split_regex(lower(text), '\s+') AS t
+                FROM documents
+            )
+        ), first AS (
+            SELECT bigram, min(doc_id) AS first_doc FROM bg GROUP BY 1
+        ), news AS (
+            SELECT first_doc AS doc_id, count(*) AS new_bigrams
+            FROM first GROUP BY 1
+        )
+        SELECT doc_id,
+               CAST(new_bigrams AS BIGINT) AS new_bigrams,
+               CAST(sum(new_bigrams) OVER (ORDER BY doc_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                    AS BIGINT) AS vocab_size
+        FROM news
+        """,
+    )
+    def text_vocab_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Bigram vocabulary growth curve in ingestion order (round 8)
+        — first occurrences from the inverted-index shuffle, cumsum
+        via the distributed prefix sum; oracle replays it serially."""
+        return vocab_growth(load_table(spark, sf_dir, "documents"))
 
     @reg(
         "text_tfidf_keywords",

@@ -1189,3 +1189,30 @@ def test_hourly_ohlc_order_semantics(spark):
         300, 900, 100, 100,
     )
     assert r.n_events == 4
+
+
+def test_vocab_growth_invariants(spark):
+    """vocab_size is strictly increasing along doc order and its final
+    value equals the corpus's total distinct-bigram count."""
+    from pyspark.sql import functions as F
+
+    from kafka_topic_dumper_spark.operators.text import (
+        _BIGRAMS,
+        _tokens,
+        vocab_growth,
+    )
+    from kafka_topic_dumper_spark.sources.tables import load_table
+
+    docs = load_table(spark, "/root/testdata/sf0.001", "documents")
+    curve = sorted(vocab_growth(docs).collect(), key=lambda r: r.doc_id)
+    assert curve
+    sizes = [r.vocab_size for r in curve]
+    assert all(b > a for a, b in zip(sizes, sizes[1:]))
+    assert sizes[-1] == sum(r.new_bigrams for r in curve)
+    total = (
+        docs.select("doc_id", _tokens().alias("toks"))
+        .select(F.explode(F.expr(_BIGRAMS)).alias("b"))
+        .distinct()
+        .count()
+    )
+    assert sizes[-1] == total
