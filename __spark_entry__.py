@@ -115,6 +115,7 @@ _VERIFY_PRIORITY = [
     "stats_hourly_ohlc",
     "graph_pagerank_weighted",
     "text_vocab_growth",
+    "graph_hits_scores",
     # --- (c) r6-stamped cohort (45) ---
     "a4_offset_clamp",
     "dedup_quality_survivor",

@@ -661,6 +661,113 @@ def pagerank_weighted_oracle_sql(
         """
 
 
+HITS_ITERS = 4
+HITS_SCALE = 1_000_000
+
+
+def hits_scores(
+    edges: DataFrame, iters: int = HITS_ITERS
+) -> DataFrame:
+    """HITS hubs & authorities (Kleinberg 1999) over directed
+    (src → dst) edges in INTEGER fixed point: each sweep is
+    ``a(d) = Σ h(src)`` then ``h(s) = Σ a(dst)``, each followed by
+    max-normalization ``x' = (x·SCALE) div max(x)`` — an integer floor
+    against a deterministic scalar, so the whole iteration is
+    bit-exact cross-engine (the L2 normalization of the textbook needs
+    sqrt of a SUM and a per-element divide — replacing it with
+    max-normalization preserves the ranking fixed point and keeps
+    every intermediate int64: h ≤ SCALE ⇒ a ≤ deg·SCALE ≤ ~10^13).
+
+    Plan: per sweep, one edge-sized join + dst-keyed sum, the max as a
+    1-row broadcast crossJoin (in-plan, metadata-sized — no driver
+    collect), then the mirrored pass for hubs; per-sweep
+    localCheckpoint truncates the lineage like the PageRank/CC
+    engines. Output: one row per node with its role-appropriate score
+    (hub for sources, authority for destinations)."""
+    edges = edges.persist()
+    h = (
+        edges.select(F.col("src").alias("node"))
+        .distinct()
+        .select("node", F.lit(HITS_SCALE).cast("long").alias("x"))
+    )
+    a = None
+    for _ in range(iters):
+        # the scalar maxima travel the metadata plane (a 1-row first()
+        # off a checkpointed table, embedded as a literal) — the same
+        # discipline as ordered_prefix_sum's bucket bases; a broadcast
+        # crossJoin of the aggregate would re-plan the whole lineage
+        # inside each broadcast-exchange thread
+        raw_a = (
+            edges.join(h, edges.src == h.node)
+            .groupBy(F.col("dst").alias("node"))
+            .agg(F.sum("x").alias("raw"))
+            .localCheckpoint(eager=True)
+        )
+        amx = raw_a.agg(F.max("raw")).first()[0]
+        a = raw_a.select(
+            "node", F.expr(f"(raw * {HITS_SCALE}) div {amx}").alias("x")
+        )
+        raw_h = (
+            edges.join(a, edges.dst == a.node)
+            .groupBy(F.col("src").alias("node"))
+            .agg(F.sum("x").alias("raw"))
+            .localCheckpoint(eager=True)
+        )
+        hmx = raw_h.agg(F.max("raw")).first()[0]
+        h = raw_h.select(
+            "node", F.expr(f"(raw * {HITS_SCALE}) div {hmx}").alias("x")
+        )
+    out = h.select(
+        "node", F.lit("hub").alias("role"), F.col("x").alias("score")
+    ).union(
+        a.select("node", F.lit("authority").alias("role"), F.col("x").alias("score"))
+    )
+    edges.unpersist()
+    return out
+
+
+def hits_oracle_sql(edges_cte: str, iters: int = HITS_ITERS) -> str:
+    """Unrolled DuckDB replay of :func:`hits_scores` — one (raw-a,
+    norm-a, raw-h, norm-h) CTE quartet per sweep, identical integer
+    floors against the identical scalar maxima. Every step CTE is
+    MATERIALIZED: DuckDB inlines plain CTEs, and each quartet
+    references its predecessor twice (main branch + the scalar max
+    subquery), so inlining re-evaluates the chain 2^(2·iters) times —
+    materialization keeps the replay linear like the Spark loop."""
+    steps = [
+        f"""h0 AS MATERIALIZED (
+            SELECT DISTINCT src AS node, CAST({HITS_SCALE} AS BIGINT) AS x
+            FROM edges
+        )"""
+    ]
+    for i in range(1, iters + 1):
+        steps.append(f""", ra{i} AS MATERIALIZED (
+            SELECT e.dst AS node, sum(h.x) AS raw
+            FROM edges e JOIN h{i - 1} h ON e.src = h.node
+            GROUP BY 1
+        ), a{i} AS MATERIALIZED (
+            SELECT node,
+                   (raw * {HITS_SCALE}) // (SELECT max(raw) FROM ra{i}) AS x
+            FROM ra{i}
+        ), rh{i} AS MATERIALIZED (
+            SELECT e.src AS node, sum(a.x) AS raw
+            FROM edges e JOIN a{i} a ON e.dst = a.node
+            GROUP BY 1
+        ), h{i} AS MATERIALIZED (
+            SELECT node,
+                   (raw * {HITS_SCALE}) // (SELECT max(raw) FROM rh{i}) AS x
+            FROM rh{i}
+        )""")
+    chain = "".join(steps)
+    return f"""
+        WITH {edges_cte}, {chain}
+        SELECT node, 'hub' AS role, CAST(x AS BIGINT) AS score FROM h{iters}
+        UNION ALL
+        SELECT node, 'authority' AS role, CAST(x AS BIGINT) AS score
+        FROM a{iters}
+        """
+
+
 def register(reg) -> None:
     from pyspark.sql import SparkSession
 
@@ -813,6 +920,32 @@ def register(reg) -> None:
             pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"), "w")
         )
         return pagerank_weighted(edges)
+
+    hits_edges_cte = """edges AS (
+            SELECT DISTINCT o.o_custkey * 2 AS src,
+                   l.l_suppkey * 2 + 1 AS dst
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+        )"""
+
+    @reg("graph_hits_scores", hits_oracle_sql(hits_edges_cte))
+    def graph_hits_scores(spark: SparkSession, sf_dir: str):
+        """HITS over the directed customer→supplier purchase graph
+        (round 8): customers scored as HUBS (breadth of well-connected
+        suppliers they buy from), suppliers as AUTHORITIES (weight of
+        well-connected buyers) — the complementary centrality to
+        PageRank. Integer fixed point with max-normalization,
+        bit-exact vs the unrolled quartet chain."""
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders")
+        edges = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .select(
+                (F.col("o_custkey") * 2).alias("src"),
+                (F.col("l_suppkey") * 2 + 1).alias("dst"),
+            )
+            .distinct()
+        )
+        return hits_scores(edges)
 
     @reg("graph_pagerank_supplier_network", pagerank_oracle_sql(edges_cte))
     def graph_pagerank_supplier_network(spark: SparkSession, sf_dir: str):

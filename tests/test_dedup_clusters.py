@@ -439,3 +439,36 @@ def test_weighted_pagerank_reduces_and_shifts(spark):
     )
     got_h = {r.node: r.r for r in pagerank_weighted(heavy).collect()}
     assert got_h[2] > got_w[2] and got_h[3] < got_w[3]
+
+
+def test_hits_matches_python_replay(spark):
+    """Integer max-normalized HITS replayed exactly in pure Python on a
+    small bipartite graph — floors and maxima at the identical points."""
+    from kafka_topic_dumper_spark.operators.graph import (
+        HITS_ITERS,
+        HITS_SCALE,
+        hits_scores,
+    )
+
+    E = [(1, 10), (1, 11), (2, 10), (3, 11), (3, 12)]
+    df = spark.createDataFrame(E, "src long, dst long")
+    got = {(r.node, r.role): r.score for r in hits_scores(df).collect()}
+
+    h = {s: HITS_SCALE for s, _ in E}
+    a: dict = {}
+    for _ in range(HITS_ITERS):
+        raw_a: dict = {}
+        for s, d in E:
+            raw_a[d] = raw_a.get(d, 0) + h[s]
+        mx = max(raw_a.values())
+        a = {d: (v * HITS_SCALE) // mx for d, v in raw_a.items()}
+        raw_h: dict = {}
+        for s, d in E:
+            raw_h[s] = raw_h.get(s, 0) + a[d]
+        mx = max(raw_h.values())
+        h = {s: (v * HITS_SCALE) // mx for s, v in raw_h.items()}
+    want = {(n, "hub"): v for n, v in h.items()}
+    want |= {(n, "authority"): v for n, v in a.items()}
+    assert got == want
+    # the breadth hub (1: two strong authorities) tops the ranking
+    assert got[(1, "hub")] == HITS_SCALE
