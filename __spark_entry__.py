@@ -116,6 +116,7 @@ _VERIFY_PRIORITY = [
     "graph_pagerank_weighted",
     "text_vocab_growth",
     "graph_hits_scores",
+    "stats_interarrival_quartiles",
     # --- (c) r6-stamped cohort (45) ---
     "a4_offset_clamp",
     "dedup_quality_survivor",

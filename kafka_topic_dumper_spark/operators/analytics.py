@@ -608,7 +608,72 @@ def hourly_ohlc(events: DataFrame) -> DataFrame:
     )
 
 
+def interarrival_quartiles(events: DataFrame) -> DataFrame:
+    """Quartiles of the PER-USER inter-arrival gap (seconds) by event
+    type — the activity-cadence diagnostic. Gaps come from a lag
+    window PARTITIONED by (user_id, event_type) under the
+    deterministic (ts, event_id) order (never a global sort); gaps are
+    exact INTEGER MICROSECONDS — the native precision, so there is no
+    truncate-vs-boundary-count ambiguity (Spark's
+    timestampdiff(SECOND) truncates while DuckDB's
+    date_diff('second') counts crossings: off by one whenever
+    timestamps carry sub-second parts — found by this row's first
+    differential) — and the quarter-fraction percentile interpolation
+    is bit-exact cross-engine (the stats_exact_percentiles
+    discipline)."""
+    w = Window.partitionBy("user_id", "event_type").orderBy(
+        "ts", "event_id"
+    )
+    gaps = (
+        events.withColumn("prev_ts", F.lag("ts").over(w))
+        .filter(F.col("prev_ts").isNotNull())
+        .select(
+            "event_type",
+            F.expr(
+                "CAST(timestampdiff(MICROSECOND, prev_ts, ts) AS BIGINT)"
+            ).alias("gap_us"),
+        )
+    )
+    pct = F.expr("percentile(gap_us, array(0.25D, 0.50D, 0.75D))")
+    return gaps.groupBy("event_type").agg(
+        F.count("*").cast("bigint").alias("n_gaps"),
+        pct.getItem(0).alias("p25_gap_us"),
+        pct.getItem(1).alias("p50_gap_us"),
+        pct.getItem(2).alias("p75_gap_us"),
+        F.max("gap_us").cast("bigint").alias("max_gap_us"),
+    )
+
+
 def register(reg) -> None:
+    @reg(
+        "stats_interarrival_quartiles",
+        """
+        WITH gaps AS (
+            SELECT event_type,
+                   CAST(date_diff('microsecond',
+                        lag(ts) OVER (PARTITION BY user_id, event_type
+                                      ORDER BY ts, event_id),
+                        ts) AS BIGINT) AS gap_us
+            FROM events
+        )
+        SELECT event_type,
+               CAST(count(*) AS BIGINT) AS n_gaps,
+               quantile_cont(gap_us, 0.25) AS p25_gap_us,
+               quantile_cont(gap_us, 0.50) AS p50_gap_us,
+               quantile_cont(gap_us, 0.75) AS p75_gap_us,
+               CAST(max(gap_us) AS BIGINT) AS max_gap_us
+        FROM gaps WHERE gap_us IS NOT NULL
+        GROUP BY 1
+        """,
+    )
+    def stats_interarrival_quartiles(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Per-type quartiles of the per-user event inter-arrival gap
+        (round 8): integer microseconds, quarter-fraction
+        interpolation — bit-exact cross-engine."""
+        return interarrival_quartiles(load_table(spark, sf_dir, "events"))
+
     @reg(
         "stats_hourly_ohlc",
         """

@@ -1216,3 +1216,30 @@ def test_vocab_growth_invariants(spark):
         .count()
     )
     assert sizes[-1] == total
+
+
+def test_interarrival_gaps_never_cross_users(spark):
+    """Gaps are per (user, type): two users interleaved in time must
+    not create cross-user gaps; microsecond exactness preserved."""
+    import datetime as dt
+
+    from kafka_topic_dumper_spark.operators.analytics import (
+        interarrival_quartiles,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    rows = [
+        (1, 1, "a", t0),
+        (2, 2, "a", t0 + dt.timedelta(seconds=1)),       # other user between
+        (3, 1, "a", t0 + dt.timedelta(seconds=10, microseconds=500000)),
+        (4, 2, "a", t0 + dt.timedelta(seconds=2)),
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp_ntz"
+    )
+    out = interarrival_quartiles(df).collect()
+    assert len(out) == 1
+    r = out[0]
+    # user1 gap 10.5s = 10_500_000 us, user2 gap 1s = 1_000_000 us
+    assert r.n_gaps == 2 and r.max_gap_us == 10_500_000
+    assert r.p50_gap_us == (10_500_000 + 1_000_000) / 2
