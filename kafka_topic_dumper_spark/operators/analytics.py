@@ -538,8 +538,12 @@ def gini_by_segment(orders: DataFrame, customer: DataFrame) -> DataFrame:
     (functions/exact_money.py rationale)."""
     from kafka_topic_dumper_spark.functions.exact_money import cents
 
+    # no broadcast hint: customer is SF-PROPORTIONAL (the r4/r5 policy
+    # the plan lint enforces — this exact line reintroduced one and the
+    # lint caught it); AQE still broadcasts from runtime stats while
+    # the dimension fits
     vals = orders.join(
-        F.broadcast(customer.select("c_custkey", "c_mktsegment")),
+        customer.select("c_custkey", "c_mktsegment"),
         orders.o_custkey == F.col("c_custkey"),
     ).select(
         F.col("c_mktsegment").alias("segment"),
