@@ -27,14 +27,52 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Verification-priority order. Each round's driver checks the FIRST ~50
-# declared queries, so this list is rotated per round. Round-8 rotation
-# (r7 verdict, item 1): after r7 the latest stamps were 50xr7 / 45xr6 /
-# 47xr5 — the oldest (r5) cohort LEADS, new r8 rows follow so they get
-# stamped in the same window, then r6, then r7. Ordering only —
-# coverage is always the full set.
+# declared queries, so this list is rotated per round. Round-9 rotation:
+# no r8 driver verify ran, so latest stamps are 50xr7 / 45xr6 / 47xr5
+# and the 32 round-8 additions are unstamped. Order: never-stamped (32)
+# -> r5 cohort (47) -> r6 (45) -> r7 (50); r9 additions get appended to
+# (a) as they land. Ordering only — coverage is always the full set.
 _VERIFY_PRIORITY = [
-    # --- (a) r5-stamped cohort (47) — two rounds old after the r7
-    # rotation; they LEAD the r8 window (r7 verdict item 1) ---
+    # --- (a) round-9 additions + round-8 additions (32) — NEVER
+    # driver-stamped (no r8 driver verify ran); they lead the r9 window ---
+    "multimodal_decode_mjpeg",
+    "streaming_hopping_rollup",
+    "sample_weighted_priority",
+    "graph_kcore",
+    "multimodal_decode_jpeg",
+    "streaming_interval_join",
+    "similarity_topk_rp",
+    "text_unicode_normalize",
+    "graph_pagerank_supplier_network",
+    "dedup_ngram_containment",
+    "dedup_setsim_prefix_join",
+    "curation_pareto_frontier",
+    "text_cms_heavy_hitters",
+    "dedup_bloom_admission",
+    "dedup_editdist_join",
+    "text_hll_shingle_cardinality",
+    "streaming_cms_heavy_hitters",
+    "stats_equidepth_histogram",
+    "stats_groupwise_ols",
+    "graph_triangle_counts",
+    "streaming_hll_cardinality",
+    "graph_clustering_coefficient",
+    "stats_event_transitions",
+    "graph_label_propagation",
+    "streaming_bloom_admission",
+    "source_orc_roundtrip",
+    "source_jsonl_roundtrip",
+    "source_csv_roundtrip",
+    "stats_hourly_autocorrelation",
+    "text_tfidf_keywords",
+    "stats_gini_by_segment",
+    "stats_hourly_ohlc",
+    "graph_pagerank_weighted",
+    "text_vocab_growth",
+    "graph_hits_scores",
+    "stats_interarrival_quartiles",
+    # --- (b) r5-stamped cohort (47) — oldest stamps on the board;
+    # the planned r8 rotation never executed, so they follow ---
     "p3_hot_reload_predicate",
     "a1_latest_dump_id",
     "a2_argmax_latest_state",
@@ -82,41 +120,6 @@ _VERIFY_PRIORITY = [
     "join_full_outer_reconcile",
     "approx_aggregates",
     "pipeline_quality_dedup_pack",
-    # --- (b) NEW round-8 rows (never driver-stamped) are inserted
-    # here as they land, so they share the ~50-query window with the
-    # tail of the r5 cohort ---
-    "multimodal_decode_jpeg",
-    "streaming_interval_join",
-    "similarity_topk_rp",
-    "text_unicode_normalize",
-    "graph_pagerank_supplier_network",
-    "dedup_ngram_containment",
-    "dedup_setsim_prefix_join",
-    "curation_pareto_frontier",
-    "text_cms_heavy_hitters",
-    "dedup_bloom_admission",
-    "dedup_editdist_join",
-    "text_hll_shingle_cardinality",
-    "streaming_cms_heavy_hitters",
-    "stats_equidepth_histogram",
-    "stats_groupwise_ols",
-    "graph_triangle_counts",
-    "streaming_hll_cardinality",
-    "graph_clustering_coefficient",
-    "stats_event_transitions",
-    "graph_label_propagation",
-    "streaming_bloom_admission",
-    "source_orc_roundtrip",
-    "source_jsonl_roundtrip",
-    "source_csv_roundtrip",
-    "stats_hourly_autocorrelation",
-    "text_tfidf_keywords",
-    "stats_gini_by_segment",
-    "stats_hourly_ohlc",
-    "graph_pagerank_weighted",
-    "text_vocab_growth",
-    "graph_hits_scores",
-    "stats_interarrival_quartiles",
     # --- (c) r6-stamped cohort (45) ---
     "a4_offset_clamp",
     "dedup_quality_survivor",
@@ -163,7 +166,7 @@ _VERIFY_PRIORITY = [
     "streaming_dedup_exact",
     "streaming_merge_latest_state",
     "streaming_user_sessions",
-    # --- (d) r7-stamped cohort (50, freshest) ---
+    # --- (d) r7-stamped cohort (50) — freshest ---
     "q2_cheapest_supplier",
     "q7_nation_volume_shipping",
     "q8_nation_market_share",
