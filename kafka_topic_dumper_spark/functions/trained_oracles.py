@@ -361,3 +361,80 @@ def jpeg_decode_oracle_sql(sf_dir: str) -> str:
         SELECT * FROM (VALUES {rows})
         AS _j(doc_id, width, height, n_pixels, pixel_sum)
         """
+
+
+# --- Motion-JPEG decode replay (round 9) -----------------------------------
+#
+# The MJPEG registry row (operators/multimodal.py synth_mjpeg_video →
+# decode_mjpeg_frames) is the AVI-container composition of the JPEG
+# pipeline: k = doc_id % 3 + 1 frames per document, frame raster
+# p[i] = (doc_id + 11·f + i) % 256, and a 33333 µs frame clock. The
+# replay below reuses the SAME independent integer-DCT replay per
+# frame (see the JPEG note above for why entropy coding is excluded:
+# it is lossless, so the quantized coefficients are the whole
+# information content — the differential therefore also proves the
+# kernel's container walk + per-frame Huffman round trip lossless and
+# the header-derived ms timestamps exact).
+
+
+def _mjpeg_frame_sum(d: int, f: int) -> tuple:
+    """(width, height, pixel_sum) for one decoded MJPEG frame — the
+    fixed-integer-codec expectation, replayed independently."""
+    import numpy as np
+
+    M = np.array(_JPEG_M_ROWS, dtype=np.int64)
+    Q = np.array(_JPEG_Q_ROWS, dtype=np.int64)
+    HALF = 1 << 25
+    w, h = 8 + d % 9, 8 + d % 7
+    p = ((d + 11 * f + np.arange(w * h, dtype=np.int64)) % 256).reshape(h, w)
+    H8, W8 = -(-h // 8) * 8, -(-w // 8) * 8
+    img = np.pad(p, ((0, H8 - h), (0, W8 - w)), mode="edge")
+    blocks = (
+        img.reshape(H8 // 8, 8, W8 // 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(-1, 8, 8)
+        - 128
+    )
+    F = (np.matmul(np.matmul(M, blocks), M.T) + HALF) >> 26
+    q = np.where(F >= 0, (F * 2 + Q) // (2 * Q), -(((-F) * 2 + Q) // (2 * Q)))
+    P = (np.matmul(np.matmul(M.T, q * Q), M) + HALF) >> 26
+    rec = np.clip(P + 128, 0, 255)
+    rec = (
+        rec.reshape(H8 // 8, W8 // 8, 8, 8)
+        .transpose(0, 2, 1, 3)
+        .reshape(H8, W8)[:h, :w]
+    )
+    return w, h, int(rec.sum())
+
+
+@lru_cache(maxsize=8)
+def _mjpeg_expected_rows(sf_dir: str) -> tuple:
+    """(doc_id, frame_idx, frame_offset_ms, width, height, pixel_sum)
+    per decoded frame, replayed independently of the kernel."""
+    import duckdb
+
+    ids = [
+        r[0]
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+        ).fetchall()
+    ]
+    out = []
+    for d in ids:
+        d = int(d)
+        for f in range(d % 3 + 1):
+            w, h, s = _mjpeg_frame_sum(d, f)
+            out.append((d, f, f * 33333 // 1000, w, h, s))
+    return tuple(out)
+
+
+def mjpeg_decode_oracle_sql(sf_dir: str) -> str:
+    rows = ",\n               ".join(
+        f"(CAST({d} AS BIGINT), CAST({f} AS INTEGER), CAST({ms} AS BIGINT),"
+        f" CAST({w} AS INTEGER), CAST({h} AS INTEGER), CAST({s} AS BIGINT))"
+        for d, f, ms, w, h, s in _mjpeg_expected_rows(sf_dir)
+    )
+    return f"""
+        SELECT * FROM (VALUES {rows})
+        AS _m(doc_id, frame_idx, frame_offset_ms, width, height, pixel_sum)
+        """

@@ -1667,6 +1667,186 @@ def decode_jpeg_images(payloads: DataFrame) -> DataFrame:
     return payloads.mapInPandas(run, schema=_JPEG_DECODE_SCHEMA)
 
 
+# --- Motion-JPEG video (AVI container × baseline JPEG codec) ---------------
+#
+# Round 9: the last video stub falls. A REAL compressed-video path is
+# the composition of the two real pieces this repo already owns: the
+# RIFF/AVI container walk (frame chunking, even-padding, header-driven
+# timestamps) and the from-scratch baseline-JPEG codec (fixed-point
+# integer DCT). Motion-JPEG is exactly that composition — every video
+# frame is an independent baseline-JPEG stream in a '00dc' chunk — so
+# unlike H.264 (inter-frame prediction, CABAC; thousands of lines of
+# spec machinery that would add no new Spark-side structure) it is
+# honestly implementable from scratch and keeps the decoded output
+# deterministic for the fixed integer decoder, which is what lets the
+# registry row be literal-oracled by the independent replay in
+# functions/trained_oracles.py.
+
+# 30000/1001-style odd frame clock (33333 µs ≈ 29.97 fps) so the
+# ms-timestamp floor division is exercised with a non-round quotient.
+_MJPEG_US_PER_FRAME = 33333
+
+
+def synth_mjpeg_video(docs: DataFrame) -> DataFrame:
+    """Deterministic REAL Motion-JPEG AVI containers: RIFF('AVI ')
+    with a LIST('hdrl') holding the avih main header AND a
+    LIST('strl') stream header (fccType 'vids', fccHandler 'MJPG' —
+    the real MJPEG-in-AVI signature), then a LIST('movi') of
+    k = doc_id %% 3 + 1 '00dc' (compressed) frame chunks, each a
+    spec-conformant baseline JPEG of the greyscale raster
+    p[i] = (doc_id + 11·frame + i) %% 256 at w = 8 + doc_id %% 9,
+    h = 8 + doc_id %% 7 encoded by the from-scratch integer-DCT
+    encoder."""
+    _ensure_arrow_batch(docs)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+        import pandas as _pd
+
+        def chunk(tag: bytes, body: bytes) -> bytes:
+            return tag + struct.pack("<I", len(body)) + body + (
+                b"\x00" if len(body) & 1 else b""
+            )
+
+        def lst(kind: bytes, body: bytes) -> bytes:
+            return b"LIST" + struct.pack("<I", 4 + len(body)) + kind + body
+
+        for pdf in batches:
+            payloads = []
+            for doc_id in pdf["doc_id"]:
+                d = int(doc_id)
+                w = 8 + d % 9
+                h = 8 + d % 7
+                k = d % 3 + 1
+                frames = b""
+                for f in range(k):
+                    idx = np.arange(w * h, dtype=np.int64)
+                    px = ((d + 11 * f + idx) % 256).astype(np.uint8)
+                    frames += chunk(
+                        b"00dc", jpeg_encode_gray(px.reshape(h, w))
+                    )
+                avih = struct.pack(
+                    "<14I", _MJPEG_US_PER_FRAME, 0, 0, 0, k, 0, 1, 0,
+                    w, h, 0, 0, 0, 0,
+                )
+                # AVISTREAMHEADER: fccType, fccHandler, then 9 dwords
+                # (flags/prio/lang/initialframes, scale/rate = the
+                # frame clock as a rational, start, length) — enough
+                # structure for the walker to verify the codec fourcc.
+                strh = b"vids" + b"MJPG" + struct.pack(
+                    "<9I", 0, 0, 0, _MJPEG_US_PER_FRAME, 1_000_000,
+                    0, k, 0, 0,
+                )
+                hdrl = lst(
+                    b"hdrl",
+                    chunk(b"avih", avih) + lst(b"strl", chunk(b"strh", strh)),
+                )
+                body = b"AVI " + hdrl + lst(b"movi", frames)
+                payloads.append(b"RIFF" + struct.pack("<I", len(body)) + body)
+            yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
+
+    return docs.select("doc_id").mapInPandas(
+        run, schema="doc_id long, payload binary"
+    )
+
+
+_MJPEG_DECODE_SCHEMA = (
+    "doc_id long, frame_idx int, frame_offset_ms long,"
+    " width int, height int, pixel_sum long"
+)
+
+
+def decode_mjpeg_frames(payloads: DataFrame) -> DataFrame:
+    """REAL compressed-video decode: walk the RIFF tree (even-padding
+    honored), verify the stream header advertises an MJPG 'vids'
+    stream, read the frame clock out of avih, then baseline-JPEG-
+    decode every '00dc' chunk with the from-scratch integer decoder
+    and emit one row per frame with its decoded-pixel sum. A 1→N
+    Arrow-batched flat-map; compressed frames never leave the kernel.
+    Scale shape: pure map stage, payload-proportional, no shuffle —
+    same contract-pricing note as the JPEG/GIF rows (a deployment
+    swaps a native codec behind the same kernel signature)."""
+    _ensure_arrow_batch(payloads)
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+        import pandas as _pd
+
+        def walk(buf: bytes):
+            if buf[:4] != b"RIFF" or buf[8:12] != b"AVI ":
+                raise ValueError("not a RIFF/AVI stream")
+            us_per_frame = None
+            handler = None
+            frames = []
+
+            def scan(lo: int, hi: int) -> None:
+                nonlocal us_per_frame, handler
+                p = lo
+                while p + 8 <= hi:
+                    tag = buf[p : p + 4]
+                    (size,) = struct.unpack_from("<I", buf, p + 4)
+                    body_lo, body_hi = p + 8, p + 8 + size
+                    if body_hi > hi:
+                        raise ValueError(f"truncated {tag!r} chunk")
+                    if tag == b"LIST":
+                        scan(body_lo + 4, body_hi)
+                    elif tag == b"avih":
+                        (us_per_frame,) = struct.unpack_from(
+                            "<I", buf, body_lo
+                        )
+                    elif tag == b"strh":
+                        if buf[body_lo : body_lo + 4] == b"vids":
+                            handler = buf[body_lo + 4 : body_lo + 8]
+                    elif tag == b"00dc":
+                        frames.append(buf[body_lo:body_hi])
+                    p = body_hi + (size & 1)
+
+            scan(12, len(buf))
+            if us_per_frame is None:
+                raise ValueError("missing avih header")
+            if handler != b"MJPG":
+                raise ValueError(
+                    f"unsupported video codec {handler!r} (MJPG only)"
+                )
+            return us_per_frame, frames
+
+        for pdf in batches:
+            doc_ids, idxs, offs, ws, hs, sums = [], [], [], [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    raise ValueError(f"NULL MJPEG payload (doc_id={doc_id})")
+                try:
+                    us_per_frame, frames = walk(bytes(payload))
+                    decoded = [jpeg_decode_gray(fr) for fr in frames]
+                except (IndexError, struct.error) as exc:
+                    raise ValueError(
+                        f"truncated MJPEG stream (doc_id={doc_id}): {exc}"
+                    ) from exc
+                for i, (w, h, img) in enumerate(decoded):
+                    doc_ids.append(doc_id)
+                    idxs.append(i)
+                    offs.append(i * us_per_frame // 1000)
+                    ws.append(w)
+                    hs.append(h)
+                    sums.append(int(img.astype(np.int64).sum()))
+            yield _pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "frame_idx": _pd.array(idxs, dtype="int32"),
+                    "frame_offset_ms": _pd.array(offs, dtype="int64"),
+                    "width": _pd.array(ws, dtype="int32"),
+                    "height": _pd.array(hs, dtype="int32"),
+                    "pixel_sum": _pd.array(sums, dtype="int64"),
+                }
+            )
+
+    return payloads.mapInPandas(run, schema=_MJPEG_DECODE_SCHEMA)
+
+
 def register(reg) -> None:
     @reg(
         "multimodal_binary_meta",
@@ -1961,6 +2141,7 @@ def register(reg) -> None:
 
     from kafka_topic_dumper_spark.functions.trained_oracles import (
         jpeg_decode_oracle_sql,
+        mjpeg_decode_oracle_sql,
     )
 
     @reg("multimodal_decode_jpeg", jpeg_decode_oracle_sql)
@@ -1975,4 +2156,20 @@ def register(reg) -> None:
         also proves the kernel's entropy round trip lossless."""
         return decode_jpeg_images(
             synth_jpeg_images(load_table(spark, sf_dir, "documents"))
+        )
+
+    @reg("multimodal_decode_mjpeg", mjpeg_decode_oracle_sql)
+    def multimodal_decode_mjpeg(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """REAL compressed-video path — the last video stub falls:
+        Motion-JPEG AVIs (RIFF hdrl/strl/movi with an MJPG 'vids'
+        stream header; every '00dc' chunk a spec-conformant baseline
+        JPEG) round-trip through the composed container-walk +
+        integer-DCT decoder. Frame timestamps come from the FILE's
+        33333 µs clock (floor-ms division exercised); decoded pixel
+        sums are literal-oracled by the independent per-frame integer
+        replay in functions/trained_oracles.py. H.264 remains out of
+        scope by design: inter-frame prediction + CABAC add no new
+        Spark-side structure over this row — see SURVEY §2.10."""
+        return decode_mjpeg_frames(
+            synth_mjpeg_video(load_table(spark, sf_dir, "documents"))
         )

@@ -739,6 +739,7 @@ def test_decoder_null_and_truncation_contract(spark):
         "GIF": (mm.synth_gif_images, mm.decode_gif_images),
         "AVI": (mm.synth_avi_video, mm.sample_avi_frames),
         "JPEG": (mm.synth_jpeg_images, mm.decode_jpeg_images),
+        "MJPEG": (mm.synth_mjpeg_video, mm.decode_mjpeg_frames),
     }
     docs = spark.createDataFrame([(5,)], "doc_id long")
     for name, (synth, decode) in kernels.items():
@@ -1243,3 +1244,51 @@ def test_interarrival_gaps_never_cross_users(spark):
     # user1 gap 10.5s = 10_500_000 us, user2 gap 1s = 1_000_000 us
     assert r.n_gaps == 2 and r.max_gap_us == 10_500_000
     assert r.p50_gap_us == (10_500_000 + 1_000_000) / 2
+
+
+def test_mjpeg_container_and_codec_composition(spark):
+    """The MJPEG path is the real AVI walk × the real JPEG codec:
+    frame COUNT follows doc_id %% 3 + 1, timestamps derive from the
+    FILE's 33333 µs clock (floor-ms), the walker rejects non-MJPG
+    handlers loudly, and each decoded frame equals the independent
+    integer replay."""
+    import struct
+
+    import pytest as _pytest
+
+    from kafka_topic_dumper_spark.functions.trained_oracles import (
+        _mjpeg_frame_sum,
+    )
+    from kafka_topic_dumper_spark.operators.multimodal import (
+        decode_mjpeg_frames,
+        synth_mjpeg_video,
+    )
+
+    docs = spark.createDataFrame([(4,), (11,)], "doc_id long")
+    rows = sorted(
+        (r.doc_id, r.frame_idx, r.frame_offset_ms, r.width, r.height,
+         r.pixel_sum)
+        for r in decode_mjpeg_frames(synth_mjpeg_video(docs)).collect()
+    )
+    expect = []
+    for d in (4, 11):
+        for f in range(d % 3 + 1):
+            w, h, s = _mjpeg_frame_sum(d, f)
+            expect.append((d, f, f * 33333 // 1000, w, h, s))
+    assert rows == sorted(expect)
+    # 33333 µs clock: frame 1 lands at 33 ms, not 33.333 — floor, not round
+    assert any(r[1] == 1 and r[2] == 33 for r in rows)
+
+    # a 'vids' stream advertising a non-MJPG codec must be rejected
+    [payload_row] = synth_mjpeg_video(
+        spark.createDataFrame([(4,)], "doc_id long")
+    ).collect()
+    buf = bytearray(bytes(payload_row.payload))
+    at = bytes(buf).index(b"vids") + 4
+    assert bytes(buf[at : at + 4]) == b"MJPG"
+    buf[at : at + 4] = b"H264"
+    df = spark.createDataFrame(
+        [(4, bytes(buf))], "doc_id long, payload binary"
+    )
+    with _pytest.raises(Exception, match="unsupported video codec"):
+        decode_mjpeg_frames(df).collect()
