@@ -371,6 +371,56 @@ def register(reg) -> None:
             "window_start", F.col("window_start").cast("timestamp_ntz")
         )
 
+    # Hopping-window twin: each event lands in exactly TWO overlapping
+    # windows (1 h length / 30 min slide), which the oracle replays by
+    # unnesting the two window starts per event — time_bucket(30 min)
+    # and that minus 30 min — then applying the identical terminal-
+    # watermark cutoff on window END. Same NTZ round-trip note as
+    # streaming_hourly_rollup.
+    @reg(
+        "streaming_hopping_rollup",
+        """
+        WITH mx AS (SELECT max(ts) AS m FROM events),
+        assigned AS (
+            SELECT time_bucket(INTERVAL 30 MINUTES, ts) - k.off AS window_start,
+                   event_type, value
+            FROM events,
+                 (SELECT unnest([INTERVAL 0 MINUTES, INTERVAL 30 MINUTES])
+                         AS off) k
+        ),
+        agg AS (
+            SELECT window_start, event_type,
+                   CAST(count(*) AS BIGINT) AS n_events,
+                   round(sum(value), 2) AS sum_value
+            FROM assigned GROUP BY 1, 2
+        )
+        SELECT window_start,
+               window_start + INTERVAL 1 HOUR AS window_end,
+               event_type, n_events, sum_value
+        FROM agg, mx
+        WHERE window_start + INTERVAL 1 HOUR <= mx.m - INTERVAL 2 HOUR
+        """,
+    )
+    def streaming_hopping_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Hopping (sliding) 1-hour/30-minute windowed aggregate over
+        the events table replayed through a real file stream (watermark
+        2 h, append mode, Trigger.AvailableNow) — the OVERLAPPING-
+        window semantics a tumbling rollup cannot express: every event
+        is counted in exactly two windows, finalized exactly once each
+        when the watermark passes the window end."""
+        from kafka_topic_dumper_spark.streaming.windows import (
+            hopping_rollup_stream,
+        )
+
+        stream = spark.readStream.schema(
+            "event_id long, event_type string, value double, ts timestamp_ntz"
+        ).parquet(_events_stream_input(spark, sf_dir))
+        name = f"streaming_hopping_rollup_sink_{next(_SINK_SEQ)}"
+        _drain(hopping_rollup_stream(stream), name)
+        return spark.table(name).withColumn(
+            "window_start", F.col("window_start").cast("timestamp_ntz")
+        ).withColumn("window_end", F.col("window_end").cast("timestamp_ntz"))
+
     # The model is trained on the same corpus the stream replays, so the
     # streaming scorer's left-join add-one fallbacks reduce to the batch
     # inner-join formula — the batch LM CTE chain IS the oracle. The

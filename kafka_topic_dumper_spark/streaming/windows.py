@@ -41,6 +41,43 @@ def hourly_rollup_stream(
     )
 
 
+def hopping_rollup_stream(
+    events: DataFrame,
+    length: str = "1 hour",
+    slide: str = "30 minutes",
+    watermark: str = "2 hours",
+) -> DataFrame:
+    """Hopping (sliding) windowed aggregate — the OVERLAPPING-window
+    semantics the tumbling rollup cannot express: with a 1-hour window
+    sliding every 30 minutes, each event lands in exactly
+    length/slide = 2 windows, and each emitted row smooths the metric
+    across window boundaries (the classic dashboard/alerting shape).
+
+    Scale story: Spark expands each event to length/slide window
+    assignments BEFORE the shuffle, so partial aggregation still
+    combines map-side and state is (windows open within the watermark
+    horizon) × event_type — bounded exactly like the tumbling case,
+    just with a small constant factor for the overlap. Append mode:
+    each finalized window emits exactly once when the watermark passes
+    its end."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", length, slide).alias("win"), "event_type")
+        .agg(
+            F.count("*").alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.col("win.start").alias("window_start"),
+            F.col("win.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
 def dedup_stream(
     events: DataFrame, keys: list[str] | None = None, watermark: str = "2 hours"
 ) -> DataFrame:

@@ -576,3 +576,31 @@ def test_streaming_bloom_bits_equal_batch(spark):
         .collect()
     }
     assert got == want and 0 < len(got) <= BLOOM_BITS
+
+
+def test_hopping_rollup_overlap_semantics(spark, events_stream_path):
+    """Every event lands in exactly TWO 1h/30min hopping windows, so
+    each emitted window's count equals the batch count of events in
+    [start, start+1h) — recomputed independently — and the window set
+    covers both the :00 and :30 alignments."""
+    from kafka_topic_dumper_spark.streaming.windows import hopping_rollup_stream
+
+    batch = load_table(spark, SF, "events")
+    stream = spark.readStream.schema(batch.schema).parquet(events_stream_path)
+    out = _run_stream(spark, hopping_rollup_stream(stream), "hop_rollup_test")
+    rows = out.collect()
+    assert rows
+    # independent recomputation: count events per (window, type) interval
+    ev = [(r.ts, r.event_type, r.value) for r in batch.collect()]
+    import datetime as dt
+    for r in rows:
+        start = r.window_start.replace(tzinfo=None)
+        end = r.window_end.replace(tzinfo=None)
+        assert end - start == dt.timedelta(hours=1)
+        assert start.minute in (0, 30) and start.second == 0
+        n = sum(1 for ts, et, _ in ev if et == r.event_type and start <= ts < end)
+        s = round(sum(v for ts, et, v in ev if et == r.event_type and start <= ts < end), 2)
+        assert (r.n_events, r.sum_value) == (n, s), (start, r.event_type)
+    # both alignments actually occur (it's a hop, not a tumble)
+    minutes = {r.window_start.minute for r in rows}
+    assert minutes == {0, 30}
