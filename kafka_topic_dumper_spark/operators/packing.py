@@ -854,6 +854,90 @@ def stratified_sample_oracle_sql(k: int = 5) -> str:
     """
 
 
+_PRIORITY_SAMPLE_K = 100
+# 2^48 — the uniform's denominator; 48 md5 bits keep w·2^48/(h+1)
+# well inside float64's exact-operation range.
+_PRIORITY_SCALE = float(1 << 48)
+
+
+def priority_sample(docs: DataFrame, k: int = _PRIORITY_SAMPLE_K) -> DataFrame:
+    """Weighted sampling without replacement via PRIORITY SAMPLING
+    (Duffield–Lund–Thorup, JACM 2007): draw u_i uniform from a
+    deterministic 48-bit md5 slice of the doc id, give each item
+    priority q_i = w_i / u_i (w_i = n_chars — the size proxy), keep
+    the k highest priorities, and set each survivor's unbiased weight
+    estimator to max(w_i, τ) where τ is the (k+1)-th priority. The sum
+    of estimators is an unbiased estimate of total corpus weight —
+    THE primitive for weight-proportional corpus subsampling with
+    calibrated totals.
+
+    Cross-engine exactness: u and w are integers both engines derive
+    identically (md5 hex slice), and priority = w · 2^48 / (h+1) uses
+    only IEEE-754 multiply/divide, which are correctly rounded —
+    bit-identical in Spark and DuckDB, unlike libm pow/ln (the same
+    reasoning as the log-free TF-IDF row).
+
+    Scale shape: priorities are pure JVM-side row expressions; the
+    global top-(k+1) is TakeOrderedAndProject — each task forwards at
+    most k+1 rows, the driver merges O(tasks·k) — no shuffle of the
+    corpus, no full sort. τ is then a 1-row broadcast join."""
+    pr = docs.select(
+        "doc_id",
+        "lang",
+        F.col("n_chars").cast("double").alias("w"),
+        (
+            F.col("n_chars").cast("double")
+            * F.lit(_PRIORITY_SCALE)
+            / (
+                F.conv(
+                    F.substring(F.md5(F.col("doc_id").cast("string")), 1, 12),
+                    16,
+                    10,
+                ).cast("bigint")
+                + F.lit(1)
+            ).cast("double")
+        ).alias("priority"),
+    )
+    top = pr.orderBy(F.desc("priority"), "doc_id").limit(k + 1)
+    top = tracked_persist(top)
+    tau = top.agg(F.min("priority").alias("tau"))
+    return (
+        top.orderBy(F.desc("priority"), "doc_id")
+        .limit(k)
+        .join(F.broadcast(tau))
+        .select(
+            "doc_id",
+            "lang",
+            F.col("w").cast("bigint").alias("weight"),
+            "priority",
+            F.greatest(F.col("w"), F.col("tau")).alias("est_weight"),
+        )
+    )
+
+
+def priority_sample_oracle_sql(k: int = _PRIORITY_SAMPLE_K) -> str:
+    return f"""
+        WITH pr AS (
+            SELECT doc_id, lang, n_chars,
+                   CAST(n_chars AS DOUBLE) * {_PRIORITY_SCALE!r} /
+                   CAST(CAST('0x' || substring(
+                            md5(CAST(doc_id AS VARCHAR)), 1, 12)
+                        AS BIGINT) + 1 AS DOUBLE) AS priority
+            FROM documents
+        ), ranked AS (
+            SELECT *, row_number() OVER (ORDER BY priority DESC, doc_id)
+                   AS rk
+            FROM pr
+        ), tau AS (
+            SELECT min(priority) AS t FROM ranked WHERE rk <= {k + 1}
+        )
+        SELECT doc_id, lang, CAST(n_chars AS BIGINT) AS weight, priority,
+               greatest(CAST(n_chars AS DOUBLE), t) AS est_weight
+        FROM ranked, tau
+        WHERE rk <= {k}
+    """
+
+
 def register(reg) -> None:
     from pyspark.sql import SparkSession
 
@@ -873,6 +957,15 @@ def register(reg) -> None:
         """Deterministic token-weighted domain mixing over three
         sources (50/30/20 target)."""
         return sample_domain_mixture(load_table(spark, sf_dir, "documents"))
+
+    @reg("sample_weighted_priority", priority_sample_oracle_sql())
+    def sample_weighted_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Priority sampling (Duffield–Lund–Thorup): size-weighted
+        k-sample without replacement with the unbiased max(w, τ)
+        estimator attached; top-(k+1) via TakeOrderedAndProject, no
+        corpus shuffle, exact cross-engine doubles (IEEE mul/div on
+        integer-derived operands only)."""
+        return priority_sample(load_table(spark, sf_dir, "documents"))
 
     @reg("pipeline_tokenize_pack_ids", tokenize_pack_ids_oracle_sql())
     def pipeline_tokenize_pack_ids(spark: SparkSession, sf_dir: str) -> DataFrame:

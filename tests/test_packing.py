@@ -300,3 +300,38 @@ def test_ordered_prefix_max_guards(spark):
     reserved = spark.createDataFrame([(1, 2, 3)], "k bigint, v bigint, m bigint")
     with _pytest.raises(ValueError, match="reserves"):
         ordered_prefix_max(reserved, "k", "v")
+
+
+def test_priority_sample_matches_python_replay(spark):
+    """Priority sampling (DLT): sample membership, τ, and the
+    max(w, τ) estimator recomputed independently in pure Python; the
+    top-(k+1) must come from TakeOrderedAndProject (no corpus sort)."""
+    import hashlib
+
+    from kafka_topic_dumper_spark.operators.packing import priority_sample
+
+    docs = load_table(spark, SF, "documents")
+    k = 20
+    out = priority_sample(docs, k=k)
+    got = sorted(
+        (r.doc_id, r.weight, round(r.priority, 6), round(r.est_weight, 6))
+        for r in out.collect()
+    )
+
+    pr = []
+    for d, w in [
+        (r.doc_id, r.n_chars)
+        for r in docs.select("doc_id", "n_chars").collect()
+    ]:
+        h = int(hashlib.md5(str(d).encode()).hexdigest()[:12], 16)
+        pr.append((float(w) * float(1 << 48) / float(h + 1), d, w))
+    pr.sort(key=lambda t: (-t[0], t[1]))
+    tau = pr[k][0]
+    expect = sorted(
+        (d, w, round(p, 6), round(max(float(w), tau), 6))
+        for p, d, w in pr[:k]
+    )
+    assert got == expect
+    # scale shape: global top-k is a TakeOrdered, not a full sort+limit
+    plan = out._jdf.queryExecution().executedPlan().toString()
+    assert "TakeOrderedAndProject" in plan, plan
