@@ -535,6 +535,102 @@ def lpa_oracle_sql(cand_cte: str, sweeps: int = LPA_SWEEPS) -> str:
     )
 
 
+KCORE_K = 3
+KCORE_ROUNDS = 4
+
+
+def kcore_membership(
+    pairs: DataFrame,
+    a: str = "doc_a",
+    b: str = "doc_b",
+    k: int = KCORE_K,
+    rounds: int = KCORE_ROUNDS,
+) -> DataFrame:
+    """k-core peeling (Seidman 1983) with a FIXED round count: each
+    round recomputes degrees over the subgraph induced by the current
+    survivor set and drops every node of degree < k. Peeling is
+    confluent — the removal set only grows and is order-independent —
+    so R rounds is a well-defined prefix of the fixpoint on any
+    engine, which keeps the oracle an unrolled CTE chain (the LPA /
+    PageRank discipline; at sf0.01 four rounds reach the fixpoint,
+    asserted by the convergence unit test). The k-core is the standard
+    dense-cluster extractor over a near-dup candidate graph: hubs
+    riding chance bucket collisions peel away, genuine duplicate
+    cliques (every member ≥ k neighbors) survive.
+
+    Per round: two edge×survivor semi-joins + one count — edge-linear,
+    shuffle only on node ids; survivor tables are node-sized and
+    localCheckpointed to truncate iterative lineage. Emits each
+    surviving node with its degree inside the SURVIVOR-induced
+    subgraph."""
+    edges = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    sym = edges.union(
+        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).persist()
+    alive = sym.select(F.col("u").alias("node")).distinct()
+
+    def induced_degrees(alive_df: DataFrame) -> DataFrame:
+        au = alive_df.select(F.col("node").alias("u"))
+        av = alive_df.select(F.col("node").alias("v"))
+        return (
+            sym.join(au, "u", "left_semi")
+            .join(av, "v", "left_semi")
+            .groupBy("u")
+            .agg(F.count("*").alias("c"))
+        )
+
+    for _ in range(rounds):
+        deg = induced_degrees(alive)
+        alive = (
+            deg.filter(F.col("c") >= k)
+            .select(F.col("u").alias("node"))
+            .localCheckpoint(eager=True)
+        )
+    out = induced_degrees(alive).select(
+        F.col("u").alias("node"), F.col("c").cast("bigint").alias("core_degree")
+    )
+    sym.unpersist()
+    return out
+
+
+def kcore_oracle_sql(
+    cand_cte: str, k: int = KCORE_K, rounds: int = KCORE_ROUNDS
+) -> str:
+    """Unrolled DuckDB replay of :func:`kcore_membership` over a
+    ``cand(u, v)`` edge CTE — one (degree, survivor) CTE pair per
+    peel round, then the final survivor-induced degree."""
+    parts = [
+        f"""{cand_cte}, sym AS (
+            SELECT u, v FROM cand UNION ALL SELECT v, u FROM cand
+        ), a0 AS (
+            SELECT DISTINCT u AS node FROM sym
+        )"""
+    ]
+    for i in range(rounds):
+        parts.append(f""", d{i + 1} AS (
+            SELECT e.u AS node, count(*) AS c
+            FROM sym e
+            JOIN a{i} x ON e.u = x.node
+            JOIN a{i} y ON e.v = y.node
+            GROUP BY e.u
+        ), a{i + 1} AS (
+            SELECT node FROM d{i + 1} WHERE c >= {k}
+        )""")
+    return (
+        "WITH "
+        + "".join(parts)
+        + f""", dfin AS (
+            SELECT e.u AS node, count(*) AS c
+            FROM sym e
+            JOIN a{rounds} x ON e.u = x.node
+            JOIN a{rounds} y ON e.v = y.node
+            GROUP BY e.u
+        )
+        SELECT node, CAST(c AS BIGINT) AS core_degree FROM dfin
+        """
+    )
+
+
 def pagerank_oracle_sql(
     edges_cte: str, iters: int = PR_ITERS, damping_pct: int = PR_DAMPING_PCT
 ) -> str:
@@ -829,6 +925,18 @@ def register(reg) -> None:
               ON a.band = b.band AND a.band_key = b.band_key
              AND a.doc_id < b.doc_id
         )"""
+
+    @reg("graph_kcore", kcore_oracle_sql(_cand_cte))
+    def graph_kcore(spark: SparkSession, sf_dir: str):
+        """3-core of the MinHash-LSH candidate graph (round 9) by
+        fixed-round confluent peeling: chance-collision hubs peel
+        away, genuine duplicate cliques survive with their
+        core-induced degree. Bit-exact vs the unrolled DuckDB peel
+        chain."""
+        docs = load_table(spark, sf_dir, "documents")
+        return kcore_membership(
+            minhash_lsh_candidates(minhash_signatures(docs))
+        )
 
     @reg("graph_label_propagation", lpa_oracle_sql(_cand_cte))
     def graph_label_propagation(spark: SparkSession, sf_dir: str):

@@ -472,3 +472,50 @@ def test_hits_matches_python_replay(spark):
     assert got == want
     # the breadth hub (1: two strong authorities) tops the ranking
     assert got[(1, "hub")] == HITS_SCALE
+
+
+def test_kcore_peeling_matches_python_fixpoint(spark):
+    """Fixed-round k-core peeling: (a) on a handcrafted graph where a
+    clique hangs off a chain, the chain peels and the clique survives
+    with its exact in-core degrees; (b) on the registry candidate
+    graph, 4 rounds reach the true fixpoint (recomputed by a pure-
+    Python peel loop) and every survivor has core_degree >= k."""
+    from kafka_topic_dumper_spark.operators.dedup import (
+        minhash_lsh_candidates,
+        minhash_signatures,
+    )
+    from kafka_topic_dumper_spark.operators.graph import kcore_membership
+
+    # (a) K4 clique {1,2,3,4} + a tail 4-5-6: the tail peels at k=3
+    clique = [(i, j) for i in (1, 2, 3, 4) for j in (1, 2, 3, 4) if i < j]
+    edges = clique + [(4, 5), (5, 6)]
+    df = spark.createDataFrame(edges, "doc_a long, doc_b long")
+    got = {
+        r.node: r.core_degree
+        for r in kcore_membership(df, k=3, rounds=3).collect()
+    }
+    assert got == {1: 3, 2: 3, 3: 3, 4: 3}
+
+    # (b) registry graph: fixed rounds == python fixpoint
+    pairs = minhash_lsh_candidates(
+        minhash_signatures(load_table(spark, SF, "documents"))
+    )
+    edge_list = [(r.doc_a, r.doc_b) for r in pairs.collect()]
+    adj: dict[int, set] = {}
+    for u, v in edge_list:
+        adj.setdefault(u, set()).add(v)
+        adj.setdefault(v, set()).add(u)
+    alive = set(adj)
+    while True:
+        drop = {n for n in alive if sum(m in alive for m in adj[n]) < 3}
+        if not drop:
+            break
+        alive -= drop
+    expect = {
+        n: sum(m in alive for m in adj[n]) for n in alive
+    }
+    got = {
+        r.node: r.core_degree for r in kcore_membership(pairs).collect()
+    }
+    assert got == expect
+    assert all(d >= 3 for d in got.values())
