@@ -39,6 +39,8 @@ _VERIFY_PRIORITY = [
     "streaming_hopping_rollup",
     "sample_weighted_priority",
     "graph_kcore",
+    "asof_join_tolerance",
+    "stats_rolling_anomaly",
     "multimodal_decode_jpeg",
     "streaming_interval_join",
     "similarity_topk_rp",

@@ -55,6 +55,130 @@ def asof_last_purchase(events: DataFrame) -> DataFrame:
     )
 
 
+ASOF_TOLERANCE_MIN = 45
+
+
+def asof_last_purchase_tolerance(
+    events: DataFrame, tolerance_min: int = ASOF_TOLERANCE_MIN
+) -> DataFrame:
+    """As-of join WITH TOLERANCE (pandas merge_asof's ``tolerance=``,
+    QuestDB/kdb's staleness bound): the user's most recent purchase
+    at-or-before each event, but only if it happened within the last
+    ``tolerance_min`` minutes — an older match is as good as none (the
+    attribution-window shape: a purchase three days before a click
+    doesn't explain it). Same single-shuffle running-last plan as
+    :func:`asof_last_purchase`; the bound is one post-window filter
+    expression, not a range join."""
+    base = asof_last_purchase(events)
+    within = F.col("last_purchase_ts") >= F.col("ts") - F.expr(
+        f"INTERVAL {tolerance_min} MINUTES"
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(within, F.col("last_purchase_event_id")).alias(
+            "last_purchase_event_id"
+        ),
+        F.when(within, F.col("last_purchase_ts")).alias("last_purchase_ts"),
+    )
+
+
+ANOMALY_LOOKBACK = 20
+ANOMALY_MIN_WINDOW = 8
+ANOMALY_Z = 3
+
+
+def rolling_anomaly(
+    events: DataFrame,
+    lookback: int = ANOMALY_LOOKBACK,
+    min_window: int = ANOMALY_MIN_WINDOW,
+    z: int = ANOMALY_Z,
+) -> DataFrame:
+    """Per-user rolling z-score anomaly flags — the streaming-shaped
+    outlier detector: each event's value is compared against the mean
+    and variance of the SAME user's preceding ``lookback`` events, and
+    flagged when it sits more than ``z`` standard deviations out.
+
+    Exactness: values are floor-quantized to integer cents, and the
+    z-test is evaluated as the cross-multiplied INTEGER comparison
+    (v·n − S)² > z²·(Q·n − S²)  (S = Σv, Q = Σv² over the frame), so
+    no engine-dependent float summation order can flip a boundary flag
+    — the same libm-free discipline as the log-free TF-IDF row.
+    Magnitudes: |v| ≤ ~1e6 cents, n ≤ 20 → Q·n ≤ ~4e14, squares ≤
+    ~4e14 — all inside int64.
+
+    Scale shape: one shuffle on user_id, one in-partition sort, two
+    running integer sums over a bounded frame — O(1) state per row,
+    the plan a 1000-executor cluster runs as a single stage after the
+    exchange."""
+    vc = F.floor(F.col("value") * 100).cast("bigint")
+    frame = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(-lookback, -1)
+    )
+    base = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        vc.alias("v_c"),
+    ).select(
+        "event_id",
+        "user_id",
+        "ts",
+        "v_c",
+        F.count("v_c").over(frame).alias("n_window"),
+        F.sum("v_c").over(frame).alias("s_win"),
+        F.sum(F.col("v_c") * F.col("v_c")).over(frame).alias("q_win"),
+    )
+    rhs = F.lit(z * z) * (
+        F.col("q_win") * F.col("n_window") - F.col("s_win") * F.col("s_win")
+    )
+    return (
+        base.filter(F.col("n_window") >= min_window)
+        .select(
+            "event_id",
+            "user_id",
+            "v_c",
+            F.col("n_window").cast("bigint").alias("n_window"),
+            (
+                (F.col("v_c") * F.col("n_window") - F.col("s_win"))
+                * (F.col("v_c") * F.col("n_window") - F.col("s_win"))
+                > rhs
+            ).alias("is_anomaly"),
+        )
+    )
+
+
+def rolling_anomaly_oracle_sql(
+    lookback: int = ANOMALY_LOOKBACK,
+    min_window: int = ANOMALY_MIN_WINDOW,
+    z: int = ANOMALY_Z,
+) -> str:
+    return f"""
+        WITH q AS (
+            SELECT event_id, user_id,
+                   CAST(floor(value * 100) AS BIGINT) AS v_c,
+                   count(*) OVER w AS n_window,
+                   sum(CAST(floor(value * 100) AS BIGINT)) OVER w AS s_win,
+                   sum(CAST(floor(value * 100) AS BIGINT)
+                       * CAST(floor(value * 100) AS BIGINT)) OVER w AS q_win
+            FROM events
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN {lookback} PRECEDING
+                         AND 1 PRECEDING)
+        )
+        SELECT event_id, user_id, v_c,
+               CAST(n_window AS BIGINT) AS n_window,
+               (v_c * n_window - s_win) * (v_c * n_window - s_win)
+                   > {z * z} * (q_win * n_window - s_win * s_win)
+                   AS is_anomaly
+        FROM q
+        WHERE n_window >= {min_window}
+    """
+
+
 def rollup_revenue(orders: DataFrame) -> DataFrame:
     """ROLLUP over (priority, year): per-group, per-priority subtotal,
     and grand total in one pass — partial-aggregatable, one shuffle.
@@ -831,6 +955,44 @@ def register(reg) -> None:
         """As-of join: each event ↔ the same user's most recent purchase
         (sort-merge window form; equivalent to DuckDB ASOF JOIN)."""
         return asof_last_purchase(load_table(spark, sf_dir, "events"))
+
+    @reg("stats_rolling_anomaly", rolling_anomaly_oracle_sql())
+    def stats_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-user rolling z-score anomaly flags over the preceding
+        20 events (min window 8, z = 3) — integer-exact cross-
+        multiplied variance test, one shuffle, bounded frame."""
+        return rolling_anomaly(load_table(spark, sf_dir, "events"))
+
+    @reg(
+        "asof_join_tolerance",
+        f"""
+        WITH base AS (
+            SELECT event_id, user_id, ts,
+                   last_value(CASE WHEN event_type = 'purchase'
+                                   THEN event_id END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS lpe,
+                   last_value(CASE WHEN event_type = 'purchase'
+                                   THEN ts END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS lpt
+            FROM events
+        )
+        SELECT event_id, user_id, ts,
+               CASE WHEN lpt >= ts - INTERVAL {ASOF_TOLERANCE_MIN} MINUTES
+                    THEN lpe END AS last_purchase_event_id,
+               CASE WHEN lpt >= ts - INTERVAL {ASOF_TOLERANCE_MIN} MINUTES
+                    THEN lpt END AS last_purchase_ts
+        FROM base
+        """,
+    )
+    def asof_join_tolerance(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """As-of join with a staleness tolerance: matches older than
+        45 minutes are discarded (attribution-window semantics) —
+        same one-shuffle window plan, bound applied post-window."""
+        return asof_last_purchase_tolerance(load_table(spark, sf_dir, "events"))
 
     @reg(
         "asof_join_next_purchase",

@@ -348,3 +348,65 @@ def test_nfc_normalize_null_empty_and_idempotent(spark):
         "raw",
     )
     assert {r.doc_id: r.nfc for r in again.collect()} == got
+
+
+def test_asof_tolerance_discards_stale_matches(spark):
+    """The tolerance form equals the plain as-of join where the match
+    is fresh, and nulls BOTH match columns where the purchase is older
+    than the bound."""
+    import datetime as dt
+
+    from kafka_topic_dumper_spark.operators.analytics import (
+        asof_last_purchase_tolerance,
+    )
+
+    t0 = dt.datetime(2024, 3, 1, 12, 0, 0)
+    rows = [
+        (1, 7, "purchase", t0),
+        (2, 7, "click", t0 + dt.timedelta(minutes=44)),   # fresh: 44 < 45
+        (3, 7, "click", t0 + dt.timedelta(minutes=46)),   # stale: 46 > 45
+        (4, 8, "click", t0),                              # no purchase at all
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp_ntz"
+    )
+    got = {r.event_id: (r.last_purchase_event_id, r.last_purchase_ts)
+           for r in asof_last_purchase_tolerance(df).collect()}
+    assert got[2] == (1, t0)
+    assert got[3] == (None, None)
+    assert got[4] == (None, None)
+    # the purchase matches itself at lag 0
+    assert got[1] == (1, t0)
+
+
+def test_rolling_anomaly_flags_spike_only(spark):
+    """A user with a flat history and one spike: only the spike row is
+    flagged; rows before min_window never appear; the integer test
+    matches a direct float z-score recomputation."""
+    import datetime as dt
+
+    from kafka_topic_dumper_spark.operators.analytics import rolling_anomaly
+
+    t0 = dt.datetime(2024, 3, 1)
+    vals = [10.0, 10.2, 9.8, 10.1, 9.9, 10.0, 10.3, 9.7, 10.1, 500.0, 10.0]
+    rows = [
+        (i + 1, 5, "click", t0 + dt.timedelta(minutes=i), v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string,"
+        " ts timestamp_ntz, value double",
+    )
+    got = {r.event_id: r.is_anomaly for r in rolling_anomaly(df).collect()}
+    # events 1..8 have n_window < 8 → filtered out
+    assert set(got) == {9, 10, 11}
+    assert got[9] is False
+    assert got[10] is True            # the spike
+    # post-spike: the spike inflates the window variance, so a normal
+    # 10.0 must NOT be flagged — recomputed directly from the frame
+    import statistics
+    win = [int(v * 100) for v in vals[1:10]]   # 20-preceding frame, rows 2..10
+    mu = statistics.mean(win)
+    var = statistics.pvariance(win)
+    assert ((1000 - mu) ** 2 > 9 * var) == got[11] is False
