@@ -41,6 +41,7 @@ _VERIFY_PRIORITY = [
     "graph_kcore",
     "asof_join_tolerance",
     "stats_rolling_anomaly",
+    "layout_hilbert_events",
     "multimodal_decode_jpeg",
     "streaming_interval_join",
     "similarity_topk_rp",

@@ -153,6 +153,144 @@ def write_zordered(events: DataFrame, path: str, n_files: int = 16) -> None:
     )
 
 
+# --- Hilbert-curve layout (round 9) ----------------------------------------
+#
+# Z-order's weakness is its seams: every power-of-two boundary the
+# Morton key crosses is a long jump in key space, so file z-ranges
+# near seams cover loose 2-D envelopes. The Hilbert curve is the
+# locality-optimal space-filling alternative — consecutive keys are
+# ALWAYS grid-adjacent (no jumps, property-tested), which tightens
+# per-file bounding boxes and improves 2-D pruning on the same write
+# path. The classic iterative xy2d walk (quadrant + rotate per bit
+# level, 16 levels for the 16-bit normalized grid) is data-dependent
+# per level, but each level is a branch-free integer CASE expression —
+# so the whole transform unrolls into a 16-step chain of pure JVM
+# projections on one side and a 16-CTE chain on the other, generated
+# from the SAME per-level template (only the 128-bit normalization
+# widening differs per engine, exactly as the Morton key documents).
+
+_H_SIDE = 1 << Z_BITS  # 65536: the normalized grid side
+
+
+def _hilbert_level_exprs(i: int) -> tuple[str, str, str]:
+    """(hx', hy', hd') for bit level ``i`` in engine-neutral SQL (fully
+    parenthesized; CASE/&/>> parse identically in Spark and DuckDB).
+    Branch-free form of the standard xy2d step: quadrant
+    q = (3·rx) XOR ry = 3rx + ry − 2·rx·ry, then rotate/reflect the
+    frame when ry = 0."""
+    s = 1 << i
+    rx = f"((hx >> {i}) & 1)"
+    ry = f"((hy >> {i}) & 1)"
+    flip = _H_SIDE - 1
+    new_x = (
+        f"(CASE WHEN {ry} = 1 THEN hx"
+        f" WHEN {rx} = 1 THEN {flip} - hy ELSE hy END)"
+    )
+    new_y = (
+        f"(CASE WHEN {ry} = 1 THEN hy"
+        f" WHEN {rx} = 1 THEN {flip} - hx ELSE hx END)"
+    )
+    new_d = (
+        f"(hd + {s} * {s} * ((3 * {rx}) + {ry} - (2 * {rx} * {ry})))"
+    )
+    return new_x, new_y, new_d
+
+
+def hilbert_key(events: DataFrame) -> DataFrame:
+    """(event_id, user_id, hval) — the Hilbert-curve clustering key
+    over the same normalized (user_id, event-hour) grid as
+    :func:`zorder_key`. 16 unrolled integer projection levels, all
+    whole-stage-codegen JVM expressions; the only non-map step is the
+    1-row min/max broadcast."""
+    base = events.withColumn("yh", F.expr(f"CAST({_YH_SPARK} AS BIGINT)"))
+    bounds = base.agg(
+        F.min("user_id").alias("xmin"),
+        F.max("user_id").alias("xmax"),
+        F.min("yh").alias("ymin"),
+        F.max("yh").alias("ymax"),
+    )
+    df = base.join(F.broadcast(bounds)).selectExpr(
+        "event_id",
+        "user_id",
+        f"CAST({_XN_SPARK} AS BIGINT) AS hx",
+        f"CAST({_YN_SPARK} AS BIGINT) AS hy",
+        "CAST(0 AS BIGINT) AS hd",
+    )
+    for i in range(Z_BITS - 1, -1, -1):
+        nx, ny, nd = _hilbert_level_exprs(i)
+        df = df.selectExpr(
+            "event_id", "user_id", f"{nx} AS hx", f"{ny} AS hy", f"{nd} AS hd"
+        )
+    return df.select("event_id", "user_id", F.col("hd").alias("hval"))
+
+
+def hilbert_oracle_sql() -> str:
+    """DuckDB twin of :func:`hilbert_key`: the identical unrolled
+    per-level expressions as a CTE chain."""
+    parts = [
+        f"""WITH base AS (
+            SELECT event_id, user_id, {_YH_DUCK} AS yh FROM events
+        ), bounds AS (
+            SELECT min(user_id) AS xmin, max(user_id) AS xmax,
+                   min(yh) AS ymin, max(yh) AS ymax
+            FROM base
+        ), l{Z_BITS} AS (
+            SELECT event_id, user_id,
+                   CAST({_XN_DUCK} AS BIGINT) AS hx,
+                   CAST({_YN_DUCK} AS BIGINT) AS hy,
+                   CAST(0 AS BIGINT) AS hd
+            FROM base CROSS JOIN bounds
+        )"""
+    ]
+    for i in range(Z_BITS - 1, -1, -1):
+        nx, ny, nd = _hilbert_level_exprs(i)
+        parts.append(f""", l{i} AS (
+            SELECT event_id, user_id,
+                   {nx} AS hx, {ny} AS hy, {nd} AS hd
+            FROM l{i + 1}
+        )""")
+    return (
+        "".join(parts)
+        + """
+        SELECT event_id, user_id, hd AS hval FROM l0
+        """
+    )
+
+
+def xy2d_hilbert(x: int, y: int, bits: int = Z_BITS) -> int:
+    """Pure-Python reference xy2d (the classic iterative walk) — the
+    independent replay the unit tests compare both engines against."""
+    n = 1 << bits
+    d = 0
+    s = n // 2
+    while s > 0:
+        rx = 1 if (x & s) > 0 else 0
+        ry = 1 if (y & s) > 0 else 0
+        d += s * s * ((3 * rx) ^ ry)
+        if ry == 0:
+            if rx == 1:
+                x = n - 1 - x
+                y = n - 1 - y
+            x, y = y, x
+        s //= 2
+    return d
+
+
+def write_hilbert(events: DataFrame, path: str, n_files: int = 16) -> None:
+    """The Hilbert twin of :func:`write_zordered`: range-cluster the
+    write by ``hval`` — same one-extra-exchange cost, tighter per-file
+    2-D envelopes (no Morton seams)."""
+    keyed = hilbert_key(events).select("event_id", "hval")
+    (
+        events.join(keyed, "event_id")
+        .repartitionByRange(n_files, "hval")
+        .sortWithinPartitions("hval")
+        .drop("hval")
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+
+
 def register(reg) -> None:
     from kafka_topic_dumper_spark.sources.tables import load_table
 
@@ -162,3 +300,12 @@ def register(reg) -> None:
         (user_id, event-hour) — integer-exact straight-line bit
         interleave; basis of the 2-D-pruning write layout."""
         return zorder_key(load_table(spark, sf_dir, "events"))
+
+    @reg("layout_hilbert_events", hilbert_oracle_sql())
+    def layout_hilbert_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Hilbert-curve clustering key over the same normalized
+        (user_id, event-hour) grid — seam-free locality (consecutive
+        keys always grid-adjacent, property-tested), 16 unrolled
+        branch-free integer levels, bit-exact vs the identical DuckDB
+        CTE chain."""
+        return hilbert_key(load_table(spark, sf_dir, "events"))
