@@ -42,6 +42,7 @@ _VERIFY_PRIORITY = [
     "asof_join_tolerance",
     "stats_rolling_anomaly",
     "layout_hilbert_events",
+    "embedding_pca_project",
     "multimodal_decode_jpeg",
     "streaming_interval_join",
     "similarity_topk_rp",

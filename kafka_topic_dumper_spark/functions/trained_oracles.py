@@ -438,3 +438,70 @@ def mjpeg_decode_oracle_sql(sf_dir: str) -> str:
         SELECT * FROM (VALUES {rows})
         AS _m(doc_id, frame_idx, frame_offset_ms, width, height, pixel_sum)
         """
+
+
+# --- PCA projection replay (round 9) ---------------------------------------
+#
+# The PCA registry row (operators/similarity.py::pca_project) is
+# deterministic end-to-end: floor-quantized integer embeddings, an
+# EXACT int64 Gram/sum reduction (addition commutes — partitioning
+# can't perturb it), a fixed-count power iteration on the driver, and
+# an exact int64 projection dot with the mean term folded into one
+# float constant per component. The replay below restates that
+# pipeline independently of any engine import; every float op
+# downstream of the integer Gram is the same correctly-rounded
+# sequence, so the literals match bit-for-bit.
+
+_PCA_REPLAY_QUANT = 1_000_000
+_PCA_REPLAY_COMP_SCALE = 1 << 31
+_PCA_REPLAY_ITERS = 60
+
+
+@lru_cache(maxsize=8)
+def _pca_expected_rows(sf_dir: str) -> tuple:
+    import duckdb
+    import numpy as np
+
+    rows = duckdb.sql(
+        f"SELECT vec_id, embedding FROM '{sf_dir}/embeddings.parquet'"
+        " ORDER BY vec_id"
+    ).fetchall()
+    ids = [int(r[0]) for r in rows]
+    X = np.floor(
+        np.array([r[1] for r in rows], dtype=np.float64) * _PCA_REPLAY_QUANT
+    ).astype(np.int64)
+    n, d = X.shape
+    G = X.T @ X
+    S = X.sum(axis=0)
+    C = (G.astype(np.float64) - np.outer(S, S) / n) / n
+    comps = []
+    work = C.copy()
+    for _ in range(2):
+        v = np.ones(d, dtype=np.float64) / np.sqrt(d)
+        for _ in range(_PCA_REPLAY_ITERS):
+            w = work @ v
+            v = w / np.sqrt(w @ w)
+        lam = float(v @ work @ v)
+        comps.append(v)
+        work = work - lam * np.outer(v, v)
+    V = np.stack(comps)
+    vq = np.floor(V * _PCA_REPLAY_COMP_SCALE).astype(np.int64)
+    mean = S.astype(np.float64) / n
+    mdot = (mean @ vq.T) / _PCA_REPLAY_COMP_SCALE
+    D = X @ vq.T
+    P = (D.astype(np.float64) / _PCA_REPLAY_COMP_SCALE - mdot) / _PCA_REPLAY_QUANT
+    return tuple(
+        (i, float(P[r, 0]), float(P[r, 1])) for r, i in enumerate(ids)
+    )
+
+
+def pca_project_oracle_sql(sf_dir: str) -> str:
+    rows = ",\n               ".join(
+        f"(CAST({i} AS BIGINT), CAST({_dlit(p1)} AS DOUBLE),"
+        f" CAST({_dlit(p2)} AS DOUBLE))"
+        for i, p1, p2 in _pca_expected_rows(sf_dir)
+    )
+    return f"""
+        SELECT * FROM (VALUES {rows})
+        AS _p(vec_id, pc1, pc2)
+        """

@@ -1417,6 +1417,147 @@ def pq_oracle_sql(centroid_cte: str = PQ_CENTROID_CTE) -> str:
         """
 
 
+# --- PCA projection (round 9) ----------------------------------------------
+
+PCA_QUANT = 1_000_000  # embedding → integer quantization scale
+PCA_POWER_ITERS = 60   # fixed-count power iteration (finite, replayable)
+
+
+def _pca_power_components(C, n_components: int = 2):
+    """Fixed-count power iteration + deflation on the d×d covariance —
+    driver-side, metadata-sized. Deterministic for fixed inputs: a
+    constant start vector, a fixed iteration count (no convergence
+    test), and deflation by the Rayleigh quotient."""
+    import numpy as np
+
+    d = C.shape[0]
+    comps = []
+    work = C.copy()
+    for _ in range(n_components):
+        v = np.ones(d, dtype=np.float64) / np.sqrt(d)
+        for _ in range(PCA_POWER_ITERS):
+            w = work @ v
+            v = w / np.sqrt(w @ w)
+        lam = float(v @ work @ v)
+        comps.append((v, lam))
+        work = work - lam * np.outer(v, v)
+    return comps
+
+
+def pca_project(emb: DataFrame, n_components: int = 2) -> DataFrame:
+    """Distributed PCA projection — the iterative-linear-algebra twin
+    of the k-means codebook: embeddings are floor-quantized to
+    integers (floor(x·10⁶) — exact IEEE, so the quantized matrix is
+    identical on every engine), the d×d Gram matrix and column sums
+    accumulate as EXACT int64 partials per Arrow batch (addition of
+    integers commutes, so partitioning and task order cannot perturb
+    a bit — the float-PCA pitfall this design removes), and the tiny
+    d×d covariance runs fixed-count power iteration + deflation on
+    the driver. Each vector is then projected onto the top components
+    in a second stateless Arrow map.
+
+    Scale shape: pass 1 is corpus-linear with a d²-sized (4 KB · 64)
+    partial per task and a metadata-sized (d² rows) reduce; pass 2 is
+    a pure map with the d·k component table in the closure. No
+    quadratic stage, no corpus shuffle. The oracle is the independent
+    numpy replay in functions/trained_oracles.py injected as literals
+    (the BPE/k-means/JPEG pattern) — deterministic because every
+    float op downstream of the exact integer Gram is the same
+    correctly-rounded sequence in kernel and replay."""
+    from kafka_topic_dumper_spark.operators.multimodal import (
+        _ensure_arrow_batch,
+    )
+
+    _ensure_arrow_batch(emb)
+    quant = emb.select(
+        "vec_id",
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * PCA_QUANT).cast("long"),
+        ).alias("xq"),
+    )
+
+    def gram(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            X = np.array(list(pdf["xq"]), dtype=np.int64)
+            if X.size == 0:
+                continue
+            d = X.shape[1]
+            G = X.T @ X  # exact: int64 @ int64
+            S = X.sum(axis=0)
+            j_idx, k_idx, g = [], [], []
+            for j in range(d):
+                for k in range(d):
+                    j_idx.append(j)
+                    k_idx.append(k)
+                    g.append(int(G[j, k]))
+            for j in range(d):
+                j_idx.append(j)
+                k_idx.append(-1)
+                g.append(int(S[j]))
+            j_idx.append(-1)
+            k_idx.append(-1)
+            g.append(X.shape[0])
+            yield pd.DataFrame(
+                {"j": j_idx, "k": k_idx, "g": np.array(g, dtype=np.int64)}
+            )
+
+    parts = (
+        quant.mapInPandas(gram, schema="j int, k int, g long")
+        .groupBy("j", "k")
+        .agg(F.sum("g").alias("g"))
+        .collect()
+    )
+    import numpy as np
+
+    d = max(r.j for r in parts) + 1
+    G = np.zeros((d, d), dtype=np.int64)
+    S = np.zeros(d, dtype=np.int64)
+    n = 0
+    for r in parts:
+        if r.j == -1:
+            n = int(r.g)
+        elif r.k == -1:
+            S[r.j] = r.g
+        else:
+            G[r.j, r.k] = r.g
+    C = (G.astype(np.float64) - np.outer(S, S).astype(np.float64) / n) / n
+    comps = _pca_power_components(C, n_components)
+    V = np.stack([v for v, _ in comps])  # (k, d)
+    mean = S.astype(np.float64) / n
+    # The projection itself is ALSO exact-integer: components are
+    # floor-quantized to 2^31 steps and each row's dot product runs in
+    # int64 (numpy integer matmul is plain loops, not BLAS), so batch
+    # boundaries and GEMM blocking cannot perturb a bit; the mean term
+    # folds into one driver-side float constant per component.
+    # All captured BY VALUE (plain locals) — a module-global reference
+    # here would need the engine package importable on workers (the
+    # cloudpickle-by-reference gotcha the verify recipe exists for).
+    comp_scale = 1 << 31
+    vq = np.floor(V * comp_scale).astype(np.int64)  # (k, d)
+    mdot = (mean @ vq.T) / comp_scale  # (k,) driver scalars
+    quant_scale = PCA_QUANT
+
+    def project(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            X = np.array(list(pdf["xq"]), dtype=np.int64)
+            D = X @ vq.T  # exact int64
+            P = (D.astype(np.float64) / comp_scale - mdot) / quant_scale
+            out = {"vec_id": pdf["vec_id"]}
+            for c in range(vq.shape[0]):
+                out[f"pc{c + 1}"] = P[:, c]
+            yield pd.DataFrame(out)
+
+    cols = ", ".join(f"pc{c + 1} double" for c in range(n_components))
+    return quant.mapInPandas(project, schema=f"vec_id long, {cols}")
+
+
 # Stored-index build cache: the bench runs each stored-index query
 # N_RUNS+warmup times and the driver re-imports per round — building a
 # fresh corpus-sized index under a new mkdtemp() every call leaked /tmp
@@ -1531,6 +1672,15 @@ def register(reg) -> None:
     def embedding_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Per-vector int8 quantization + reconstruction residuals."""
         return quantize_int8(load_table(spark, sf_dir, "embeddings"))
+
+    @reg("embedding_pca_project", trained_oracles.pca_project_oracle_sql)
+    def embedding_pca_project(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Distributed PCA (round 9): exact int64 Gram reduction →
+        fixed-count driver power iteration + deflation → exact int64
+        projection onto the top-2 components. Oracle = the independent
+        numpy replay injected as literals (the k-means/BPE/JPEG
+        pattern)."""
+        return pca_project(load_table(spark, sf_dir, "embeddings"))
 
     # Sign-LSH oracle: the hyperplanes are deterministic ±1 literals, so
     # the bucket assignment — and therefore the exact ANN result set —

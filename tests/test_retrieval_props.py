@@ -118,3 +118,28 @@ def test_quality_classifier_matches_python(spark):
         assert (r.n_tokens, r.logit_centisum, r.keep) == (n, logit, keep)
         z = logit / (n * 100.0)
         assert abs(r.prob - round(1.0 / (1.0 + math.exp(-z)), 4)) < 1e-9
+
+
+def test_pca_projection_partition_invariant_and_variance_ordered(spark):
+    """The PCA claim under test: EXACT integer Gram/projection makes
+    the output a pure function of the data — byte-identical under
+    hostile repartitioning — and the components actually order the
+    variance (var(pc1) >= var(pc2), both > 0; components near-
+    orthogonal by the Gram-deflation construction)."""
+    import numpy as np
+
+    from kafka_topic_dumper_spark.operators.similarity import pca_project
+    from kafka_topic_dumper_spark.sources.tables import load_table
+
+    emb = load_table(spark, SF, "embeddings")
+    base = sorted(tuple(r) for r in pca_project(emb).collect())
+    hostile = sorted(
+        tuple(r) for r in pca_project(emb.repartition(7, "vec_id")).collect()
+    )
+    assert base == hostile  # bit-identical, not approximately
+
+    P = np.array([(p1, p2) for _, p1, p2 in base])
+    v1, v2 = P[:, 0].var(), P[:, 1].var()
+    assert v1 >= v2 > 0
+    # centered projections: the mean folds out by construction
+    assert abs(P[:, 0].mean()) < 1e-6 and abs(P[:, 1].mean()) < 1e-6
