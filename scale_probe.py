@@ -301,6 +301,36 @@ def probes(t: dict[str, DataFrame], r: int = 1):
 
         return layout.zorder_key(t["events"])
 
+    def hilbert():
+        # 16 chained branch-free projection levels — the claim under
+        # test is that the unrolled CASE chain stays a pure map stage
+        # (one min/max broadcast aside) whose cost is row-linear,
+        # indistinguishable from the straight-line Morton interleave
+        from kafka_topic_dumper_spark.operators import layout
+
+        return layout.hilbert_key(t["events"])
+
+    def kcore():
+        # R-sized near-dup cliques make every clique member degree
+        # ~R-1: the 3-core keeps ALL clique nodes at R ≥ 4, so output
+        # is node-linear while the peel rounds stay edge-linear —
+        # the claim is no round goes quadratic as cliques densify
+        from kafka_topic_dumper_spark.operators.graph import kcore_membership
+
+        return kcore_membership(
+            dedup.minhash_lsh_candidates(
+                dedup.minhash_signatures(t["documents"])
+            )
+        )
+
+    def pca():
+        # two corpus-linear Arrow passes + a d²-row exact reduce; the
+        # claim is the driver leg stays METADATA-sized (64×64 ints)
+        # no matter how big the corpus gets
+        from kafka_topic_dumper_spark.operators.similarity import pca_project
+
+        return pca_project(t["embeddings"])
+
     def tok_pack():
         # output is corpus-TOKEN-scale (one row per token) — the
         # heaviest row-count of any probe; the vocab stays constant
@@ -524,6 +554,9 @@ def probes(t: dict[str, DataFrame], r: int = 1):
         "graph_label_propagation": lpa,
         "text_bpe_pair_counts": bpe_pairs,
         "layout_zorder_events": zorder,
+        "layout_hilbert_events": hilbert,
+        "graph_kcore": kcore,
+        "embedding_pca_project": pca,
         "pipeline_tokenize_pack_ids": tok_pack,
         "streaming_dedup_minhash": stream_minhash,
         "streaming_interval_join": stream_interval_join,
