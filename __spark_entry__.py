@@ -43,6 +43,7 @@ _VERIFY_PRIORITY = [
     "stats_rolling_anomaly",
     "layout_hilbert_events",
     "embedding_pca_project",
+    "streaming_rolling_anomaly",
     "multimodal_decode_jpeg",
     "streaming_interval_join",
     "similarity_topk_rp",

@@ -154,6 +154,23 @@ HEADLINE_V7 = [
 ]
 
 
+# v8 set: the round-9 additions. Tracked from round 9 on; baselines
+# in BENCH_BASELINE.md. The MJPEG row prices k≈2 full JPEG
+# encode+decode round trips per doc (same contract-pricing framing as
+# the JPEG/GIF rows); streaming_hopping_rollup is exercised by the
+# correctness gate, not benched (streaming rows never are — the
+# memory-sink drain prices the harness, not the engine).
+HEADLINE_V8 = [
+    "multimodal_decode_mjpeg",
+    "sample_weighted_priority",
+    "graph_kcore",
+    "asof_join_tolerance",
+    "stats_rolling_anomaly",
+    "layout_hilbert_events",
+    "embedding_pca_project",
+]
+
+
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -274,6 +291,7 @@ def main() -> int:
     timings_v5 = time_set(HEADLINE_V5)
     timings_v6 = time_set(HEADLINE_V6)
     timings_v7 = time_set(HEADLINE_V7)
+    timings_v8 = time_set(HEADLINE_V8)
 
     # Build-vs-probe split for the stored-index rows (r6, per the r5
     # verdict): the stored queries now build their on-disk index ONCE
@@ -377,6 +395,8 @@ def main() -> int:
                 "value_v6": round(sum(timings_v6.values()), 3),
                 "queries_v7": timings_v7,
                 "value_v7": round(sum(timings_v7.values()), 3),
+                "queries_v8": timings_v8,
+                "value_v8": round(sum(timings_v8.values()), 3),
                 "queries_prod": timings_prod,
                 "control_q1": round(control_q1, 3),
                 "control_q1_pre": control_q1_pre,

@@ -371,6 +371,38 @@ def register(reg) -> None:
             "window_start", F.col("window_start").cast("timestamp_ntz")
         )
 
+    # The stateful anomaly twin: per-user ring-buffer state via
+    # applyInPandasWithState over ts-range micro-batches. The batch
+    # operator's SQL is the oracle VERBATIM — the integer z-test over
+    # the same preceding-window contents makes the online replay
+    # row-identical to the batch computation.
+    from kafka_topic_dumper_spark.operators.analytics import (
+        rolling_anomaly_oracle_sql,
+    )
+
+    @reg("streaming_rolling_anomaly", rolling_anomaly_oracle_sql())
+    def streaming_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-user rolling z-score anomaly flags as a CUSTOM STATEFUL
+        streaming operator (applyInPandasWithState): state is each
+        user's last ≤20 quantized values, replayed over 4 time-range
+        micro-batches — cross-batch ring-buffer carry proven by the
+        exact hash-match against the batch operator's oracle."""
+        from kafka_topic_dumper_spark.streaming.stateful import (
+            rolling_anomaly_stream,
+        )
+
+        stream = (
+            spark.readStream.schema(
+                "event_id long, user_id long, event_type string,"
+                " value double, ts timestamp_ntz"
+            )
+            .option("maxFilesPerTrigger", 1)
+            .parquet(_events_range_split_stream_input(spark, sf_dir))
+        )
+        name = f"streaming_rolling_anomaly_sink_{next(_SINK_SEQ)}"
+        _drain(rolling_anomaly_stream(stream), name)
+        return spark.table(name)
+
     # Hopping-window twin: each event lands in exactly TWO overlapping
     # windows (1 h length / 30 min slide), which the oracle replays by
     # unnesting the two window starts per event — time_bucket(30 min)

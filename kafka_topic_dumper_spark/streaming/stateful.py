@@ -57,6 +57,92 @@ STATE_SCHEMA = T.StructType(
 )
 
 
+ANOMALY_OUTPUT_SCHEMA = T.StructType(
+    [
+        T.StructField("event_id", T.LongType()),
+        T.StructField("user_id", T.LongType()),
+        T.StructField("v_c", T.LongType()),
+        T.StructField("n_window", T.LongType()),
+        T.StructField("is_anomaly", T.BooleanType()),
+    ]
+)
+
+ANOMALY_STATE_SCHEMA = T.StructType(
+    [T.StructField("vals", T.ArrayType(T.LongType()))]
+)
+
+
+def rolling_anomaly_stream(
+    events: DataFrame,
+    lookback: int = 20,
+    min_window: int = 8,
+    z: int = 3,
+) -> DataFrame:
+    """The STATEFUL STREAMING twin of
+    ``operators/analytics.rolling_anomaly``: per-user rolling z-score
+    anomaly flags over a live event stream via
+    ``applyInPandasWithState``. State is the user's last ≤``lookback``
+    floor-quantized values — a fixed-size ring per key, O(keys·20)
+    total, never O(events). Because the test is the batch twin's
+    exact cross-multiplied INTEGER comparison on the exact same
+    preceding-window contents, a full replay in per-user time order
+    (ts-range micro-batches) reproduces the batch operator row for
+    row — the batch SQL IS the oracle, which is what makes an online
+    anomaly detector differentially checkable at all.
+
+    The worker function closes over plain ints only, so cloudpickle
+    ships it by value and executors never import this package (the
+    verify-skill gotcha)."""
+    events = events.withColumn("ts", F.col("ts").cast("timestamp"))
+    zz = z * z
+    lb = lookback
+    mw = min_window
+
+    def fold(key, pdfs, state):
+        import math
+
+        import pandas as pd
+
+        (user_id,) = key
+        rows = pd.concat(list(pdfs), ignore_index=True)
+        rows = rows.sort_values(["ts", "event_id"])
+        buf = list(state.get[0]) if state.exists else []
+        ev_out, vc_out, n_out, flag_out = [], [], [], []
+        for event_id, value in zip(rows["event_id"], rows["value"]):
+            vc = math.floor(float(value) * 100)
+            n = len(buf)
+            if n >= mw:
+                s = sum(buf)
+                q = sum(b * b for b in buf)
+                lhs = vc * n - s
+                ev_out.append(int(event_id))
+                vc_out.append(vc)
+                n_out.append(n)
+                flag_out.append(lhs * lhs > zz * (q * n - s * s))
+            buf.append(vc)
+            if len(buf) > lb:
+                buf = buf[-lb:]
+        state.update((buf,))
+        if ev_out:
+            yield pd.DataFrame(
+                {
+                    "event_id": ev_out,
+                    "user_id": [user_id] * len(ev_out),
+                    "v_c": vc_out,
+                    "n_window": n_out,
+                    "is_anomaly": flag_out,
+                }
+            )
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        fold,
+        outputStructType=ANOMALY_OUTPUT_SCHEMA,
+        stateStructType=ANOMALY_STATE_SCHEMA,
+        outputMode="append",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
 def sessionize_stream(
     events: DataFrame,
     gap_seconds: int = 1800,

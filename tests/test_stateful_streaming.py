@@ -243,3 +243,61 @@ def test_sessionize_flush_horizon_boundary_is_strict(spark, tmp_path):
         "boundary_gt",
     )
     assert got_gt == {(1, 1)}, got_gt
+
+
+def test_rolling_anomaly_stream_ring_buffer_crosses_batches(spark, tmp_path):
+    """One user, 12 flat values then a spike, split so the spike's
+    window STRADDLES two micro-batches: the flag must use values
+    carried in state from batch 1. Recomputed against the batch
+    operator row for row."""
+    import datetime as dt
+
+    from kafka_topic_dumper_spark.operators.analytics import rolling_anomaly
+    from kafka_topic_dumper_spark.streaming.stateful import (
+        rolling_anomaly_stream,
+    )
+
+    t0 = dt.datetime(2024, 1, 1)
+    vals = [10.0] * 12 + [500.0, 10.0]
+    rows = [
+        (i + 1, 9, "view", v, t0 + dt.timedelta(minutes=i))
+        for i, v in enumerate(vals)
+    ]
+    schema = (
+        "event_id long, user_id long, event_type string,"
+        " value double, ts timestamp_ntz"
+    )
+    batch_df = spark.createDataFrame(rows, schema)
+    src = str(tmp_path / "anom_split")
+    # two time-ordered files → two micro-batches; the split lands
+    # mid-window (events 1-8 in file 1, 9-14 in file 2)
+    import time as _time
+
+    spark.createDataFrame(rows[:8], schema).coalesce(1).write.parquet(src)
+    _time.sleep(1.1)  # file-source replays by (mtime, path)
+    spark.createDataFrame(rows[8:], schema).coalesce(1).write.mode(
+        "append"
+    ).parquet(src)
+
+    stream = (
+        spark.readStream.schema(schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(src)
+    )
+    q = (
+        rolling_anomaly_stream(stream)
+        .writeStream.format("memory")
+        .queryName("anom_stream_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    assert q.awaitTermination(120)
+    assert len(q.recentProgress) >= 2  # genuinely multi-batch
+    got = sorted(
+        tuple(r) for r in spark.table("anom_stream_test").collect()
+    )
+    expect = sorted(tuple(r) for r in rolling_anomaly(batch_df).collect())
+    assert got == expect
+    flags = {r[0]: r[4] for r in got}
+    assert flags[13] is True and flags[14] is False  # the spike, then calm
