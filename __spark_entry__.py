@@ -44,6 +44,7 @@ _VERIFY_PRIORITY = [
     "layout_hilbert_events",
     "embedding_pca_project",
     "streaming_rolling_anomaly",
+    "similarity_recall_eval",
     "multimodal_decode_jpeg",
     "streaming_interval_join",
     "similarity_topk_rp",

@@ -1417,6 +1417,64 @@ def pq_oracle_sql(centroid_cte: str = PQ_CENTROID_CTE) -> str:
         """
 
 
+# --- ANN evaluation (round 9) -----------------------------------------------
+
+
+def ann_recall_eval(
+    emb: DataFrame, query_ids: list[int] | None = None, k: int = 10
+) -> DataFrame:
+    """Retrieval-quality EVALUATION as a first-class operator — the
+    missing leg of any ANN deployment: per query, recall@k of the
+    sign-LSH index against the exact brute-force ground truth, plus
+    the reciprocal rank at which the TRUE nearest neighbor appears in
+    the approximate list (0 when missed). Both metrics are exact
+    rationals realized as single IEEE divisions (hits/k, 1/rank), so
+    the row is hash-comparable, not approximately-compared — unlike
+    test-only recall floors, this runs under the same differential
+    gate as every query and can run continuously against a production
+    index.
+
+    Scale shape: both legs end in per-query top-k (TakeOrdered /
+    WindowGroupLimit), so everything this operator joins is
+    metadata-sized (|queries|·k rows); the corpus-scale work is
+    exactly the two index paths being evaluated."""
+    qids = QUERY_IDS if query_ids is None else query_ids
+    truth = cosine_topk_bruteforce(emb, qids, k).select(
+        "query_id", "neighbor_id", F.col("rank").alias("t_rank")
+    )
+    approx = cosine_topk_lsh(emb, qids, k).select(
+        "query_id", "neighbor_id", F.col("rank").alias("a_rank")
+    )
+    hits = (
+        truth.join(approx, ["query_id", "neighbor_id"])
+        .groupBy("query_id")
+        .agg(F.count(F.lit(1)).alias("n_hits"))
+    )
+    rr = (
+        truth.filter(F.col("t_rank") == 1)
+        .join(approx, ["query_id", "neighbor_id"], "left")
+        .select(
+            "query_id",
+            F.coalesce(F.lit(1.0) / F.col("a_rank"), F.lit(0.0)).alias(
+                "rr_at_nn"
+            ),
+        )
+    )
+    base = truth.select("query_id").distinct()
+    return (
+        base.join(hits, "query_id", "left")
+        .join(rr, "query_id", "left")
+        .select(
+            "query_id",
+            F.coalesce(F.col("n_hits"), F.lit(0)).cast("bigint").alias("n_hits"),
+            (F.coalesce(F.col("n_hits"), F.lit(0)).cast("double") / k).alias(
+                "recall_at_k"
+            ),
+            F.coalesce(F.col("rr_at_nn"), F.lit(0.0)).alias("rr_at_nn"),
+        )
+    )
+
+
 # --- PCA projection (round 9) ----------------------------------------------
 
 PCA_QUANT = 1_000_000  # embedding → integer quantization scale
@@ -1581,9 +1639,7 @@ def _stored_index_path(kind: str, sf_dir: str, leaf: str, build) -> str:
 
 
 def register(reg) -> None:
-    @reg(
-        "similarity_topk_bruteforce",
-        """
+    _BF_ORACLE = """
         WITH v AS (
             SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
             FROM embeddings
@@ -1602,8 +1658,9 @@ def register(reg) -> None:
                     ORDER BY cos DESC, neighbor_id) AS INTEGER) AS rank
         FROM pairs
         QUALIFY rank <= 10
-        """,
-    )
+        """
+
+    @reg("similarity_topk_bruteforce", _BF_ORACLE)
     def similarity_topk_bruteforce(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Exact cosine top-10 for query vectors 0..4."""
         return cosine_topk_bruteforce(
@@ -1723,6 +1780,43 @@ def register(reg) -> None:
         """Multi-table sign-LSH ANN top-10 for query vectors 0..4
         (deterministic hyperplanes ⇒ exact-match oracle)."""
         return cosine_topk_lsh(load_table(spark, sf_dir, "embeddings"), QUERY_IDS, 10)
+
+    # Composed evaluation oracle: the two legs' full oracle texts as
+    # nested subqueries, then pure set arithmetic over the |q|·k rows.
+    _EVAL_ORACLE = f"""
+        WITH truth AS (SELECT * FROM ({_BF_ORACLE})),
+        approx AS (SELECT * FROM ({_LSH_ORACLE})),
+        hits AS (
+            SELECT t.query_id, count(*) AS n_hits
+            FROM truth t JOIN approx a
+              ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+            GROUP BY t.query_id
+        ),
+        rr AS (
+            SELECT t.query_id,
+                   coalesce(CAST(1 AS DOUBLE) / a.rank,
+                            CAST(0 AS DOUBLE)) AS rr_at_nn
+            FROM truth t LEFT JOIN approx a
+              ON a.query_id = t.query_id AND a.neighbor_id = t.neighbor_id
+            WHERE t.rank = 1
+        ),
+        base AS (SELECT DISTINCT query_id FROM truth)
+        SELECT b.query_id,
+               CAST(coalesce(h.n_hits, 0) AS BIGINT) AS n_hits,
+               CAST(coalesce(h.n_hits, 0) AS DOUBLE) / 10 AS recall_at_k,
+               coalesce(r.rr_at_nn, CAST(0 AS DOUBLE)) AS rr_at_nn
+        FROM base b
+        LEFT JOIN hits h ON h.query_id = b.query_id
+        LEFT JOIN rr r ON r.query_id = b.query_id
+        """
+
+    @reg("similarity_recall_eval", _EVAL_ORACLE)
+    def similarity_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Index-quality evaluation as a query (round 9): per-query
+        recall@10 and true-NN reciprocal rank of the multi-table
+        sign-LSH index vs exact brute force — hash-exact metrics, not
+        approximate floors."""
+        return ann_recall_eval(load_table(spark, sf_dir, "embeddings"))
 
     # Same hyperplanes + candidate semantics as similarity_topk_lsh, so
     # the SAME oracle applies — what this row additionally proves is the
