@@ -45,6 +45,8 @@ _VERIFY_PRIORITY = [
     "embedding_pca_project",
     "streaming_rolling_anomaly",
     "similarity_recall_eval",
+    "multimodal_phash_dct",
+    "multimodal_phash_dct_neardup",
     "multimodal_decode_jpeg",
     "streaming_interval_join",
     "similarity_topk_rp",

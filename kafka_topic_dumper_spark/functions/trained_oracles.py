@@ -505,3 +505,76 @@ def pca_project_oracle_sql(sf_dir: str) -> str:
         SELECT * FROM (VALUES {rows})
         AS _p(vec_id, pc1, pc2)
         """
+
+
+# --- DCT perceptual-hash replay (round 9) -----------------------------------
+#
+# The real-pHash registry rows (operators/multimodal.py::phash_dct /
+# phash_dct_neardup) hash the deterministic RAW rasters through the
+# shared fixed-point DCT; the replay below re-states that integer
+# pipeline independently (same published DCT constants as the JPEG
+# replay above). The near-dup oracle then applies the DEFINITIONAL
+# hamming rule (xor_popcount ≤ T over all pairs) to the replayed
+# hashes — so the Spark side's banded-pigeonhole join is proven
+# complete, not just self-consistent.
+
+
+@lru_cache(maxsize=8)
+def _phash_expected_rows(sf_dir: str) -> tuple:
+    import duckdb
+    import numpy as np
+
+    ids = [
+        int(r[0])
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+        ).fetchall()
+    ]
+    M = np.array(_JPEG_M_ROWS, dtype=np.int64)
+    out = []
+    for d in ids:
+        w, h, c = 8 + d % 9, 8 + d % 7, 3
+        px = ((d + np.arange(w * h * c, dtype=np.int64)) % 256).reshape(
+            h, w, c
+        )
+        lum = px.sum(axis=2) // c
+        ys = (np.arange(8) * h) // 8
+        xs = (np.arange(8) * w) // 8
+        small = lum[np.ix_(ys, xs)] - 128
+        coef = (M @ small @ M.T + (1 << 25)) >> 26
+        ac = coef.reshape(64)[1:]
+        med = int(np.sort(ac)[31])
+        bits = ac > med
+        phash = 0
+        for k in range(63):
+            if bits[k]:
+                phash |= 1 << k
+        out.append((d, phash, int(bits.sum())))
+    return tuple(out)
+
+
+def phash_dct_oracle_sql(sf_dir: str) -> str:
+    rows = ",\n               ".join(
+        f"(CAST({d} AS BIGINT), CAST({p} AS BIGINT), CAST({n} AS INTEGER))"
+        for d, p, n in _phash_expected_rows(sf_dir)
+    )
+    return f"""
+        SELECT * FROM (VALUES {rows})
+        AS _h(doc_id, phash, n_ones)
+        """
+
+
+def phash_neardup_oracle_sql(sf_dir: str, max_hamming: int = 6) -> str:
+    rows = ",\n               ".join(
+        f"(CAST({d} AS BIGINT), CAST({p} AS BIGINT))"
+        for d, p, _ in _phash_expected_rows(sf_dir)
+    )
+    return f"""
+        WITH h AS (
+            SELECT * FROM (VALUES {rows}) AS _h(doc_id, phash)
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(bit_count(xor(a.phash, b.phash)) AS INTEGER) AS hamming
+        FROM h a JOIN h b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}
+        """

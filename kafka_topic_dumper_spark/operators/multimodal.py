@@ -319,6 +319,96 @@ def phash_neardup(docs: DataFrame, max_hamming: int = 4) -> DataFrame:
     )
 
 
+# --- REAL perceptual hash (round 9) ----------------------------------------
+#
+# The md5 stand-in above keeps its row for baseline continuity, but a
+# REAL pHash needs no codec library — its ingredients already exist
+# here: the self-describing RAW decode and the fixed-point 8×8 DCT
+# basis the JPEG codec ships. Classic pHash recipe, integer-exact
+# variant: decode → integer luminance → nearest-neighbor resize to
+# 8×8 → level-shift → fixed-point DCT → threshold the 63 AC
+# coefficients at their median. Visually-similar images (e.g. the
+# same gradient at a constant brightness offset) differ only in DC,
+# so they collide at hamming 0 — the semantic the md5 stub cannot
+# provide.
+
+_PHASH_SCHEMA = "doc_id long, phash long, n_ones int"
+
+
+def phash_dct(payloads: DataFrame) -> DataFrame:
+    """REAL DCT perceptual hash over self-describing RAW payloads:
+    bit k of the 63-bit hash is 1 iff AC coefficient k (row-major,
+    DC excluded) exceeds the median AC coefficient. All arithmetic is
+    the JPEG kernel's int64 fixed point, so the hash is deterministic
+    and literal-replayable (functions/trained_oracles.py). Pure Arrow
+    map stage — no shuffle; at scale the hash column is the
+    precomputed artifact the banded hamming index is built from."""
+    _ensure_arrow_batch(payloads)
+    dct_rows = _JPEG_DCT_M
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+        import pandas as _pd
+
+        M = np.array(dct_rows, dtype=np.int64)
+
+        def one(buf: bytes) -> tuple:
+            w, h, c = struct.unpack_from("<iii", buf, 0)
+            px = np.frombuffer(buf, dtype=np.uint8, offset=12).astype(
+                np.int64
+            )
+            if px.size != w * h * c:
+                raise ValueError("truncated RAW payload")
+            img = px.reshape(h, w, c)
+            lum = img.sum(axis=2) // c  # integer mean luminance
+            ys = (np.arange(8) * h) // 8
+            xs = (np.arange(8) * w) // 8
+            small = lum[np.ix_(ys, xs)] - 128
+            coef = (M @ small @ M.T + (1 << 25)) >> 26
+            ac = coef.reshape(64)[1:]
+            med = int(np.sort(ac)[31])
+            bits = ac > med
+            phash = 0
+            for k in range(63):
+                if bits[k]:
+                    phash |= 1 << k
+            return phash, int(bits.sum())
+
+        for pdf in batches:
+            doc_ids, hashes, ones = [], [], []
+            for doc_id, payload in zip(pdf["doc_id"], pdf["payload"]):
+                if payload is None:
+                    raise ValueError(f"NULL RAW payload (doc_id={doc_id})")
+                ph, n1 = one(bytes(payload))
+                doc_ids.append(doc_id)
+                hashes.append(ph)
+                ones.append(n1)
+            yield _pd.DataFrame(
+                {
+                    "doc_id": doc_ids,
+                    "phash": _pd.array(hashes, dtype="int64"),
+                    "n_ones": _pd.array(ones, dtype="int32"),
+                }
+            )
+
+    return payloads.mapInPandas(run, schema=_PHASH_SCHEMA)
+
+
+def phash_dct_neardup(docs: DataFrame, max_hamming: int = 6) -> DataFrame:
+    """Near-dup pairs over the REAL DCT perceptual hash: 8×8-bit
+    banded hamming join (pigeonhole-complete for hamming < 8) with
+    bit_count verification — the same precomputed-band-index shape as
+    simhash, now over a hash that actually encodes image structure."""
+    from kafka_topic_dumper_spark.operators.dedup import banded_hamming_pairs
+
+    hashes = phash_dct(synth_raw_images(docs)).select("doc_id", "phash")
+    return banded_hamming_pairs(
+        hashes, "phash", nbits=64, n_bands=8, max_hamming=max_hamming
+    )
+
+
 # --- RAW (uncompressed) image path: REAL decode + resize ------------------
 #
 # The compressed-format decoders above are stubs (no codec libraries in
@@ -2142,7 +2232,29 @@ def register(reg) -> None:
     from kafka_topic_dumper_spark.functions.trained_oracles import (
         jpeg_decode_oracle_sql,
         mjpeg_decode_oracle_sql,
+        phash_dct_oracle_sql,
+        phash_neardup_oracle_sql,
     )
+
+    @reg("multimodal_phash_dct", phash_dct_oracle_sql)
+    def multimodal_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """REAL DCT perceptual hash (round 9): RAW decode → integer
+        luminance → 8×8 nearest resize → fixed-point DCT → median
+        threshold of the 63 AC coefficients. Literal-oracled by the
+        independent integer replay; no codec library involved."""
+        return phash_dct(
+            synth_raw_images(load_table(spark, sf_dir, "documents"))
+        )
+
+    @reg("multimodal_phash_dct_neardup", phash_neardup_oracle_sql)
+    def multimodal_phash_dct_neardup(
+        spark: SparkSession, sf_dir: str
+    ) -> DataFrame:
+        """Near-dup pairs over the REAL perceptual hash via the
+        8-band pigeonhole hamming join; the oracle applies the
+        DEFINITIONAL all-pairs hamming rule to the replayed hashes,
+        proving the banded join complete (hamming ≤ 6 < 8 bands)."""
+        return phash_dct_neardup(load_table(spark, sf_dir, "documents"))
 
     @reg("multimodal_decode_jpeg", jpeg_decode_oracle_sql)
     def multimodal_decode_jpeg(spark: SparkSession, sf_dir: str) -> DataFrame:

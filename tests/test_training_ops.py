@@ -1292,3 +1292,39 @@ def test_mjpeg_container_and_codec_composition(spark):
     )
     with _pytest.raises(Exception, match="unsupported video codec"):
         decode_mjpeg_frames(df).collect()
+
+
+def test_phash_dct_brightness_invariance_and_structure(spark):
+    """The REAL pHash's semantic claim: a constant brightness offset
+    (no wrap) only shifts DC, so the AC-median hash collides at
+    hamming 0 — while a structurally different raster does not. Also:
+    each hash has 31 one-bits exactly (median threshold on 63
+    distinct-or-not coefficients ⇒ ≤31 above strict median)."""
+    import struct
+
+    import numpy as np
+
+    from kafka_topic_dumper_spark.operators.multimodal import phash_dct
+
+    def raw(doc_id, px, w, h):
+        return (
+            doc_id,
+            bytearray(
+                struct.pack("<iii", w, h, 3)
+                + px.astype(np.uint8).tobytes()
+            ),
+        )
+
+    w, h = 16, 12
+    grad = (np.arange(w * h * 3) % 97).reshape(-1)  # max 96: +40 can't wrap
+    rows = [
+        raw(1, grad, w, h),
+        raw(2, grad + 40, w, h),                      # brightness offset
+        raw(3, (np.arange(w * h * 3) * 31 % 251), w, h),  # different structure
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    got = {r.doc_id: (r.phash, r.n_ones) for r in phash_dct(df).collect()}
+    assert got[1][0] == got[2][0]          # hamming 0 under brightness shift
+    assert got[1][0] != got[3][0]
+    for ph, n_ones in got.values():
+        assert bin(ph).count("1") == n_ones <= 31
