@@ -168,6 +168,9 @@ HEADLINE_V8 = [
     "stats_rolling_anomaly",
     "layout_hilbert_events",
     "embedding_pca_project",
+    "similarity_recall_eval",
+    "multimodal_phash_dct",
+    "multimodal_phash_dct_neardup",
 ]
 
 
