@@ -47,6 +47,7 @@ _VERIFY_PRIORITY = [
     "similarity_recall_eval",
     "multimodal_phash_dct",
     "multimodal_phash_dct_neardup",
+    "stats_cusum_changepoints",
     "multimodal_decode_jpeg",
     "streaming_interval_join",
     "similarity_topk_rp",

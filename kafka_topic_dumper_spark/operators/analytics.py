@@ -179,6 +179,112 @@ def rolling_anomaly_oracle_sql(
     """
 
 
+# Tuned to the events.value scale (σ ≈ 4900 cents): the classic
+# κ = σ/2, h = 4σ operating point, in integer cents.
+CUSUM_SLACK_C = 2500   # per-step drift allowance κ
+CUSUM_H_C = 20000      # decision threshold h
+
+
+def cusum_changepoints(
+    events: DataFrame,
+    slack_c: int = CUSUM_SLACK_C,
+    h_c: int = CUSUM_H_C,
+) -> DataFrame:
+    """Per-user CUSUM drift detection (Page 1954) — the sequential
+    changepoint statistic, distributed WITHOUT its sequential
+    recursion: the textbook form C⁺_t = max(0, C⁺_{t-1} + x_t − μ₀ − κ)
+    is a running-reset recursion no SQL window expresses directly, but
+    it has a closed window-algebra identity —
+    C⁺_t = P_t − min_{j≤t} P_j over the prefix sum P of (x − μ₀ − κ)
+    (and symmetrically C⁻_t = max_{j≤t} P'_j − P'_t over x + κ's
+    prefix) — so the whole statistic is two running aggregates on one
+    (user, time) sort. μ₀ is the global mean in floor-quantized cents
+    (one metadata-sized aggregate, broadcast); everything downstream
+    is INTEGER, so both engines agree bit-for-bit and the drift flag
+    cannot float-flip.
+
+    Scale shape: one shuffle on user_id, one in-partition sort, four
+    running integer window aggregates — O(1) state per row, the same
+    single-stage profile as the as-of joins."""
+    vc = F.floor(F.col("value") * 100).cast("bigint")
+    base = events.select("event_id", "user_id", "ts", vc.alias("v_c"))
+    mu0 = base.agg(
+        F.floor(F.avg("v_c")).cast("bigint").alias("mu0")
+    )
+    run = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    stepped = base.join(F.broadcast(mu0)).select(
+        "event_id",
+        "user_id",
+        "ts",
+        (F.col("v_c") - F.col("mu0") - F.lit(slack_c)).alias("up_step"),
+        (F.col("v_c") - F.col("mu0") + F.lit(slack_c)).alias("dn_step"),
+    )
+    p = stepped.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.sum("up_step").over(run).alias("p_up"),
+        F.sum("dn_step").over(run).alias("p_dn"),
+    )
+    # the running extremum must include the EMPTY prefix (S₀ = 0) —
+    # the reset-at-zero baseline of the recursion — hence least/greatest
+    return p.select(
+        "event_id",
+        "user_id",
+        (
+            F.col("p_up") - F.least(F.lit(0), F.min("p_up").over(run))
+        ).alias("cusum_pos"),
+        (
+            F.greatest(F.lit(0), F.max("p_dn").over(run)) - F.col("p_dn")
+        ).alias("cusum_neg"),
+    ).select(
+        "event_id",
+        "user_id",
+        "cusum_pos",
+        "cusum_neg",
+        (
+            (F.col("cusum_pos") > h_c) | (F.col("cusum_neg") > h_c)
+        ).alias("drift_flag"),
+    )
+
+
+def cusum_oracle_sql(
+    slack_c: int = CUSUM_SLACK_C, h_c: int = CUSUM_H_C
+) -> str:
+    return f"""
+        WITH base AS (
+            SELECT event_id, user_id, ts,
+                   CAST(floor(value * 100) AS BIGINT) AS v_c
+            FROM events
+        ), m AS (
+            SELECT CAST(floor(avg(v_c)) AS BIGINT) AS mu0 FROM base
+        ), p AS (
+            SELECT event_id, user_id, ts,
+                   sum(v_c - mu0 - {slack_c}) OVER w AS p_up,
+                   sum(v_c - mu0 + {slack_c}) OVER w AS p_dn
+            FROM base, m
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+        ), c AS (
+            SELECT event_id, user_id,
+                   p_up - least(0, min(p_up) OVER w) AS cusum_pos,
+                   greatest(0, max(p_dn) OVER w) - p_dn AS cusum_neg
+            FROM p
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING
+                         AND CURRENT ROW)
+        )
+        SELECT event_id, user_id, cusum_pos, cusum_neg,
+               (cusum_pos > {h_c} OR cusum_neg > {h_c}) AS drift_flag
+        FROM c
+    """
+
+
 def rollup_revenue(orders: DataFrame) -> DataFrame:
     """ROLLUP over (priority, year): per-group, per-priority subtotal,
     and grand total in one pass — partial-aggregatable, one shuffle.
@@ -955,6 +1061,13 @@ def register(reg) -> None:
         """As-of join: each event ↔ the same user's most recent purchase
         (sort-merge window form; equivalent to DuckDB ASOF JOIN)."""
         return asof_last_purchase(load_table(spark, sf_dir, "events"))
+
+    @reg("stats_cusum_changepoints", cusum_oracle_sql())
+    def stats_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-user CUSUM drift statistics (Page 1954) distributed via
+        the prefix-sum/running-extremum identity — the sequential
+        reset recursion as pure window algebra, all integer."""
+        return cusum_changepoints(load_table(spark, sf_dir, "events"))
 
     @reg("stats_rolling_anomaly", rolling_anomaly_oracle_sql())
     def stats_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -410,3 +410,45 @@ def test_rolling_anomaly_flags_spike_only(spark):
     mu = statistics.mean(win)
     var = statistics.pvariance(win)
     assert ((1000 - mu) ** 2 > 9 * var) == got[11] is False
+
+
+def test_cusum_window_identity_matches_sequential_recursion(spark):
+    """The operator's core claim: the window-algebra form
+    (P_t − min prefix / max prefix − P'_t) equals the textbook
+    sequential recursion C_t = max(0, C_{t-1} ± (x_t − μ₀ ∓ κ)),
+    replayed in pure Python — and a planted upward drift raises the
+    flag while the stable prefix stays quiet."""
+    import datetime as dt
+
+    from kafka_topic_dumper_spark.operators.analytics import (
+        cusum_changepoints,
+    )
+
+    t0 = dt.datetime(2024, 4, 1)
+    # stable around 50.00, then a sustained +200.00 shift
+    vals = [50.0, 51.0, 49.0, 50.5, 49.5, 50.0] + [250.0] * 6
+    rows = [
+        (i + 1, 3, "view", v, t0 + dt.timedelta(minutes=i))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string,"
+        " value double, ts timestamp_ntz",
+    )
+    got = {
+        r.event_id: (r.cusum_pos, r.cusum_neg, r.drift_flag)
+        for r in cusum_changepoints(df, slack_c=2500, h_c=20000).collect()
+    }
+
+    import math
+    vc = [math.floor(v * 100) for v in vals]
+    mu0 = math.floor(sum(vc) / len(vc))
+    cp = cn = 0
+    for i, x in enumerate(vc):
+        cp = max(0, cp + x - mu0 - 2500)
+        cn = max(0, cn - (x - mu0) - 2500)
+        assert got[i + 1] == (cp, cn, cp > 20000 or cn > 20000), i
+    # the UPWARD statistic stays at zero through the stable prefix
+    # (every pre-shift step is below μ₀) and fires after the shift
+    assert got[6][0] == 0 and got[12][0] > 20000 and got[12][2]
