@@ -111,6 +111,18 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             "recall trade"
         ),
     )
+    p.add_argument(
+        "--token-budget",
+        type=int,
+        default=0,
+        help=(
+            "prep: optional global token budget applied AFTER dedup/"
+            "near-dup admission — greedy quality-first selection "
+            "(the sample_token_budget registry operator: cumulative "
+            "token count in quality-descending order via the "
+            "distributed prefix sum); 0 disables"
+        ),
+    )
     return p.parse_args(argv)
 
 
@@ -337,6 +349,24 @@ def main(argv: list[str] | None = None) -> int:
                 )
                 narrowed = survivors.join(
                     drops, "doc_id", "left_anti"
+                ).persist()
+                survivors.unpersist()
+                survivors = narrowed
+            if opts.token_budget > 0:
+                # budget-capped curation (round 9): keep the highest-
+                # quality survivors until the global token budget is
+                # spent — the same distributed-prefix-sum selection as
+                # the sample_token_budget registry row, applied to the
+                # post-dedup survivor set.
+                from kafka_topic_dumper_spark.operators.text import (
+                    token_budget_selection,
+                )
+
+                chosen = token_budget_selection(
+                    survivors, opts.token_budget
+                ).select("doc_id")
+                narrowed = survivors.join(
+                    chosen, "doc_id", "left_semi"
                 ).persist()
                 survivors.unpersist()
                 survivors = narrowed

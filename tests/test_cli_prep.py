@@ -195,3 +195,56 @@ def test_prep_near_dup_setsim_matches_batch_rule(spark, tmp_path):
     }
     want = {r.doc_id for r in survivors.collect()} - drops
     assert got == want and got
+
+
+def test_prep_token_budget_caps_corpus_quality_first(spark, tmp_path):
+    """`prep --token-budget=N` must keep exactly the
+    token_budget_selection set over the quality+dedup survivors —
+    the highest-quality docs whose cumulative token count fits N —
+    and the resulting shard count must shrink accordingly."""
+    from pyspark.sql import functions as F
+
+    from kafka_topic_dumper_spark.operators.dedup import canonical_mapping
+    from kafka_topic_dumper_spark.operators.text import (
+        quality_classifier,
+        token_budget_selection,
+    )
+
+    budget = 3000
+    out = str(tmp_path / "prep_budget_out")
+    rc = cli.main(
+        [
+            "prep",
+            "--input",
+            f"{SF}/documents.parquet",
+            "--output",
+            out,
+            "--seq-len",
+            "128",
+            "--vocab-size",
+            "256",
+            "--token-budget",
+            str(budget),
+        ]
+    )
+    assert rc == 0
+    got = {r.doc_id for r in spark.read.parquet(out + "/kept_docs").collect()}
+
+    docs = spark.read.parquet(f"{SF}/documents.parquet")
+    kept = docs.join(
+        quality_classifier(docs).filter(F.col("keep")).select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    survivors = kept.join(
+        canonical_mapping(kept)
+        .filter(F.col("is_dup") == 0)
+        .select("doc_id"),
+        "doc_id",
+        "left_semi",
+    )
+    expect_rows = token_budget_selection(survivors, budget).collect()
+    expect = {r.doc_id for r in expect_rows}
+    assert got == expect
+    assert 0 < len(got) < survivors.count()  # budget genuinely bites
+    assert max(r.cum_tokens for r in expect_rows) <= budget
