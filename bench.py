@@ -171,6 +171,7 @@ HEADLINE_V8 = [
     "similarity_recall_eval",
     "multimodal_phash_dct",
     "multimodal_phash_dct_neardup",
+    "stats_cusum_changepoints",
 ]
 
 

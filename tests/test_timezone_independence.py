@@ -24,6 +24,10 @@ TZ_SENSITIVE = [
     "window_rolling_hour",
     "sessionize_events",
     "layout_zorder_events",
+    "layout_hilbert_events",
+    "asof_join_tolerance",
+    "stats_rolling_anomaly",
+    "stats_cusum_changepoints",
 ]
 
 
