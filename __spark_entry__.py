@@ -48,6 +48,7 @@ _VERIFY_PRIORITY = [
     "multimodal_phash_dct",
     "multimodal_phash_dct_neardup",
     "stats_cusum_changepoints",
+    "text_kneser_ney_quality",
     "multimodal_decode_jpeg",
     "streaming_interval_join",
     "similarity_topk_rp",

@@ -1232,6 +1232,104 @@ def bigram_lm_quality(docs: DataFrame) -> DataFrame:
     )
 
 
+KN_DISCOUNT = 0.75  # = 3/4 — exactly representable in binary float
+
+
+def kneser_ney_quality(docs: DataFrame) -> DataFrame:
+    """Interpolated Kneser–Ney bigram scoring (Kneser & Ney 1995) —
+    the smoothing family that actually ships in n-gram LM toolkits,
+    vs the add-one baseline of :func:`bigram_lm_quality`: probability
+    mass discounted by D = 3/4 from every seen bigram is redistributed
+    through the CONTINUATION distribution (how many distinct contexts
+    a word follows), so boilerplate tokens that appear everywhere in
+    one context stop looking "likely" —
+    P(w|v) = max(c(vw) − D, 0)/c(v) + (D·N₁₊(v·)/c(v)) · N₁₊(·w)/N₁₊(··).
+
+    Plan shape: identical to the add-one row — the exploded bigram
+    stream shuffles once into pair counts; the three KN statistics
+    (distinct successors per context, distinct contexts per word,
+    total distinct pairs) are MODEL-sized rollups of that one count
+    table, never second corpus passes; scoring is the same skew-aware
+    (prev, cur) model join. D = 3/4 keeps every float term a
+    correctly-rounded IEEE op from exact integers; the oracle mirrors
+    the expression tree shape, so scores agree before the final
+    rounding."""
+    bg = bigram_rows(docs.select("doc_id", "text"))
+    pair_counts, ctx_counts, _ = bigram_lm_model(docs)
+    fwd = pair_counts.groupBy("prev").agg(F.count("*").alias("n1p_fwd"))
+    bwd = pair_counts.groupBy("cur").agg(F.count("*").alias("n1p_bwd"))
+    npairs = pair_counts.agg(F.count("*").alias("n_pairs"))
+    model = (
+        pair_counts.join(ctx_counts, "prev")
+        .join(fwd, "prev")
+        .join(bwd, "cur")
+        .crossJoin(F.broadcast(npairs))
+    )
+    d = F.lit(KN_DISCOUNT)
+    scored = bg.join(model, ["prev", "cur"]).withColumn(
+        "nlp",
+        -F.log2(
+            F.greatest(F.col("c_pc") - d, F.lit(0.0)) / F.col("c_p")
+            + (d * F.col("n1p_fwd") / F.col("c_p"))
+            * (F.col("n1p_bwd") / F.col("n_pairs"))
+        ),
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.count("*").alias("n"), F.avg("nlp").alias("avg_nlp"))
+        .select(
+            "doc_id",
+            F.col("n").cast("bigint").alias("n_bigrams"),
+            F.round(F.col("avg_nlp"), 4).alias("kn_bits_per_bigram"),
+        )
+    )
+
+
+def kneser_ney_oracle_sql(src: str = "documents") -> str:
+    """DuckDB mirror of :func:`kneser_ney_quality` — same CTE-count
+    derivation as the add-one oracle plus the three KN statistics;
+    0.75 is CAST to DOUBLE (a bare DuckDB literal is DECIMAL) and the
+    probability expression mirrors the Spark tree shape."""
+    return rf"""
+        WITH kn_t AS (
+            SELECT doc_id, string_split_regex(lower(text), '\s+') AS toks
+            FROM {src}
+        ), kn_bg AS (
+            SELECT doc_id, z[1] AS prev, z[2] AS cur FROM (
+                SELECT doc_id, unnest(list_zip(toks[:-2], toks[2:])) AS z
+                FROM kn_t
+            )
+        ), kn_pc AS (
+            SELECT prev, cur, count(*) AS c_pc FROM kn_bg GROUP BY prev, cur
+        ), kn_p AS (
+            SELECT prev, sum(c_pc) AS c_p FROM kn_pc GROUP BY prev
+        ), kn_fwd AS (
+            SELECT prev, count(*) AS n1p_fwd FROM kn_pc GROUP BY prev
+        ), kn_bwd AS (
+            SELECT cur, count(*) AS n1p_bwd FROM kn_pc GROUP BY cur
+        ), kn_np AS (
+            SELECT count(*) AS n_pairs FROM kn_pc
+        ), kn_scored AS (
+            SELECT kn_bg.doc_id,
+                   -log2(
+                       greatest(kn_pc.c_pc - CAST(0.75 AS DOUBLE),
+                                CAST(0 AS DOUBLE)) / kn_p.c_p
+                       + (CAST(0.75 AS DOUBLE) * kn_fwd.n1p_fwd / kn_p.c_p)
+                       * (CAST(kn_bwd.n1p_bwd AS DOUBLE) / kn_np.n_pairs)
+                   ) AS nlp
+            FROM kn_bg
+            JOIN kn_pc USING (prev, cur)
+            JOIN kn_p USING (prev)
+            JOIN kn_fwd USING (prev)
+            JOIN kn_bwd USING (cur), kn_np
+        )
+        SELECT doc_id,
+               CAST(count(*) AS BIGINT) AS n_bigrams,
+               round(avg(nlp), 4) AS kn_bits_per_bigram
+        FROM kn_scored GROUP BY doc_id
+        """
+
+
 def bigram_lm_oracle_ctes(src: str = "documents") -> str:
     """DuckDB CTE chain mirroring :func:`bigram_lm_quality` over table
     ``src``, terminating in per-doc scores as ``lmq(doc_id, n_bigrams,
@@ -1839,6 +1937,13 @@ def register(reg) -> None:
     def text_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Corpus-trained bigram-LM perplexity proxy per document."""
         return bigram_lm_quality(load_table(spark, sf_dir, "documents"))
+
+    @reg("text_kneser_ney_quality", kneser_ney_oracle_sql())
+    def text_kneser_ney_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Interpolated Kneser–Ney bigram scoring (round 9): absolute
+        discounting with continuation-probability backoff — the
+        production n-gram smoothing next to the add-one baseline."""
+        return kneser_ney_quality(load_table(spark, sf_dir, "documents"))
 
     @reg(
         "text_token_doc_frequency",

@@ -452,3 +452,59 @@ def test_cusum_window_identity_matches_sequential_recursion(spark):
     # the UPWARD statistic stays at zero through the stable prefix
     # (every pre-shift step is below μ₀) and fires after the shift
     assert got[6][0] == 0 and got[12][0] > 20000 and got[12][2]
+
+
+def test_kneser_ney_normalizes_and_matches_python_replay(spark):
+    """KN invariant: per context v, Σ_w P(w|v) = 1 exactly (discount
+    mass fully redistributed through the continuation distribution) —
+    verified from a pure-Python count replay; per-doc scores match
+    the same replay."""
+    import math
+    from collections import Counter, defaultdict
+
+    from kafka_topic_dumper_spark.operators.text import kneser_ney_quality
+
+    texts = {
+        1: "the cat sat on the mat",
+        2: "the dog sat on the log",
+        3: "a cat and a dog",
+    }
+    docs = spark.createDataFrame(
+        [(d, t, "en", "s", len(t)) for d, t in texts.items()],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        r.doc_id: (r.n_bigrams, r.kn_bits_per_bigram)
+        for r in kneser_ney_quality(docs).collect()
+    }
+
+    pc: Counter = Counter()
+    for t in texts.values():
+        toks = t.split()
+        for a, b in zip(toks, toks[1:]):
+            pc[(a, b)] += 1
+    cp: Counter = Counter()
+    fwd: Counter = Counter()
+    bwd: Counter = Counter()
+    for (a, b), c in pc.items():
+        cp[a] += c
+        fwd[a] += 1
+        bwd[b] += 1
+    n_pairs = len(pc)
+    D = 0.75
+
+    def p(a, b):
+        return max(pc[(a, b)] - D, 0.0) / cp[a] + (D * fwd[a] / cp[a]) * (
+            bwd[b] / n_pairs
+        )
+
+    # normalization over the continuation vocabulary
+    for v in cp:
+        total = sum(p(v, w) for w in bwd)
+        assert abs(total - 1.0) < 1e-12, v
+
+    for d, t in texts.items():
+        toks = t.split()
+        nlps = [-math.log2(p(a, b)) for a, b in zip(toks, toks[1:])]
+        assert got[d][0] == len(nlps)
+        assert got[d][1] == round(sum(nlps) / len(nlps), 4), d
