@@ -323,6 +323,25 @@ def probes(t: dict[str, DataFrame], r: int = 1):
             )
         )
 
+    def rolling_anomaly_probe():
+        # bounded-frame window statistics: one user_id shuffle + one
+        # in-partition sort; the claim is row-linear growth with O(1)
+        # per-row state (20-element integer frames)
+        from kafka_topic_dumper_spark.operators.analytics import (
+            rolling_anomaly,
+        )
+
+        return rolling_anomaly(t["events"])
+
+    def cusum_probe():
+        # unbounded-prefix window statistics (running sum + running
+        # extremum): same single (user, time) sort, still O(1) state
+        from kafka_topic_dumper_spark.operators.analytics import (
+            cusum_changepoints,
+        )
+
+        return cusum_changepoints(t["events"])
+
     def pca():
         # two corpus-linear Arrow passes + a d²-row exact reduce; the
         # claim is the driver leg stays METADATA-sized (64×64 ints)
@@ -557,6 +576,8 @@ def probes(t: dict[str, DataFrame], r: int = 1):
         "layout_hilbert_events": hilbert,
         "graph_kcore": kcore,
         "embedding_pca_project": pca,
+        "stats_rolling_anomaly": rolling_anomaly_probe,
+        "stats_cusum_changepoints": cusum_probe,
         "pipeline_tokenize_pack_ids": tok_pack,
         "streaming_dedup_minhash": stream_minhash,
         "streaming_interval_join": stream_interval_join,
