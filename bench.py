@@ -172,6 +172,7 @@ HEADLINE_V8 = [
     "multimodal_phash_dct",
     "multimodal_phash_dct_neardup",
     "stats_cusum_changepoints",
+    "text_kneser_ney_quality",
 ]
 
 
