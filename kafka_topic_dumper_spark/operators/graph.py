@@ -563,34 +563,27 @@ def kcore_membership(
     localCheckpointed to truncate iterative lineage. Emits each
     surviving node with its degree inside the SURVIVOR-induced
     subgraph."""
-    edges = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
-    sym = edges.union(
-        edges.select(F.col("v").alias("u"), F.col("u").alias("v"))
-    ).persist()
-    alive = sym.select(F.col("u").alias("node")).distinct()
-
-    def induced_degrees(alive_df: DataFrame) -> DataFrame:
-        au = alive_df.select(F.col("node").alias("u"))
-        av = alive_df.select(F.col("node").alias("v"))
-        return (
-            sym.join(au, "u", "left_semi")
-            .join(av, "v", "left_semi")
-            .groupBy("u")
-            .agg(F.count("*").alias("c"))
-        )
-
+    base = pairs.select(F.col(a).alias("u"), F.col(b).alias("v"))
+    # peel over a SHRINKING materialized edge set: each round's
+    # semi-joins run against the survivor-induced edges of the
+    # previous round (edge sets only shrink under peeling), and the
+    # final survivor degree is a plain count over the last edge set —
+    # no extra induction pass. localCheckpoint doubles as the
+    # iterative-lineage truncation (the CC/PageRank lesson).
+    edges = base.union(
+        base.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    ).localCheckpoint(eager=True)
     for _ in range(rounds):
-        deg = induced_degrees(alive)
-        alive = (
-            deg.filter(F.col("c") >= k)
-            .select(F.col("u").alias("node"))
+        deg = edges.groupBy("u").agg(F.count("*").alias("c"))
+        alive = deg.filter(F.col("c") >= k).select("u")
+        edges = (
+            edges.join(alive, "u", "left_semi")
+            .join(alive.select(F.col("u").alias("v")), "v", "left_semi")
             .localCheckpoint(eager=True)
         )
-    out = induced_degrees(alive).select(
+    return edges.groupBy("u").agg(F.count("*").alias("c")).select(
         F.col("u").alias("node"), F.col("c").cast("bigint").alias("core_degree")
     )
-    sym.unpersist()
-    return out
 
 
 def kcore_oracle_sql(

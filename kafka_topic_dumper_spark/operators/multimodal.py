@@ -294,11 +294,10 @@ def extract_features(payloads: DataFrame) -> DataFrame:
 
 
 def phash_stub(payloads: DataFrame) -> DataFrame:
-    """32-bit perceptual-hash STUB over a binary payload column. A
-    real pHash is a DCT over decoded pixels (image libs absent in this
-    container); the stand-in is the portable md5-prefix hash of the raw
-    bytes, which keeps the downstream banding/dedup pipeline — the part
-    that matters at scale — fully testable and oracle-exact. Equal
+    """32-bit perceptual-hash STUB over a binary payload column — kept
+    for baseline continuity; the REAL DCT pHash is :func:`phash_dct`
+    below (round 9), which needs no image library either. This
+    stand-in is the portable md5-prefix hash of the raw bytes: equal
     payloads collide at hamming 0 (exact dups always found); unequal
     payloads behave as random fingerprints."""
     from kafka_topic_dumper_spark.functions.portable_hash import h32_spark_sql
