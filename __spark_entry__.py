@@ -49,6 +49,7 @@ _VERIFY_PRIORITY = [
     "multimodal_phash_dct_neardup",
     "stats_cusum_changepoints",
     "text_kneser_ney_quality",
+    "asof_join_nearest",
     "multimodal_decode_jpeg",
     "streaming_interval_join",
     "similarity_topk_rp",

@@ -473,6 +473,64 @@ def asof_next_purchase(events: DataFrame) -> DataFrame:
     )
 
 
+def asof_nearest_purchase(events: DataFrame) -> DataFrame:
+    """NEAREST-match as-of join — the remaining direction after
+    backward, forward, and tolerance: each event pairs with the same
+    user's temporally closest purchase on EITHER side (backward wins
+    exact-distance ties, so a purchase row matches itself at gap 0).
+    Both direction frames share one (user, time) sort — still a
+    single shuffle; distances compare in exact integer microseconds
+    (timestampdiff), never float seconds."""
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    )
+    is_purchase = F.col("event_type") == "purchase"
+    base = events.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.last(F.when(is_purchase, F.col("event_id")), ignorenulls=True)
+        .over(wb)
+        .alias("lpe"),
+        F.last(F.when(is_purchase, F.col("ts")), ignorenulls=True)
+        .over(wb)
+        .alias("lpt"),
+        F.first(F.when(is_purchase, F.col("event_id")), ignorenulls=True)
+        .over(wf)
+        .alias("npe"),
+        F.first(F.when(is_purchase, F.col("ts")), ignorenulls=True)
+        .over(wf)
+        .alias("npt"),
+    )
+    d_back = F.expr("timestampdiff(MICROSECOND, lpt, ts)")
+    d_fwd = F.expr("timestampdiff(MICROSECOND, ts, npt)")
+    take_back = F.col("lpt").isNotNull() & (
+        F.col("npt").isNull() | (d_back <= d_fwd)
+    )
+    return base.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(take_back, F.col("lpe"))
+        .otherwise(F.col("npe"))
+        .alias("nearest_purchase_event_id"),
+        F.when(take_back, F.col("lpt"))
+        .otherwise(F.col("npt"))
+        .alias("nearest_purchase_ts"),
+        F.when(take_back, d_back)
+        .otherwise(F.when(F.col("npt").isNotNull(), d_fwd))
+        .cast("bigint")
+        .alias("gap_us"),
+    )
+
+
 def gap_fill_hourly(events: DataFrame) -> DataFrame:
     """Hypertable-style gap filling: a dense hourly spine per
     event_type between the corpus's first and last hour, observed
@@ -1128,6 +1186,59 @@ def register(reg) -> None:
         """Forward as-of join: each event ↔ the user's next purchase
         (lookahead labeling direction)."""
         return asof_next_purchase(load_table(spark, sf_dir, "events"))
+
+    @reg(
+        "asof_join_nearest",
+        """
+        WITH base AS (
+            SELECT event_id, user_id, ts,
+                   last_value(CASE WHEN event_type = 'purchase'
+                                   THEN event_id END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS lpe,
+                   last_value(CASE WHEN event_type = 'purchase'
+                                   THEN ts END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING
+                             AND CURRENT ROW) AS lpt,
+                   first_value(CASE WHEN event_type = 'purchase'
+                                    THEN event_id END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN CURRENT ROW
+                             AND UNBOUNDED FOLLOWING) AS npe,
+                   first_value(CASE WHEN event_type = 'purchase'
+                                    THEN ts END IGNORE NULLS)
+                       OVER (PARTITION BY user_id ORDER BY ts, event_id
+                             ROWS BETWEEN CURRENT ROW
+                             AND UNBOUNDED FOLLOWING) AS npt
+            FROM events
+        ), chosen AS (
+            SELECT *,
+                   (lpt IS NOT NULL AND (npt IS NULL OR
+                       date_diff('microseconds', lpt, ts)
+                       <= date_diff('microseconds', ts, npt)))
+                       AS take_back
+            FROM base
+        )
+        SELECT event_id, user_id, ts,
+               CASE WHEN take_back THEN lpe ELSE npe END
+                   AS nearest_purchase_event_id,
+               CASE WHEN take_back THEN lpt ELSE npt END
+                   AS nearest_purchase_ts,
+               CAST(CASE WHEN take_back
+                         THEN date_diff('microseconds', lpt, ts)
+                         WHEN npt IS NOT NULL
+                         THEN date_diff('microseconds', ts, npt)
+                    END AS BIGINT) AS gap_us
+        FROM chosen
+        """,
+    )
+    def asof_join_nearest(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Nearest-match as-of join: temporally closest purchase on
+        either side, backward wins ties, exact-µs gaps — one shuffle,
+        both direction frames on one sort."""
+        return asof_nearest_purchase(load_table(spark, sf_dir, "events"))
 
     @reg(
         "rollup_order_revenue",

@@ -508,3 +508,38 @@ def test_kneser_ney_normalizes_and_matches_python_replay(spark):
         nlps = [-math.log2(p(a, b)) for a, b in zip(toks, toks[1:])]
         assert got[d][0] == len(nlps)
         assert got[d][1] == round(sum(nlps) / len(nlps), 4), d
+
+
+def test_asof_nearest_tie_and_direction_rules(spark):
+    """Nearest as-of: backward wins exact ties, purchases match
+    themselves at gap 0, one-sided users fall back to the available
+    side, purchase-free users get nulls."""
+    import datetime as dt
+
+    from kafka_topic_dumper_spark.operators.analytics import (
+        asof_nearest_purchase,
+    )
+
+    t0 = dt.datetime(2024, 5, 1, 12, 0, 0)
+    m = dt.timedelta(minutes=1)
+    rows = [
+        (1, 7, "purchase", t0),
+        (2, 7, "click", t0 + 3 * m),     # equidistant: back @3m vs fwd @3m
+        (3, 7, "purchase", t0 + 6 * m),
+        (4, 7, "click", t0 + 10 * m),    # only backward (purchase @6m)
+        (5, 8, "click", t0),             # only forward for user 8
+        (6, 8, "purchase", t0 + 2 * m),
+        (7, 9, "click", t0),             # no purchase at all
+    ]
+    df = spark.createDataFrame(
+        rows, "event_id long, user_id long, event_type string, ts timestamp_ntz"
+    )
+    got = {
+        r.event_id: (r.nearest_purchase_event_id, r.gap_us)
+        for r in asof_nearest_purchase(df).collect()
+    }
+    assert got[1] == (1, 0)                       # self-match
+    assert got[2] == (1, 3 * 60_000_000)          # tie → backward
+    assert got[4] == (3, 4 * 60_000_000)
+    assert got[5] == (6, 2 * 60_000_000)          # forward fallback
+    assert got[7] == (None, None)
