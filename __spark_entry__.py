@@ -50,6 +50,7 @@ _VERIFY_PRIORITY = [
     "stats_cusum_changepoints",
     "text_kneser_ney_quality",
     "asof_join_nearest",
+    "text_source_entropy",
     "multimodal_decode_jpeg",
     "streaming_interval_join",
     "similarity_topk_rp",

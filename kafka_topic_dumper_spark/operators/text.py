@@ -1330,6 +1330,59 @@ def kneser_ney_oracle_sql(src: str = "documents") -> str:
         """
 
 
+def source_token_entropy(docs: DataFrame) -> DataFrame:
+    """Per-source Shannon entropy of the token distribution — the
+    corpus-diversity dashboard number next to the share-drift row: a
+    source whose entropy collapses is templating/boilerplating even if
+    its volume holds. Computed as H = log2(n) − (Σ c·log2 c)/n so the
+    floating work is one log2 per DISTINCT token of exact integer
+    counts plus one division — the same libm-budget discipline as the
+    add-one LM row (and the same round-to-4 guard on the final
+    order-sensitive sum). One tokenize pass, one (source, token)
+    count shuffle with map-side combine, one source-sized rollup."""
+    toks = docs.select(
+        "source", F.explode(_tokens()).alias("tok")
+    ).where(F.col("tok") != "")
+    counts = toks.groupBy("source", "tok").agg(F.count("*").alias("c"))
+    return (
+        counts.groupBy("source")
+        .agg(
+            F.sum("c").alias("n"),
+            F.count("*").alias("vocab"),
+            F.sum(F.col("c") * F.log2("c")).alias("clog"),
+        )
+        .select(
+            "source",
+            F.col("n").cast("bigint").alias("n_tokens"),
+            F.col("vocab").cast("integer").alias("vocab"),
+            F.round(
+                F.log2("n") - F.col("clog") / F.col("n"), 4
+            ).alias("entropy_bits"),
+        )
+    )
+
+
+def source_token_entropy_oracle_sql(src: str = "documents") -> str:
+    return rf"""
+        WITH toks AS (
+            SELECT source, tok FROM (
+                SELECT source,
+                       unnest(string_split_regex(lower(text), '\s+')) AS tok
+                FROM {src}
+            ) WHERE tok != ''
+        ), counts AS (
+            SELECT source, tok, count(*) AS c FROM toks GROUP BY source, tok
+        )
+        SELECT source,
+               CAST(sum(c) AS BIGINT) AS n_tokens,
+               CAST(count(*) AS INTEGER) AS vocab,
+               round(log2(CAST(sum(c) AS DOUBLE))
+                     - sum(c * log2(CAST(c AS DOUBLE))) / sum(c), 4)
+                   AS entropy_bits
+        FROM counts GROUP BY source
+        """
+
+
 def bigram_lm_oracle_ctes(src: str = "documents") -> str:
     """DuckDB CTE chain mirroring :func:`bigram_lm_quality` over table
     ``src``, terminating in per-doc scores as ``lmq(doc_id, n_bigrams,
@@ -1937,6 +1990,12 @@ def register(reg) -> None:
     def text_bigram_lm_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         """Corpus-trained bigram-LM perplexity proxy per document."""
         return bigram_lm_quality(load_table(spark, sf_dir, "documents"))
+
+    @reg("text_source_entropy", source_token_entropy_oracle_sql())
+    def text_source_entropy(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-source Shannon token entropy (round 9) — the
+        diversity-collapse monitor beside the share-drift row."""
+        return source_token_entropy(load_table(spark, sf_dir, "documents"))
 
     @reg("text_kneser_ney_quality", kneser_ney_oracle_sql())
     def text_kneser_ney_quality(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -543,3 +543,29 @@ def test_asof_nearest_tie_and_direction_rules(spark):
     assert got[4] == (3, 4 * 60_000_000)
     assert got[5] == (6, 2 * 60_000_000)          # forward fallback
     assert got[7] == (None, None)
+
+
+def test_source_entropy_known_distributions(spark):
+    """Entropy sanity on handcrafted sources: a uniform 4-token source
+    reads exactly 2 bits, a single-token source exactly 0, and a
+    skewed source lands strictly between."""
+    from kafka_topic_dumper_spark.operators.text import source_token_entropy
+
+    docs = spark.createDataFrame(
+        [
+            (1, "a b c d", "en", "uniform", 7),
+            (2, "x x x x", "en", "constant", 7),
+            (3, "y y y z", "en", "skewed", 7),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {
+        r.source: (r.n_tokens, r.vocab, r.entropy_bits)
+        for r in source_token_entropy(docs).collect()
+    }
+    assert got["uniform"] == (4, 4, 2.0)
+    assert got["constant"] == (4, 1, 0.0)
+    import math
+    h = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
+    assert got["skewed"] == (4, 2, round(h, 4))
+    assert 0 < got["skewed"][2] < 2
