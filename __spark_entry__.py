@@ -51,6 +51,7 @@ _VERIFY_PRIORITY = [
     "text_kneser_ney_quality",
     "asof_join_nearest",
     "text_source_entropy",
+    "text_source_snapshot_jsd",
     "multimodal_decode_jpeg",
     "streaming_interval_join",
     "similarity_topk_rp",

@@ -1383,6 +1383,107 @@ def source_token_entropy_oracle_sql(src: str = "documents") -> str:
         """
 
 
+def source_snapshot_jsd(docs: DataFrame, mod: int = 2) -> DataFrame:
+    """Per-source Jensen–Shannon divergence between two corpus
+    snapshots' TOKEN DISTRIBUTIONS — the information-theoretic drift
+    metric beside ``corpus_drift``'s volume shares: share drift sees a
+    source growing or shrinking, JSD sees it changing VOCABULARY at
+    constant volume (template swaps, language shifts). Snapshot
+    membership is ``(doc_id div 20) % mod`` — the row-group stride
+    decorrelates it from the ``doc_id % 20`` source assignment (plain
+    parity would put every source wholly in one snapshot); JSD = H(M) − (H(A)+H(B))/2 with the equal-weight
+    mixture M, bounded in [0, 1] bits, 0 ⇔ identical distributions.
+
+    Plan: ONE tokenize pass with conditional snapshot counts (no
+    second corpus scan), one (source, token) shuffle with map-side
+    combine, source-sized totals broadcast back, then a per-token
+    entropy-term sum — the same log2-on-exact-operands + round(4)
+    float discipline as the entropy/LM rows, with the identical
+    expression tree mirrored in the oracle."""
+    toks = docs.select(
+        "source",
+        F.expr(f"(doc_id div 20) % {mod} = 0").alias("in_a"),
+        F.explode(_tokens()).alias("tok"),
+    ).where(F.col("tok") != "")
+    counts = toks.groupBy("source", "tok").agg(
+        F.sum(F.when(F.col("in_a"), 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("in_a"), 0).otherwise(1)).alias("b"),
+    )
+    totals = counts.groupBy("source").agg(
+        F.sum("a").alias("na"), F.sum("b").alias("nb")
+    )
+    pa = F.col("a") / F.col("na")
+    pb = F.col("b") / F.col("nb")
+    m = (pa + pb) / F.lit(2.0)
+    terms = counts.join(F.broadcast(totals), "source").select(
+        "source",
+        "na",
+        "nb",
+        (-m * F.log2(m)).alias("hm_t"),
+        F.when(F.col("a") > 0, -pa * F.log2(pa)).otherwise(F.lit(0.0)).alias(
+            "ha_t"
+        ),
+        F.when(F.col("b") > 0, -pb * F.log2(pb)).otherwise(F.lit(0.0)).alias(
+            "hb_t"
+        ),
+    )
+    return (
+        terms.groupBy("source")
+        .agg(
+            F.first("na").alias("na"),
+            F.first("nb").alias("nb"),
+            F.sum("hm_t").alias("hm"),
+            F.sum("ha_t").alias("ha"),
+            F.sum("hb_t").alias("hb"),
+        )
+        .select(
+            "source",
+            F.col("na").cast("bigint").alias("n_tokens_a"),
+            F.col("nb").cast("bigint").alias("n_tokens_b"),
+            F.round(
+                F.col("hm") - (F.col("ha") + F.col("hb")) / F.lit(2.0), 4
+            ).alias("jsd_bits"),
+        )
+    )
+
+
+def source_snapshot_jsd_oracle_sql(src: str = "documents", mod: int = 2) -> str:
+    return rf"""
+        WITH toks AS (
+            SELECT source, in_a, tok FROM (
+                SELECT source, ((doc_id // 20) % {mod} = 0) AS in_a,
+                       unnest(string_split_regex(lower(text), '\s+')) AS tok
+                FROM {src}
+            ) WHERE tok != ''
+        ), counts AS (
+            SELECT source, tok,
+                   sum(CASE WHEN in_a THEN 1 ELSE 0 END) AS a,
+                   sum(CASE WHEN in_a THEN 0 ELSE 1 END) AS b
+            FROM toks GROUP BY source, tok
+        ), totals AS (
+            SELECT source, sum(a) AS na, sum(b) AS nb
+            FROM counts GROUP BY source
+        ), terms AS (
+            SELECT c.source, t.na, t.nb,
+                   -((c.a / t.na + c.b / t.nb) / 2.0)
+                       * log2((c.a / t.na + c.b / t.nb) / 2.0) AS hm_t,
+                   CASE WHEN c.a > 0
+                        THEN -(c.a / t.na) * log2(c.a / t.na)
+                        ELSE 0.0 END AS ha_t,
+                   CASE WHEN c.b > 0
+                        THEN -(c.b / t.nb) * log2(c.b / t.nb)
+                        ELSE 0.0 END AS hb_t
+            FROM counts c JOIN totals t ON c.source = t.source
+        )
+        SELECT source,
+               CAST(first(na) AS BIGINT) AS n_tokens_a,
+               CAST(first(nb) AS BIGINT) AS n_tokens_b,
+               round(sum(hm_t) - (sum(ha_t) + sum(hb_t)) / 2.0, 4)
+                   AS jsd_bits
+        FROM terms GROUP BY source
+        """
+
+
 def bigram_lm_oracle_ctes(src: str = "documents") -> str:
     """DuckDB CTE chain mirroring :func:`bigram_lm_quality` over table
     ``src``, terminating in per-doc scores as ``lmq(doc_id, n_bigrams,
@@ -1996,6 +2097,13 @@ def register(reg) -> None:
         """Per-source Shannon token entropy (round 9) — the
         diversity-collapse monitor beside the share-drift row."""
         return source_token_entropy(load_table(spark, sf_dir, "documents"))
+
+    @reg("text_source_snapshot_jsd", source_snapshot_jsd_oracle_sql())
+    def text_source_snapshot_jsd(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-source Jensen–Shannon divergence between snapshot token
+        distributions (round 9) — vocabulary drift at constant volume,
+        the metric share-drift cannot see."""
+        return source_snapshot_jsd(load_table(spark, sf_dir, "documents"))
 
     @reg("text_kneser_ney_quality", kneser_ney_oracle_sql())
     def text_kneser_ney_quality(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -569,3 +569,23 @@ def test_source_entropy_known_distributions(spark):
     h = -(0.75 * math.log2(0.75) + 0.25 * math.log2(0.25))
     assert got["skewed"] == (4, 2, round(h, 4))
     assert 0 < got["skewed"][2] < 2
+
+
+def test_jsd_bounds_and_identity(spark):
+    """JSD sanity: identical snapshot distributions → exactly 0 bits;
+    disjoint vocabularies → exactly 1 bit; everything in [0, 1]."""
+    from kafka_topic_dumper_spark.operators.text import source_snapshot_jsd
+
+    # (doc_id div 20) % 2 = 0 → snapshot A; ids 0..19 are A, 20..39 B
+    docs = spark.createDataFrame(
+        [
+            (0, "p q r", "en", "same", 5),
+            (20, "p q r", "en", "same", 5),
+            (1, "aa bb", "en", "disjoint", 5),
+            (21, "cc dd", "en", "disjoint", 5),
+        ],
+        "doc_id long, text string, lang string, source string, n_chars long",
+    )
+    got = {r.source: r.jsd_bits for r in source_snapshot_jsd(docs).collect()}
+    assert got["same"] == 0.0
+    assert got["disjoint"] == 1.0
