@@ -343,3 +343,47 @@ def test_temperature_sample_corpus_never_shuffles(spark):
     # exchanges belong to the tiny totals aggregation
     assert "BroadcastHashJoin" in plan
     assert "SortMergeJoin" not in plan
+
+
+def test_hilbert_key_is_map_stage_plus_bounds_broadcast(spark):
+    plan = plan_of(spark, "layout_hilbert_events")
+    # 16 unrolled CASE levels must stay pure projections: the only
+    # join is the 1-row min/max bounds broadcast, no hash shuffle,
+    # no Python
+    assert "BroadcastNestedLoopJoin" in plan
+    assert count_in(plan, "Exchange hashpartitioning") == 0
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_rolling_anomaly_single_user_exchange_no_python(spark):
+    plan = plan_of(spark, "stats_rolling_anomaly")
+    # one shuffle on user_id serves count/sum/sum-of-squares frames;
+    # the integer z-test is a pure projection
+    assert count_in(plan, "Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_cusum_single_user_exchange_no_python(spark):
+    plan = plan_of(spark, "stats_cusum_changepoints")
+    # μ0 is a 1-row broadcast; all four running aggregates ride ONE
+    # user_id exchange + sort
+    assert count_in(plan, "Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_asof_nearest_single_exchange_both_frames(spark):
+    plan = plan_of(spark, "asof_join_nearest")
+    # both direction frames share one (user, time) sort: exactly one
+    # hash exchange, one Window spanning all four running columns
+    assert count_in(plan, "Exchange hashpartitioning") == 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_priority_sample_no_corpus_shuffle(spark):
+    plan = plan_of(spark, "sample_weighted_priority")
+    # the global top-(k+1) is TakeOrderedAndProject (map-side partial
+    # top-k, driver merge) — a full sort+limit would show Exchange
+    # rangepartitioning
+    assert "TakeOrderedAndProject" in plan
+    assert "rangepartitioning" not in plan
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
