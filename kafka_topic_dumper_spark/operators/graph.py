@@ -591,11 +591,17 @@ def kcore_oracle_sql(
 ) -> str:
     """Unrolled DuckDB replay of :func:`kcore_membership` over a
     ``cand(u, v)`` edge CTE — one (degree, survivor) CTE pair per
-    peel round, then the final survivor-induced degree."""
+    peel round, then the final survivor-induced degree.
+
+    MATERIALIZED on sym and every a{i}: DuckDB inlines plain CTEs, and
+    ``sym`` (the expensive banded self-join) is referenced by EVERY
+    round — un-materialized, the oracle recomputes the banding once
+    per round and goes from seconds to minutes at sf0.1 (the HITS
+    oracle's exact lesson, graph.py::hits_oracle_sql)."""
     parts = [
-        f"""{cand_cte}, sym AS (
+        f"""{cand_cte}, sym AS MATERIALIZED (
             SELECT u, v FROM cand UNION ALL SELECT v, u FROM cand
-        ), a0 AS (
+        ), a0 AS MATERIALIZED (
             SELECT DISTINCT u AS node FROM sym
         )"""
     ]
@@ -606,7 +612,7 @@ def kcore_oracle_sql(
             JOIN a{i} x ON e.u = x.node
             JOIN a{i} y ON e.v = y.node
             GROUP BY e.u
-        ), a{i + 1} AS (
+        ), a{i + 1} AS MATERIALIZED (
             SELECT node FROM d{i + 1} WHERE c >= {k}
         )""")
     return (
