@@ -52,6 +52,7 @@ _VERIFY_PRIORITY = [
     "asof_join_nearest",
     "text_source_entropy",
     "text_source_snapshot_jsd",
+    "stats_benford_profile",
     "multimodal_decode_jpeg",
     "streaming_interval_join",
     "similarity_topk_rp",

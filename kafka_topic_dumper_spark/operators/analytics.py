@@ -285,6 +285,68 @@ def cusum_oracle_sql(
     """
 
 
+def benford_profile(orders: DataFrame) -> DataFrame:
+    """First-digit (Benford) profile of order totals — the classic
+    fabricated-data / unit-mixing tripwire a data-quality suite runs
+    over any money column: organic multiplicative amounts follow
+    P(d) = log10(1 + 1/d); synthetic or clipped data does not. Emits
+    per digit the observed count, observed share, the Benford
+    expectation, and the absolute deviation. The digit comes from the
+    integer floor's decimal string (exact cross-engine); shares are
+    single IEEE divisions of exact counts; log10(1+1/d) is 9 constant
+    libm calls under the same round(6) guard as the LM rows.
+
+    Plan: one projection + one 9-group aggregation with map-side
+    combine — nothing SF-proportional survives the shuffle."""
+    digit = F.substring(
+        F.floor(F.col("o_totalprice")).cast("long").cast("string"), 1, 1
+    ).cast("integer")
+    counts = (
+        orders.where(F.col("o_totalprice") >= 1)
+        .select(digit.alias("digit"))
+        .groupBy("digit")
+        .agg(F.count("*").alias("n"))
+    )
+    total = counts.agg(F.sum("n").alias("total"))
+    share = F.col("n") / F.col("total")
+    benford = F.log10(F.lit(1.0) + F.lit(1.0) / F.col("digit"))
+    return (
+        counts.join(F.broadcast(total))
+        .select(
+            "digit",
+            F.col("n").cast("bigint").alias("n"),
+            F.round(share, 6).alias("share"),
+            F.round(benford, 6).alias("benford_share"),
+            F.round(F.abs(share - benford), 6).alias("abs_dev"),
+        )
+    )
+
+
+def benford_oracle_sql() -> str:
+    return """
+        WITH counts AS (
+            SELECT CAST(substring(CAST(CAST(floor(o_totalprice) AS BIGINT)
+                                       AS VARCHAR), 1, 1) AS INTEGER)
+                       AS digit,
+                   count(*) AS n
+            FROM orders
+            WHERE o_totalprice >= 1
+            GROUP BY 1
+        ), t AS (SELECT sum(n) AS total FROM counts)
+        SELECT digit,
+               CAST(n AS BIGINT) AS n,
+               round(n / total, 6) AS share,
+               round(log10(CAST(1 AS DOUBLE)
+                           + CAST(1 AS DOUBLE) / digit), 6)
+                   AS benford_share,
+               round(abs(n / total
+                         - log10(CAST(1 AS DOUBLE)
+                                 + CAST(1 AS DOUBLE) / digit)), 6)
+                   AS abs_dev
+        FROM counts, t
+        """
+
+
 def rollup_revenue(orders: DataFrame) -> DataFrame:
     """ROLLUP over (priority, year): per-group, per-priority subtotal,
     and grand total in one pass — partial-aggregatable, one shuffle.
@@ -1119,6 +1181,12 @@ def register(reg) -> None:
         """As-of join: each event ↔ the same user's most recent purchase
         (sort-merge window form; equivalent to DuckDB ASOF JOIN)."""
         return asof_last_purchase(load_table(spark, sf_dir, "events"))
+
+    @reg("stats_benford_profile", benford_oracle_sql())
+    def stats_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """First-digit Benford profile of order totals (round 9) —
+        the fabricated-data / unit-mixing data-quality tripwire."""
+        return benford_profile(load_table(spark, sf_dir, "orders"))
 
     @reg("stats_cusum_changepoints", cusum_oracle_sql())
     def stats_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -589,3 +589,27 @@ def test_jsd_bounds_and_identity(spark):
     got = {r.source: r.jsd_bits for r in source_snapshot_jsd(docs).collect()}
     assert got["same"] == 0.0
     assert got["disjoint"] == 1.0
+
+
+def test_benford_profile_on_genuine_benford_data(spark):
+    """On data CONSTRUCTED to follow Benford (exponential spacing
+    10^(k/N)), every digit's observed share must sit within 2% of
+    log10(1 + 1/d); shares sum to 1 and counts cover all rows."""
+    import math
+
+    from pyspark.sql import functions as F
+
+    from kafka_topic_dumper_spark.operators.analytics import benford_profile
+
+    n = 5000
+    df = spark.range(n).select(
+        F.pow(F.lit(10.0), F.col("id") * 6.0 / n).alias("o_totalprice")
+    )
+    rows = {r.digit: r for r in benford_profile(df).collect()}
+    assert set(rows) == set(range(1, 10))
+    assert sum(r.n for r in rows.values()) == n
+    assert abs(sum(r.share for r in rows.values()) - 1.0) < 1e-6
+    for d in range(1, 10):
+        expect = math.log10(1 + 1 / d)
+        assert abs(rows[d].share - expect) < 0.02, d
+        assert rows[d].benford_share == round(expect, 6)
