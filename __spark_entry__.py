@@ -53,6 +53,7 @@ _VERIFY_PRIORITY = [
     "text_source_entropy",
     "text_source_snapshot_jsd",
     "stats_benford_profile",
+    "multimodal_wav_spectral",
     "multimodal_decode_jpeg",
     "streaming_interval_join",
     "similarity_topk_rp",

@@ -578,3 +578,46 @@ def phash_neardup_oracle_sql(sf_dir: str, max_hamming: int = 6) -> str:
         FROM h a JOIN h b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.phash, b.phash)) <= {max_hamming}
         """
+
+
+# --- WAV spectral replay (round 9) ------------------------------------------
+#
+# The spectral-audio row (operators/multimodal.py::wav_spectral) runs
+# the first 64 synthesized PCM samples through the shared fixed-point
+# DCT; the replay below re-states that integer pipeline from the
+# synthesis formula (sample[i] = (doc_id·31 + i·17) mod 65536 − 32768)
+# independently of any engine import.
+
+
+@lru_cache(maxsize=8)
+def _wav_spectral_expected_rows(sf_dir: str) -> tuple:
+    import duckdb
+    import numpy as np
+
+    ids = [
+        int(r[0])
+        for r in duckdb.sql(
+            f"SELECT doc_id FROM '{sf_dir}/documents.parquet' ORDER BY doc_id"
+        ).fetchall()
+    ]
+    M = np.array(_JPEG_M_ROWS, dtype=np.int64)
+    out = []
+    for d in ids:
+        i = np.arange(64, dtype=np.int64)
+        s = (d * 31 + i * 17) % 65536 - 32768
+        C = (M @ s.reshape(8, 8) @ M.T + (1 << 25)) >> 26
+        bands = np.abs(C).sum(axis=1)
+        out.append((d, int(C[0, 0]), *(int(x) for x in bands)))
+    return tuple(out)
+
+
+def wav_spectral_oracle_sql(sf_dir: str) -> str:
+    rows = ",\n               ".join(
+        "(" + ", ".join(f"CAST({v} AS BIGINT)" for v in row) + ")"
+        for row in _wav_spectral_expected_rows(sf_dir)
+    )
+    cols = ", ".join(f"band{u}" for u in range(8))
+    return f"""
+        SELECT * FROM (VALUES {rows})
+        AS _w(doc_id, dc, {cols})
+        """

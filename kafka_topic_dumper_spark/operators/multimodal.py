@@ -858,6 +858,75 @@ def wav_features(payloads: DataFrame) -> DataFrame:
 
 
 
+_WAV_SPECTRAL_SCHEMA = "doc_id long, dc long, " + ", ".join(
+    f"band{u} long" for u in range(8)
+)
+
+
+def wav_spectral(payloads: DataFrame) -> DataFrame:
+    """REAL spectral audio features (round 9) — the frequency-domain
+    companion to :func:`wav_features`' time-domain stats: the first 64
+    PCM samples form an 8×8 frame pushed through the SAME fixed-point
+    integer DCT the image codecs use, and each basis row's absolute
+    coefficient sum becomes an integer band energy (band0 ≈ low
+    frequency … band7 ≈ high). Deterministic int64 end-to-end, so the
+    oracle is the independent integer replay in
+    functions/trained_oracles.py (the JPEG/pHash pattern). Pure Arrow
+    map stage — no shuffle."""
+    _ensure_arrow_batch(payloads)
+    dct_rows = _JPEG_DCT_M
+
+    def run(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import struct
+
+        import numpy as np
+        import pandas as _pd
+
+        M = np.array(dct_rows, dtype=np.int64)
+
+        def parse_pcm(buf: bytes):
+            if buf[:4] != b"RIFF" or buf[8:12] != b"WAVE":
+                raise ValueError("not a RIFF/WAVE stream")
+            pos, pcm = 12, None
+            while pos + 8 <= len(buf):
+                tag = buf[pos : pos + 4]
+                (size,) = struct.unpack_from("<I", buf, pos + 4)
+                body = buf[pos + 8 : pos + 8 + size]
+                if len(body) != size:
+                    raise ValueError(f"truncated {tag!r} chunk")
+                if tag == b"data":
+                    pcm = body
+                pos += 8 + size + (size & 1)
+            if pcm is None:
+                raise ValueError("missing data chunk")
+            return np.frombuffer(pcm, dtype="<i2").astype(np.int64)
+
+        for pdf in batches:
+            rows = []
+            for doc_id, b in zip(pdf["doc_id"], pdf["payload"]):
+                if b is None:
+                    raise ValueError(f"NULL WAV payload (doc_id={doc_id})")
+                try:
+                    s = parse_pcm(bytes(b))
+                except (IndexError, struct.error) as exc:
+                    raise ValueError(
+                        f"truncated WAV stream (doc_id={doc_id}): {exc}"
+                    ) from exc
+                frame = np.zeros(64, dtype=np.int64)
+                frame[: min(64, s.size)] = s[:64]
+                C = (M @ frame.reshape(8, 8) @ M.T + (1 << 25)) >> 26
+                bands = np.abs(C).sum(axis=1)
+                rows.append(
+                    (int(doc_id), int(C[0, 0]), *(int(x) for x in bands))
+                )
+            yield _pd.DataFrame(
+                rows,
+                columns=["doc_id", "dc"] + [f"band{u}" for u in range(8)],
+            )
+
+    return payloads.mapInPandas(run, schema=_WAV_SPECTRAL_SCHEMA)
+
+
 # --- GIF (LZW) — real lossless codec, stdlib only ------------------------
 
 def _build_lzw():
@@ -2233,7 +2302,17 @@ def register(reg) -> None:
         mjpeg_decode_oracle_sql,
         phash_dct_oracle_sql,
         phash_neardup_oracle_sql,
+        wav_spectral_oracle_sql,
     )
+
+    @reg("multimodal_wav_spectral", wav_spectral_oracle_sql)
+    def multimodal_wav_spectral(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """REAL spectral audio features (round 9): WAV parse → 8×8
+        frame → shared fixed-point integer DCT → per-basis-row band
+        energies; literal-oracled by the independent integer replay."""
+        return wav_spectral(
+            synth_wav_audio(load_table(spark, sf_dir, "documents"))
+        )
 
     @reg("multimodal_phash_dct", phash_dct_oracle_sql)
     def multimodal_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
