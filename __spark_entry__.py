@@ -54,6 +54,7 @@ _VERIFY_PRIORITY = [
     "text_source_snapshot_jsd",
     "stats_benford_profile",
     "multimodal_wav_spectral",
+    "stats_mad_by_type",
     "multimodal_decode_jpeg",
     "streaming_interval_join",
     "similarity_topk_rp",

@@ -347,6 +347,66 @@ def benford_oracle_sql() -> str:
         """
 
 
+def mad_by_type(events: DataFrame) -> DataFrame:
+    """Median absolute deviation per event type — the robust
+    dispersion statistic an outlier-heavy metric needs where stddev
+    saturates (one 500× spike barely moves MAD, doubles σ). Exactness:
+    values floor-quantize to integer cents, so the first median's
+    0.5-fraction interpolation lands on half-integers and the second
+    (over |v − median|, half-integer-valued) on quarter-integers —
+    every term an exact binary double on BOTH engines, the same
+    dyadic-fraction argument as stats_exact_percentiles (arbitrary
+    doubles would NOT be cross-engine-stable: Spark and DuckDB
+    interpolate with different expression trees).
+
+    Plan: two group-sorted aggregates with a broadcast median join
+    between them — exact medians are full-sort-per-group, fine for
+    bounded type cardinality (the documented trade of the exact-
+    percentile row; unbounded keys → approx_percentile)."""
+    vc = F.floor(F.col("value") * 100).cast("bigint")
+    base = events.select("event_type", vc.alias("v_c"))
+    med = base.groupBy("event_type").agg(
+        F.expr("percentile(v_c, 0.5D)").alias("median_c"),
+        F.count("*").alias("n"),
+    )
+    dev = (
+        base.join(F.broadcast(med), "event_type")
+        .select(
+            "event_type", F.abs(F.col("v_c") - F.col("median_c")).alias("d")
+        )
+        .groupBy("event_type")
+        .agg(F.expr("percentile(d, 0.5D)").alias("mad_c"))
+    )
+    return med.join(dev, "event_type").select(
+        "event_type",
+        F.col("n").cast("bigint").alias("n"),
+        "median_c",
+        "mad_c",
+    )
+
+
+def mad_oracle_sql() -> str:
+    return """
+        WITH base AS (
+            SELECT event_type,
+                   CAST(floor(value * 100) AS BIGINT) AS v_c
+            FROM events
+        ), med AS (
+            SELECT event_type,
+                   quantile_cont(v_c, 0.5) AS median_c,
+                   count(*) AS n
+            FROM base GROUP BY event_type
+        ), dev AS (
+            SELECT b.event_type,
+                   quantile_cont(abs(b.v_c - m.median_c), 0.5) AS mad_c
+            FROM base b JOIN med m ON b.event_type = m.event_type
+            GROUP BY b.event_type
+        )
+        SELECT m.event_type, CAST(m.n AS BIGINT) AS n, m.median_c, d.mad_c
+        FROM med m JOIN dev d ON m.event_type = d.event_type
+        """
+
+
 def rollup_revenue(orders: DataFrame) -> DataFrame:
     """ROLLUP over (priority, year): per-group, per-priority subtotal,
     and grand total in one pass — partial-aggregatable, one shuffle.
@@ -1181,6 +1241,13 @@ def register(reg) -> None:
         """As-of join: each event ↔ the same user's most recent purchase
         (sort-merge window form; equivalent to DuckDB ASOF JOIN)."""
         return asof_last_purchase(load_table(spark, sf_dir, "events"))
+
+    @reg("stats_mad_by_type", mad_oracle_sql())
+    def stats_mad_by_type(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Median absolute deviation per event type (round 9) —
+        robust dispersion, bit-exact via dyadic-fraction medians over
+        quantized cents."""
+        return mad_by_type(load_table(spark, sf_dir, "events"))
 
     @reg("stats_benford_profile", benford_oracle_sql())
     def stats_benford_profile(spark: SparkSession, sf_dir: str) -> DataFrame:

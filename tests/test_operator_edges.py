@@ -613,3 +613,32 @@ def test_benford_profile_on_genuine_benford_data(spark):
         expect = math.log10(1 + 1 / d)
         assert abs(rows[d].share - expect) < 0.02, d
         assert rows[d].benford_share == round(expect, 6)
+
+
+def test_mad_robustness_vs_stddev(spark):
+    """MAD's semantic claim: a single extreme spike leaves the MAD of
+    an otherwise-flat series unchanged while the stddev explodes;
+    values recomputed directly."""
+    import datetime as dt
+    import statistics
+
+    from kafka_topic_dumper_spark.operators.analytics import mad_by_type
+
+    t0 = dt.datetime(2024, 6, 1)
+    vals = [10.0, 11.0, 9.0, 10.5, 9.5, 10.0, 10000.0]
+    rows = [
+        (i + 1, 1, "a", v, t0 + dt.timedelta(minutes=i))
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string,"
+        " value double, ts timestamp_ntz",
+    )
+    [r] = mad_by_type(df).collect()
+    vc = sorted(int(v * 100) for v in vals)
+    med = statistics.median(vc)
+    mad = statistics.median(sorted(abs(v - med) for v in vc))
+    assert (r.n, r.median_c, r.mad_c) == (7, med, mad)
+    assert r.mad_c < 100            # the spike didn't move MAD past 1 unit
+    assert statistics.pstdev(vc) > 100 * r.mad_c  # ...while stddev exploded
