@@ -55,6 +55,7 @@ _VERIFY_PRIORITY = [
     "stats_benford_profile",
     "multimodal_wav_spectral",
     "stats_mad_by_type",
+    "graph_cotrading_projection",
     "multimodal_decode_jpeg",
     "streaming_interval_join",
     "similarity_topk_rp",

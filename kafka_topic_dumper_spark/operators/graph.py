@@ -535,6 +535,83 @@ def lpa_oracle_sql(cand_cte: str, sweeps: int = LPA_SWEEPS) -> str:
     )
 
 
+COTRADE_TOP_K = 16
+
+
+def cotrading_projection(
+    lineitem: DataFrame,
+    orders: DataFrame,
+    top_k: int = COTRADE_TOP_K,
+) -> DataFrame:
+    """Bipartite projection of the customer↔supplier trading graph
+    onto customers: an edge (c₁, c₂) weighted by how many suppliers
+    count BOTH among their top-``top_k`` accounts (by distinct
+    orders, customer-id tie-break) — the key-account-overlap graph
+    behind "customers like you" over bipartite data.
+
+    The scale hazard of ANY bipartite projection is the hub side:
+    projecting through a supplier of degree d emits d²/2 pairs, so a
+    popular supplier at corpus scale is a quadratic bomb. The remedy
+    IS the semantics: each supplier projects only its strongest
+    ``top_k`` relationships, bounding output at |suppliers|·k²/2 —
+    supplier-linear with a constant cap, skew-proof by construction,
+    and meaningful at ANY density (a raw degree cutoff degenerates on
+    dense graphs: this corpus's every supplier has ~500 customers).
+    Plan: one join + (supp, cust) count, a WindowGroupLimit-shaped
+    per-supplier top-k, one self-join on supplier over the capped
+    lists, one pair count."""
+    strength = (
+        lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
+        .groupBy(
+            F.col("l_suppkey").alias("supp"),
+            F.col("o_custkey").alias("cust"),
+        )
+        .agg(F.countDistinct("o_orderkey").alias("w"))
+    )
+    win = Window.partitionBy("supp").orderBy(F.col("w").desc(), "cust")
+    kept = (
+        strength.withColumn("rk", F.row_number().over(win))
+        .filter(F.col("rk") <= top_k)
+        .select("supp", "cust")
+    )
+    a = kept.alias("a")
+    b = kept.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.supp") == F.col("b.supp"))
+            & (F.col("a.cust") < F.col("b.cust")),
+        )
+        .groupBy(
+            F.col("a.cust").alias("cust_a"), F.col("b.cust").alias("cust_b")
+        )
+        .agg(F.count("*").cast("bigint").alias("shared_suppliers"))
+    )
+
+
+def cotrading_oracle_sql(top_k: int = COTRADE_TOP_K) -> str:
+    return f"""
+        WITH strength AS (
+            SELECT l.l_suppkey AS supp, o.o_custkey AS cust,
+                   count(DISTINCT o.o_orderkey) AS w
+            FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+            GROUP BY 1, 2
+        ), kept AS (
+            SELECT supp, cust FROM (
+                SELECT supp, cust,
+                       row_number() OVER (PARTITION BY supp
+                           ORDER BY w DESC, cust) AS rk
+                FROM strength
+            ) WHERE rk <= {top_k}
+        )
+        SELECT a.cust AS cust_a, b.cust AS cust_b,
+               CAST(count(*) AS BIGINT) AS shared_suppliers
+        FROM kept a JOIN kept b
+          ON a.supp = b.supp AND a.cust < b.cust
+        GROUP BY a.cust, b.cust
+        """
+
+
 KCORE_K = 3
 KCORE_ROUNDS = 4
 
@@ -924,6 +1001,17 @@ def register(reg) -> None:
               ON a.band = b.band AND a.band_key = b.band_key
              AND a.doc_id < b.doc_id
         )"""
+
+    @reg("graph_cotrading_projection", cotrading_oracle_sql())
+    def graph_cotrading_projection(spark: SparkSession, sf_dir: str):
+        """Top-k-accounts bipartite projection (round 9): customer
+        pairs weighted by how many suppliers rank both among their
+        16 strongest accounts — quadratic-bomb-proof by the per-
+        supplier cap, the scalable 'customers like you' edge list."""
+        return cotrading_projection(
+            load_table(spark, sf_dir, "lineitem"),
+            load_table(spark, sf_dir, "orders"),
+        )
 
     @reg("graph_kcore", kcore_oracle_sql(_cand_cte))
     def graph_kcore(spark: SparkSession, sf_dir: str):

@@ -519,3 +519,39 @@ def test_kcore_peeling_matches_python_fixpoint(spark):
     }
     assert got == expect
     assert all(d >= 3 for d in got.values())
+
+
+def test_cotrading_projection_topk_rule_and_bound(spark):
+    """Bipartite projection semantics on a handcrafted graph: only a
+    supplier's top-k accounts (by distinct orders, id tie-break)
+    pair up, so a hub's weak customers never explode the output; the
+    pair count is bounded by |suppliers|·C(k,2)."""
+    from kafka_topic_dumper_spark.operators.graph import (
+        cotrading_projection,
+    )
+
+    # supplier 1: customers 10,11,12 with strengths 3,2,1 orders;
+    # supplier 2: customers 11,12 with 1 each
+    lineitem, orders = [], []
+    oid = 0
+    def add(supp, cust, n_orders):
+        nonlocal oid
+        for _ in range(n_orders):
+            oid += 1
+            orders.append((oid, cust))
+            lineitem.append((oid, supp))
+    add(1, 10, 3); add(1, 11, 2); add(1, 12, 1)
+    add(2, 11, 1); add(2, 12, 1)
+    li = spark.createDataFrame(lineitem, "l_orderkey long, l_suppkey long")
+    od = spark.createDataFrame(orders, "o_orderkey long, o_custkey long")
+
+    # k=2: supplier 1 keeps {10, 11} (12 drops), supplier 2 keeps all
+    got = sorted(
+        (r.cust_a, r.cust_b, r.shared_suppliers)
+        for r in cotrading_projection(li, od, top_k=2).collect()
+    )
+    assert got == [(10, 11, 1), (11, 12, 1)]
+
+    # bound: with k=3 everything pairs; never more than S*C(k,2)
+    full = cotrading_projection(li, od, top_k=3).collect()
+    assert len(full) <= 2 * 3
