@@ -176,6 +176,19 @@ HEADLINE_V8 = [
 ]
 
 
+# v9 set: the round-10 additions. Tracked from round 10 on; baselines
+# in BENCH_BASELINE.md.
+HEADLINE_V9: list[str] = [
+    "stats_mad_by_type",
+    "graph_cotrading_projection",
+    "multimodal_wav_spectral",
+    "stats_benford_profile",
+    "text_source_entropy",
+    "text_source_snapshot_jsd",
+    "asof_join_nearest",
+]
+
+
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
@@ -297,6 +310,7 @@ def main() -> int:
     timings_v6 = time_set(HEADLINE_V6)
     timings_v7 = time_set(HEADLINE_V7)
     timings_v8 = time_set(HEADLINE_V8)
+    timings_v9 = time_set(HEADLINE_V9)
 
     # Build-vs-probe split for the stored-index rows (r6, per the r5
     # verdict): the stored queries now build their on-disk index ONCE
@@ -381,36 +395,52 @@ def main() -> int:
     control_q1 = time_control()
 
     total = round(sum(timings.values()), 3)
-    print(
-        json.dumps(
-            {
-                "metric": "headline_queries_total_runtime",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "queries_v2": timings_v2,
-                "value_v2": round(sum(timings_v2.values()), 3),
-                "queries_v3": timings_v3,
-                "value_v3": round(sum(timings_v3.values()), 3),
-                "queries_v4": timings_v4,
-                "value_v4": round(sum(timings_v4.values()), 3),
-                "queries_v5": timings_v5,
-                "value_v5": round(sum(timings_v5.values()), 3),
-                "queries_v6": timings_v6,
-                "value_v6": round(sum(timings_v6.values()), 3),
-                "queries_v7": timings_v7,
-                "value_v7": round(sum(timings_v7.values()), 3),
-                "queries_v8": timings_v8,
-                "value_v8": round(sum(timings_v8.values()), 3),
-                "queries_prod": timings_prod,
-                "control_q1": round(control_q1, 3),
-                "control_q1_pre": control_q1_pre,
-                "control_q1_post": round(control_q1, 3),
-                "n_runs": N_RUNS,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-            }
-        )
-    )
+    # The driver keeps only the LAST 2000 chars of stdout and parses
+    # the final line as JSON (BENCH_r07/r09 were recorded unparsed when
+    # the per-suite dicts pushed the line past that cap), so stdout
+    # carries the frozen round-1 headline dict plus one total per
+    # suite; the full per-query breakdown goes to BENCH_DETAIL.json.
+    suites = {
+        "v2": timings_v2,
+        "v3": timings_v3,
+        "v4": timings_v4,
+        "v5": timings_v5,
+        "v6": timings_v6,
+        "v7": timings_v7,
+        "v8": timings_v8,
+        "v9": timings_v9,
+        "prod": timings_prod,
+    }
+    summary = {
+        "metric": "headline_queries_total_runtime",
+        "value": total,
+        "unit": "sec",
+        "queries": timings,
+        "control_q1": round(control_q1, 3),
+        "control_q1_pre": control_q1_pre,
+        "control_q1_post": round(control_q1, 3),
+        "n_runs": N_RUNS,
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "detail": "BENCH_DETAIL.json",
+    }
+    for tag, t in suites.items():
+        summary[f"value_{tag}"] = round(sum(t.values()), 3)
+    detail = dict(summary)
+    detail.update({f"queries_{tag}": t for tag, t in suites.items()})
+    with open(
+        os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                     "BENCH_DETAIL.json"),
+        "w",
+    ) as fh:
+        json.dump(detail, fh, indent=1, sort_keys=True)
+        fh.write("\n")
+    line = json.dumps(summary)
+    # Belt and braces: if the line would still overflow the driver's
+    # capture, drop the per-query dict (totals alone stay diagnostic).
+    if len(line) > 1900:
+        summary.pop("queries")
+        line = json.dumps(summary)
+    print(line)
     return 0
 
 

@@ -279,9 +279,98 @@ def cusum_oracle_sql(
                          ROWS BETWEEN UNBOUNDED PRECEDING
                          AND CURRENT ROW)
         )
-        SELECT event_id, user_id, cusum_pos, cusum_neg,
+        SELECT event_id, user_id,
+               CAST(cusum_pos AS BIGINT) AS cusum_pos,
+               CAST(cusum_neg AS BIGINT) AS cusum_neg,
                (cusum_pos > {h_c} OR cusum_neg > {h_c}) AS drift_flag
         FROM c
+    """
+
+
+# Truncated binary EWMA: half-life = one event (α = 1/2), window depth
+# D. Weights 2^(D-1-i) for lag i keep every term — and both running
+# sums — exact 64-bit integers, so the smoothed level is the exact
+# rational ewma_num / ewma_den on BOTH engines (a float-α EWMA's
+# sequential recursion is neither distributable nor cross-engine
+# stable; the truncated dyadic form is both, and after D=24 steps the
+# dropped tail weight is 2^-24 of the level — far below cent
+# resolution).
+EWMA_DEPTH = 24
+EWMA_SPIKE_MULT = 2  # flag when v > MULT × smoothed level
+
+
+def ewma_smoothing(
+    events: DataFrame,
+    depth: int = EWMA_DEPTH,
+    spike_mult: int = EWMA_SPIKE_MULT,
+) -> DataFrame:
+    """Per-user exponentially weighted moving average of the event
+    value, distributed WITHOUT the sequential recursion: the α = 1/2
+    EWMA truncated at ``depth`` lags is a fixed dyadic-weighted sum
+    Σ v_{t-i}·2^(depth-1-i) / Σ 2^(depth-1-i) over the available lags,
+    i.e. ``depth`` LAG expressions inside ONE window node (Catalyst
+    fuses same-frame window functions; one user_id shuffle + one
+    in-partition sort, O(depth) state per row — the same single-stage
+    profile as the CUSUM identity above). All-integer numerator and
+    denominator make the spike predicate
+    v·den > mult·num bit-exact cross-engine.
+
+    Reference parity: the dumper has no smoothing at all — this is the
+    monitoring statistic its ops dashboards would compute downstream
+    of kafka_client.py's per-partition message counts."""
+    vc = F.floor(F.col("value") * 100).cast("bigint")
+    base = events.select("event_id", "user_id", "ts", vc.alias("v_c"))
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    num = F.lit(0).cast("bigint")
+    den = F.lit(0).cast("bigint")
+    for i in range(depth):
+        lag_i = F.lag("v_c", i).over(w)
+        weight = F.lit(1 << (depth - 1 - i)).cast("bigint")
+        num = num + F.when(lag_i.isNotNull(), lag_i * weight).otherwise(
+            F.lit(0)
+        )
+        den = den + F.when(lag_i.isNotNull(), weight).otherwise(F.lit(0))
+    return base.select(
+        "event_id",
+        "user_id",
+        "v_c",
+        num.alias("ewma_num"),
+        den.alias("ewma_den"),
+        (
+            F.col("v_c") * den > F.lit(spike_mult) * num
+        ).alias("spike_flag"),
+    )
+
+
+def ewma_oracle_sql(
+    depth: int = EWMA_DEPTH, spike_mult: int = EWMA_SPIKE_MULT
+) -> str:
+    num_terms = " + ".join(
+        f"CASE WHEN lag(v_c, {i}) OVER w IS NOT NULL"
+        f" THEN lag(v_c, {i}) OVER w * {1 << (depth - 1 - i)}"
+        f" ELSE 0 END"
+        for i in range(depth)
+    )
+    den_terms = " + ".join(
+        f"CASE WHEN lag(v_c, {i}) OVER w IS NOT NULL"
+        f" THEN {1 << (depth - 1 - i)} ELSE 0 END"
+        for i in range(depth)
+    )
+    return f"""
+        WITH base AS (
+            SELECT event_id, user_id, ts,
+                   CAST(floor(value * 100) AS BIGINT) AS v_c
+            FROM events
+        ), e AS (
+            SELECT event_id, user_id, v_c,
+                   CAST({num_terms} AS BIGINT) AS ewma_num,
+                   CAST({den_terms} AS BIGINT) AS ewma_den
+            FROM base
+            WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+        )
+        SELECT event_id, user_id, v_c, ewma_num, ewma_den,
+               (v_c * ewma_den > {spike_mult} * ewma_num) AS spike_flag
+        FROM e
     """
 
 
@@ -1261,6 +1350,13 @@ def register(reg) -> None:
         the prefix-sum/running-extremum identity — the sequential
         reset recursion as pure window algebra, all integer."""
         return cusum_changepoints(load_table(spark, sf_dir, "events"))
+
+    @reg("stats_ewma_smoothing", ewma_oracle_sql())
+    def stats_ewma_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """Per-user truncated binary EWMA (round 10) — the sequential
+        α=1/2 smoothing recursion as one fused window of dyadic-
+        weighted lags; integer-exact level and spike flag."""
+        return ewma_smoothing(load_table(spark, sf_dir, "events"))
 
     @reg("stats_rolling_anomaly", rolling_anomaly_oracle_sql())
     def stats_rolling_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
