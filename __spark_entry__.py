@@ -27,69 +27,20 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Verification-priority order. Each round's driver checks the FIRST ~50
-# declared queries, so this list is rotated per round. Round-9 rotation:
-# no r8 driver verify ran, so latest stamps are 50xr7 / 45xr6 / 47xr5
-# and the 32 round-8 additions are unstamped. Order: never-stamped (32)
-# -> r5 cohort (47) -> r6 (45) -> r7 (50); r9 additions get appended to
-# (a) as they land. Ordering only — coverage is always the full set.
+# declared queries, so this list is rotated per round. Round-11
+# rotation: the 4 never-stamped rows lead (the round-10 addition
+# stats_ewma_smoothing plus the three that sat just past the r10
+# 50-row window), then the r5-stamped cohort — the oldest stamps on
+# the board, untouched since round 5. The freshly r10-stamped 50 move
+# to the back. Ordering only — coverage is always the full set.
 _VERIFY_PRIORITY = [
-    # --- (a) round-9 additions + round-8 additions (32) — NEVER
-    # driver-stamped (no r8 driver verify ran); they lead the r9 window ---
-    "multimodal_decode_mjpeg",
-    "streaming_hopping_rollup",
-    "sample_weighted_priority",
-    "graph_kcore",
-    "asof_join_tolerance",
-    "stats_rolling_anomaly",
-    "layout_hilbert_events",
-    "embedding_pca_project",
-    "streaming_rolling_anomaly",
-    "similarity_recall_eval",
-    "multimodal_phash_dct",
-    "multimodal_phash_dct_neardup",
-    "stats_cusum_changepoints",
-    "text_kneser_ney_quality",
-    "asof_join_nearest",
-    "text_source_entropy",
-    "text_source_snapshot_jsd",
-    "stats_benford_profile",
-    "multimodal_wav_spectral",
-    "stats_mad_by_type",
-    "graph_cotrading_projection",
-    "multimodal_decode_jpeg",
-    "streaming_interval_join",
-    "similarity_topk_rp",
-    "text_unicode_normalize",
-    "graph_pagerank_supplier_network",
-    "dedup_ngram_containment",
-    "dedup_setsim_prefix_join",
-    "curation_pareto_frontier",
-    "text_cms_heavy_hitters",
-    "dedup_bloom_admission",
-    "dedup_editdist_join",
-    "text_hll_shingle_cardinality",
-    "streaming_cms_heavy_hitters",
-    "stats_equidepth_histogram",
-    "stats_groupwise_ols",
-    "graph_triangle_counts",
-    "streaming_hll_cardinality",
-    "graph_clustering_coefficient",
-    "stats_event_transitions",
-    "graph_label_propagation",
-    "streaming_bloom_admission",
-    "source_orc_roundtrip",
-    "source_jsonl_roundtrip",
-    "source_csv_roundtrip",
-    "stats_hourly_autocorrelation",
-    "text_tfidf_keywords",
-    "stats_gini_by_segment",
-    "stats_hourly_ohlc",
-    "graph_pagerank_weighted",
+    # --- (a) never driver-stamped — they lead the r11 window ---
+    "stats_ewma_smoothing",
+    "graph_pagerank_dangling",
     "text_vocab_growth",
     "graph_hits_scores",
     "stats_interarrival_quartiles",
-    # --- (b) r5-stamped cohort (47) — oldest stamps on the board;
-    # the planned r8 rotation never executed, so they follow ---
+    # --- (b) r5-stamped cohort (47) — oldest stamps on the board ---
     "p3_hot_reload_predicate",
     "a1_latest_dump_id",
     "a2_argmax_latest_state",
@@ -234,6 +185,57 @@ _VERIFY_PRIORITY = [
     "multimodal_decode_gif",
     "multimodal_avi_frames",
     "p1_project_key_value",
+    # --- (e) r10-stamped cohort (50) — freshest stamps, go last ---
+    "multimodal_decode_mjpeg",
+    "streaming_hopping_rollup",
+    "sample_weighted_priority",
+    "graph_kcore",
+    "asof_join_tolerance",
+    "stats_rolling_anomaly",
+    "layout_hilbert_events",
+    "embedding_pca_project",
+    "streaming_rolling_anomaly",
+    "similarity_recall_eval",
+    "multimodal_phash_dct",
+    "multimodal_phash_dct_neardup",
+    "stats_cusum_changepoints",
+    "text_kneser_ney_quality",
+    "asof_join_nearest",
+    "text_source_entropy",
+    "text_source_snapshot_jsd",
+    "stats_benford_profile",
+    "multimodal_wav_spectral",
+    "stats_mad_by_type",
+    "graph_cotrading_projection",
+    "multimodal_decode_jpeg",
+    "streaming_interval_join",
+    "similarity_topk_rp",
+    "text_unicode_normalize",
+    "graph_pagerank_supplier_network",
+    "dedup_ngram_containment",
+    "dedup_setsim_prefix_join",
+    "curation_pareto_frontier",
+    "text_cms_heavy_hitters",
+    "dedup_bloom_admission",
+    "dedup_editdist_join",
+    "text_hll_shingle_cardinality",
+    "streaming_cms_heavy_hitters",
+    "stats_equidepth_histogram",
+    "stats_groupwise_ols",
+    "graph_triangle_counts",
+    "streaming_hll_cardinality",
+    "graph_clustering_coefficient",
+    "stats_event_transitions",
+    "graph_label_propagation",
+    "streaming_bloom_admission",
+    "source_orc_roundtrip",
+    "source_jsonl_roundtrip",
+    "source_csv_roundtrip",
+    "stats_hourly_autocorrelation",
+    "text_tfidf_keywords",
+    "stats_gini_by_segment",
+    "stats_hourly_ohlc",
+    "graph_pagerank_weighted",
 ]
 
 

@@ -176,8 +176,8 @@ HEADLINE_V8 = [
 ]
 
 
-# v9 set: the round-10 additions. Tracked from round 10 on; baselines
-# in BENCH_BASELINE.md.
+# v9 set: the round-10/11 additions. Tracked from round 10 on;
+# baselines in BENCH_BASELINE.md.
 HEADLINE_V9: list[str] = [
     "stats_mad_by_type",
     "graph_cotrading_projection",
@@ -186,6 +186,8 @@ HEADLINE_V9: list[str] = [
     "text_source_entropy",
     "text_source_snapshot_jsd",
     "asof_join_nearest",
+    "stats_ewma_smoothing",
+    "graph_pagerank_dangling",
 ]
 
 
@@ -301,7 +303,45 @@ def main() -> int:
                 best = dt if best is None else min(best, dt)
         return round(best, 3)
 
-    timings_prod = {"dedup_minhash_lsh_prod": time_minhash_prod()}
+    # Realistic-vocabulary editdist row (r10 verdict item 7): the
+    # registry row is deliberately unbenched — the synthetic corpus's
+    # 31-word vocabulary makes every q-gram collide and the row would
+    # price ~45 s of pathological DP, not the engine (SCALE_PROBE.md
+    # round 8). Here each token is deterministically resurfaced as a
+    # function of (token, position) — same text → same transform, so
+    # genuine duplicate structure survives — lifting surface diversity
+    # to ~vocab×positions, which is what a real crawl corpus looks
+    # like to a q-gram filter. Not summed into any set total.
+    def time_editdist_realvocab() -> float:
+        from pyspark.sql import functions as F
+
+        from kafka_topic_dumper_spark.operators.dedup import (
+            editdist_join_pairs,
+        )
+
+        docs = load_table(spark, SF_DIR, "documents").select(
+            "doc_id",
+            F.concat_ws(
+                " ",
+                F.expr(
+                    "transform(split(text, ' '), "
+                    "(t, i) -> concat(t, pmod(hash(t, i), 1000)))"
+                ),
+            ).alias("text"),
+        )
+        best = None
+        with operator_caches():
+            for _ in range(N_RUNS):
+                t0 = time.perf_counter()
+                _force(editdist_join_pairs(docs))
+                dt = time.perf_counter() - t0
+                best = dt if best is None else min(best, dt)
+        return round(best, 3)
+
+    timings_prod = {
+        "dedup_minhash_lsh_prod": time_minhash_prod(),
+        "dedup_editdist_join_realvocab": time_editdist_realvocab(),
+    }
 
     timings_v2 = time_set(HEADLINE_V2)
     timings_v3 = time_set(HEADLINE_V3)
@@ -436,9 +476,21 @@ def main() -> int:
         fh.write("\n")
     line = json.dumps(summary)
     # Belt and braces: if the line would still overflow the driver's
-    # capture, drop the per-query dict (totals alone stay diagnostic).
+    # capture, drop the per-query dict; if the per-suite totals alone
+    # still overflow (one value_vN key accrues per round), fall back to
+    # the bare metric/control keys — every dropped number is already in
+    # BENCH_DETAIL.json.
     if len(line) > 1900:
         summary.pop("queries")
+        line = json.dumps(summary)
+    if len(line) > 1900:
+        summary = {
+            k: summary[k]
+            for k in (
+                "metric", "value", "unit", "control_q1_pre",
+                "control_q1_post", "n_runs", "sf", "detail",
+            )
+        }
         line = json.dumps(summary)
     print(line)
     return 0

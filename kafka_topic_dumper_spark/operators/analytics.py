@@ -288,15 +288,20 @@ def cusum_oracle_sql(
 
 
 # Truncated binary EWMA: half-life = one event (α = 1/2), window depth
-# D. Weights 2^(D-1-i) for lag i keep every term — and both running
-# sums — exact 64-bit integers, so the smoothed level is the exact
-# rational ewma_num / ewma_den on BOTH engines (a float-α EWMA's
+# D. Weights 2^(D-i) for lag i ∈ 1..D keep every term — and both
+# running sums — exact 64-bit integers, so the smoothed level is the
+# exact rational ewma_num / ewma_den on BOTH engines (a float-α EWMA's
 # sequential recursion is neither distributable nor cross-engine
 # stable; the truncated dyadic form is both, and after D=24 steps the
 # dropped tail weight is 2^-24 of the level — far below cent
-# resolution).
+# resolution). The level deliberately EXCLUDES the current row: a
+# spike detector that folds v_t into the baseline with weight > 1/2
+# can never fire (v·den > 2·num would need v > 2·(something ≥ v/2) —
+# unsatisfiable for v ≥ 0; advisor round-10 finding). Lags 1..D make
+# the flag "current value vs the level BEFORE it arrived", which is
+# the monitoring semantics every EWMA control chart uses.
 EWMA_DEPTH = 24
-EWMA_SPIKE_MULT = 2  # flag when v > MULT × smoothed level
+EWMA_SPIKE_MULT = 2  # flag when v > MULT × prior smoothed level
 
 
 def ewma_smoothing(
@@ -307,13 +312,16 @@ def ewma_smoothing(
     """Per-user exponentially weighted moving average of the event
     value, distributed WITHOUT the sequential recursion: the α = 1/2
     EWMA truncated at ``depth`` lags is a fixed dyadic-weighted sum
-    Σ v_{t-i}·2^(depth-1-i) / Σ 2^(depth-1-i) over the available lags,
-    i.e. ``depth`` LAG expressions inside ONE window node (Catalyst
-    fuses same-frame window functions; one user_id shuffle + one
-    in-partition sort, O(depth) state per row — the same single-stage
-    profile as the CUSUM identity above). All-integer numerator and
-    denominator make the spike predicate
-    v·den > mult·num bit-exact cross-engine.
+    Σ v_{t-i}·2^(depth-i) / Σ 2^(depth-i) over the available PRIOR
+    lags i = 1..depth (the current row is excluded — see the module
+    comment above: including it makes the spike flag algebraically
+    unsatisfiable), i.e. ``depth`` LAG expressions inside ONE window
+    node (Catalyst fuses same-frame window functions; one user_id
+    shuffle + one in-partition sort, O(depth) state per row — the same
+    single-stage profile as the CUSUM identity above). All-integer
+    numerator and denominator make the spike predicate
+    v·den > mult·num bit-exact cross-engine; each user's first event
+    has den = 0 and never flags.
 
     Reference parity: the dumper has no smoothing at all — this is the
     monitoring statistic its ops dashboards would compute downstream
@@ -323,9 +331,9 @@ def ewma_smoothing(
     w = Window.partitionBy("user_id").orderBy("ts", "event_id")
     num = F.lit(0).cast("bigint")
     den = F.lit(0).cast("bigint")
-    for i in range(depth):
+    for i in range(1, depth + 1):
         lag_i = F.lag("v_c", i).over(w)
-        weight = F.lit(1 << (depth - 1 - i)).cast("bigint")
+        weight = F.lit(1 << (depth - i)).cast("bigint")
         num = num + F.when(lag_i.isNotNull(), lag_i * weight).otherwise(
             F.lit(0)
         )
@@ -347,14 +355,14 @@ def ewma_oracle_sql(
 ) -> str:
     num_terms = " + ".join(
         f"CASE WHEN lag(v_c, {i}) OVER w IS NOT NULL"
-        f" THEN lag(v_c, {i}) OVER w * {1 << (depth - 1 - i)}"
+        f" THEN lag(v_c, {i}) OVER w * {1 << (depth - i)}"
         f" ELSE 0 END"
-        for i in range(depth)
+        for i in range(1, depth + 1)
     )
     den_terms = " + ".join(
         f"CASE WHEN lag(v_c, {i}) OVER w IS NOT NULL"
-        f" THEN {1 << (depth - 1 - i)} ELSE 0 END"
-        for i in range(depth)
+        f" THEN {1 << (depth - i)} ELSE 0 END"
+        for i in range(1, depth + 1)
     )
     return f"""
         WITH base AS (

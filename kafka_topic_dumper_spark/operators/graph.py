@@ -311,6 +311,7 @@ def pagerank_fixed_point(
     edges: DataFrame,
     iters: int = PR_ITERS,
     damping_pct: int = PR_DAMPING_PCT,
+    redistribute_dangling: bool = False,
 ) -> DataFrame:
     """Fixed-iteration PageRank over a directed edge list, in INTEGER
     fixed-point so the result is bit-exact across engines: ranks start
@@ -329,10 +330,19 @@ def pagerank_fixed_point(
     ``localCheckpoint``ed per iteration: the logical plan would
     otherwise nest one join tree per sweep and Catalyst chokes on the
     exponential lineage long before the data is big (the CC lesson,
-    see the module docstring). Dangling nodes cannot occur here —
-    the node set derives from the edge list and callers pass
-    symmetrized graphs; a general-purpose deployment would add the
-    dangling-mass redistribution term."""
+    see the module docstring).
+
+    ``redistribute_dangling=True`` adds the standard dangling-mass
+    term for general DIRECTED graphs: nodes with no out-edges (sinks)
+    would otherwise leak their rank out of the system each sweep. The
+    sink set is computed once (node-set anti-join on the degree
+    table); per sweep the dangling mass ``dm = Σ_{sink u} r(u)`` is a
+    1-row aggregate broadcast back into the update (no driver
+    collect), and every node's incoming sum gains ``dm div n`` before
+    damping — integer floors at fixed points, so the DuckDB unrolled
+    replay stays bit-exact. Default False preserves the historical
+    behavior for the symmetrized callers (every node has out-edges by
+    construction, dm ≡ 0)."""
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -343,21 +353,50 @@ def pagerank_fixed_point(
     ed = edges.join(deg, "src").persist()
     teleport = PR_SCALE * (100 - damping_pct) // 100
     ranks = nodes.select("node", F.lit(PR_SCALE).cast("long").alias("r"))
+    if redistribute_dangling:
+        # Sinks: in the node set but absent from the out-degree table.
+        # n is one scalar per graph — a metadata-sized driver value
+        # that constant-folds into the per-sweep update expression.
+        sinks = nodes.join(
+            deg.select(F.col("src").alias("node")), "node", "left_anti"
+        ).persist()
+        n_nodes = nodes.count()
     for _ in range(iters):
         contrib = ed.join(ranks, ed.src == ranks.node).select(
             F.col("dst").alias("node"), F.expr("r div deg").alias("c")
         )
         s = contrib.groupBy("node").agg(F.sum("c").alias("s"))
-        ranks = nodes.join(s, "node", "left").select(
-            "node",
-            (
-                F.lit(teleport)
-                + F.expr(f"({damping_pct} * coalesce(s, CAST(0 AS BIGINT))) div 100")
-            ).cast("long").alias("r"),
-        )
+        if redistribute_dangling:
+            dm = sinks.join(ranks, "node").agg(
+                F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm")
+            )
+            ranks = (
+                nodes.join(s, "node", "left")
+                .crossJoin(F.broadcast(dm))
+                .select(
+                    "node",
+                    (
+                        F.lit(teleport)
+                        + F.expr(
+                            f"({damping_pct} * (coalesce(s, CAST(0 AS BIGINT))"
+                            f" + dm div {n_nodes})) div 100"
+                        )
+                    ).cast("long").alias("r"),
+                )
+            )
+        else:
+            ranks = nodes.join(s, "node", "left").select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(f"({damping_pct} * coalesce(s, CAST(0 AS BIGINT))) div 100")
+                ).cast("long").alias("r"),
+            )
         ranks = ranks.localCheckpoint(eager=True)
     nodes.unpersist()
     ed.unpersist()
+    if redistribute_dangling:
+        sinks.unpersist()
     return ranks
 
 
@@ -742,6 +781,67 @@ def pagerank_oracle_sql(
             SELECT dst FROM edges
         ), deg AS (
             SELECT src, count(*) AS deg FROM edges GROUP BY src
+        ),
+        {chain}
+        SELECT node, r FROM r{iters}
+        """
+
+
+def pagerank_dangling_oracle_sql(
+    edges_cte: str, iters: int = PR_ITERS, damping_pct: int = PR_DAMPING_PCT
+) -> str:
+    """DuckDB mirror of :func:`pagerank_fixed_point` with
+    ``redistribute_dangling=True``: the identical integer recurrence
+    unrolled one CTE per iteration, each sweep's dangling mass a 1-row
+    cross-joined aggregate over the sink set — floor points identical
+    to the Spark expression (``dm // n`` before the damping floor).
+    The base relations are ``MATERIALIZED`` CTEs: each of the
+    ``iters`` unrolled steps references edges/deg/sinks/nn, and
+    letting DuckDB inline them re-opens the parquet per reference —
+    10 sweeps × 4 scans trips the process fd limit."""
+    teleport = PR_SCALE * (100 - damping_pct) // 100
+    steps = [
+        f"""r0 AS (
+            SELECT node, CAST({PR_SCALE} AS BIGINT) AS r FROM nodes
+        )"""
+    ]
+    for i in range(1, iters + 1):
+        steps.append(
+            f"""r{i} AS (
+            SELECT n.node,
+                   CAST({teleport} + ({damping_pct} *
+                        (coalesce(s.s, 0) + dm.dm // nn.n)) // 100
+                        AS BIGINT) AS r
+            FROM nodes n LEFT JOIN (
+                SELECT e.dst AS node, sum(r.r // d.deg) AS s
+                FROM edges_m e
+                JOIN r{i - 1} r ON e.src = r.node
+                JOIN deg d ON e.src = d.src
+                GROUP BY e.dst
+            ) s ON n.node = s.node
+            CROSS JOIN (
+                SELECT CAST(coalesce(sum(r.r), 0) AS BIGINT) AS dm
+                FROM sinks k JOIN r{i - 1} r ON k.node = r.node
+            ) dm
+            CROSS JOIN nn
+        )"""
+        )
+    chain = ",\n        ".join(steps)
+    return f"""
+        WITH {edges_cte}, edges_m AS MATERIALIZED (
+            SELECT src, dst FROM edges
+        ), nodes AS MATERIALIZED (
+            SELECT src AS node FROM edges_m
+            UNION
+            SELECT dst FROM edges_m
+        ), deg AS MATERIALIZED (
+            SELECT src, count(*) AS deg FROM edges_m GROUP BY src
+        ), sinks AS MATERIALIZED (
+            SELECT n.node FROM nodes n
+            LEFT JOIN deg d ON n.node = d.src
+            WHERE d.src IS NULL
+        ), nn AS MATERIALIZED (
+            SELECT count(*) AS n FROM nodes
         ),
         {chain}
         SELECT node, r FROM r{iters}
@@ -1141,6 +1241,31 @@ def register(reg) -> None:
             .distinct()
         )
         return hits_scores(edges)
+
+    @reg(
+        "graph_pagerank_dangling",
+        pagerank_dangling_oracle_sql(hits_edges_cte),
+    )
+    def graph_pagerank_dangling(spark: SparkSession, sf_dir: str):
+        """PageRank WITH dangling-mass redistribution over the raw
+        DIRECTED customer→supplier purchase graph (round 11): every
+        supplier is a sink (no out-edges), so without the term ~half
+        the graph leaks its rank each sweep and supplier ranks
+        degenerate toward teleport. Exercises the general-directed
+        code path the symmetrized callers never hit; bit-exact vs the
+        unrolled DuckDB recurrence with the per-sweep 1-row dangling
+        aggregate."""
+        li = load_table(spark, sf_dir, "lineitem")
+        orders = load_table(spark, sf_dir, "orders")
+        edges = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .select(
+                (F.col("o_custkey") * 2).alias("src"),
+                (F.col("l_suppkey") * 2 + 1).alias("dst"),
+            )
+            .distinct()
+        )
+        return pagerank_fixed_point(edges, redistribute_dangling=True)
 
     @reg("graph_pagerank_supplier_network", pagerank_oracle_sql(edges_cte))
     def graph_pagerank_supplier_network(spark: SparkSession, sf_dir: str):

@@ -20,8 +20,7 @@ a silent divergence from the batch twin's numbering (code-review r6
 finding; the single-batch availableNow tests could never see it).
 
 The worker function is self-contained (closes over plain ints only) so
-cloudpickle ships it by value and executors never import this package
-(see .claude/skills/verify gotchas).
+cloudpickle ships it by value and executors never import this package.
 """
 
 from __future__ import annotations

@@ -454,6 +454,93 @@ def test_cusum_window_identity_matches_sequential_recursion(spark):
     assert got[6][0] == 0 and got[12][0] > 20000 and got[12][2]
 
 
+def test_ewma_spike_flag_fires_on_spike_and_matches_replay(spark):
+    """The round-10 advisor finding made concrete: the smoothed level
+    must EXCLUDE the current row, else v·den > 2·num is algebraically
+    unsatisfiable for v ≥ 0. A flat history with one 10× spike must
+    flag exactly the spike row; num/den must match a pure-Python
+    replay of the lag-1..D dyadic sum; the first row (den = 0) never
+    flags."""
+    import datetime as dt
+
+    from kafka_topic_dumper_spark.operators.analytics import (
+        EWMA_DEPTH,
+        ewma_smoothing,
+    )
+
+    t0 = dt.datetime(2024, 5, 1)
+    vals = [10.0] * 6 + [100.0] + [10.0] * 2
+    rows = [
+        (i + 1, 7, "click", t0 + dt.timedelta(minutes=i), v)
+        for i, v in enumerate(vals)
+    ]
+    df = spark.createDataFrame(
+        rows,
+        "event_id long, user_id long, event_type string,"
+        " ts timestamp_ntz, value double",
+    )
+    got = {
+        r.event_id: (r.ewma_num, r.ewma_den, r.spike_flag)
+        for r in ewma_smoothing(df).collect()
+    }
+
+    vc = [int(v * 100) for v in vals]
+    for t in range(len(vc)):
+        num = sum(
+            vc[t - i] * (1 << (EWMA_DEPTH - i))
+            for i in range(1, min(t, EWMA_DEPTH) + 1)
+        )
+        den = sum(
+            1 << (EWMA_DEPTH - i)
+            for i in range(1, min(t, EWMA_DEPTH) + 1)
+        )
+        assert got[t + 1] == (num, den, vc[t] * den > 2 * num), t
+    # the spike row (and ONLY it) fires; the first row (den=0) is quiet
+    assert [e for e, (_, _, f) in sorted(got.items()) if f] == [7]
+    assert got[1][1] == 0 and got[1][2] is False
+
+
+def test_pagerank_dangling_matches_replay_and_feeds_sources(spark):
+    """Dangling-mass redistribution on a 3-node graph with a sink:
+    the integer recurrence (dm // n folded in before the damping
+    floor) matches a pure-Python replay exactly, and a source node
+    with no in-edges — stuck at bare teleport without the term —
+    strictly gains rank from the redistributed sink mass."""
+    from kafka_topic_dumper_spark.operators.graph import (
+        PR_SCALE,
+        pagerank_fixed_point,
+    )
+
+    edges = spark.createDataFrame(
+        [(1, 2), (1, 3), (2, 3)], "src long, dst long"
+    )
+    with_d = {
+        r.node: r.r
+        for r in pagerank_fixed_point(
+            edges, iters=4, redistribute_dangling=True
+        ).collect()
+    }
+    plain = {
+        r.node: r.r
+        for r in pagerank_fixed_point(edges, iters=4).collect()
+    }
+
+    deg = {1: 2, 2: 1}
+    teleport = PR_SCALE * 15 // 100
+    r = {n: PR_SCALE for n in (1, 2, 3)}
+    for _ in range(4):
+        s = {2: r[1] // 2, 3: r[1] // 2 + r[2] // 1}
+        dm = r[3]                      # node 3 is the sink
+        r = {
+            n: teleport + (85 * (s.get(n, 0) + dm // 3)) // 100
+            for n in (1, 2, 3)
+        }
+    assert with_d == r
+    # node 1 has no in-edges: bare teleport without the term
+    assert plain[1] == teleport
+    assert with_d[1] > plain[1]
+
+
 def test_kneser_ney_normalizes_and_matches_python_replay(spark):
     """KN invariant: per context v, Σ_w P(w|v) = 1 exactly (discount
     mass fully redistributed through the continuation distribution) —
