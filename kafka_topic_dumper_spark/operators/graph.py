@@ -352,26 +352,41 @@ def pagerank_fixed_point(
     deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
     ed = edges.join(deg, "src").persist()
     teleport = PR_SCALE * (100 - damping_pct) // 100
-    ranks = nodes.select("node", F.lit(PR_SCALE).cast("long").alias("r"))
     if redistribute_dangling:
-        # Sinks: in the node set but absent from the out-degree table.
-        # n is one scalar per graph — a metadata-sized driver value
-        # that constant-folds into the per-sweep update expression.
-        sinks = nodes.join(
-            deg.select(F.col("src").alias("node")), "node", "left_anti"
-        ).persist()
-        n_nodes = nodes.count()
+        # Sink flag rides INSIDE the ranks relation (one left join
+        # against the degree table, once): each sweep's dangling mass
+        # is then a plain filtered 1-row aggregate over ranks — no
+        # per-sweep sink-set join. n is one scalar per graph, a
+        # metadata-sized driver value that constant-folds into the
+        # update expression.
+        nodes_f = (
+            nodes.join(
+                deg.select(
+                    F.col("src").alias("node"), F.lit(True).alias("has_out")
+                ),
+                "node",
+                "left",
+            )
+            .select("node", F.col("has_out").isNull().alias("is_sink"))
+            .persist()
+        )
+        n_nodes = nodes_f.count()
+        ranks = nodes_f.select(
+            "node", F.lit(PR_SCALE).cast("long").alias("r"), "is_sink"
+        )
+    else:
+        ranks = nodes.select("node", F.lit(PR_SCALE).cast("long").alias("r"))
     for _ in range(iters):
         contrib = ed.join(ranks, ed.src == ranks.node).select(
             F.col("dst").alias("node"), F.expr("r div deg").alias("c")
         )
         s = contrib.groupBy("node").agg(F.sum("c").alias("s"))
         if redistribute_dangling:
-            dm = sinks.join(ranks, "node").agg(
+            dm = ranks.filter("is_sink").agg(
                 F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm")
             )
             ranks = (
-                nodes.join(s, "node", "left")
+                nodes_f.join(s, "node", "left")
                 .crossJoin(F.broadcast(dm))
                 .select(
                     "node",
@@ -382,6 +397,7 @@ def pagerank_fixed_point(
                             f" + dm div {n_nodes})) div 100"
                         )
                     ).cast("long").alias("r"),
+                    "is_sink",
                 )
             )
         else:
@@ -396,7 +412,8 @@ def pagerank_fixed_point(
     nodes.unpersist()
     ed.unpersist()
     if redistribute_dangling:
-        sinks.unpersist()
+        nodes_f.unpersist()
+        return ranks.select("node", "r")
     return ranks
 
 

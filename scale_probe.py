@@ -377,6 +377,26 @@ def probes(t: dict[str, DataFrame], r: int = 1):
         ).union(pairs.select(F.col("s").alias("src"), F.col("c").alias("dst")))
         return pagerank_fixed_point(edges)
 
+    def pagerank_dangling():
+        # the round-11 general-directed variant: raw customer→supplier
+        # edges (every supplier a sink), dangling mass redistributed
+        # per sweep via the is_sink filtered 1-row aggregate — the
+        # claim under test is that the extra term stays metadata-sized
+        # (a broadcast scalar) while the sweeps remain edge-linear
+        from kafka_topic_dumper_spark.operators.graph import (
+            pagerank_fixed_point,
+        )
+
+        edges = (
+            li.join(orders, li.l_orderkey == orders.o_orderkey)
+            .select(
+                (F.col("o_custkey") * 2).alias("src"),
+                (F.col("l_suppkey") * 2 + 1).alias("dst"),
+            )
+            .distinct()
+        )
+        return pagerank_fixed_point(edges, redistribute_dangling=True)
+
     def stream_sessionize():
         # the applyInPandasWithState sessionizer (r7 verdict item 6):
         # replay the replicated events as 4 ts-range micro-batches and
@@ -583,6 +603,7 @@ def probes(t: dict[str, DataFrame], r: int = 1):
         "streaming_interval_join": stream_interval_join,
         "streaming_sessionize_state": stream_sessionize,
         "graph_pagerank": pagerank,
+        "graph_pagerank_dangling": pagerank_dangling,
     }
 
 
