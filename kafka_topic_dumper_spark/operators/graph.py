@@ -388,36 +388,57 @@ def pagerank_fixed_point(
         )
     else:
         ranks = nodes.select("node", F.lit(PR_SCALE).cast("long").alias("r"))
-    for _ in range(iters):
-        contrib = ed.join(ranks, ed.src == ranks.node).select(
-            F.col("dst").alias("node"), F.expr("r div deg").alias("c")
+    # The per-sweep update UNIONS a zero-contribution row per node into
+    # the aggregation instead of left-joining the node set afterwards:
+    # every node then gets its row from the same groupBy shuffle the
+    # edge contributions already pay (node-sized extra input, no new
+    # exchange), and the per-sweep broadcast-join stage disappears —
+    # results bit-identical (sum gains a 0; absent-key coalesce(0)
+    # becomes a present 0), measured ~5-10% per query at sf0.1 and one
+    # fewer stage per sweep at any scale.
+    if redistribute_dangling:
+        zero = nodes_f.select(
+            "node", F.lit(0).cast("long").alias("c"), "is_sink"
         )
-        s = contrib.groupBy("node").agg(F.sum("c").alias("s"))
+    else:
+        zero = nodes.select("node", F.lit(0).cast("long").alias("c"))
+    for _ in range(iters):
         if redistribute_dangling:
+            contrib = ed.join(ranks, ed.src == ranks.node).select(
+                F.col("dst").alias("node"),
+                F.expr("r div deg").alias("c"),
+                F.lit(None).cast("boolean").alias("is_sink"),
+            )
             dm = ranks.filter("is_sink").agg(
                 F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm")
             )
-            ranks = (
-                nodes_f.join(s, "node", "left")
-                .crossJoin(F.broadcast(dm))
-                .select(
-                    "node",
-                    (
-                        F.lit(teleport)
-                        + F.expr(
-                            f"({damping_pct} * (coalesce(s, CAST(0 AS BIGINT))"
-                            f" + dm div {n_nodes})) div 100"
-                        )
-                    ).cast("long").alias("r"),
-                    "is_sink",
-                )
+            s = (
+                contrib.union(zero)
+                .groupBy("node")
+                # max ignores the contrib rows' NULLs: the flag comes
+                # from each node's single zero row
+                .agg(F.sum("c").alias("s"), F.max("is_sink").alias("is_sink"))
             )
-        else:
-            ranks = nodes.join(s, "node", "left").select(
+            ranks = s.crossJoin(F.broadcast(dm)).select(
                 "node",
                 (
                     F.lit(teleport)
-                    + F.expr(f"({damping_pct} * coalesce(s, CAST(0 AS BIGINT))) div 100")
+                    + F.expr(
+                        f"({damping_pct} * (s + dm div {n_nodes})) div 100"
+                    )
+                ).cast("long").alias("r"),
+                "is_sink",
+            )
+        else:
+            contrib = ed.join(ranks, ed.src == ranks.node).select(
+                F.col("dst").alias("node"), F.expr("r div deg").alias("c")
+            )
+            s = contrib.union(zero).groupBy("node").agg(F.sum("c").alias("s"))
+            ranks = s.select(
+                "node",
+                (
+                    F.lit(teleport)
+                    + F.expr(f"({damping_pct} * s) div 100")
                 ).cast("long").alias("r"),
             )
         ranks = ranks.localCheckpoint(eager=True)
@@ -908,18 +929,18 @@ def pagerank_weighted(
     ed = edges.join(wout, "src").persist()
     teleport = PR_SCALE * (100 - damping_pct) // 100
     ranks = nodes.select("node", F.lit(PR_SCALE).cast("long").alias("r"))
+    # zero-row union instead of a per-sweep left join — see
+    # pagerank_fixed_point
+    zero = nodes.select("node", F.lit(0).cast("long").alias("c"))
     for _ in range(iters):
         contrib = ed.join(ranks, ed.src == ranks.node).select(
             F.col("dst").alias("node"), F.expr("(w * r) div wtot").alias("c")
         )
-        s = contrib.groupBy("node").agg(F.sum("c").alias("s"))
-        ranks = nodes.join(s, "node", "left").select(
+        s = contrib.union(zero).groupBy("node").agg(F.sum("c").alias("s"))
+        ranks = s.select(
             "node",
             (
-                F.lit(teleport)
-                + F.expr(
-                    f"({damping_pct} * coalesce(s, CAST(0 AS BIGINT))) div 100"
-                )
+                F.lit(teleport) + F.expr(f"({damping_pct} * s) div 100")
             ).cast("long").alias("r"),
         )
         ranks = ranks.localCheckpoint(eager=True)
