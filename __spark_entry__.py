@@ -27,65 +27,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Verification-priority order. Each round's driver checks the FIRST ~50
-# declared queries, so this list is rotated per round. Round-11
-# rotation: the 4 never-stamped rows lead (the round-10 addition
-# stats_ewma_smoothing plus the three that sat just past the r10
-# 50-row window), then the r5-stamped cohort — the oldest stamps on
-# the board, untouched since round 5. The freshly r10-stamped 50 move
-# to the back. Ordering only — coverage is always the full set.
+# declared queries, so this list is rotated per round. Round-12
+# rotation (the plan recorded in PARITY.md and the r11 verdict item 2):
+# the one never-stamped row leads (the round-12 addition
+# dedup_editdist_join_realvocab), then the 2 r5-stamped rows that
+# missed the r11 window — the oldest stamps on the board — then the
+# r6-stamped cohort (45). The freshly r11-stamped 50 move to the back.
+# Ordering only — coverage is always the full set.
 _VERIFY_PRIORITY = [
-    # --- (a) never driver-stamped — they lead the r11 window ---
-    "stats_ewma_smoothing",
-    "graph_pagerank_dangling",
-    "text_vocab_growth",
-    "graph_hits_scores",
-    "stats_interarrival_quartiles",
-    # --- (b) r5-stamped cohort (47) — oldest stamps on the board ---
-    "p3_hot_reload_predicate",
-    "a1_latest_dump_id",
-    "a2_argmax_latest_state",
-    "a3_a5_available_message_counts",
-    "o1_sorted_file_plan",
-    "o2_tail_k_per_partition",
-    "f_scalar_surface",
-    "b1_chunk_plan",
-    "flagship_latest_event_per_user",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "events_hourly_rollup",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_canonical_mapping",
-    "dedup_incremental",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "similarity_topk_bruteforce",
-    "embedding_quantize_int8",
-    "similarity_topk_lsh",
-    "similarity_topk_lsh_stored",
-    "similarity_topk_ivf",
-    "similarity_topk_ivf_stored",
-    "text_bigram_lm_quality",
-    "text_mean_token_df",
-    "text_contamination_overlap",
-    "multimodal_binary_meta",
-    "multimodal_decode_stub",
-    "asof_join_last_purchase",
-    "asof_join_next_purchase",
-    "cube_event_activity",
-    "window_event_metrics",
-    "q18_large_volume_orders",
-    "timeseries_gap_fill",
-    "cohort_retention",
-    "window_rolling_hour",
-    "window_distribution_metrics",
-    "funnel_conversion",
-    "pivot_user_event_matrix",
-    "stats_value_histogram",
-    "stats_numeric_profile",
-    "join_range_interval",
-    "join_full_outer_reconcile",
+    # --- (a) never driver-stamped — leads the r12 window ---
+    "dedup_editdist_join_realvocab",
+    # --- (b) r5-stamped tail (2) — oldest stamps on the board ---
     "approx_aggregates",
     "pipeline_quality_dedup_pack",
     # --- (c) r6-stamped cohort (45) ---
@@ -185,7 +137,7 @@ _VERIFY_PRIORITY = [
     "multimodal_decode_gif",
     "multimodal_avi_frames",
     "p1_project_key_value",
-    # --- (e) r10-stamped cohort (50) — freshest stamps, go last ---
+    # --- (e) r10-stamped cohort (50) ---
     "multimodal_decode_mjpeg",
     "streaming_hopping_rollup",
     "sample_weighted_priority",
@@ -236,6 +188,57 @@ _VERIFY_PRIORITY = [
     "stats_gini_by_segment",
     "stats_hourly_ohlc",
     "graph_pagerank_weighted",
+    # --- (f) r11-stamped cohort (50) — freshest stamps, go last ---
+    "stats_ewma_smoothing",
+    "graph_pagerank_dangling",
+    "text_vocab_growth",
+    "graph_hits_scores",
+    "stats_interarrival_quartiles",
+    "p3_hot_reload_predicate",
+    "a1_latest_dump_id",
+    "a2_argmax_latest_state",
+    "a3_a5_available_message_counts",
+    "o1_sorted_file_plan",
+    "o2_tail_k_per_partition",
+    "f_scalar_surface",
+    "b1_chunk_plan",
+    "flagship_latest_event_per_user",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "events_hourly_rollup",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_canonical_mapping",
+    "dedup_incremental",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "similarity_topk_bruteforce",
+    "embedding_quantize_int8",
+    "similarity_topk_lsh",
+    "similarity_topk_lsh_stored",
+    "similarity_topk_ivf",
+    "similarity_topk_ivf_stored",
+    "text_bigram_lm_quality",
+    "text_mean_token_df",
+    "text_contamination_overlap",
+    "multimodal_binary_meta",
+    "multimodal_decode_stub",
+    "asof_join_last_purchase",
+    "asof_join_next_purchase",
+    "cube_event_activity",
+    "window_event_metrics",
+    "q18_large_volume_orders",
+    "timeseries_gap_fill",
+    "cohort_retention",
+    "window_rolling_hour",
+    "window_distribution_metrics",
+    "funnel_conversion",
+    "pivot_user_event_matrix",
+    "stats_value_histogram",
+    "stats_numeric_profile",
+    "join_range_interval",
+    "join_full_outer_reconcile",
 ]
 
 

@@ -485,6 +485,44 @@ def editdist_join_pairs(
     )
 
 
+REALVOCAB_MOD = 1000
+
+
+def resurface_vocabulary(docs: DataFrame, mod: int = REALVOCAB_MOD) -> DataFrame:
+    """Deterministically diversify the synthetic corpus's vocabulary:
+    each whitespace token is resurfaced as ``token || (H32(token ':'
+    pos) % mod)``. The same (token, position) always maps to the same
+    surface form, so genuine duplicate structure — shared prefixes,
+    near-copies, exact copies — survives the transform, while the
+    q-gram vocabulary grows from the synthetic ~31 words to ~31×mod
+    surface forms, which is what a real crawl corpus looks like to a
+    q-gram filter (SCALE_PROBE.md round 8 documents the 31-word
+    pathology this lifts). The hash is the portable md5-derived H32 so
+    a DuckDB oracle reproduces the text bit-identically (DuckDB's
+    ``list_transform`` lambda index is 1-based; Spark's ``transform``
+    is 0-based — the oracle subtracts 1)."""
+    h = h32_spark_sql("concat(t, ':', CAST(i AS STRING))")
+    return docs.select(
+        "doc_id",
+        F.expr(
+            "concat_ws(' ', transform(split(text, ' '), "
+            f"(t, i) -> concat(t, pmod({h}, {mod}))))"
+        ).alias("text"),
+    )
+
+
+def resurface_vocabulary_duckdb(mod: int = REALVOCAB_MOD) -> str:
+    """DuckDB CTE body mirroring :func:`resurface_vocabulary` —
+    ``SELECT doc_id, <resurfaced> AS text FROM documents``."""
+    h = h32_duckdb_sql("x || ':' || CAST(i-1 AS VARCHAR)")
+    return (
+        "SELECT doc_id, "
+        "array_to_string(list_transform(string_split(text, ' '), "
+        f"(x, i) -> x || CAST(({h}) % {mod} AS VARCHAR)), ' ') AS text "
+        "FROM documents"
+    )
+
+
 SETSIM_MIN_PCT = 80
 
 
@@ -1576,6 +1614,37 @@ def register(reg) -> None:
         all-pairs levenshtein scan, so a hash-match proves the lemma
         filter lossless on this corpus."""
         return editdist_join_pairs(load_table(spark, sf_dir, "documents"))
+
+    @reg(
+        "dedup_editdist_join_realvocab",
+        f"""
+        WITH d AS (
+            {resurface_vocabulary_duckdb()}
+        ), dl AS (
+            SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
+            FROM d
+        )
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_distance
+        FROM dl a JOIN dl b
+          ON a.doc_id < b.doc_id
+         AND abs(a.len - b.len) <= {EDITDIST_MAX}
+        WHERE levenshtein(a.text, b.text) <= {EDITDIST_MAX}
+        """,
+    )
+    def dedup_editdist_join_realvocab(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """The editdist join on a REALISTIC ~31k-surface-form vocabulary
+        (round 12, r11 verdict item 4): each token deterministically
+        resurfaced as a function of (token, position) via the portable
+        H32, so duplicate structure survives while q-gram diversity
+        matches a real crawl. The oracle is the same naive length-pruned
+        all-pairs levenshtein scan over the identically-resurfaced text,
+        so a hash-match proves the lemma pruning lossless on a DIVERSE
+        vocabulary — previously that rested on the hypothesis tests
+        alone (tests/test_graph_editdist_property.py)."""
+        return editdist_join_pairs(
+            resurface_vocabulary(load_table(spark, sf_dir, "documents"))
+        )
 
     @reg(
         "dedup_setsim_prefix_join",

@@ -343,8 +343,6 @@ def pagerank_fixed_point(
     replay stays bit-exact. Default False preserves the historical
     behavior for the symmetrized callers (every node has out-edges by
     construction, dm ≡ 0)."""
-    from kafka_topic_dumper_spark.functions.caching import tracked_persist
-
     # The edge list is the ITERATION-INVARIANT input and is scanned
     # once each for nodes (twice via the union), deg, and ed — without
     # a persist every one of those re-executes the caller's upstream
@@ -353,8 +351,13 @@ def pagerank_fixed_point(
     # the directed dangling caller — the same lesson
     # connected_components records for its sym relation. The
     # symmetrized callers see less: AQE's ReusedExchange already
-    # dedups their union's twin subtrees).
-    edges = tracked_persist(edges)
+    # dedups their union's twin subtrees). Plain persist, NOT
+    # tracked_persist: the eager per-sweep localCheckpoint means the
+    # returned plan no longer references edges, so this function
+    # releases it on its own exit path — routing it through the
+    # tracked registry too would double-release and retain a stale
+    # reference outside an operator_caches scope.
+    edges = edges.persist()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
@@ -913,12 +916,9 @@ def pagerank_weighted(
     localCheckpoint lineage truncation. int64 headroom: w·r tops out
     ~10^16 at this SF; at ~10^6+ nodes with heavy weights move the
     product to DECIMAL (the exact_money rationale)."""
-    from kafka_topic_dumper_spark.functions.caching import tracked_persist
-
-    # Same iteration-invariant persist as pagerank_fixed_point: the
-    # nodes/wout/ed derivations otherwise each re-execute the caller's
-    # upstream edge pipeline.
-    edges = tracked_persist(edges)
+    # Same iteration-invariant persist as pagerank_fixed_point (plain,
+    # not tracked — this function unpersists on its own exit path).
+    edges = edges.persist()
     nodes = (
         edges.select(F.col("src").alias("node"))
         .union(edges.select(F.col("dst").alias("node")))
