@@ -474,13 +474,26 @@ def editdist_join_pairs(
 
     ta = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
     tb = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    # THRESHOLD form of the DP (Spark's 3-arg levenshtein): the banded
+    # algorithm — O(len·D) cells with early exit instead of the full
+    # O(len²) matrix, returning -1 past the threshold. Identical
+    # values for every pair this operator emits (distances ≤ D are
+    # exact), so the naive-full-DP oracle is unchanged. Measured
+    # honestly (SCALE_PROBE.md round 12): at sf0.1 this does NOT move
+    # either bench row's wall (realvocab 23.1→22.6 s, plain ~44 s both
+    # ways) — the candidate-generation gram join carries those rows,
+    # not the DP. It is kept because it caps the per-pair verify at
+    # O(len·D) instead of O(len²), which is the term that grows when
+    # documents get long at fixed D (the 100 TB failure mode the full
+    # matrix would have).
     return (
         cands.join(ta, "doc_a")
         .join(tb, "doc_b")
         .withColumn(
-            "edit_distance", F.levenshtein("text_a", "text_b").cast("int")
+            "edit_distance",
+            F.levenshtein("text_a", "text_b", max_dist).cast("int"),
         )
-        .filter(F.col("edit_distance") <= max_dist)
+        .filter(F.col("edit_distance") >= 0)
         .select("doc_a", "doc_b", "edit_distance")
     )
 
