@@ -387,3 +387,18 @@ def test_priority_sample_no_corpus_shuffle(spark):
     assert "TakeOrderedAndProject" in plan
     assert "rangepartitioning" not in plan
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_editdist_banded_dp_no_cartesian_lemma_path(spark):
+    plan = plan_of(spark, "dedup_editdist_join_realvocab")
+    # the verify stage must use the THRESHOLD (banded O(len*D)) form of
+    # levenshtein, not the full O(len^2) matrix — a silent revert to
+    # the 2-arg form re-opens the long-document failure mode
+    assert "levenshtein(text_a" in plan and "Some(30)" in plan
+    # candidate generation is the (gh, band) equi-join — the only
+    # non-equi join allowed is the short-doc completeness subset
+    # (both sides <= q-1+q*D chars by construction, corpus-skew-free)
+    assert count_in(plan, "CartesianProduct") == 0
+    assert count_in(plan, "BroadcastNestedLoopJoin") <= 1
+    # whole pipeline stays JVM-side
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
