@@ -356,102 +356,106 @@ def pagerank_fixed_point(
     # returned plan no longer references edges, so this function
     # releases it on its own exit path — routing it through the
     # tracked registry too would double-release and retain a stale
-    # reference outside an operator_caches scope.
+    # reference outside an operator_caches scope. try/finally so an
+    # exception mid-sweep can't leak the persisted blocks.
     edges = edges.persist()
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .persist()
-    )
-    deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
-    ed = edges.join(deg, "src").persist()
-    teleport = PR_SCALE * (100 - damping_pct) // 100
-    if redistribute_dangling:
-        # Sink flag rides INSIDE the ranks relation (one left join
-        # against the degree table, once): each sweep's dangling mass
-        # is then a plain filtered 1-row aggregate over ranks — no
-        # per-sweep sink-set join. n is one scalar per graph, a
-        # metadata-sized driver value that constant-folds into the
-        # update expression.
-        nodes_f = (
-            nodes.join(
-                deg.select(
-                    F.col("src").alias("node"), F.lit(True).alias("has_out")
-                ),
-                "node",
-                "left",
-            )
-            .select("node", F.col("has_out").isNull().alias("is_sink"))
+    nodes = ed = nodes_f = None
+    try:
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .union(edges.select(F.col("dst").alias("node")))
+            .distinct()
             .persist()
         )
-        n_nodes = nodes_f.count()
-        ranks = nodes_f.select(
-            "node", F.lit(PR_SCALE).cast("long").alias("r"), "is_sink"
-        )
-    else:
-        ranks = nodes.select("node", F.lit(PR_SCALE).cast("long").alias("r"))
-    # The per-sweep update UNIONS a zero-contribution row per node into
-    # the aggregation instead of left-joining the node set afterwards:
-    # every node then gets its row from the same groupBy shuffle the
-    # edge contributions already pay (node-sized extra input, no new
-    # exchange), and the per-sweep broadcast-join stage disappears —
-    # results bit-identical (sum gains a 0; absent-key coalesce(0)
-    # becomes a present 0), measured ~5-10% per query at sf0.1 and one
-    # fewer stage per sweep at any scale.
-    if redistribute_dangling:
-        zero = nodes_f.select(
-            "node", F.lit(0).cast("long").alias("c"), "is_sink"
-        )
-    else:
-        zero = nodes.select("node", F.lit(0).cast("long").alias("c"))
-    for _ in range(iters):
+        deg = edges.groupBy("src").agg(F.count("*").alias("deg"))
+        ed = edges.join(deg, "src").persist()
+        teleport = PR_SCALE * (100 - damping_pct) // 100
         if redistribute_dangling:
-            contrib = ed.join(ranks, ed.src == ranks.node).select(
-                F.col("dst").alias("node"),
-                F.expr("r div deg").alias("c"),
-                F.lit(None).cast("boolean").alias("is_sink"),
+            # Sink flag rides INSIDE the ranks relation (one left join
+            # against the degree table, once): each sweep's dangling mass
+            # is then a plain filtered 1-row aggregate over ranks — no
+            # per-sweep sink-set join. n is one scalar per graph, a
+            # metadata-sized driver value that constant-folds into the
+            # update expression.
+            nodes_f = (
+                nodes.join(
+                    deg.select(
+                        F.col("src").alias("node"), F.lit(True).alias("has_out")
+                    ),
+                    "node",
+                    "left",
+                )
+                .select("node", F.col("has_out").isNull().alias("is_sink"))
+                .persist()
             )
-            dm = ranks.filter("is_sink").agg(
-                F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm")
-            )
-            s = (
-                contrib.union(zero)
-                .groupBy("node")
-                # max ignores the contrib rows' NULLs: the flag comes
-                # from each node's single zero row
-                .agg(F.sum("c").alias("s"), F.max("is_sink").alias("is_sink"))
-            )
-            ranks = s.crossJoin(F.broadcast(dm)).select(
-                "node",
-                (
-                    F.lit(teleport)
-                    + F.expr(
-                        f"({damping_pct} * (s + dm div {n_nodes})) div 100"
-                    )
-                ).cast("long").alias("r"),
-                "is_sink",
+            n_nodes = nodes_f.count()
+            ranks = nodes_f.select(
+                "node", F.lit(PR_SCALE).cast("long").alias("r"), "is_sink"
             )
         else:
-            contrib = ed.join(ranks, ed.src == ranks.node).select(
-                F.col("dst").alias("node"), F.expr("r div deg").alias("c")
+            ranks = nodes.select("node", F.lit(PR_SCALE).cast("long").alias("r"))
+        # The per-sweep update UNIONS a zero-contribution row per node into
+        # the aggregation instead of left-joining the node set afterwards:
+        # every node then gets its row from the same groupBy shuffle the
+        # edge contributions already pay (node-sized extra input, no new
+        # exchange), and the per-sweep broadcast-join stage disappears —
+        # results bit-identical (sum gains a 0; absent-key coalesce(0)
+        # becomes a present 0), measured ~5-10% per query at sf0.1 and one
+        # fewer stage per sweep at any scale.
+        if redistribute_dangling:
+            zero = nodes_f.select(
+                "node", F.lit(0).cast("long").alias("c"), "is_sink"
             )
-            s = contrib.union(zero).groupBy("node").agg(F.sum("c").alias("s"))
-            ranks = s.select(
-                "node",
-                (
-                    F.lit(teleport)
-                    + F.expr(f"({damping_pct} * s) div 100")
-                ).cast("long").alias("r"),
-            )
-        ranks = ranks.localCheckpoint(eager=True)
-    nodes.unpersist()
-    ed.unpersist()
-    edges.unpersist()
-    if redistribute_dangling:
-        nodes_f.unpersist()
-        return ranks.select("node", "r")
-    return ranks
+        else:
+            zero = nodes.select("node", F.lit(0).cast("long").alias("c"))
+        for _ in range(iters):
+            if redistribute_dangling:
+                contrib = ed.join(ranks, ed.src == ranks.node).select(
+                    F.col("dst").alias("node"),
+                    F.expr("r div deg").alias("c"),
+                    F.lit(None).cast("boolean").alias("is_sink"),
+                )
+                dm = ranks.filter("is_sink").agg(
+                    F.coalesce(F.sum("r"), F.lit(0)).cast("long").alias("dm")
+                )
+                s = (
+                    contrib.union(zero)
+                    .groupBy("node")
+                    # max ignores the contrib rows' NULLs: the flag comes
+                    # from each node's single zero row
+                    .agg(F.sum("c").alias("s"), F.max("is_sink").alias("is_sink"))
+                )
+                ranks = s.crossJoin(F.broadcast(dm)).select(
+                    "node",
+                    (
+                        F.lit(teleport)
+                        + F.expr(
+                            f"({damping_pct} * (s + dm div {n_nodes})) div 100"
+                        )
+                    ).cast("long").alias("r"),
+                    "is_sink",
+                )
+            else:
+                contrib = ed.join(ranks, ed.src == ranks.node).select(
+                    F.col("dst").alias("node"), F.expr("r div deg").alias("c")
+                )
+                s = contrib.union(zero).groupBy("node").agg(F.sum("c").alias("s"))
+                ranks = s.select(
+                    "node",
+                    (
+                        F.lit(teleport)
+                        + F.expr(f"({damping_pct} * s) div 100")
+                    ).cast("long").alias("r"),
+                )
+            ranks = ranks.localCheckpoint(eager=True)
+        if redistribute_dangling:
+            return ranks.select("node", "r")
+        return ranks
+    finally:
+        for df in (nodes, ed, nodes_f):
+            if df is not None:
+                df.unpersist()
+        edges.unpersist()
 
 
 def triangle_counts(pairs: DataFrame, a: str = "doc_a", b: str = "doc_b") -> DataFrame:
@@ -917,37 +921,43 @@ def pagerank_weighted(
     ~10^16 at this SF; at ~10^6+ nodes with heavy weights move the
     product to DECIMAL (the exact_money rationale)."""
     # Same iteration-invariant persist as pagerank_fixed_point (plain,
-    # not tracked — this function unpersists on its own exit path).
+    # not tracked — this function unpersists on its own exit path;
+    # try/finally so an exception mid-sweep can't leak the blocks).
     edges = edges.persist()
-    nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
-        .distinct()
-        .persist()
-    )
-    wout = edges.groupBy("src").agg(F.sum("w").alias("wtot"))
-    ed = edges.join(wout, "src").persist()
-    teleport = PR_SCALE * (100 - damping_pct) // 100
-    ranks = nodes.select("node", F.lit(PR_SCALE).cast("long").alias("r"))
-    # zero-row union instead of a per-sweep left join — see
-    # pagerank_fixed_point
-    zero = nodes.select("node", F.lit(0).cast("long").alias("c"))
-    for _ in range(iters):
-        contrib = ed.join(ranks, ed.src == ranks.node).select(
-            F.col("dst").alias("node"), F.expr("(w * r) div wtot").alias("c")
+    nodes = ed = None
+    try:
+        nodes = (
+            edges.select(F.col("src").alias("node"))
+            .union(edges.select(F.col("dst").alias("node")))
+            .distinct()
+            .persist()
         )
-        s = contrib.union(zero).groupBy("node").agg(F.sum("c").alias("s"))
-        ranks = s.select(
-            "node",
-            (
-                F.lit(teleport) + F.expr(f"({damping_pct} * s) div 100")
-            ).cast("long").alias("r"),
-        )
-        ranks = ranks.localCheckpoint(eager=True)
-    nodes.unpersist()
-    ed.unpersist()
-    edges.unpersist()
-    return ranks
+        wout = edges.groupBy("src").agg(F.sum("w").alias("wtot"))
+        ed = edges.join(wout, "src").persist()
+        teleport = PR_SCALE * (100 - damping_pct) // 100
+        ranks = nodes.select("node", F.lit(PR_SCALE).cast("long").alias("r"))
+        # zero-row union instead of a per-sweep left join — see
+        # pagerank_fixed_point
+        zero = nodes.select("node", F.lit(0).cast("long").alias("c"))
+        for _ in range(iters):
+            contrib = ed.join(ranks, ed.src == ranks.node).select(
+                F.col("dst").alias("node"),
+                F.expr("(w * r) div wtot").alias("c"),
+            )
+            s = contrib.union(zero).groupBy("node").agg(F.sum("c").alias("s"))
+            ranks = s.select(
+                "node",
+                (
+                    F.lit(teleport) + F.expr(f"({damping_pct} * s) div 100")
+                ).cast("long").alias("r"),
+            )
+            ranks = ranks.localCheckpoint(eager=True)
+        return ranks
+    finally:
+        for df in (nodes, ed):
+            if df is not None:
+                df.unpersist()
+        edges.unpersist()
 
 
 def pagerank_weighted_oracle_sql(

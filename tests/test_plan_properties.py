@@ -393,8 +393,12 @@ def test_editdist_banded_dp_no_cartesian_lemma_path(spark):
     plan = plan_of(spark, "dedup_editdist_join_realvocab")
     # the verify stage must use the THRESHOLD (banded O(len*D)) form of
     # levenshtein, not the full O(len^2) matrix — a silent revert to
-    # the 2-arg form re-opens the long-document failure mode
-    assert "levenshtein(text_a" in plan and "Some(30)" in plan
+    # the 2-arg form re-opens the long-document failure mode; the
+    # threshold literal is derived from the constant so the assertion
+    # tracks EDITDIST_MAX
+    from kafka_topic_dumper_spark.operators.dedup import EDITDIST_MAX
+
+    assert "levenshtein(text_a" in plan and f"Some({EDITDIST_MAX})" in plan
     # candidate generation is the (gh, band) equi-join — the only
     # non-equi join allowed is the short-doc completeness subset
     # (both sides <= q-1+q*D chars by construction, corpus-skew-free)
