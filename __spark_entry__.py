@@ -27,68 +27,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Verification-priority order. Each round's driver checks the FIRST ~50
-# declared queries, so this list is rotated per round. Round-12
-# rotation (the plan recorded in PARITY.md and the r11 verdict item 2):
-# the one never-stamped row leads (the round-12 addition
-# dedup_editdist_join_realvocab), then the 2 r5-stamped rows that
-# missed the r11 window — the oldest stamps on the board — then the
-# r6-stamped cohort (45). The freshly r11-stamped 50 move to the back.
+# declared queries, so this list is rotated per round. Round-13
+# rotation (the plan recorded in PARITY.md and the r12 verdict items
+# 1/4): the one never-stamped row leads (the round-13 addition
+# dedup_editdist_prefix_stored), then the 48-row r7-stamped cohort —
+# the oldest stamps on the board — then the head of the r10 cohort to
+# fill the 50-row window. The freshly r12-stamped 50 move to the back.
 # Ordering only — coverage is always the full set.
 _VERIFY_PRIORITY = [
-    # --- (a) never driver-stamped — leads the r12 window ---
-    "dedup_editdist_join_realvocab",
-    # --- (b) r5-stamped tail (2) — oldest stamps on the board ---
-    "approx_aggregates",
-    "pipeline_quality_dedup_pack",
-    # --- (c) r6-stamped cohort (45) ---
-    "a4_offset_clamp",
-    "dedup_quality_survivor",
-    "dedup_minhash_clusters",
-    "dedup_duplicate_spans",
-    "dedup_remove_spans",
-    "dedup_semantic",
-    "similarity_knn_graph",
-    "similarity_mutual_knn_clusters",
-    "similarity_topk_pq",
-    "similarity_topk_pq_stored",
-    "similarity_topk_ivfpq",
-    "similarity_topk_ivfpq_stored",
-    "text_redact_pii",
-    "retrieval_hybrid_rrf",
-    "stats_corpus_drift",
-    "pipeline_quality_ensemble",
-    "text_quality_classifier",
-    "text_bm25_topk",
-    "multimodal_feature_stub",
-    "multimodal_resize_raw",
-    "sessionize_events",
-    "q17_small_quantity_revenue",
-    "q16_supplier_diversity",
-    "embedding_corpus_stats",
-    "q4_order_priority_check",
-    "q10_returned_items",
-    "q12_lines_priority",
-    "q14_promo_revenue",
-    "q6_forecast_revenue",
-    "q19_disjunctive_predicates",
-    "join_salted_skew",
-    "merge_upsert_customers",
-    "scd2_user_event_history",
-    "pipeline_tokenize_pack_ids",
-    "sample_domain_temperature",
-    "chunk_documents_sliding",
-    "epoch_shuffle_order",
-    "sample_stratified_per_group",
-    "layout_zorder_events",
-    "text_bpe_pair_counts",
-    "streaming_hourly_rollup",
-    "streaming_lm_quality",
-    "streaming_dedup_exact",
-    "streaming_merge_latest_state",
-    "streaming_user_sessions",
-    # --- (d) r7-stamped cohort (50) — freshest ---
-    "q2_cheapest_supplier",
-    "q7_nation_volume_shipping",
+    # --- (a) never driver-stamped — leads the r13 window ---
+    "dedup_editdist_prefix_stored",
+    # --- (b) r7-stamped cohort (48) — oldest stamps on the board ---
     "q8_nation_market_share",
     "q9_product_profit",
     "q11_important_stock_value",
@@ -137,8 +86,9 @@ _VERIFY_PRIORITY = [
     "multimodal_decode_gif",
     "multimodal_avi_frames",
     "p1_project_key_value",
-    # --- (e) r10-stamped cohort (50) ---
+    # --- (c) head of the r10 cohort — fills the 50-row r13 window ---
     "multimodal_decode_mjpeg",
+    # --- (d) rest of the r10 cohort (49) ---
     "streaming_hopping_rollup",
     "sample_weighted_priority",
     "graph_kcore",
@@ -188,7 +138,7 @@ _VERIFY_PRIORITY = [
     "stats_gini_by_segment",
     "stats_hourly_ohlc",
     "graph_pagerank_weighted",
-    # --- (f) r11-stamped cohort (50) — freshest stamps, go last ---
+    # --- (e) r11-stamped cohort (50) ---
     "stats_ewma_smoothing",
     "graph_pagerank_dangling",
     "text_vocab_growth",
@@ -239,6 +189,57 @@ _VERIFY_PRIORITY = [
     "stats_numeric_profile",
     "join_range_interval",
     "join_full_outer_reconcile",
+    # --- (f) r12-stamped cohort (50) — freshest stamps, go last ---
+    "dedup_editdist_join_realvocab",
+    "approx_aggregates",
+    "pipeline_quality_dedup_pack",
+    "a4_offset_clamp",
+    "dedup_quality_survivor",
+    "dedup_minhash_clusters",
+    "dedup_duplicate_spans",
+    "dedup_remove_spans",
+    "dedup_semantic",
+    "similarity_knn_graph",
+    "similarity_mutual_knn_clusters",
+    "similarity_topk_pq",
+    "similarity_topk_pq_stored",
+    "similarity_topk_ivfpq",
+    "similarity_topk_ivfpq_stored",
+    "text_redact_pii",
+    "retrieval_hybrid_rrf",
+    "stats_corpus_drift",
+    "pipeline_quality_ensemble",
+    "text_quality_classifier",
+    "text_bm25_topk",
+    "multimodal_feature_stub",
+    "multimodal_resize_raw",
+    "sessionize_events",
+    "q17_small_quantity_revenue",
+    "q16_supplier_diversity",
+    "embedding_corpus_stats",
+    "q4_order_priority_check",
+    "q10_returned_items",
+    "q12_lines_priority",
+    "q14_promo_revenue",
+    "q6_forecast_revenue",
+    "q19_disjunctive_predicates",
+    "join_salted_skew",
+    "merge_upsert_customers",
+    "scd2_user_event_history",
+    "pipeline_tokenize_pack_ids",
+    "sample_domain_temperature",
+    "chunk_documents_sliding",
+    "epoch_shuffle_order",
+    "sample_stratified_per_group",
+    "layout_zorder_events",
+    "text_bpe_pair_counts",
+    "streaming_hourly_rollup",
+    "streaming_lm_quality",
+    "streaming_dedup_exact",
+    "streaming_merge_latest_state",
+    "streaming_user_sessions",
+    "q2_cheapest_supplier",
+    "q7_nation_volume_shipping",
 ]
 
 

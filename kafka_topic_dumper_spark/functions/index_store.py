@@ -387,3 +387,18 @@ def ivfpq_topk_stored(
         .filter(F.col("rank") <= k)
         .select("query_id", F.col("vec_id").alias("neighbor_id"), "rank")
     )
+
+
+def write_editdist_prefix_index(prefix: DataFrame, path: str) -> None:
+    """Materialize the ED-Join prefix index
+    (`operators/dedup.py::editdist_prefix_index`): hive-partitioned by
+    length ``band`` — the self-join's co-location key (band b only
+    ever meets b−1..b+1, so adjacent-directory reads cover every
+    qualifying pair) — and sorted by ``gh`` within files so a gram
+    probe prunes at the row-group level. The artifact is ≤ q·D+1 rows
+    per document regardless of document length: doc-count-sized, not
+    corpus-sized, which is what makes build-once/join-many the right
+    trade on a diverse 100 TB corpus (SCALE_PROBE.md round 12/13)."""
+    from kafka_topic_dumper_spark.sinks.layout import write_layout
+
+    write_layout(prefix, path, ["band"], sort_cols=["gh"])

@@ -374,6 +374,43 @@ EDITDIST_MAX = 30
 EDITDIST_Q = 3
 
 
+def editdist_gram_counts(
+    d: DataFrame, max_dist: int = EDITDIST_MAX, q: int = EDITDIST_Q
+) -> DataFrame:
+    """(doc_id, len, gh, c, band): per-doc q-gram MULTISET counts under
+    the portable 60-bit gram hash, plus the length band used by the
+    adjacent-band join trick. ``d`` must carry (doc_id, text, len).
+
+    Length-band bucketing on top of any gram join: with band width
+    W = D+1, any pair within the length prune differs by at most one
+    band, so an a-side joins on ITS band and the b-side fans out to
+    band±1 — each qualifying pair meets in exactly one key (a's
+    band), no dedup needed, and the join fan-out drops from
+    Σ_g df(g)² to same-or-adjacent-length-band pairs only (~6× here;
+    the factor grows with length spread). Lossless: callers still
+    apply the exact abs(len_a - len_b) prune."""
+    from kafka_topic_dumper_spark.functions.portable_hash import h60_spark_sql
+
+    grams = d.select(
+        "doc_id",
+        "len",
+        F.explode(
+            F.expr(
+                f"CASE WHEN length(text) >= {q} THEN "
+                f"transform(sequence(1, length(text) - {q} + 1), "
+                f"i -> substring(text, i, {q})) "
+                "ELSE CAST(array() AS array<string>) END"
+            )
+        ).alias("g"),
+    )
+    band_w = max_dist + 1
+    return (
+        grams.groupBy("doc_id", "len", F.expr(h60_spark_sql("g")).alias("gh"))
+        .agg(F.count("*").alias("c"))
+        .withColumn("band", F.expr(f"len div {band_w}"))
+    )
+
+
 def editdist_join_pairs(
     docs: DataFrame, max_dist: int = EDITDIST_MAX, q: int = EDITDIST_Q
 ) -> DataFrame:
@@ -398,37 +435,10 @@ def editdist_join_pairs(
     arithmetic is integer counts over the portable 60-bit gram hash —
     the oracle is the NAIVE length-pruned all-pairs scan, so the driver
     differential proves the lemma pruning lossless on this corpus."""
-    from kafka_topic_dumper_spark.functions.portable_hash import h60_spark_sql
-
     d = docs.select(
         "doc_id", "text", F.length("text").cast("bigint").alias("len")
     )
-    grams = d.select(
-        "doc_id",
-        "len",
-        F.explode(
-            F.expr(
-                f"CASE WHEN length(text) >= {q} THEN "
-                f"transform(sequence(1, length(text) - {q} + 1), "
-                f"i -> substring(text, i, {q})) "
-                "ELSE CAST(array() AS array<string>) END"
-            )
-        ).alias("g"),
-    )
-    # Length-band bucketing on top of the gram join: with band width
-    # W = D+1, any pair within the length prune differs by at most one
-    # band, so the a-side joins on ITS band and the b-side fans out to
-    # band±1 — each qualifying pair meets in exactly one key (a's
-    # band), no dedup needed, and the join fan-out drops from
-    # Σ_g df(g)² to same-or-adjacent-length-band pairs only (~6× here;
-    # the factor grows with length spread). Lossless: the abs() prune
-    # below is still applied exactly.
-    band_w = max_dist + 1
-    gcnt = (
-        grams.groupBy("doc_id", "len", F.expr(h60_spark_sql("g")).alias("gh"))
-        .agg(F.count("*").alias("c"))
-        .withColumn("band", F.expr(f"len div {band_w}"))
-    )
+    gcnt = editdist_gram_counts(d, max_dist, q)
     a = gcnt.select(
         F.col("doc_id").alias("doc_a"),
         F.col("len").alias("len_a"),
@@ -533,6 +543,139 @@ def resurface_vocabulary_duckdb(mod: int = REALVOCAB_MOD) -> str:
         "array_to_string(list_transform(string_split(text, ' '), "
         f"(x, i) -> x || CAST(({h}) % {mod} AS VARCHAR)), ' ') AS text "
         "FROM documents"
+    )
+
+
+EDITDIST_PREFIX_LEN = EDITDIST_Q * EDITDIST_MAX + 1  # q·D + 1 = 91
+
+
+def editdist_prefix_index(
+    docs: DataFrame, max_dist: int = EDITDIST_MAX, q: int = EDITDIST_Q
+) -> DataFrame:
+    """Build the ED-JOIN PREFIX INDEX (Xiao, Wang & Lin, VLDB'08):
+    (doc_id, len, band, gh, occ) — each document's ``q·D + 1`` RAREST
+    q-gram occurrences under a global rarity order.
+
+    Token model: a doc's q-gram MULTISET is viewed as the token SET
+    {(gh, occ) : occ = 1..count(gh)}, so set intersection equals the
+    count-lemma overlap Σ_g min(c_a, c_b) exactly. Each edit destroys
+    at most q tokens, hence pairs within distance D share at least
+    t = max(|G_a|,|G_b|) − q·D tokens (Gravano's lemma restated on
+    tokens). By the prefix-filtering principle under ANY fixed global
+    token order, a qualifying pair must then share a token among the
+    first |G| − t + 1 ≤ q·D + 1 tokens of EACH side — so indexing the
+    91 rarest tokens per doc is lossless for every pair whose longer
+    side exceeds the short-doc cutoff (q−1+q·D chars); shorter pairs
+    are enumerated exactly, as in :func:`editdist_join_pairs`.
+
+    Rarity order (df asc, gh, occ) makes the prefixes maximally
+    selective: corpus-furniture grams land deep in every doc's order
+    and never enter the index. This is the ADDITIVE diverse-corpus
+    index argued in SCALE_PROBE.md round 12 — on a degenerate
+    few-surface-form corpus the "rarest" grams are shared furniture
+    and the prefix join degenerates toward n², which is why the
+    gram-count join (:func:`editdist_join_pairs`) remains the
+    corpus-shape-robust default.
+
+    Plan shape (build, two shuffles): df per gram via a window COUNT
+    under one gh exchange (the setsim precedent); per-doc rarity rank
+    via row_number under one doc_id exchange. Index size ≤ 91 rows per
+    doc regardless of document length — at 100 TB the materialized
+    index is ~doc-count-sized, not corpus-sized."""
+    d = docs.select(
+        "doc_id", "text", F.length("text").cast("bigint").alias("len")
+    )
+    gcnt = editdist_gram_counts(d, max_dist, q)
+    toks = (
+        gcnt.withColumn("df", F.count("*").over(Window.partitionBy("gh")))
+        .select(
+            "doc_id",
+            "len",
+            "band",
+            "gh",
+            "df",
+            F.explode(F.expr("sequence(1, c)")).alias("occ"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy("df", "gh", "occ")
+    return (
+        toks.withColumn("rnk", F.row_number().over(w))
+        .filter(F.col("rnk") <= q * max_dist + 1)
+        .select("doc_id", "len", "band", "gh", F.col("occ").cast("int").alias("occ"))
+    )
+
+
+def editdist_pairs_from_prefix_index(
+    docs: DataFrame,
+    index: DataFrame,
+    max_dist: int = EDITDIST_MAX,
+    q: int = EDITDIST_Q,
+) -> DataFrame:
+    """All pairs at exact edit distance ≤ ``max_dist`` probing a
+    (possibly materialized) ED-Join prefix index from
+    :func:`editdist_prefix_index` — same output contract as
+    :func:`editdist_join_pairs`, so the two share one oracle.
+
+    Candidates: prefix⋈prefix on the (gh, occ) token with the same
+    adjacent-band key trick as the gram-count join (a-side joins its
+    own band, b-side fans out to band±1 — every qualifying pair meets
+    in exactly one key), then the exact length prune. Verify: the
+    THRESHOLD (banded O(len·D)) levenshtein on the survivors only.
+    Short-doc completeness (both sides ≤ q−1+q·D chars, where the
+    lemma bound is vacuous): exact within-subset enumeration, unioned
+    in before verification — identical to the gram-count join."""
+    a = index.select(
+        F.col("doc_id").alias("doc_a"),
+        F.col("len").alias("len_a"),
+        "gh",
+        "occ",
+        "band",
+    )
+    b = index.select(
+        F.col("doc_id").alias("doc_b"),
+        F.col("len").alias("len_b"),
+        "gh",
+        "occ",
+        F.explode(
+            F.array(F.col("band") - 1, F.col("band"), F.col("band") + 1)
+        ).alias("band"),
+    )
+    cand = (
+        a.join(b, ["gh", "occ", "band"])
+        .filter(F.col("doc_a") < F.col("doc_b"))
+        .filter(F.abs(F.col("len_a") - F.col("len_b")) <= max_dist)
+        .select("doc_a", "doc_b")
+    )
+
+    d = docs.select(
+        "doc_id", "text", F.length("text").cast("bigint").alias("len")
+    )
+    short_cut = (q - 1) + q * max_dist
+    s = d.filter(F.col("len") <= short_cut)
+    sp = (
+        s.select(F.col("doc_id").alias("doc_a"), F.col("len").alias("len_a"))
+        .join(
+            s.select(
+                F.col("doc_id").alias("doc_b"), F.col("len").alias("len_b")
+            ),
+            F.col("doc_a") < F.col("doc_b"),
+        )
+        .filter(F.abs(F.col("len_a") - F.col("len_b")) <= max_dist)
+        .select("doc_a", "doc_b")
+    )
+    cands = cand.union(sp).distinct()
+
+    ta = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
+    tb = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
+    return (
+        cands.join(ta, "doc_a")
+        .join(tb, "doc_b")
+        .withColumn(
+            "edit_distance",
+            F.levenshtein("text_a", "text_b", max_dist).cast("int"),
+        )
+        .filter(F.col("edit_distance") >= 0)
+        .select("doc_a", "doc_b", "edit_distance")
     )
 
 
@@ -1612,13 +1755,20 @@ def register(reg) -> None:
         WITH d AS (
             SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
             FROM documents
+        ), pairs AS MATERIALIZED (
+            -- MATERIALIZED: compute the dominant levenshtein exactly
+            -- once per length-surviving pair (a plain subquery lets
+            -- the optimizer push the filter back through the
+            -- projection and re-expand the expression)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(levenshtein(a.text, b.text) AS INTEGER)
+                       AS edit_distance
+            FROM d a JOIN d b
+              ON a.doc_id < b.doc_id
+             AND abs(a.len - b.len) <= {EDITDIST_MAX}
         )
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_distance
-        FROM d a JOIN d b
-          ON a.doc_id < b.doc_id
-         AND abs(a.len - b.len) <= {EDITDIST_MAX}
-        WHERE levenshtein(a.text, b.text) <= {EDITDIST_MAX}
+        SELECT doc_a, doc_b, edit_distance FROM pairs
+        WHERE edit_distance <= {EDITDIST_MAX}
         """,
     )
     def dedup_editdist_join(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -1628,23 +1778,33 @@ def register(reg) -> None:
         filter lossless on this corpus."""
         return editdist_join_pairs(load_table(spark, sf_dir, "documents"))
 
-    @reg(
-        "dedup_editdist_join_realvocab",
-        f"""
+    # Shared by the in-memory realvocab row AND the stored prefix-index
+    # row: identical output contract (all pairs at exact distance ≤ D
+    # over the identically-resurfaced text), so one naive length-pruned
+    # all-pairs oracle proves BOTH candidate-generation strategies
+    # lossless on the diverse corpus.
+    _EDITDIST_REALVOCAB_ORACLE = f"""
         WITH d AS (
             {resurface_vocabulary_duckdb()}
         ), dl AS (
             SELECT doc_id, text, CAST(length(text) AS BIGINT) AS len
             FROM d
+        ), pairs AS MATERIALIZED (
+            -- MATERIALIZED: levenshtein computed once per
+            -- length-surviving pair (r12 advisor: the SELECT+WHERE
+            -- twin evaluation doubled the oracle's dominant cost)
+            SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+                   CAST(levenshtein(a.text, b.text) AS INTEGER)
+                       AS edit_distance
+            FROM dl a JOIN dl b
+              ON a.doc_id < b.doc_id
+             AND abs(a.len - b.len) <= {EDITDIST_MAX}
         )
-        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
-               CAST(levenshtein(a.text, b.text) AS INTEGER) AS edit_distance
-        FROM dl a JOIN dl b
-          ON a.doc_id < b.doc_id
-         AND abs(a.len - b.len) <= {EDITDIST_MAX}
-        WHERE levenshtein(a.text, b.text) <= {EDITDIST_MAX}
-        """,
-    )
+        SELECT doc_a, doc_b, edit_distance FROM pairs
+        WHERE edit_distance <= {EDITDIST_MAX}
+        """
+
+    @reg("dedup_editdist_join_realvocab", _EDITDIST_REALVOCAB_ORACLE)
     def dedup_editdist_join_realvocab(spark: SparkSession, sf_dir: str) -> DataFrame:
         """The editdist join on a REALISTIC ~31k-surface-form vocabulary
         (round 12, r11 verdict item 4): each token deterministically
@@ -1657,6 +1817,40 @@ def register(reg) -> None:
         alone (tests/test_graph_editdist_property.py)."""
         return editdist_join_pairs(
             resurface_vocabulary(load_table(spark, sf_dir, "documents"))
+        )
+
+    # Same output contract + corpus as the realvocab row, so the SAME
+    # oracle applies — what this row additionally proves is the ED-Join
+    # PREFIX-FILTER index as a build-once MATERIALIZED artifact (r12
+    # verdict item 4 / SCALE_PROBE.md round 12: the right ADDITIVE
+    # index for corpora known to be diverse, same trade as
+    # similarity_topk_lsh_stored vs brute force): 91-rarest-token
+    # prefix index built + hive-written once per (process, sf_dir),
+    # every call after the first probes the stored copy.
+    @reg("dedup_editdist_prefix_stored", _EDITDIST_REALVOCAB_ORACLE)
+    def dedup_editdist_prefix_stored(spark: SparkSession, sf_dir: str) -> DataFrame:
+        """All pairs at exact edit distance ≤ 30 on the realistic-
+        vocabulary corpus via a MATERIALIZED ED-Join prefix index
+        (round 13): candidates from the stored 91-rarest-gram-token
+        prefixes instead of the full gram multiset join; banded-DP
+        verify and short-doc enumeration identical to the in-memory
+        row. A hash-match against the naive all-pairs oracle proves
+        the prefix-filtering principle lossless on this corpus."""
+        from kafka_topic_dumper_spark.functions.index_store import (
+            write_editdist_prefix_index,
+        )
+        from kafka_topic_dumper_spark.operators.similarity import (
+            _stored_index_path,
+        )
+
+        docs = resurface_vocabulary(load_table(spark, sf_dir, "documents"))
+
+        def _build(path: str) -> None:
+            write_editdist_prefix_index(editdist_prefix_index(docs), path)
+
+        path = _stored_index_path("edprefix", sf_dir, "prefix", _build)
+        return editdist_pairs_from_prefix_index(
+            docs, spark.read.parquet(path)
         )
 
     @reg(

@@ -21,7 +21,11 @@ from __future__ import annotations
 from hypothesis import HealthCheck, given, settings
 from hypothesis import strategies as st
 
-from kafka_topic_dumper_spark.operators.dedup import editdist_join_pairs
+from kafka_topic_dumper_spark.operators.dedup import (
+    editdist_join_pairs,
+    editdist_pairs_from_prefix_index,
+    editdist_prefix_index,
+)
 from kafka_topic_dumper_spark.operators.graph import (
     PR_SCALE,
     pagerank_fixed_point,
@@ -70,6 +74,38 @@ def test_editdist_join_lossless_on_random_corpora(spark, texts):
     got = {
         (r.doc_a, r.doc_b): r.edit_distance
         for r in editdist_join_pairs(df, max_dist=max_dist).collect()
+    }
+    expected = {
+        (i, j): _levenshtein(texts[i], texts[j])
+        for i in range(len(texts))
+        for j in range(i + 1, len(texts))
+        if _levenshtein(texts[i], texts[j]) <= max_dist
+    }
+    assert got == expected
+
+
+@settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+@given(texts=docs_strategy)
+def test_editdist_prefix_filter_lossless_on_random_corpora(spark, texts):
+    # Twin of the gram-count-lemma test for the ED-Join PREFIX path
+    # (round 13): the 91-rarest-token prefix principle (here qD+1 = 7
+    # at D=2) must also be lossless on arbitrary corpora, including
+    # the heavy-gram-collision regime where every doc's "rarest"
+    # grams coincide and the short-doc seam where the count bound is
+    # vacuous.
+    max_dist = 2
+    rows = [(i, t) for i, t in enumerate(texts)]
+    df = spark.createDataFrame(rows, "doc_id long, text string")
+    idx = editdist_prefix_index(df, max_dist=max_dist)
+    got = {
+        (r.doc_a, r.doc_b): r.edit_distance
+        for r in editdist_pairs_from_prefix_index(
+            df, idx, max_dist=max_dist
+        ).collect()
     }
     expected = {
         (i, j): _levenshtein(texts[i], texts[j])

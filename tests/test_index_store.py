@@ -291,3 +291,52 @@ def test_ivfpq_stored_prunes_cells_and_reads_codes_only(spark, tmp_path):
         "v_nrm",
         "codes",
     }, idx_scans[0]
+
+
+# --- ED-Join prefix index (round 13) ---------------------------------------
+
+
+def test_editdist_prefix_stored_matches_gram_count_join(spark, tmp_path):
+    from kafka_topic_dumper_spark.functions.index_store import (
+        write_editdist_prefix_index,
+    )
+    from kafka_topic_dumper_spark.operators.dedup import (
+        editdist_join_pairs,
+        editdist_pairs_from_prefix_index,
+        editdist_prefix_index,
+        resurface_vocabulary,
+    )
+
+    docs = resurface_vocabulary(load_table(spark, SF, "documents"))
+    path = str(tmp_path / "edprefix")
+    write_editdist_prefix_index(editdist_prefix_index(docs), path)
+    stored = sorted(
+        map(
+            tuple,
+            editdist_pairs_from_prefix_index(
+                docs, spark.read.parquet(path)
+            ).collect(),
+        )
+    )
+    in_memory = sorted(map(tuple, editdist_join_pairs(docs).collect()))
+    assert stored == in_memory and len(stored) > 0
+
+
+def test_editdist_prefix_index_doc_count_sized(spark):
+    # the artifact's 100 TB selling point: <= q*D+1 rows per document
+    # no matter how long the document is
+    from kafka_topic_dumper_spark.operators.dedup import (
+        EDITDIST_PREFIX_LEN,
+        editdist_prefix_index,
+        resurface_vocabulary,
+    )
+
+    docs = resurface_vocabulary(load_table(spark, SF, "documents"))
+    per_doc = (
+        editdist_prefix_index(docs)
+        .groupBy("doc_id")
+        .count()
+        .agg(F.max("count").alias("mx"))
+        .collect()[0]
+    )
+    assert per_doc.mx <= EDITDIST_PREFIX_LEN
