@@ -406,3 +406,18 @@ def test_editdist_banded_dp_no_cartesian_lemma_path(spark):
     assert count_in(plan, "BroadcastNestedLoopJoin") <= 1
     # whole pipeline stays JVM-side
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+def test_editdist_prefix_stored_banded_dp_equi_candidates(spark):
+    # twin of the realvocab plan pin for the round-13 stored
+    # prefix-index row: candidates must come from the (gh, occ, band)
+    # EQUI-join over the materialized prefix index — the only
+    # non-equi join allowed is the same short-doc completeness subset
+    # — and the verify stage must stay on the THRESHOLD levenshtein
+    plan = plan_of(spark, "dedup_editdist_prefix_stored")
+    from kafka_topic_dumper_spark.operators.dedup import EDITDIST_MAX
+
+    assert "levenshtein(text_a" in plan and f"Some({EDITDIST_MAX})" in plan
+    assert count_in(plan, "CartesianProduct") == 0
+    assert count_in(plan, "BroadcastNestedLoopJoin") <= 1
+    assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
