@@ -27,68 +27,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Verification-priority order. Each round's driver checks the FIRST ~50
-# declared queries, so this list is rotated per round. Round-13
-# rotation (the plan recorded in PARITY.md and the r12 verdict items
-# 1/4): the one never-stamped row leads (the round-13 addition
-# dedup_editdist_prefix_stored), then the 48-row r7-stamped cohort —
-# the oldest stamps on the board — then the head of the r10 cohort to
-# fill the 50-row window. The freshly r12-stamped 50 move to the back.
+# declared queries, so this list is rotated per round. Round-14
+# rotation (the plan recorded in PARITY.md and the r13 verdict item
+# 1): the 49-row r10-stamped cohort — now the oldest stamps on the
+# board — leads, then the head of the r11 cohort
+# (stats_ewma_smoothing) fills the 50-row window. The freshly
+# r13-stamped 50 (prefix_stored + the 48-row r7 cohort + mjpeg) move
+# to the back. After r14 no stamp is older than r11 — the steady
+# three-round rotation for a 199-row registry.
 # Ordering only — coverage is always the full set.
 _VERIFY_PRIORITY = [
-    # --- (a) never driver-stamped — leads the r13 window ---
-    "dedup_editdist_prefix_stored",
-    # --- (b) r7-stamped cohort (48) — oldest stamps on the board ---
-    "q8_nation_market_share",
-    "q9_product_profit",
-    "q11_important_stock_value",
-    "q13_customer_order_distribution",
-    "q15_top_supplier",
-    "q20_potential_part_promotion",
-    "q21_late_shipping_suppliers",
-    "q22_dormant_customers",
-    "pack_training_sequences",
-    "sample_domain_mixture",
-    "pipeline_clean_dedup_pack",
-    "stats_exact_percentiles",
-    "stats_key_skew_profile",
-    "dedup_cluster_components",
-    "grouping_sets_order_matrix",
-    "multimodal_phash_neardup",
-    "q1_pricing_summary",
-    "o3_limit_top_orders",
-    "rollup_order_revenue",
-    "setops_customer_cohorts",
-    "join_semi_anti_customers",
-    "sample_stratified_by_lang",
-    "sample_train_val_test_split",
-    "multimodal_frame_sample",
-    "multimodal_resize_stub",
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_stats",
-    "text_source_profile",
-    "text_token_doc_frequency",
-    "text_repetition_quality",
-    "text_lang_corpus_stats",
-    "text_fingerprint",
-    "text_winnowing_fingerprints",
-    "text_bpe_merges",
-    "text_bpe_encode",
-    "similarity_topk_ivf_trained",
-    "dedup_semantic_trained",
-    "similarity_topk_pq_trained",
-    "streaming_sessionize_state",
-    "multimodal_decode_png",
-    "streaming_dedup_minhash",
-    "text_quality_calibrated_rank",
-    "sample_token_budget",
-    "multimodal_wav_features",
-    "multimodal_decode_gif",
-    "multimodal_avi_frames",
-    "p1_project_key_value",
-    # --- (c) head of the r10 cohort — fills the 50-row r13 window ---
-    "multimodal_decode_mjpeg",
-    # --- (d) rest of the r10 cohort (49) ---
+    # --- (a) r10-stamped cohort (49) — oldest stamps, leads r14 ---
     "streaming_hopping_rollup",
     "sample_weighted_priority",
     "graph_kcore",
@@ -138,8 +87,9 @@ _VERIFY_PRIORITY = [
     "stats_gini_by_segment",
     "stats_hourly_ohlc",
     "graph_pagerank_weighted",
-    # --- (e) r11-stamped cohort (50) ---
+    # --- (b) head of the r11 cohort — fills the 50-row r14 window ---
     "stats_ewma_smoothing",
+    # --- (c) rest of the r11-stamped cohort (49) ---
     "graph_pagerank_dangling",
     "text_vocab_growth",
     "graph_hits_scores",
@@ -189,7 +139,7 @@ _VERIFY_PRIORITY = [
     "stats_numeric_profile",
     "join_range_interval",
     "join_full_outer_reconcile",
-    # --- (f) r12-stamped cohort (50) — freshest stamps, go last ---
+    # --- (d) r12-stamped cohort (50) ---
     "dedup_editdist_join_realvocab",
     "approx_aggregates",
     "pipeline_quality_dedup_pack",
@@ -240,6 +190,57 @@ _VERIFY_PRIORITY = [
     "streaming_user_sessions",
     "q2_cheapest_supplier",
     "q7_nation_volume_shipping",
+    # --- (e) r13-stamped cohort (50) — freshest stamps, go last ---
+    "dedup_editdist_prefix_stored",
+    "q8_nation_market_share",
+    "q9_product_profit",
+    "q11_important_stock_value",
+    "q13_customer_order_distribution",
+    "q15_top_supplier",
+    "q20_potential_part_promotion",
+    "q21_late_shipping_suppliers",
+    "q22_dormant_customers",
+    "pack_training_sequences",
+    "sample_domain_mixture",
+    "pipeline_clean_dedup_pack",
+    "stats_exact_percentiles",
+    "stats_key_skew_profile",
+    "dedup_cluster_components",
+    "grouping_sets_order_matrix",
+    "multimodal_phash_neardup",
+    "q1_pricing_summary",
+    "o3_limit_top_orders",
+    "rollup_order_revenue",
+    "setops_customer_cohorts",
+    "join_semi_anti_customers",
+    "sample_stratified_by_lang",
+    "sample_train_val_test_split",
+    "multimodal_frame_sample",
+    "multimodal_resize_stub",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_stats",
+    "text_source_profile",
+    "text_token_doc_frequency",
+    "text_repetition_quality",
+    "text_lang_corpus_stats",
+    "text_fingerprint",
+    "text_winnowing_fingerprints",
+    "text_bpe_merges",
+    "text_bpe_encode",
+    "similarity_topk_ivf_trained",
+    "dedup_semantic_trained",
+    "similarity_topk_pq_trained",
+    "streaming_sessionize_state",
+    "multimodal_decode_png",
+    "streaming_dedup_minhash",
+    "text_quality_calibrated_rank",
+    "sample_token_budget",
+    "multimodal_wav_features",
+    "multimodal_decode_gif",
+    "multimodal_avi_frames",
+    "p1_project_key_value",
+    "multimodal_decode_mjpeg",
 ]
 
 
