@@ -546,7 +546,17 @@ def resurface_vocabulary_duckdb(mod: int = REALVOCAB_MOD) -> str:
     )
 
 
-EDITDIST_PREFIX_LEN = EDITDIST_Q * EDITDIST_MAX + 1  # q·D + 1 = 91
+def editdist_prefix_len(q: int = EDITDIST_Q, max_dist: int = EDITDIST_MAX) -> int:
+    """Per-document prefix length of the ED-Join index for a given
+    (q, max_dist): ``q·D + 1`` tokens (the prefix-filtering bound —
+    see :func:`editdist_prefix_index`). The module constant
+    ``EDITDIST_PREFIX_LEN`` is this value at the DEFAULT parameters
+    only (q=3, D=30 → 91); non-default calls (e.g. the hypothesis
+    twin at D=2 → 7) must derive their own via this function."""
+    return q * max_dist + 1
+
+
+EDITDIST_PREFIX_LEN = editdist_prefix_len()  # default-parameter q·D + 1 = 91
 
 
 def editdist_prefix_index(
@@ -600,7 +610,7 @@ def editdist_prefix_index(
     w = Window.partitionBy("doc_id").orderBy("df", "gh", "occ")
     return (
         toks.withColumn("rnk", F.row_number().over(w))
-        .filter(F.col("rnk") <= q * max_dist + 1)
+        .filter(F.col("rnk") <= editdist_prefix_len(q, max_dist))
         .select("doc_id", "len", "band", "gh", F.col("occ").cast("int").alias("occ"))
     )
 
