@@ -1,0 +1,113 @@
+"""BENCH_PINS.json invariants: the authoritative pins file stays in
+lockstep with what bench.py actually times.
+
+The round-14 compare misclassified two at-pin rows as 1.2-1.5x band
+residents because the ad-hoc compare read stale first-table pins from
+the BENCH_BASELINE.md prose. BENCH_PINS.json is the single source of
+truth from round 14 on; these tests keep it complete (every benched
+row pinned, no orphan pins) and sane, so tools/bench_compare.py can
+never silently compare against a stale or missing pin.
+
+Pure-JSON tests — no SparkSession.
+"""
+
+from __future__ import annotations
+
+import importlib.util
+import json
+import os
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def _load_pins() -> dict:
+    with open(os.path.join(REPO, "BENCH_PINS.json")) as f:
+        return json.load(f)
+
+
+def _bench_row_names() -> set[str]:
+    """Every query name bench.py times, from its own suite lists."""
+    spec = importlib.util.spec_from_file_location(
+        "bench_for_pins_test", os.path.join(REPO, "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)  # imports only; main() is not called
+    names: set[str] = set()
+    for attr in dir(mod):
+        if attr == "HEADLINE" or attr.startswith("HEADLINE_V"):
+            names |= set(getattr(mod, attr))
+    # rows bench.py times via dedicated functions outside the
+    # HEADLINE_* lists (dump-pipeline shape, stored-index build rows,
+    # prod / editdist suite keys; see bench.py main())
+    names |= {
+        "dump_pipeline",
+        "similarity_topk_lsh_stored_build",
+        "similarity_topk_ivf_stored_build",
+        "dedup_minhash_lsh_prod",
+        "dedup_editdist_join_realvocab",
+        "dedup_editdist_prefix_stored",
+        "dedup_editdist_prefix_stored_build",
+    }
+    return names
+
+
+def test_every_benched_row_has_a_pin():
+    pins = set(_load_pins()["pins"])
+    benched = _bench_row_names()
+    missing = benched - pins
+    assert not missing, (
+        f"bench.py times rows with no accepted pin in BENCH_PINS.json: "
+        f"{sorted(missing)} — add the pin in the same commit that "
+        f"accepts the first quiet reading"
+    )
+
+
+def test_no_orphan_pins():
+    pins = set(_load_pins()["pins"])
+    benched = _bench_row_names()
+    orphans = pins - benched
+    assert not orphans, (
+        f"BENCH_PINS.json pins rows bench.py no longer times: "
+        f"{sorted(orphans)} — remove the pin (and record why in "
+        f"BENCH_BASELINE.md) when a row leaves the bench"
+    )
+
+
+def test_pins_are_sane():
+    doc = _load_pins()
+    assert 1.0 < doc["band_low"] < doc["tripwire"]
+    for name, entry in doc["pins"].items():
+        assert isinstance(entry["pin"], (int, float)) and entry["pin"] > 0, name
+        # pins are seconds at sf0.1 on local[32]; nothing legitimately
+        # pins at over a minute (realvocab, the slowest, is ~23 s)
+        assert entry["pin"] < 60, name
+        assert entry["round"].startswith("r"), name
+
+
+def test_bench_detail_matches_pin_coverage():
+    """The committed BENCH_DETAIL.json rows are exactly the pinned set."""
+    with open(os.path.join(REPO, "BENCH_DETAIL.json")) as f:
+        detail = json.load(f)
+    benched: set[str] = set()
+    for key, val in detail.items():
+        if key.startswith("queries") and isinstance(val, dict):
+            benched |= {k for k, v in val.items() if isinstance(v, (int, float))}
+    pins = set(_load_pins()["pins"])
+    assert benched == pins, (
+        f"benched-without-pin: {sorted(benched - pins)}; "
+        f"pin-without-bench: {sorted(pins - benched)}"
+    )
+
+
+def test_compare_tool_runs_clean_on_committed_reading():
+    spec = importlib.util.spec_from_file_location(
+        "bench_compare_for_test", os.path.join(REPO, "tools", "bench_compare.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+    timings = mod.load_timings(os.path.join(REPO, "BENCH_DETAIL.json"))
+    assert len(timings) == len(_load_pins()["pins"])
+    # the committed reading is an accepted quiet reading: no trips
+    pins = _load_pins()["pins"]
+    trips = [n for n, s in timings.items() if s / pins[n]["pin"] > 1.5]
+    assert not trips, trips

@@ -1,0 +1,99 @@
+#!/usr/bin/env python3
+"""Drift-convention bench compare: a bench reading vs the accepted pins.
+
+Usage::
+
+    python tools/bench_compare.py [BENCH_JSON]
+
+``BENCH_JSON`` is any bench output carrying per-query timings —
+``BENCH_DETAIL.json`` (builder full-suite, the default) or a driver
+``BENCH_r{N}.json``. Per-query timings are taken from every top-level
+key starting with ``queries`` whose value is a ``{name: sec}`` dict.
+
+Pins come from ``BENCH_PINS.json`` — the authoritative latest-accepted
+pin per row. This script exists because the per-round compare was
+previously re-implemented ad hoc against the BENCH_BASELINE.md prose,
+and the round-14 compare silently used two PRE-r12 pins (the stale
+first table entries) and misreported two at-pin rows as 1.2-1.5x band
+residents. One pins file + one script = no stale-pin compares.
+
+Output: per-row ratio table (worst first), the >tripwire trips, the
+band residents, and the median ratio. Exit code 1 if any row trips
+(so the compare can gate automation), 0 otherwise.
+
+Convention reminders (BENCH_BASELINE.md):
+- a trip is analyzed, not auto-re-pinned: standalone bracketed
+  min-of-3 on a verified-quiet host FIRST (suite-position inflation is
+  documented for the editdist/mjpeg class), then the
+  old-code-on-today's-host worktree experiment to split regression
+  from host-generation drift;
+- band residents (1.2-1.5x) keep their pins;
+- pins are never lowered on a fast day.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import statistics
+import sys
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+
+
+def load_timings(path: str) -> dict[str, float]:
+    with open(path) as f:
+        doc = json.load(f)
+    timings: dict[str, float] = {}
+    for key, val in doc.items():
+        if key.startswith("queries") and isinstance(val, dict):
+            for name, sec in val.items():
+                if isinstance(sec, (int, float)):
+                    timings[name] = float(sec)
+    return timings
+
+
+def main(argv: list[str]) -> int:
+    bench_path = argv[1] if len(argv) > 1 else os.path.join(REPO, "BENCH_DETAIL.json")
+    pins_doc = json.load(open(os.path.join(REPO, "BENCH_PINS.json")))
+    pins = pins_doc["pins"]
+    tripwire = float(pins_doc["tripwire"])
+    band_low = float(pins_doc["band_low"])
+
+    timings = load_timings(bench_path)
+    rows = []
+    unpinned = []
+    for name, sec in timings.items():
+        if name in pins:
+            rows.append((sec / pins[name]["pin"], name, sec, pins[name]["pin"]))
+        else:
+            unpinned.append(name)
+    rows.sort(reverse=True)
+
+    trips = [r for r in rows if r[0] > tripwire]
+    band = [r for r in rows if band_low <= r[0] <= tripwire]
+    print(f"bench: {bench_path}")
+    print(f"pinned rows compared: {len(rows)}   median ratio: "
+          f"{statistics.median(r[0] for r in rows):.3f}")
+    if unpinned:
+        print(f"UNPINNED rows in bench output (add to BENCH_PINS.json "
+              f"when first accepted): {sorted(unpinned)}")
+    missing = sorted(set(pins) - set(timings))
+    if missing:
+        print(f"pinned rows absent from this bench output: {missing}")
+
+    print(f"\n>{tripwire}x TRIPS ({len(trips)}) — analyze per the drift "
+          f"convention before re-pinning:")
+    for ratio, name, sec, pin in trips:
+        print(f"  {ratio:5.2f}x  {name}  {sec:.3f} vs pin {pin:.3f}")
+    print(f"\n{band_low}-{tripwire}x band ({len(band)}) — keep pins:")
+    for ratio, name, sec, pin in band:
+        print(f"  {ratio:5.2f}x  {name}  {sec:.3f} vs pin {pin:.3f}")
+    print(f"\nfastest 5 vs pin:")
+    for ratio, name, sec, pin in rows[-5:]:
+        print(f"  {ratio:5.2f}x  {name}  {sec:.3f} vs pin {pin:.3f}")
+    return 1 if trips else 0
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv))
