@@ -44,6 +44,11 @@ REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
 def load_timings(path: str) -> dict[str, float]:
     with open(path) as f:
         doc = json.load(f)
+    # driver BENCH_r{N}.json wraps the bench stdout line under "parsed"
+    # (headline-only "queries" — the per-suite dicts stay in
+    # BENCH_DETAIL.json per bench.py's stdout-size cap)
+    if "parsed" in doc and isinstance(doc["parsed"], dict):
+        doc = doc["parsed"]
     timings: dict[str, float] = {}
     for key, val in doc.items():
         if key.startswith("queries") and isinstance(val, dict):
@@ -80,7 +85,14 @@ def main(argv: list[str]) -> int:
               f"when first accepted): {sorted(unpinned)}")
     missing = sorted(set(pins) - set(timings))
     if missing:
-        print(f"pinned rows absent from this bench output: {missing}")
+        # driver BENCH_r{N}.json carries only the 20 headline rows, so
+        # a long absent-list is expected there — summarize it
+        if len(missing) > 10:
+            print(f"pinned rows absent from this bench output: "
+                  f"{len(missing)} (headline-only file; full per-suite "
+                  f"rows live in BENCH_DETAIL.json)")
+        else:
+            print(f"pinned rows absent from this bench output: {missing}")
 
     print(f"\n>{tripwire}x TRIPS ({len(trips)}) — analyze per the drift "
           f"convention before re-pinning:")
