@@ -105,7 +105,7 @@ def parse_args(argv: list[str] | None = None) -> argparse.Namespace:
             "registry row), so the capstone pipeline exercises the "
             "production online path end-to-end; 'setsim' applies the "
             "EXACT batch rule instead — drop every doc with a "
-            "smaller-id survivor at shingle-Jaccard >= 80%, via the "
+            "smaller-id survivor at shingle-Jaccard >= 80%%, via the "
             "lossless PPJoin prefix-filtered similarity join "
             "(dedup_setsim_prefix_join) — no LSH probability, no "
             "recall trade"

@@ -248,3 +248,14 @@ def test_prep_token_budget_caps_corpus_quality_first(spark, tmp_path):
     assert got == expect
     assert 0 < len(got) < survivors.count()  # budget genuinely bites
     assert max(r.cum_tokens for r in expect_rows) <= budget
+
+
+def test_help_renders():
+    """--help must not crash: argparse %-expands every help string, so a
+    bare % in help text (the r14 '80%,' bug) raises ValueError at
+    format time. format_help() exercises every option's help."""
+    import pytest
+
+    with pytest.raises(SystemExit) as exc:
+        cli.main(["--help"])
+    assert exc.value.code == 0
