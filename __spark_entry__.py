@@ -27,69 +27,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Verification-priority order. Each round's driver checks the FIRST ~50
-# declared queries, so this list is rotated per round. Round-14
-# rotation (the plan recorded in PARITY.md and the r13 verdict item
-# 1): the 49-row r10-stamped cohort — now the oldest stamps on the
-# board — leads, then the head of the r11 cohort
-# (stats_ewma_smoothing) fills the 50-row window. The freshly
-# r13-stamped 50 (prefix_stored + the 48-row r7 cohort + mjpeg) move
-# to the back. After r14 no stamp is older than r11 — the steady
+# declared queries, so this list is rotated per round. Round-15
+# rotation (the plan recorded in PARITY.md and the r14 verdict item
+# 3): the 49-row r11-stamped cohort — now the oldest stamps on the
+# board — leads, then the head of the r12 cohort
+# (dedup_editdist_join_realvocab) fills the 50-row window. The freshly
+# r14-stamped 50 (the 49-row r10 cohort + stats_ewma_smoothing) move
+# to the back. After r15 no stamp is older than r12 — the steady
 # three-round rotation for a 199-row registry.
 # Ordering only — coverage is always the full set.
 _VERIFY_PRIORITY = [
-    # --- (a) r10-stamped cohort (49) — oldest stamps, leads r14 ---
-    "streaming_hopping_rollup",
-    "sample_weighted_priority",
-    "graph_kcore",
-    "asof_join_tolerance",
-    "stats_rolling_anomaly",
-    "layout_hilbert_events",
-    "embedding_pca_project",
-    "streaming_rolling_anomaly",
-    "similarity_recall_eval",
-    "multimodal_phash_dct",
-    "multimodal_phash_dct_neardup",
-    "stats_cusum_changepoints",
-    "text_kneser_ney_quality",
-    "asof_join_nearest",
-    "text_source_entropy",
-    "text_source_snapshot_jsd",
-    "stats_benford_profile",
-    "multimodal_wav_spectral",
-    "stats_mad_by_type",
-    "graph_cotrading_projection",
-    "multimodal_decode_jpeg",
-    "streaming_interval_join",
-    "similarity_topk_rp",
-    "text_unicode_normalize",
-    "graph_pagerank_supplier_network",
-    "dedup_ngram_containment",
-    "dedup_setsim_prefix_join",
-    "curation_pareto_frontier",
-    "text_cms_heavy_hitters",
-    "dedup_bloom_admission",
-    "dedup_editdist_join",
-    "text_hll_shingle_cardinality",
-    "streaming_cms_heavy_hitters",
-    "stats_equidepth_histogram",
-    "stats_groupwise_ols",
-    "graph_triangle_counts",
-    "streaming_hll_cardinality",
-    "graph_clustering_coefficient",
-    "stats_event_transitions",
-    "graph_label_propagation",
-    "streaming_bloom_admission",
-    "source_orc_roundtrip",
-    "source_jsonl_roundtrip",
-    "source_csv_roundtrip",
-    "stats_hourly_autocorrelation",
-    "text_tfidf_keywords",
-    "stats_gini_by_segment",
-    "stats_hourly_ohlc",
-    "graph_pagerank_weighted",
-    # --- (b) head of the r11 cohort — fills the 50-row r14 window ---
-    "stats_ewma_smoothing",
-    # --- (c) rest of the r11-stamped cohort (49) ---
+    # --- (a) r11-stamped cohort (49) — oldest stamps, leads r15 ---
     "graph_pagerank_dangling",
     "text_vocab_growth",
     "graph_hits_scores",
@@ -139,8 +87,9 @@ _VERIFY_PRIORITY = [
     "stats_numeric_profile",
     "join_range_interval",
     "join_full_outer_reconcile",
-    # --- (d) r12-stamped cohort (50) ---
+    # --- (b) head of the r12 cohort — fills the 50-row r15 window ---
     "dedup_editdist_join_realvocab",
+    # --- (c) rest of the r12-stamped cohort (49) ---
     "approx_aggregates",
     "pipeline_quality_dedup_pack",
     "a4_offset_clamp",
@@ -190,7 +139,7 @@ _VERIFY_PRIORITY = [
     "streaming_user_sessions",
     "q2_cheapest_supplier",
     "q7_nation_volume_shipping",
-    # --- (e) r13-stamped cohort (50) — freshest stamps, go last ---
+    # --- (d) r13-stamped cohort (50) ---
     "dedup_editdist_prefix_stored",
     "q8_nation_market_share",
     "q9_product_profit",
@@ -241,6 +190,57 @@ _VERIFY_PRIORITY = [
     "multimodal_avi_frames",
     "p1_project_key_value",
     "multimodal_decode_mjpeg",
+    # --- (e) r14-stamped cohort (50) — freshest stamps, go last ---
+    "streaming_hopping_rollup",
+    "sample_weighted_priority",
+    "graph_kcore",
+    "asof_join_tolerance",
+    "stats_rolling_anomaly",
+    "layout_hilbert_events",
+    "embedding_pca_project",
+    "streaming_rolling_anomaly",
+    "similarity_recall_eval",
+    "multimodal_phash_dct",
+    "multimodal_phash_dct_neardup",
+    "stats_cusum_changepoints",
+    "text_kneser_ney_quality",
+    "asof_join_nearest",
+    "text_source_entropy",
+    "text_source_snapshot_jsd",
+    "stats_benford_profile",
+    "multimodal_wav_spectral",
+    "stats_mad_by_type",
+    "graph_cotrading_projection",
+    "multimodal_decode_jpeg",
+    "streaming_interval_join",
+    "similarity_topk_rp",
+    "text_unicode_normalize",
+    "graph_pagerank_supplier_network",
+    "dedup_ngram_containment",
+    "dedup_setsim_prefix_join",
+    "curation_pareto_frontier",
+    "text_cms_heavy_hitters",
+    "dedup_bloom_admission",
+    "dedup_editdist_join",
+    "text_hll_shingle_cardinality",
+    "streaming_cms_heavy_hitters",
+    "stats_equidepth_histogram",
+    "stats_groupwise_ols",
+    "graph_triangle_counts",
+    "streaming_hll_cardinality",
+    "graph_clustering_coefficient",
+    "stats_event_transitions",
+    "graph_label_propagation",
+    "streaming_bloom_admission",
+    "source_orc_roundtrip",
+    "source_jsonl_roundtrip",
+    "source_csv_roundtrip",
+    "stats_hourly_autocorrelation",
+    "text_tfidf_keywords",
+    "stats_gini_by_segment",
+    "stats_hourly_ohlc",
+    "graph_pagerank_weighted",
+    "stats_ewma_smoothing",
 ]
 
 

@@ -7,8 +7,8 @@ test_kafka_client.py:7-14 + CircleCI harness (.circleci/config.yml:8-24)
 parity.
 
 ENVIRONMENTAL BLOCKER, verified 2026-08-13 (round 5), re-verified
-2026-08-16 (round 14: `which dockerd` empty, no /var/run/docker.sock,
-`docker info` cannot reach a daemon): the build container ships only a
+2026-08-16 (rounds 14 and 15: `which dockerd` empty, no
+/var/run/docker.sock): the build container ships only a
 docker CLI shim — there is NO dockerd binary, no /var/run/docker.sock,
 no systemd to start one, no compose plugin, and package installs are
 disallowed, so the compose harness cannot run here at all. Nor is kafka-python installed. CI in this container
