@@ -190,6 +190,22 @@ HEADLINE_V9: list[str] = [
     "graph_pagerank_dangling",
 ]
 
+# Rows main() times via dedicated functions OUTSIDE the HEADLINE_*
+# lists (the dump-pipeline shape, stored-index build probes, and the
+# prod/editdist suite keys). tests/test_bench_pins.py derives its
+# every-benched-row-has-a-pin invariant from HEADLINE_* ∪ EXTRA_ROWS,
+# so adding a dedicated timing below without extending this list makes
+# that test fail — the constant and main() cannot silently drift.
+EXTRA_ROWS: list[str] = [
+    "dump_pipeline",
+    "similarity_topk_lsh_stored_build",
+    "similarity_topk_ivf_stored_build",
+    "dedup_minhash_lsh_prod",
+    "dedup_editdist_join_realvocab",
+    "dedup_editdist_prefix_stored",
+    "dedup_editdist_prefix_stored_build",
+]
+
 
 def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
@@ -499,6 +515,22 @@ def main() -> int:
         "editdist_realvocab": timings_editdist_realvocab,
         "editdist_prefix_stored": timings_editdist_prefix,
     }
+    # EXTRA_ROWS lockstep: every row timed by a dedicated function
+    # (i.e. not in a HEADLINE_* list) must be declared in EXTRA_ROWS,
+    # and vice versa, so tests/test_bench_pins.py can derive the full
+    # benched-row set without hardcoding names that could drift.
+    headline_rows = set(HEADLINE) | {
+        n
+        for lst in (HEADLINE_V2, HEADLINE_V3, HEADLINE_V4, HEADLINE_V5,
+                    HEADLINE_V6, HEADLINE_V7, HEADLINE_V8, HEADLINE_V9)
+        for n in lst
+    }
+    dedicated = (set(timings) | {n for t in suites.values() for n in t}) - headline_rows
+    assert dedicated == set(EXTRA_ROWS), (
+        f"bench.py EXTRA_ROWS out of sync with main()'s dedicated "
+        f"timings: timed-but-undeclared {sorted(dedicated - set(EXTRA_ROWS))}, "
+        f"declared-but-untimed {sorted(set(EXTRA_ROWS) - dedicated)}"
+    )
     summary = {
         "metric": "headline_queries_total_runtime",
         "value": total,

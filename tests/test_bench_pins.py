@@ -8,6 +8,13 @@ truth from round 14 on; these tests keep it complete (every benched
 row pinned, no orphan pins) and sane, so tools/bench_compare.py can
 never silently compare against a stale or missing pin.
 
+Artifact split (round 15, r14 verdict item 1): BENCH_DETAIL.json is
+the RAW latest full-suite reading — the driver overwrites it with a
+loaded-host reading every round, so nothing here asserts on it.
+BENCH_ACCEPTED.json is the builder's accepted quiet reading — written
+only when the bracketing controls confirm a quiet host — and is what
+the no-trips invariant asserts on.
+
 Pure-JSON tests — no SparkSession.
 """
 
@@ -37,17 +44,10 @@ def _bench_row_names() -> set[str]:
         if attr == "HEADLINE" or attr.startswith("HEADLINE_V"):
             names |= set(getattr(mod, attr))
     # rows bench.py times via dedicated functions outside the
-    # HEADLINE_* lists (dump-pipeline shape, stored-index build rows,
-    # prod / editdist suite keys; see bench.py main())
-    names |= {
-        "dump_pipeline",
-        "similarity_topk_lsh_stored_build",
-        "similarity_topk_ivf_stored_build",
-        "dedup_minhash_lsh_prod",
-        "dedup_editdist_join_realvocab",
-        "dedup_editdist_prefix_stored",
-        "dedup_editdist_prefix_stored_build",
-    }
+    # HEADLINE_* lists — declared by bench.py itself (EXTRA_ROWS) and
+    # cross-checked against main()'s actual timings at bench runtime,
+    # so this test and bench.py cannot silently drift (r14 advice)
+    names |= set(mod.EXTRA_ROWS)
     return names
 
 
@@ -84,9 +84,16 @@ def test_pins_are_sane():
         assert entry["round"].startswith("r"), name
 
 
-def test_bench_detail_matches_pin_coverage():
-    """The committed BENCH_DETAIL.json rows are exactly the pinned set."""
-    with open(os.path.join(REPO, "BENCH_DETAIL.json")) as f:
+def test_bench_accepted_matches_pin_coverage():
+    """The accepted reading's rows are exactly the pinned set.
+
+    Asserts on BENCH_ACCEPTED.json — the builder-only accepted quiet
+    reading — NOT on BENCH_DETAIL.json, which the driver overwrites
+    with a loaded-host reading every round (the r14 version of this
+    test asserted on BENCH_DETAIL.json and went red on every
+    post-driver tree; r14 verdict item 1).
+    """
+    with open(os.path.join(REPO, "BENCH_ACCEPTED.json")) as f:
         detail = json.load(f)
     benched: set[str] = set()
     for key, val in detail.items():
@@ -99,15 +106,23 @@ def test_bench_detail_matches_pin_coverage():
     )
 
 
-def test_compare_tool_runs_clean_on_committed_reading():
+def test_compare_tool_runs_clean_on_accepted_reading():
+    """The accepted quiet reading has zero >tripwire rows, by definition
+    of 'accepted' — a trip here means someone updated BENCH_ACCEPTED.json
+    with a reading that the drift convention says needs triage first.
+
+    Deliberately does NOT assert on the working-tree BENCH_DETAIL.json:
+    that file is the driver's raw latest reading (often from a loaded
+    host) and is report-only — compare it with
+    ``python tools/bench_compare.py BENCH_DETAIL.json`` when triaging.
+    """
     spec = importlib.util.spec_from_file_location(
         "bench_compare_for_test", os.path.join(REPO, "tools", "bench_compare.py")
     )
     mod = importlib.util.module_from_spec(spec)
     spec.loader.exec_module(mod)
-    timings = mod.load_timings(os.path.join(REPO, "BENCH_DETAIL.json"))
+    timings = mod.load_timings(os.path.join(REPO, "BENCH_ACCEPTED.json"))
     assert len(timings) == len(_load_pins()["pins"])
-    # the committed reading is an accepted quiet reading: no trips
     pins = _load_pins()["pins"]
     trips = [n for n, s in timings.items() if s / pins[n]["pin"] > 1.5]
     assert not trips, trips

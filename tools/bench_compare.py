@@ -6,9 +6,12 @@ Usage::
     python tools/bench_compare.py [BENCH_JSON]
 
 ``BENCH_JSON`` is any bench output carrying per-query timings —
-``BENCH_DETAIL.json`` (builder full-suite, the default) or a driver
-``BENCH_r{N}.json``. Per-query timings are taken from every top-level
-key starting with ``queries`` whose value is a ``{name: sec}`` dict.
+``BENCH_DETAIL.json`` (the RAW latest full-suite reading, driver-
+overwritten each round; the default), ``BENCH_ACCEPTED.json`` (the
+builder's accepted quiet reading — the blob the test suite asserts
+no-trips on), or a driver ``BENCH_r{N}.json``. Per-query timings are
+taken from every top-level key starting with ``queries`` whose value
+is a ``{name: sec}`` dict.
 
 Pins come from ``BENCH_PINS.json`` — the authoritative latest-accepted
 pin per row. This script exists because the per-round compare was
@@ -54,7 +57,21 @@ def load_timings(path: str) -> dict[str, float]:
         if key.startswith("queries") and isinstance(val, dict):
             for name, sec in val.items():
                 if isinstance(sec, (int, float)):
+                    if name in timings:
+                        # a row appearing under two suite keys would let
+                        # last-wins silently mask a pin mismatch
+                        print(f"WARNING: row {name!r} appears in more "
+                              f"than one queries* suite in {path}; "
+                              f"keeping the last value", file=sys.stderr)
                     timings[name] = float(sec)
+    if not timings:
+        raise SystemExit(
+            f"no per-query timings found in {path} — no 'queries*' dict "
+            f"keys. Is this an unparsed driver bench file (raw stdout "
+            f"under 'output', like BENCH_r07/r09)? Point this tool at "
+            f"BENCH_DETAIL.json / BENCH_ACCEPTED.json or a parsed "
+            f"BENCH_r{{N}}.json instead."
+        )
     return timings
 
 
