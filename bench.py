@@ -269,6 +269,29 @@ def main() -> int:
     # outliers should be discounted before calling them regressions.
     control_q1_pre = time_control()
 
+    # Per-suite contamination checkpoints (r15): a single-run q1 probe
+    # plus a loadavg snapshot AFTER each suite. The r15 acceptance
+    # attempts showed that on a spike-prone host a single pre/post
+    # bracket around a ~12-minute run cannot localize contamination —
+    # one external spike anywhere voids the whole reading. These
+    # checkpoints bound each suite's window instead, so a triage can
+    # discount exactly the suites whose neighboring checkpoints are
+    # inflated and trust the rest. Single-run (not min-of-N): this is
+    # a contamination detector, not a timing — ~0.5 s each, and an
+    # inflated single run is precisely the signal wanted. Recorded in
+    # BENCH_DETAIL.json under "suite_checkpoints" (detail only — the
+    # stdout line is size-capped).
+    suite_checkpoints: dict[str, dict] = {}
+
+    def checkpoint(tag: str) -> None:
+        t0 = time.perf_counter()
+        _force(registry.QUERIES["q1_pricing_summary"](spark, SF_DIR))
+        q1 = round(time.perf_counter() - t0, 3)
+        load1, load5 = open("/proc/loadavg").read().split()[:2]
+        suite_checkpoints[tag] = {
+            "q1": q1, "load1": float(load1), "load5": float(load5),
+        }
+
     def time_set(names: list[str]) -> dict[str, float]:
         timings: dict[str, float] = {}
         for name in names:
@@ -292,6 +315,7 @@ def main() -> int:
         return timings
 
     timings = time_set(HEADLINE)
+    checkpoint("after_headline")
 
     # Production-hash minhash row (r6 verdict item 3): the frozen
     # HEADLINE row keeps the md5 portable hash for oracle parity and
@@ -353,6 +377,7 @@ def main() -> int:
     timings_editdist_realvocab = {
         "dedup_editdist_join_realvocab": time_editdist_realvocab(),
     }
+    checkpoint("after_realvocab")
 
     # Stored ED-Join prefix-index twin (round 13; r12 verdict item 4):
     # the ADDITIVE diverse-corpus index. Two prices, the stored-row
@@ -404,15 +429,23 @@ def main() -> int:
         return out
 
     timings_editdist_prefix = time_editdist_prefix_stored()
-
+    checkpoint("after_editdist")
     timings_v2 = time_set(HEADLINE_V2)
+    checkpoint("after_v2")
     timings_v3 = time_set(HEADLINE_V3)
+    checkpoint("after_v3")
     timings_v4 = time_set(HEADLINE_V4)
+    checkpoint("after_v4")
     timings_v5 = time_set(HEADLINE_V5)
+    checkpoint("after_v5")
     timings_v6 = time_set(HEADLINE_V6)
+    checkpoint("after_v6")
     timings_v7 = time_set(HEADLINE_V7)
+    checkpoint("after_v7")
     timings_v8 = time_set(HEADLINE_V8)
+    checkpoint("after_v8")
     timings_v9 = time_set(HEADLINE_V9)
+    checkpoint("after_v9")
 
     # Build-vs-probe split for the stored-index rows (r6, per the r5
     # verdict): the stored queries now build their on-disk index ONCE
@@ -466,6 +499,7 @@ def main() -> int:
         return out
 
     timings_v3.update(time_stored_builds())
+    checkpoint("after_stored_builds")
 
     # dump-pipeline throughput: the reference's core workload
     tmp = tempfile.mkdtemp(prefix="bench_dump_")
@@ -547,6 +581,7 @@ def main() -> int:
         summary[f"value_{tag}"] = round(sum(t.values()), 3)
     detail = dict(summary)
     detail.update({f"queries_{tag}": t for tag, t in suites.items()})
+    detail["suite_checkpoints"] = suite_checkpoints
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "BENCH_DETAIL.json"),

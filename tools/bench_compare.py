@@ -97,6 +97,26 @@ def main(argv: list[str]) -> int:
     print(f"bench: {bench_path}")
     print(f"pinned rows compared: {len(rows)}   median ratio: "
           f"{statistics.median(r[0] for r in rows):.3f}")
+
+    # Suite checkpoints (r15): if the reading carries per-suite q1 +
+    # loadavg checkpoints, print them with the out-of-quiet-range ones
+    # flagged, so a trip can be attributed to (or cleared of) a
+    # contaminated window before any re-pin discussion.
+    with open(bench_path) as f:
+        raw_doc = json.load(f)
+    checkpoints = raw_doc.get("suite_checkpoints")
+    if checkpoints:
+        _, hi = pins_doc.get("control_q1_quiet", [0.42, 0.48])
+        flagged = []
+        for tag, cp in checkpoints.items():
+            mark = "  <-- LOADED" if cp["q1"] > hi else ""
+            if mark:
+                flagged.append(tag)
+            print(f"  checkpoint {tag}: q1 {cp['q1']:.3f} "
+                  f"load {cp['load1']:.2f}/{cp['load5']:.2f}{mark}")
+        if flagged:
+            print(f"contaminated windows (q1 > {hi}): {flagged} — "
+                  f"discount rows in the suites those checkpoints bound")
     if unpinned:
         print(f"UNPINNED rows in bench output (add to BENCH_PINS.json "
               f"when first accepted): {sorted(unpinned)}")
