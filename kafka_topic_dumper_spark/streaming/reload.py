@@ -155,6 +155,15 @@ def reload_dump(
         dump_id, topic_name, current_end_offsets, transformer_id,
         sink_id=sink_id,
     )
+    # dump_date is unix SECONDS (reference parity, kafka_client.py:
+    # 300-319), so two reloads of the same dump inside one second
+    # would tie on the manifest's (dump_date, dump_id) argmax and
+    # leave "latest" to unstable file-read order — a later replay to
+    # the SAME sink could then miss its hot-skip and double-deliver.
+    # The record superseding the current latest must sort strictly
+    # after it: last write wins, deterministically.
+    if latest is not None and new_state["dump_date"] <= latest["dump_date"]:
+        new_state["dump_date"] = latest["dump_date"] + 1
 
     records = read_dump(spark, output_root, dump_id)
     if ordered:

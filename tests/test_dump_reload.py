@@ -378,6 +378,58 @@ def test_reload_sink_identity_breaks_hot_skip(spark, archive, tmp_path):
     assert r3["action"] == "hot_reload_skip"
 
 
+def test_same_second_reloads_keep_latest_deterministic(
+    spark, archive, tmp_path, monkeypatch
+):
+    """Two reloads of the same dump within ONE wall-clock second write
+    state records that would tie on the manifest's (dump_date,
+    dump_id) argmax — "latest" then falls to unstable file-read order
+    and a replay to the SAME sink can miss its hot-skip (observed as
+    an intermittent failure of the sink-identity test under load).
+    reload_dump must advance the superseding record strictly past the
+    current latest so last-write-wins is deterministic. Clock frozen
+    to force the tie every run."""
+    out = str(tmp_path / "dumps")
+    sink_a = str(tmp_path / "sink_a")
+    sink_b = str(tmp_path / "sink_b")
+    beginning, end = _offsets(spark, archive)
+    plan = plan_tail_dump("test", beginning, end, 40)
+    records = dump_mod.apply_plan(spark.read.parquet(archive), plan)
+    dump_mod.dump_batch(records, out, "20260814000002", max_records_per_file=20)
+
+    frozen = 1_765_000_000
+    monkeypatch.setattr(state_mod.time, "time", lambda: frozen)
+
+    def mk_sink(path):
+        def sink(df):
+            df.write.mode("append").parquet(path)
+
+        return sink
+
+    r1 = reload_mod.reload_dump(
+        spark, out, "20260814000002", Identity(), "test", end,
+        mk_sink(sink_a), sink_id=f"parquet:{sink_a}",
+    )
+    r2 = reload_mod.reload_dump(
+        spark, out, "20260814000002", Identity(), "test", end,
+        mk_sink(sink_b), sink_id=f"parquet:{sink_b}",
+    )
+    assert (r1["action"], r2["action"]) == ("reloaded", "reloaded")
+    # the superseding record must sort strictly after the first even
+    # though the clock never advanced
+    assert r2["state"]["dump_date"] > r1["state"]["dump_date"]
+    # and the manifest's latest must therefore be the sink_b record,
+    # so the same-sink replay hot-skips deterministically
+    state_root = os.path.join(out, "_state")
+    latest = state_mod.read_latest_state(spark, state_root)
+    assert latest["sink_id"] == f"parquet:{sink_b}"
+    r3 = reload_mod.reload_dump(
+        spark, out, "20260814000002", Identity(), "test", end,
+        mk_sink(sink_b), sink_id=f"parquet:{sink_b}",
+    )
+    assert r3["action"] == "hot_reload_skip"
+
+
 def test_read_latest_state_propagates_non_missing_errors(spark, tmp_path):
     """Only 'no manifest yet' maps to None; a malformed state_root that
     raises something else must propagate, not masquerade as a cold
