@@ -27,69 +27,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Verification-priority order. Each round's driver checks the FIRST ~50
-# declared queries, so this list is rotated per round. Round-15
-# rotation (the plan recorded in PARITY.md and the r14 verdict item
-# 3): the 49-row r11-stamped cohort — now the oldest stamps on the
-# board — leads, then the head of the r12 cohort
-# (dedup_editdist_join_realvocab) fills the 50-row window. The freshly
-# r14-stamped 50 (the 49-row r10 cohort + stats_ewma_smoothing) move
-# to the back. After r15 no stamp is older than r12 — the steady
+# declared queries, so this list is rotated per round. Round-16
+# rotation (the plan recorded in PARITY.md and the r15 verdict item
+# 2): the 49-row r12-stamped cohort — now the oldest stamps on the
+# board — leads, then the head of the r13 cohort
+# (dedup_editdist_prefix_stored) fills the 50-row window. The freshly
+# r15-stamped 50 (the 49-row r11 cohort + dedup_editdist_join_realvocab)
+# move to the back. After r16 no stamp is older than r13 — the steady
 # three-round rotation for a 199-row registry.
 # Ordering only — coverage is always the full set.
 _VERIFY_PRIORITY = [
-    # --- (a) r11-stamped cohort (49) — oldest stamps, leads r15 ---
-    "graph_pagerank_dangling",
-    "text_vocab_growth",
-    "graph_hits_scores",
-    "stats_interarrival_quartiles",
-    "p3_hot_reload_predicate",
-    "a1_latest_dump_id",
-    "a2_argmax_latest_state",
-    "a3_a5_available_message_counts",
-    "o1_sorted_file_plan",
-    "o2_tail_k_per_partition",
-    "f_scalar_surface",
-    "b1_chunk_plan",
-    "flagship_latest_event_per_user",
-    "q3_shipping_priority",
-    "q5_region_revenue",
-    "events_hourly_rollup",
-    "dedup_exact",
-    "dedup_ngram_jaccard",
-    "dedup_canonical_mapping",
-    "dedup_incremental",
-    "dedup_minhash_lsh",
-    "dedup_simhash",
-    "dedup_embedding_cosine",
-    "similarity_topk_bruteforce",
-    "embedding_quantize_int8",
-    "similarity_topk_lsh",
-    "similarity_topk_lsh_stored",
-    "similarity_topk_ivf",
-    "similarity_topk_ivf_stored",
-    "text_bigram_lm_quality",
-    "text_mean_token_df",
-    "text_contamination_overlap",
-    "multimodal_binary_meta",
-    "multimodal_decode_stub",
-    "asof_join_last_purchase",
-    "asof_join_next_purchase",
-    "cube_event_activity",
-    "window_event_metrics",
-    "q18_large_volume_orders",
-    "timeseries_gap_fill",
-    "cohort_retention",
-    "window_rolling_hour",
-    "window_distribution_metrics",
-    "funnel_conversion",
-    "pivot_user_event_matrix",
-    "stats_value_histogram",
-    "stats_numeric_profile",
-    "join_range_interval",
-    "join_full_outer_reconcile",
-    # --- (b) head of the r12 cohort — fills the 50-row r15 window ---
-    "dedup_editdist_join_realvocab",
-    # --- (c) rest of the r12-stamped cohort (49) ---
+    # --- (a) r12-stamped cohort (49) — oldest stamps, leads r16 ---
     "approx_aggregates",
     "pipeline_quality_dedup_pack",
     "a4_offset_clamp",
@@ -139,8 +87,9 @@ _VERIFY_PRIORITY = [
     "streaming_user_sessions",
     "q2_cheapest_supplier",
     "q7_nation_volume_shipping",
-    # --- (d) r13-stamped cohort (50) ---
+    # --- (b) head of the r13 cohort — fills the 50-row r16 window ---
     "dedup_editdist_prefix_stored",
+    # --- (c) rest of the r13-stamped cohort (49) ---
     "q8_nation_market_share",
     "q9_product_profit",
     "q11_important_stock_value",
@@ -190,7 +139,7 @@ _VERIFY_PRIORITY = [
     "multimodal_avi_frames",
     "p1_project_key_value",
     "multimodal_decode_mjpeg",
-    # --- (e) r14-stamped cohort (50) — freshest stamps, go last ---
+    # --- (d) r14-stamped cohort (50) ---
     "streaming_hopping_rollup",
     "sample_weighted_priority",
     "graph_kcore",
@@ -241,6 +190,57 @@ _VERIFY_PRIORITY = [
     "stats_hourly_ohlc",
     "graph_pagerank_weighted",
     "stats_ewma_smoothing",
+    # --- (e) r15-stamped cohort (50) — freshest stamps, go last ---
+    "graph_pagerank_dangling",
+    "text_vocab_growth",
+    "graph_hits_scores",
+    "stats_interarrival_quartiles",
+    "p3_hot_reload_predicate",
+    "a1_latest_dump_id",
+    "a2_argmax_latest_state",
+    "a3_a5_available_message_counts",
+    "o1_sorted_file_plan",
+    "o2_tail_k_per_partition",
+    "f_scalar_surface",
+    "b1_chunk_plan",
+    "flagship_latest_event_per_user",
+    "q3_shipping_priority",
+    "q5_region_revenue",
+    "events_hourly_rollup",
+    "dedup_exact",
+    "dedup_ngram_jaccard",
+    "dedup_canonical_mapping",
+    "dedup_incremental",
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "dedup_embedding_cosine",
+    "similarity_topk_bruteforce",
+    "embedding_quantize_int8",
+    "similarity_topk_lsh",
+    "similarity_topk_lsh_stored",
+    "similarity_topk_ivf",
+    "similarity_topk_ivf_stored",
+    "text_bigram_lm_quality",
+    "text_mean_token_df",
+    "text_contamination_overlap",
+    "multimodal_binary_meta",
+    "multimodal_decode_stub",
+    "asof_join_last_purchase",
+    "asof_join_next_purchase",
+    "cube_event_activity",
+    "window_event_metrics",
+    "q18_large_volume_orders",
+    "timeseries_gap_fill",
+    "cohort_retention",
+    "window_rolling_hour",
+    "window_distribution_metrics",
+    "funnel_conversion",
+    "pivot_user_event_matrix",
+    "stats_value_histogram",
+    "stats_numeric_profile",
+    "join_range_interval",
+    "join_full_outer_reconcile",
+    "dedup_editdist_join_realvocab",
 ]
 
 
