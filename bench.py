@@ -269,24 +269,25 @@ def main() -> int:
     # outliers should be discounted before calling them regressions.
     control_q1_pre = time_control()
 
-    # Per-suite contamination checkpoints (r15): a single-run q1 probe
-    # plus a loadavg snapshot AFTER each suite. The r15 acceptance
-    # attempts showed that on a spike-prone host a single pre/post
-    # bracket around a ~12-minute run cannot localize contamination —
-    # one external spike anywhere voids the whole reading. These
+    # Per-suite contamination checkpoints (r15): a q1 probe plus a
+    # loadavg snapshot AFTER each suite. The r15 acceptance attempts
+    # showed that on a spike-prone host a single pre/post bracket
+    # around a ~12-minute run cannot localize contamination — one
+    # external spike anywhere voids the whole reading. These
     # checkpoints bound each suite's window instead, so a triage can
     # discount exactly the suites whose neighboring checkpoints are
-    # inflated and trust the rest. Single-run (not min-of-N): this is
-    # a contamination detector, not a timing — ~0.5 s each, and an
-    # inflated single run is precisely the signal wanted. Recorded in
+    # inflated and trust the rest. The probe is time_control() itself
+    # (min-of-N q1) — the SAME protocol the control_q1_quiet band in
+    # BENCH_PINS.json was calibrated against; the r15 single-run
+    # variant read systematically above a min-of-3 band and could
+    # falsely flag quiet windows as LOADED (ADVICE r15). ~1.5 s per
+    # checkpoint, ~18 s over a ~12-minute suite. Recorded in
     # BENCH_DETAIL.json under "suite_checkpoints" (detail only — the
     # stdout line is size-capped).
     suite_checkpoints: dict[str, dict] = {}
 
     def checkpoint(tag: str) -> None:
-        t0 = time.perf_counter()
-        _force(registry.QUERIES["q1_pricing_summary"](spark, SF_DIR))
-        q1 = round(time.perf_counter() - t0, 3)
+        q1 = time_control()
         load1, load5 = open("/proc/loadavg").read().split()[:2]
         suite_checkpoints[tag] = {
             "q1": q1, "load1": float(load1), "load5": float(load5),
@@ -560,11 +561,15 @@ def main() -> int:
         for n in lst
     }
     dedicated = (set(timings) | {n for t in suites.values() for n in t}) - headline_rows
-    assert dedicated == set(EXTRA_ROWS), (
-        f"bench.py EXTRA_ROWS out of sync with main()'s dedicated "
-        f"timings: timed-but-undeclared {sorted(dedicated - set(EXTRA_ROWS))}, "
-        f"declared-but-untimed {sorted(set(EXTRA_ROWS) - dedicated)}"
-    )
+    if dedicated != set(EXTRA_ROWS):
+        # RuntimeError, not assert: `python -O` strips asserts and
+        # would let the constant drift from main() unnoticed (ADVICE
+        # r15).
+        raise RuntimeError(
+            f"bench.py EXTRA_ROWS out of sync with main()'s dedicated "
+            f"timings: timed-but-undeclared {sorted(dedicated - set(EXTRA_ROWS))}, "
+            f"declared-but-untimed {sorted(set(EXTRA_ROWS) - dedicated)}"
+        )
     summary = {
         "metric": "headline_queries_total_runtime",
         "value": total,

@@ -76,7 +76,19 @@ def save_state(spark: SparkSession, state_root: str, state: dict) -> None:
 def read_latest_state(spark: SparkSession, state_root: str) -> dict | None:
     """Latest state record: argmax by (dump_date, dump_id) — reference
     A2 (kafka_client.py:343-344) with a deterministic tie-break the
-    reference lacks. Returns None when no manifest exists yet."""
+    reference lacks. Returns None when no manifest exists yet.
+
+    ``sink_id`` / ``transformer_id`` close the CONCURRENT-writer tie:
+    reload_dump advances a superseding record's dump_date strictly
+    past the current latest, which serialises same-second SERIAL
+    reloads, but two writers that read the same latest both bump to
+    latest+1 and re-tie on (dump_date, dump_id). Those records can
+    only differ in sink/transformer identity, so ordering on them
+    keeps the argmax deterministic (which record "wins" under true
+    concurrency is inherently arbitrary — the guarantee here is that
+    every reader picks the SAME one, so the hot-skip predicate is
+    stable). Last-write-wins semantics proper still assume one writer
+    per manifest at a time, as with the reference's state topic."""
     try:
         df = spark.read.schema(STATE_SCHEMA).json(state_root)
         df.schema  # force analysis so a missing path surfaces here
@@ -91,7 +103,12 @@ def read_latest_state(spark: SparkSession, state_root: str) -> dict | None:
             return None
         raise
     rows = (
-        df.orderBy(F.col("dump_date").desc(), F.col("dump_id").desc())
+        df.orderBy(
+            F.col("dump_date").desc(),
+            F.col("dump_id").desc(),
+            F.col("sink_id").desc_nulls_last(),
+            F.col("transformer_id").desc_nulls_last(),
+        )
         .limit(1)
         .collect()
     )

@@ -430,6 +430,29 @@ def test_same_second_reloads_keep_latest_deterministic(
     assert r3["action"] == "hot_reload_skip"
 
 
+def test_concurrent_writer_tie_breaks_on_sink_id(spark, tmp_path):
+    """Two CONCURRENT reload writers both read the same latest and
+    both advance dump_date to latest+1, re-tying on (dump_date,
+    dump_id) — the records then differ only in sink/transformer
+    identity. read_latest_state must break that tie on sink_id (then
+    transformer_id) so every reader picks the SAME record and the
+    hot-skip predicate is stable, regardless of manifest file-read
+    order. Simulated by appending the tied records directly, in both
+    orders."""
+    frozen = 1_765_000_100
+    for order in (("aaa", "zzz"), ("zzz", "aaa")):
+        root = str(tmp_path / f"state_{'_'.join(order)}")
+        for sink in order:
+            rec = state_mod.gen_state(
+                "20260814000003", "test", {0: 40}, "identity",
+                sink_id=f"parquet:/tmp/{sink}", dump_date=frozen,
+            )
+            state_mod.save_state(spark, root, rec)
+        latest = state_mod.read_latest_state(spark, root)
+        # deterministic winner: max sink_id, independent of write order
+        assert latest["sink_id"] == "parquet:/tmp/zzz"
+
+
 def test_read_latest_state_propagates_non_missing_errors(spark, tmp_path):
     """Only 'no manifest yet' maps to None; a malformed state_root that
     raises something else must propagate, not masquerade as a cold

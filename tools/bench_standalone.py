@@ -99,12 +99,25 @@ def main(argv: list[str]) -> int:
     unknown = [n for n in names if n not in registry.QUERIES]
     if unknown:
         raise SystemExit(f"not in registry.QUERIES: {unknown}")
+    for d, what in ((SF_DIR, "SPARK_GRAFT_SF_DIR"), (WARM_SF, "warm-up")):
+        if not os.path.isdir(d):
+            raise SystemExit(f"{what} dir not found: {d}")
 
-    load1, load5, load15 = open("/proc/loadavg").read().split()[:3]
+    try:
+        load1, load5, load15 = open("/proc/loadavg").read().split()[:3]
+    except OSError as exc:
+        raise SystemExit(
+            f"cannot read /proc/loadavg ({exc}) — the quiet-host "
+            f"precondition is unverifiable here; this tool's readings "
+            f"are only meaningful on the Linux bench host"
+        )
     print(f"loadavg 1/5/15-min: {load1} {load5} {load15}  "
           f"(elevated 5-min => discard the reading)", file=sys.stderr)
 
-    pins = json.load(open(os.path.join(REPO, "BENCH_PINS.json")))["pins"]
+    pins_path = os.path.join(REPO, "BENCH_PINS.json")
+    if not os.path.exists(pins_path):
+        raise SystemExit(f"BENCH_PINS.json not found at {pins_path}")
+    pins = json.load(open(pins_path))["pins"]
     spark = get_session("kafka_topic_dumper_spark-standalone")
     _warm_up(spark)
 
