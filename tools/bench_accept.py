@@ -1,0 +1,117 @@
+#!/usr/bin/env python3
+"""Acceptance loop for BENCH_ACCEPTED.json — wait-for-idle, run the
+full bench suite, gate the reading, accept or retry.
+
+Usage::
+
+    python tools/bench_accept.py [MAX_ATTEMPTS]
+
+The accepted-reading refresh (r15 artifact split) requires a full-suite
+reading taken on a genuinely quiet host: quiet bracketing controls,
+zero flagged suite checkpoints, zero >tripwire rows vs BENCH_PINS.json.
+The host this runs on has episodic load spikes (r15 burned four manual
+attempts; r16 burned three more), so this tool productizes the retry:
+
+1. wait until the host is idle (1-min load <= 0.30 AND 5-min <= 0.80,
+   polled every 60 s, bounded);
+2. run ``python bench.py`` (writes BENCH_DETAIL.json);
+3. evaluate with tools/bench_compare.evaluate() — position-aware quiet
+   ceilings (r16 calibration) + the per-row tripwire;
+4. if ACCEPTABLE: copy the reading to BENCH_ACCEPTED.json with an
+   accepted_note and exit 0. Otherwise cool down and retry.
+
+Exit 0 on acceptance, 1 when attempts are exhausted. The
+BENCH_BASELINE.md paragraph documenting the accepted reading is still
+written by hand, in the same commit as the refreshed blob.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, os.path.join(REPO, "tools"))
+
+import bench_compare  # noqa: E402
+
+IDLE_LOAD1 = 0.30
+IDLE_LOAD5 = 0.80
+IDLE_POLL_S = 60
+IDLE_MAX_WAIT_S = 45 * 60
+COOLDOWN_S = 120  # after a failed attempt, before the idle wait
+
+
+def _load() -> tuple[float, float]:
+    l1, l5 = open("/proc/loadavg").read().split()[:2]
+    return float(l1), float(l5)
+
+
+def wait_for_idle() -> bool:
+    t0 = time.time()
+    while time.time() - t0 < IDLE_MAX_WAIT_S:
+        l1, l5 = _load()
+        if l1 <= IDLE_LOAD1 and l5 <= IDLE_LOAD5:
+            print(f"host idle (load {l1}/{l5})", flush=True)
+            return True
+        print(f"waiting for idle: load {l1}/{l5}", flush=True)
+        time.sleep(IDLE_POLL_S)
+    return False
+
+
+def main(argv: list[str]) -> int:
+    max_attempts = int(argv[1]) if len(argv) > 1 else 5
+    detail_path = os.path.join(REPO, "BENCH_DETAIL.json")
+    accepted_path = os.path.join(REPO, "BENCH_ACCEPTED.json")
+    pins_doc = json.load(open(os.path.join(REPO, "BENCH_PINS.json")))
+
+    for attempt in range(1, max_attempts + 1):
+        if not wait_for_idle():
+            print(f"attempt {attempt}: host never went idle — skipping",
+                  flush=True)
+            continue
+        print(f"attempt {attempt}: running bench.py", flush=True)
+        t0 = time.time()
+        proc = subprocess.run(
+            [sys.executable, os.path.join(REPO, "bench.py")],
+            cwd=REPO, capture_output=True, text=True, timeout=2400,
+        )
+        if proc.returncode != 0:
+            print(f"attempt {attempt}: bench.py exit {proc.returncode}:\n"
+                  f"{proc.stdout[-500:]}\n{proc.stderr[-500:]}", flush=True)
+            time.sleep(COOLDOWN_S)
+            continue
+        ev = bench_compare.evaluate(detail_path, pins_doc)
+        print(
+            f"attempt {attempt} ({time.time()-t0:.0f}s): pre {ev['pre']} "
+            f"post {ev['post']} flagged {ev['flagged']} "
+            f"trips {[(round(r[0], 2), r[1]) for r in ev['trips']]} -> "
+            f"{'ACCEPTABLE' if ev['acceptable'] else 'not acceptable'}",
+            flush=True,
+        )
+        if ev["acceptable"]:
+            blob = dict(ev["raw_doc"])
+            blob["accepted_note"] = (
+                "Builder's accepted quiet full-suite reading (r16, via "
+                "tools/bench_accept.py): idle-gated launch, quiet "
+                "brackets under the r16 position-aware ceilings "
+                "(BENCH_BASELINE.md r16 calibration), zero flagged "
+                "suite checkpoints, zero >1.5x rows vs BENCH_PINS.json. "
+                "The driver's per-round loaded-host reading overwrites "
+                "BENCH_DETAIL.json, never this file."
+            )
+            with open(accepted_path, "w") as fh:
+                json.dump(blob, fh, indent=1, sort_keys=True)
+                fh.write("\n")
+            print(f"accepted: wrote {accepted_path}", flush=True)
+            return 0
+        time.sleep(COOLDOWN_S)
+    print("attempts exhausted without an acceptable reading", flush=True)
+    return 1
+
+
+if __name__ == "__main__":
+    raise SystemExit(main(sys.argv))
