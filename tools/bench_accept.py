@@ -51,12 +51,25 @@ def _load() -> tuple[float, float]:
 
 
 def wait_for_idle() -> bool:
+    """Wait until the host is idle, then CONFIRM idleness with a fresh
+    /proc/loadavg read immediately before returning.  Up to 60 s could
+    elapse between the last poll and the bench launch — a race the r16
+    campaign documented (loop 5's pre-control of 3.515 after an
+    idle-gated launch) — so a stale poll never greenlights a launch;
+    if the host got busy again we go back to waiting (ADVICE r16)."""
     t0 = time.time()
     while time.time() - t0 < IDLE_MAX_WAIT_S:
         l1, l5 = _load()
         if l1 <= IDLE_LOAD1 and l5 <= IDLE_LOAD5:
-            print(f"host idle (load {l1}/{l5})", flush=True)
-            return True
+            # settle briefly, then re-read right before greenlighting
+            time.sleep(5)
+            l1, l5 = _load()
+            if l1 <= IDLE_LOAD1 and l5 <= IDLE_LOAD5:
+                print(f"host idle (load {l1}/{l5})", flush=True)
+                return True
+            print(f"idle race: load rose to {l1}/{l5} before launch — "
+                  f"re-waiting", flush=True)
+            continue
         print(f"waiting for idle: load {l1}/{l5}", flush=True)
         time.sleep(IDLE_POLL_S)
     return False
@@ -68,17 +81,38 @@ def main(argv: list[str]) -> int:
     accepted_path = os.path.join(REPO, "BENCH_ACCEPTED.json")
     pins_doc = json.load(open(os.path.join(REPO, "BENCH_PINS.json")))
 
-    for attempt in range(1, max_attempts + 1):
+    attempt = 0
+    never_idle_skips = 0
+    while attempt < max_attempts:
         if not wait_for_idle():
-            print(f"attempt {attempt}: host never went idle — skipping",
-                  flush=True)
+            # a never-idle wait ran no bench — don't burn an attempt on
+            # it (ADVICE r16), but cap consecutive skips so a busy host
+            # still terminates the loop
+            never_idle_skips += 1
+            print(f"host never went idle (skip {never_idle_skips}/3; "
+                  f"attempts used {attempt}/{max_attempts})", flush=True)
+            if never_idle_skips >= 3:
+                print("3 consecutive never-idle waits — giving up",
+                      flush=True)
+                break
             continue
+        never_idle_skips = 0
+        attempt += 1
         print(f"attempt {attempt}: running bench.py", flush=True)
         t0 = time.time()
-        proc = subprocess.run(
-            [sys.executable, os.path.join(REPO, "bench.py")],
-            cwd=REPO, capture_output=True, text=True, timeout=2400,
-        )
+        try:
+            proc = subprocess.run(
+                [sys.executable, os.path.join(REPO, "bench.py")],
+                cwd=REPO, capture_output=True, text=True, timeout=2400,
+            )
+        except subprocess.TimeoutExpired:
+            # treat like any other failed attempt: log, cool down,
+            # retry (ADVICE r16 — an uncaught TimeoutExpired aborted
+            # the whole loop)
+            print(f"attempt {attempt}: bench.py timed out after 2400 s",
+                  flush=True)
+            time.sleep(COOLDOWN_S)
+            continue
         if proc.returncode != 0:
             print(f"attempt {attempt}: bench.py exit {proc.returncode}:\n"
                   f"{proc.stdout[-500:]}\n{proc.stderr[-500:]}", flush=True)
@@ -95,17 +129,24 @@ def main(argv: list[str]) -> int:
         if ev["acceptable"]:
             blob = dict(ev["raw_doc"])
             blob["accepted_note"] = (
-                "Builder's accepted quiet full-suite reading (r16, via "
-                "tools/bench_accept.py): idle-gated launch, quiet "
-                "brackets under the r16 position-aware ceilings "
-                "(BENCH_BASELINE.md r16 calibration), zero flagged "
-                "suite checkpoints, zero >1.5x rows vs BENCH_PINS.json. "
-                "The driver's per-round loaded-host reading overwrites "
-                "BENCH_DETAIL.json, never this file."
+                "Builder's accepted quiet full-suite reading (via "
+                "tools/bench_accept.py, "
+                + time.strftime("%Y-%m-%d")
+                + "): idle-gated launch, quiet brackets under the r16 "
+                "position-aware ceilings (BENCH_BASELINE.md r16 "
+                "calibration), zero flagged suite checkpoints, zero "
+                ">1.5x rows vs BENCH_PINS.json. The driver's per-round "
+                "loaded-host reading overwrites BENCH_DETAIL.json, "
+                "never this file."
             )
-            with open(accepted_path, "w") as fh:
+            # atomic swap — an interruption mid-write must not leave
+            # the accepted blob (which the test suite asserts against)
+            # truncated (ADVICE r16)
+            tmp_path = accepted_path + ".tmp"
+            with open(tmp_path, "w") as fh:
                 json.dump(blob, fh, indent=1, sort_keys=True)
                 fh.write("\n")
+            os.replace(tmp_path, accepted_path)
             print(f"accepted: wrote {accepted_path}", flush=True)
             return 0
         time.sleep(COOLDOWN_S)

@@ -98,6 +98,12 @@ def evaluate(bench_path: str, pins_doc: dict) -> dict:
 
     with open(bench_path) as f:
         raw_doc = json.load(f)
+    # driver BENCH_r{N}.json wraps the bench stdout line under "parsed";
+    # unwrap it the same way load_timings does so the bracketing
+    # controls / suite checkpoints are found and the acceptance gate is
+    # not silently skipped for such files (ADVICE r16).
+    if "parsed" in raw_doc and isinstance(raw_doc["parsed"], dict):
+        raw_doc = raw_doc["parsed"]
     ckpt_hi = float(pins_doc.get("checkpoint_q1_quiet_hi", 0.60))
     early_hi = pins_doc.get("checkpoint_early_quiet_hi", {})
     pre_hi = float(pins_doc.get("control_q1_pre_quiet_hi", 0.90))
