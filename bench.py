@@ -211,6 +211,24 @@ def _force(df) -> None:
     df.write.format("noop").mode("overwrite").save()
 
 
+def _cpu_steal_total() -> tuple[int, int]:
+    """(steal, total) jiffies from /proc/stat's aggregate cpu line.
+
+    This container is a hypervisor guest, and the r16/r17 acceptance
+    campaigns' "roaming spikes" are invisible to in-guest ps/loadavg
+    attribution (the r17 spike-triggered ps sampler saw ONLY the bench
+    itself during flagged windows). Steal time is the mechanical
+    instrument: it counts cycles the hypervisor withheld from this
+    guest's runnable vCPUs, which no in-guest process can cause — so a
+    per-suite-window steal%% directly measures how much external
+    contention the rows timed in that window suffered, instead of
+    inferring it from an instantaneous q1 probe that a short spike can
+    dodge."""
+    vals = [int(x) for x in open("/proc/stat").readline().split()[1:]]
+    steal = vals[7] if len(vals) > 7 else 0
+    return steal, sum(vals[:8])
+
+
 def main() -> int:
     spark = get_session("kafka_topic_dumper_spark-bench")
     sf = SF_DIR.rstrip("/").rsplit("sf", 1)[-1]
@@ -267,7 +285,18 @@ def main() -> int:
     # ~0.6 s → the host was quiet throughout; pre quiet + post inflated
     # (or vice versa) → contention arrived mid-suite and per-row
     # outliers should be discounted before calling them regressions.
+    steal_run_mark = _cpu_steal_total()
     control_q1_pre = time_control()
+    steal_mark = _cpu_steal_total()
+
+    def steal_window() -> float:
+        """Steal%% of total CPU time since the previous mark — the
+        external-contention integral over the window just timed."""
+        nonlocal steal_mark
+        s, t = _cpu_steal_total()
+        ds, dt = s - steal_mark[0], t - steal_mark[1]
+        steal_mark = (s, t)
+        return round(100.0 * ds / dt, 2) if dt > 0 else 0.0
 
     # Per-suite contamination checkpoints (r15): a q1 probe plus a
     # loadavg snapshot AFTER each suite. The r15 acceptance attempts
@@ -287,10 +316,16 @@ def main() -> int:
     suite_checkpoints: dict[str, dict] = {}
 
     def checkpoint(tag: str) -> None:
+        # steal_window() is read BEFORE the probe so the recorded
+        # steal%% integrates exactly the suite window the checkpoint
+        # bounds (r17: the q1 probe samples an instant and a short
+        # hypervisor spike can dodge it — steal cannot be dodged)
+        steal_pct = steal_window()
         q1 = time_control()
         load1, load5 = open("/proc/loadavg").read().split()[:2]
         suite_checkpoints[tag] = {
             "q1": q1, "load1": float(load1), "load5": float(load5),
+            "steal_pct": steal_pct,
         }
 
     def time_set(names: list[str]) -> dict[str, float]:
@@ -529,7 +564,13 @@ def main() -> int:
     # documented concurrent-load band, telling the reader to discount
     # a uniform slowdown across unrelated rows before calling it a
     # regression.
+    steal_pct_tail = steal_window()  # dump_pipeline window
     control_q1 = time_control()
+    _s, _t = _cpu_steal_total()
+    steal_pct_run = (
+        round(100.0 * (_s - steal_run_mark[0]) / (_t - steal_run_mark[1]), 2)
+        if _t > steal_run_mark[1] else 0.0
+    )
 
     total = round(sum(timings.values()), 3)
     # The driver keeps only the LAST 2000 chars of stdout and parses
@@ -587,6 +628,14 @@ def main() -> int:
     detail = dict(summary)
     detail.update({f"queries_{tag}": t for tag, t in suites.items()})
     detail["suite_checkpoints"] = suite_checkpoints
+    # Steal accounting (r17, detail-only to respect the stdout size
+    # cap): per-window steal%% lives in each checkpoint entry;
+    # steal_pct_tail covers dump_pipeline after the last checkpoint
+    # (the r16 loop-4 blind spot — a late spike AFTER the last
+    # checkpoint that only the post-control caught); steal_pct_run is
+    # the whole-run integral.
+    detail["steal_pct_tail"] = steal_pct_tail
+    detail["steal_pct_run"] = steal_pct_run
     with open(
         os.path.join(os.path.dirname(os.path.abspath(__file__)),
                      "BENCH_DETAIL.json"),

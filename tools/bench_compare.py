@@ -171,8 +171,17 @@ def main(argv: list[str]) -> int:
         for tag, cp in ev["checkpoints"].items():
             hi = float(ev["early_hi"].get(tag, ev["ckpt_hi"]))
             mark = f"  <-- LOADED (> {hi})" if cp["q1"] > hi else ""
+            # steal_pct (r17): external-contention integral over the
+            # suite window — the mechanical spike attribution the
+            # instantaneous q1 probe can miss
+            steal = (f" steal {cp['steal_pct']:.2f}%"
+                     if "steal_pct" in cp else "")
             print(f"  checkpoint {tag}: q1 {cp['q1']:.3f} "
-                  f"load {cp['load1']:.2f}/{cp['load5']:.2f}{mark}")
+                  f"load {cp['load1']:.2f}/{cp['load5']:.2f}{steal}{mark}")
+        raw = ev["raw_doc"]
+        if "steal_pct_run" in raw:
+            print(f"  steal: tail {raw.get('steal_pct_tail')}% "
+                  f"run {raw.get('steal_pct_run')}%")
         if flagged:
             print(f"contaminated windows: {flagged} — discount rows in "
                   f"the suites those checkpoints bound")
