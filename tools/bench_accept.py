@@ -118,6 +118,16 @@ def main(argv: list[str]) -> int:
                   f"{proc.stdout[-500:]}\n{proc.stderr[-500:]}", flush=True)
             time.sleep(COOLDOWN_S)
             continue
+        # archive the attempt's detail before the next one overwrites
+        # it: failed attempts with steal-clean windows are composite
+        # sources for tools/bench_composite.py (r17)
+        archive_dir = os.path.join(REPO, ".bench_attempts")
+        os.makedirs(archive_dir, exist_ok=True)
+        with open(detail_path) as src:
+            with open(os.path.join(
+                    archive_dir,
+                    time.strftime("attempt_%Y%m%d_%H%M%S.json")), "w") as dst:
+                dst.write(src.read())
         ev = bench_compare.evaluate(detail_path, pins_doc)
         print(
             f"attempt {attempt} ({time.time()-t0:.0f}s): pre {ev['pre']} "

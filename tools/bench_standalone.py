@@ -121,9 +121,26 @@ def main(argv: list[str]) -> int:
     spark = get_session("kafka_topic_dumper_spark-standalone")
     _warm_up(spark)
 
+    # steal accounting (r17, same instrument as bench.py): the
+    # external-contention integral over the timed window — a reading
+    # with quiet q1 brackets AND near-zero steal is certified quiet
+    # against both in-guest load and hypervisor contention
+    import importlib.util as _ilu
+
+    _spec = _ilu.spec_from_file_location("_bench",
+                                         os.path.join(REPO, "bench.py"))
+    _bench = _ilu.module_from_spec(_spec)
+    _spec.loader.exec_module(_bench)
+    steal0 = _bench._cpu_steal_total()
+
     pre = _min_of_n(spark, "q1_pricing_summary")
     rows = {n: _min_of_n(spark, n) for n in names}
     post = _min_of_n(spark, "q1_pricing_summary")
+
+    steal1 = _bench._cpu_steal_total()
+    dt_total = steal1[1] - steal0[1]
+    steal_pct = (round(100.0 * (steal1[0] - steal0[0]) / dt_total, 2)
+                 if dt_total > 0 else 0.0)
 
     out = {
         "metric": "standalone_bracketed_min_of_n",
@@ -132,6 +149,7 @@ def main(argv: list[str]) -> int:
         "loadavg": [float(load1), float(load5), float(load15)],
         "control_q1_pre": pre,
         "control_q1_post": post,
+        "steal_pct": steal_pct,
         "rows": rows,
         "ratio_vs_pin": {
             n: (round(s / pins[n]["pin"], 3) if n in pins else None)
