@@ -27,69 +27,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Verification-priority order. Each round's driver checks the FIRST ~50
-# declared queries, so this list is rotated per round. Round-16
-# rotation (the plan recorded in PARITY.md and the r15 verdict item
-# 2): the 49-row r12-stamped cohort — now the oldest stamps on the
-# board — leads, then the head of the r13 cohort
-# (dedup_editdist_prefix_stored) fills the 50-row window. The freshly
-# r15-stamped 50 (the 49-row r11 cohort + dedup_editdist_join_realvocab)
-# move to the back. After r16 no stamp is older than r13 — the steady
+# declared queries, so this list is rotated per round. Round-17
+# rotation (the plan recorded in PARITY.md and the r16 verdict item
+# 3): the 49-row r13-stamped cohort — now the oldest stamps on the
+# board — leads, then the head of the r14 cohort
+# (streaming_hopping_rollup) fills the 50-row window. The freshly
+# r16-stamped 50 (the 49-row r12 cohort + dedup_editdist_prefix_stored)
+# move to the back. After r17 no stamp is older than r14 — the steady
 # three-round rotation for a 199-row registry.
 # Ordering only — coverage is always the full set.
 _VERIFY_PRIORITY = [
-    # --- (a) r12-stamped cohort (49) — oldest stamps, leads r16 ---
-    "approx_aggregates",
-    "pipeline_quality_dedup_pack",
-    "a4_offset_clamp",
-    "dedup_quality_survivor",
-    "dedup_minhash_clusters",
-    "dedup_duplicate_spans",
-    "dedup_remove_spans",
-    "dedup_semantic",
-    "similarity_knn_graph",
-    "similarity_mutual_knn_clusters",
-    "similarity_topk_pq",
-    "similarity_topk_pq_stored",
-    "similarity_topk_ivfpq",
-    "similarity_topk_ivfpq_stored",
-    "text_redact_pii",
-    "retrieval_hybrid_rrf",
-    "stats_corpus_drift",
-    "pipeline_quality_ensemble",
-    "text_quality_classifier",
-    "text_bm25_topk",
-    "multimodal_feature_stub",
-    "multimodal_resize_raw",
-    "sessionize_events",
-    "q17_small_quantity_revenue",
-    "q16_supplier_diversity",
-    "embedding_corpus_stats",
-    "q4_order_priority_check",
-    "q10_returned_items",
-    "q12_lines_priority",
-    "q14_promo_revenue",
-    "q6_forecast_revenue",
-    "q19_disjunctive_predicates",
-    "join_salted_skew",
-    "merge_upsert_customers",
-    "scd2_user_event_history",
-    "pipeline_tokenize_pack_ids",
-    "sample_domain_temperature",
-    "chunk_documents_sliding",
-    "epoch_shuffle_order",
-    "sample_stratified_per_group",
-    "layout_zorder_events",
-    "text_bpe_pair_counts",
-    "streaming_hourly_rollup",
-    "streaming_lm_quality",
-    "streaming_dedup_exact",
-    "streaming_merge_latest_state",
-    "streaming_user_sessions",
-    "q2_cheapest_supplier",
-    "q7_nation_volume_shipping",
-    # --- (b) head of the r13 cohort — fills the 50-row r16 window ---
-    "dedup_editdist_prefix_stored",
-    # --- (c) rest of the r13-stamped cohort (49) ---
+    # --- (a) r13-stamped cohort (49) — oldest stamps, leads r17 ---
     "q8_nation_market_share",
     "q9_product_profit",
     "q11_important_stock_value",
@@ -139,8 +87,9 @@ _VERIFY_PRIORITY = [
     "multimodal_avi_frames",
     "p1_project_key_value",
     "multimodal_decode_mjpeg",
-    # --- (d) r14-stamped cohort (50) ---
+    # --- (b) head of the r14 cohort — fills the 50-row r17 window ---
     "streaming_hopping_rollup",
+    # --- (c) rest of the r14-stamped cohort (49) ---
     "sample_weighted_priority",
     "graph_kcore",
     "asof_join_tolerance",
@@ -190,7 +139,7 @@ _VERIFY_PRIORITY = [
     "stats_hourly_ohlc",
     "graph_pagerank_weighted",
     "stats_ewma_smoothing",
-    # --- (e) r15-stamped cohort (50) — freshest stamps, go last ---
+    # --- (d) r15-stamped cohort (50) ---
     "graph_pagerank_dangling",
     "text_vocab_growth",
     "graph_hits_scores",
@@ -241,6 +190,57 @@ _VERIFY_PRIORITY = [
     "join_range_interval",
     "join_full_outer_reconcile",
     "dedup_editdist_join_realvocab",
+    # --- (e) r16-stamped cohort (50) — freshest stamps, go last ---
+    "approx_aggregates",
+    "pipeline_quality_dedup_pack",
+    "a4_offset_clamp",
+    "dedup_quality_survivor",
+    "dedup_minhash_clusters",
+    "dedup_duplicate_spans",
+    "dedup_remove_spans",
+    "dedup_semantic",
+    "similarity_knn_graph",
+    "similarity_mutual_knn_clusters",
+    "similarity_topk_pq",
+    "similarity_topk_pq_stored",
+    "similarity_topk_ivfpq",
+    "similarity_topk_ivfpq_stored",
+    "text_redact_pii",
+    "retrieval_hybrid_rrf",
+    "stats_corpus_drift",
+    "pipeline_quality_ensemble",
+    "text_quality_classifier",
+    "text_bm25_topk",
+    "multimodal_feature_stub",
+    "multimodal_resize_raw",
+    "sessionize_events",
+    "q17_small_quantity_revenue",
+    "q16_supplier_diversity",
+    "embedding_corpus_stats",
+    "q4_order_priority_check",
+    "q10_returned_items",
+    "q12_lines_priority",
+    "q14_promo_revenue",
+    "q6_forecast_revenue",
+    "q19_disjunctive_predicates",
+    "join_salted_skew",
+    "merge_upsert_customers",
+    "scd2_user_event_history",
+    "pipeline_tokenize_pack_ids",
+    "sample_domain_temperature",
+    "chunk_documents_sliding",
+    "epoch_shuffle_order",
+    "sample_stratified_per_group",
+    "layout_zorder_events",
+    "text_bpe_pair_counts",
+    "streaming_hourly_rollup",
+    "streaming_lm_quality",
+    "streaming_dedup_exact",
+    "streaming_merge_latest_state",
+    "streaming_user_sessions",
+    "q2_cheapest_supplier",
+    "q7_nation_volume_shipping",
+    "dedup_editdist_prefix_stored",
 ]
 
 
