@@ -289,6 +289,30 @@ def main() -> int:
     control_q1_pre = time_control()
     steal_mark = _cpu_steal_total()
 
+    # Opt-in early abort for acceptance attempts (r17): a pre-control
+    # above the quiet ceiling already dooms the reading's acceptance
+    # (the gate requires BOTH brackets quiet), yet the suite would
+    # still burn ~11 minutes — attempts 1 and 5 of the r17 campaign
+    # lost exactly that way. tools/bench_accept.py sets the env var;
+    # the driver's per-round readings (which must complete regardless
+    # of load) never do.
+    if os.environ.get("SPARK_GRAFT_BENCH_ABORT_ON_LOADED_PRE"):
+        try:
+            with open(os.path.join(
+                    os.path.dirname(os.path.abspath(__file__)),
+                    "BENCH_PINS.json")) as fh:
+                _pre_hi = float(json.load(fh).get(
+                    "control_q1_pre_quiet_hi", 0.90))
+        except (OSError, ValueError):
+            _pre_hi = 0.90
+        if control_q1_pre > _pre_hi:
+            print(json.dumps({
+                "metric": "aborted_loaded_pre_control",
+                "control_q1_pre": control_q1_pre,
+                "pre_quiet_hi": _pre_hi,
+            }))
+            return 3
+
     def steal_window() -> float:
         """Steal%% of total CPU time since the previous mark — the
         external-contention integral over the window just timed."""

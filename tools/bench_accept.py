@@ -104,6 +104,11 @@ def main(argv: list[str]) -> int:
             proc = subprocess.run(
                 [sys.executable, os.path.join(REPO, "bench.py")],
                 cwd=REPO, capture_output=True, text=True, timeout=2400,
+                # doomed attempts abort after the pre-control (~1 min)
+                # instead of burning the full ~11-minute suite (r17
+                # attempts 1/5 were lost to a loaded pre-control)
+                env={**os.environ,
+                     "SPARK_GRAFT_BENCH_ABORT_ON_LOADED_PRE": "1"},
             )
         except subprocess.TimeoutExpired:
             # treat like any other failed attempt: log, cool down,
