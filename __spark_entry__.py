@@ -27,69 +27,17 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Verification-priority order. Each round's driver checks the FIRST ~50
-# declared queries, so this list is rotated per round. Round-17
-# rotation (the plan recorded in PARITY.md and the r16 verdict item
-# 3): the 49-row r13-stamped cohort — now the oldest stamps on the
-# board — leads, then the head of the r14 cohort
-# (streaming_hopping_rollup) fills the 50-row window. The freshly
-# r16-stamped 50 (the 49-row r12 cohort + dedup_editdist_prefix_stored)
-# move to the back. After r17 no stamp is older than r14 — the steady
+# declared queries, so this list is rotated per round. Round-18
+# rotation (the plan recorded in PARITY.md and the r17 verdict item
+# 1): the 49-row r14-stamped cohort — now the oldest stamps on the
+# board — leads, then the head of the r15 cohort
+# (graph_pagerank_dangling) fills the 50-row window. The freshly
+# r17-stamped 50 (the 49-row r13 cohort + streaming_hopping_rollup)
+# move to the back. After r18 no stamp is older than r15 — the steady
 # three-round rotation for a 199-row registry.
 # Ordering only — coverage is always the full set.
 _VERIFY_PRIORITY = [
-    # --- (a) r13-stamped cohort (49) — oldest stamps, leads r17 ---
-    "q8_nation_market_share",
-    "q9_product_profit",
-    "q11_important_stock_value",
-    "q13_customer_order_distribution",
-    "q15_top_supplier",
-    "q20_potential_part_promotion",
-    "q21_late_shipping_suppliers",
-    "q22_dormant_customers",
-    "pack_training_sequences",
-    "sample_domain_mixture",
-    "pipeline_clean_dedup_pack",
-    "stats_exact_percentiles",
-    "stats_key_skew_profile",
-    "dedup_cluster_components",
-    "grouping_sets_order_matrix",
-    "multimodal_phash_neardup",
-    "q1_pricing_summary",
-    "o3_limit_top_orders",
-    "rollup_order_revenue",
-    "setops_customer_cohorts",
-    "join_semi_anti_customers",
-    "sample_stratified_by_lang",
-    "sample_train_val_test_split",
-    "multimodal_frame_sample",
-    "multimodal_resize_stub",
-    "text_lang_id",
-    "text_quality_score",
-    "text_token_stats",
-    "text_source_profile",
-    "text_token_doc_frequency",
-    "text_repetition_quality",
-    "text_lang_corpus_stats",
-    "text_fingerprint",
-    "text_winnowing_fingerprints",
-    "text_bpe_merges",
-    "text_bpe_encode",
-    "similarity_topk_ivf_trained",
-    "dedup_semantic_trained",
-    "similarity_topk_pq_trained",
-    "streaming_sessionize_state",
-    "multimodal_decode_png",
-    "streaming_dedup_minhash",
-    "text_quality_calibrated_rank",
-    "sample_token_budget",
-    "multimodal_wav_features",
-    "multimodal_decode_gif",
-    "multimodal_avi_frames",
-    "p1_project_key_value",
-    "multimodal_decode_mjpeg",
-    # --- (b) head of the r14 cohort — fills the 50-row r17 window ---
-    "streaming_hopping_rollup",
-    # --- (c) rest of the r14-stamped cohort (49) ---
+    # --- (a) r14-stamped cohort (49) — oldest stamps, leads r18 ---
     "sample_weighted_priority",
     "graph_kcore",
     "asof_join_tolerance",
@@ -139,8 +87,9 @@ _VERIFY_PRIORITY = [
     "stats_hourly_ohlc",
     "graph_pagerank_weighted",
     "stats_ewma_smoothing",
-    # --- (d) r15-stamped cohort (50) ---
+    # --- (b) head of the r15 cohort — fills the 50-row r18 window ---
     "graph_pagerank_dangling",
+    # --- (c) rest of the r15-stamped cohort (49) ---
     "text_vocab_growth",
     "graph_hits_scores",
     "stats_interarrival_quartiles",
@@ -190,7 +139,7 @@ _VERIFY_PRIORITY = [
     "join_range_interval",
     "join_full_outer_reconcile",
     "dedup_editdist_join_realvocab",
-    # --- (e) r16-stamped cohort (50) — freshest stamps, go last ---
+    # --- (d) r16-stamped cohort (50) ---
     "approx_aggregates",
     "pipeline_quality_dedup_pack",
     "a4_offset_clamp",
@@ -241,6 +190,57 @@ _VERIFY_PRIORITY = [
     "q2_cheapest_supplier",
     "q7_nation_volume_shipping",
     "dedup_editdist_prefix_stored",
+    # --- (e) r17-stamped cohort (50) — freshest stamps, go last ---
+    "q8_nation_market_share",
+    "q9_product_profit",
+    "q11_important_stock_value",
+    "q13_customer_order_distribution",
+    "q15_top_supplier",
+    "q20_potential_part_promotion",
+    "q21_late_shipping_suppliers",
+    "q22_dormant_customers",
+    "pack_training_sequences",
+    "sample_domain_mixture",
+    "pipeline_clean_dedup_pack",
+    "stats_exact_percentiles",
+    "stats_key_skew_profile",
+    "dedup_cluster_components",
+    "grouping_sets_order_matrix",
+    "multimodal_phash_neardup",
+    "q1_pricing_summary",
+    "o3_limit_top_orders",
+    "rollup_order_revenue",
+    "setops_customer_cohorts",
+    "join_semi_anti_customers",
+    "sample_stratified_by_lang",
+    "sample_train_val_test_split",
+    "multimodal_frame_sample",
+    "multimodal_resize_stub",
+    "text_lang_id",
+    "text_quality_score",
+    "text_token_stats",
+    "text_source_profile",
+    "text_token_doc_frequency",
+    "text_repetition_quality",
+    "text_lang_corpus_stats",
+    "text_fingerprint",
+    "text_winnowing_fingerprints",
+    "text_bpe_merges",
+    "text_bpe_encode",
+    "similarity_topk_ivf_trained",
+    "dedup_semantic_trained",
+    "similarity_topk_pq_trained",
+    "streaming_sessionize_state",
+    "multimodal_decode_png",
+    "streaming_dedup_minhash",
+    "text_quality_calibrated_rank",
+    "sample_token_budget",
+    "multimodal_wav_features",
+    "multimodal_decode_gif",
+    "multimodal_avi_frames",
+    "p1_project_key_value",
+    "multimodal_decode_mjpeg",
+    "streaming_hopping_rollup",
 ]
 
 
