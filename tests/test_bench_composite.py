@@ -196,6 +196,101 @@ def test_accepted_blob_is_steal_annotated(accepted):
         assert "steal_pct" in cp, tag
 
 
+def test_missing_row_in_clean_attempt_is_uncovered(composite, monkeypatch):
+    """A row mapped to a window but absent from every clean attempt's
+    timings (truncated/partially-schema'd archive) must land in
+    'uncovered', not raise ValueError from min() over an empty
+    generator (ADVICE r17)."""
+    _patch_mini_windows(composite, monkeypatch)
+    doc = _mini_detail()
+    doc["queries_v2"] = {}  # window exists and is clean, but no 'b'
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "att.json")
+        json.dump(doc, open(p, "w"))
+        res = composite.build_composite(
+            [p], _mini_pins({"a": 1.0, "b": 2.0, "dump_pipeline": 0.5}))
+    assert "b" in res["uncovered"]
+    assert res["composite"]["a"] == 1.0  # other rows still composed
+
+
+def _two_attempt_fixture(composite, td):
+    """Attempt 0 is dirty in after_v2 (the composite-motivating shape);
+    attempt 1 is clean everywhere.  Row 'a' and dump_pipeline source
+    from attempt 0, row 'b' must source from attempt 1."""
+    att0 = _mini_detail()
+    att0["suite_checkpoints"]["after_v2"]["steal_pct"] = 4.0
+    att0["queries_v2"]["b"] = 0.1  # tempting min in a stolen window
+    att0["steal_pct_run"] = 2.2
+    att1 = _mini_detail(q1=0.5, steal=0.2)
+    att1["queries"]["a"] = 1.1
+    att1["queries"]["dump_pipeline"] = 0.6
+    paths = []
+    for i, doc in enumerate((att0, att1)):
+        p = os.path.join(td, f"att{i}.json")
+        json.dump(doc, open(p, "w"))
+        paths.append(p)
+    return paths
+
+
+def test_synthesized_window_meta_follows_sourcing_attempts(
+        composite, monkeypatch):
+    """The composite blob's per-window metadata must describe the
+    windows the rows were SOURCED from, not attempt 1's run verbatim
+    (ADVICE r17): attempt 0's after_v2 window is contaminated (4.0%
+    steal), so the synthesized after_v2 checkpoint must carry attempt
+    1's clean reading."""
+    _patch_mini_windows(composite, monkeypatch)
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as td:
+        paths = _two_attempt_fixture(composite, td)
+        res = composite.build_composite(
+            paths, _mini_pins({"a": 1.0, "b": 2.0, "dump_pipeline": 0.5}))
+        meta = composite.synthesize_window_meta(res)
+    # b sourced from the clean attempt only
+    assert res["provenance"]["b"] == "att1.json"
+    assert res["window_sources"]["after_v2"] == ["att1.json"]
+    # synthesized after_v2 metadata is att1's clean window, not att0's
+    assert meta["suite_checkpoints"]["after_v2"]["steal_pct"] == 0.2
+    assert meta["suite_checkpoints"]["after_v2"]["q1"] == 0.5
+    # headline/TAIL sourced from att0 -> its (clean) brackets win
+    assert meta["control_q1_pre"] == 0.7
+    assert meta["control_q1_post"] == 0.45
+    # run-level steal: worst case over sourcing attempts, documented
+    assert meta["steal_pct_run"] == 2.2
+
+
+def test_write_blob_passes_accepted_window_invariant(
+        composite, monkeypatch, tmp_path, capsys):
+    """End-to-end --write with a dirty attempt 0: the written blob
+    must satisfy exactly the invariant
+    test_accepted_windows_not_contaminated asserts — before this fix
+    the blob carried attempt 0's 4.0%-steal after_v2 checkpoint and
+    failed it."""
+    _patch_mini_windows(composite, monkeypatch)
+    pins = _mini_pins({"a": 1.0, "b": 2.0, "dump_pipeline": 0.5})
+    (tmp_path / "BENCH_PINS.json").write_text(json.dumps(pins))
+    monkeypatch.setattr(composite, "REPO", str(tmp_path))
+    paths = _two_attempt_fixture(composite, str(tmp_path))
+    rc = composite.main(["bench_composite.py", "--write"] + paths)
+    assert rc == 0, capsys.readouterr().out
+    blob = json.loads((tmp_path / "BENCH_ACCEPTED.json").read_text())
+    assert blob["composite_sources"]["b"] == "att1.json"
+    assert blob["suite_checkpoints"]["after_v2"]["steal_pct"] == 0.2
+    assert "steal_pct_run" in blob
+    windows = composite._quiet_windows(blob, pins)
+    bad = {
+        t: w for t, w in windows.items()
+        if (w["steal"] is None or w["steal"] >= composite.STEAL_HI
+            or not w["closer_ok"] or not w["opener_ok"])
+    }
+    assert not bad, f"written composite blob has contaminated windows: {bad}"
+    # sampling-bias documentation must travel with the blob
+    assert "biased slightly low" in blob["accepted_note"]
+
+
 def test_accepted_windows_not_contaminated(composite, accepted, pins_doc):
     """The no-trips invariant's steal-side twin: no window of the
     accepted reading may reach the observed contamination floor

@@ -83,6 +83,7 @@ def main(argv: list[str]) -> int:
 
     attempt = 0
     never_idle_skips = 0
+    pre_abort_skips = 0
     while attempt < max_attempts:
         if not wait_for_idle():
             # a never-idle wait ran no bench — don't burn an attempt on
@@ -118,11 +119,31 @@ def main(argv: list[str]) -> int:
                   flush=True)
             time.sleep(COOLDOWN_S)
             continue
+        if proc.returncode == 3:
+            # pre-control abort: bench.py bailed ~1 min in because the
+            # pre-control probe read loaded — no suite ran, so this is
+            # the same class as a never-idle wait, not a burned attempt
+            # (ADVICE r17). Cap consecutive aborts so a host whose
+            # loadavg looks idle but whose probe always reads hot still
+            # terminates the loop.
+            attempt -= 1
+            pre_abort_skips += 1
+            print(f"pre-control abort (skip {pre_abort_skips}/3; "
+                  f"attempts used {attempt}/{max_attempts}):\n"
+                  f"{proc.stdout[-300:]}", flush=True)
+            if pre_abort_skips >= 3:
+                print("3 consecutive pre-control aborts — giving up",
+                      flush=True)
+                break
+            time.sleep(COOLDOWN_S)
+            continue
         if proc.returncode != 0:
             print(f"attempt {attempt}: bench.py exit {proc.returncode}:\n"
                   f"{proc.stdout[-500:]}\n{proc.stderr[-500:]}", flush=True)
+            pre_abort_skips = 0
             time.sleep(COOLDOWN_S)
             continue
+        pre_abort_skips = 0
         # archive the attempt's detail before the next one overwrites
         # it: failed attempts with steal-clean windows are composite
         # sources for tools/bench_composite.py (r17)
