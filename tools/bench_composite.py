@@ -189,7 +189,6 @@ def build_composite(paths: list[str], pins_doc: dict) -> dict:
     provenance: dict[str, str] = {}
     uncovered: dict[str, list] = {}
     window_sources: dict[str, set] = {}
-    row_window: dict[str, str] = {}
     for tag, rows in window_rows.items():
         clean_attempts = [(name, t) for name, d, w, t in attempts
                           if w[tag]["clean"]]
@@ -208,7 +207,6 @@ def build_composite(paths: list[str], pins_doc: dict) -> dict:
             name, sec = min(candidates, key=lambda x: x[1])
             composite[row] = sec
             provenance[row] = name
-            row_window[row] = tag
             window_sources.setdefault(tag, set()).add(name)
 
     pins = pins_doc["pins"]
