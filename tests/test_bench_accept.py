@@ -60,6 +60,51 @@ def test_pre_control_abort_does_not_burn_attempt(accept, monkeypatch,
     assert "3 consecutive pre-control aborts" in out
 
 
+class _FakeTime:
+    """Deterministic clock: sleep() advances time() — keeps the
+    bounded-wait loops finite without real waiting."""
+
+    def __init__(self):
+        self.t = 0.0
+
+    def time(self) -> float:
+        return self.t
+
+    def sleep(self, s: float) -> None:
+        self.t += s
+
+
+def test_wait_for_idle_rejects_steal_elevated_window(accept, monkeypatch,
+                                                     capsys):
+    """Idle loadavg is not enough (r18): a steal-elevated probe must
+    send the loop back to waiting; a clean probe greenlights."""
+    ft = _FakeTime()
+    monkeypatch.setattr(accept, "time", ft)
+    monkeypatch.setattr(accept, "_load", lambda: (0.1, 0.2))
+    steals = iter([2.5, 0.1])
+
+    def probe(window_s=accept.STEAL_PROBE_S):
+        ft.sleep(window_s)
+        return next(steals)
+
+    monkeypatch.setattr(accept, "_steal_probe", probe)
+    assert accept.wait_for_idle() is True
+    out = capsys.readouterr().out
+    assert "steal 2.5%" in out and "re-waiting" in out
+    assert "steal 0.1%" in out
+
+
+def test_wait_for_idle_times_out_on_busy_host(accept, monkeypatch):
+    ft = _FakeTime()
+    monkeypatch.setattr(accept, "time", ft)
+    monkeypatch.setattr(accept, "_load", lambda: (5.0, 5.0))
+    monkeypatch.setattr(
+        accept, "_steal_probe",
+        lambda window_s=30: (_ for _ in ()).throw(
+            AssertionError("probe must not run on a loaded host")))
+    assert accept.wait_for_idle() is False
+
+
 def test_failed_suite_run_still_burns_attempt(accept, monkeypatch,
                                               capsys):
     """Non-3 nonzero exits ran (or tried to run) the suite — they keep

@@ -13,7 +13,11 @@ The host this runs on has episodic load spikes (r15 burned four manual
 attempts; r16 burned three more), so this tool productizes the retry:
 
 1. wait until the host is idle (1-min load <= 0.30 AND 5-min <= 0.80,
-   polled every 60 s, bounded);
+   polled every 60 s, bounded), then certify the window against
+   hypervisor CPU steal with a 30-s /proc/stat probe (<= 0.5%) —
+   loadavg cannot see steal, and steal is what actually killed the
+   r16/r17 idle-gated attempts (r18: the probe-gated launch passed
+   the strict gate first try);
 2. run ``python bench.py`` (writes BENCH_DETAIL.json);
 3. evaluate with tools/bench_compare.evaluate() — position-aware quiet
    ceilings (r16 calibration) + the per-row tripwire;
@@ -43,11 +47,34 @@ IDLE_LOAD5 = 0.80
 IDLE_POLL_S = 60
 IDLE_MAX_WAIT_S = 45 * 60
 COOLDOWN_S = 120  # after a failed attempt, before the idle wait
+# Steal gate (r18): loadavg cannot see hypervisor contention — the
+# r17 campaign's attempts 1-6 all launched idle-gated and failed on
+# roaming CPU steal, while the r18 accepted reading landed first-try
+# after a probe read the window steal-clean. Bar matches the
+# composite tool's sourcing threshold (clean windows read <= 0.4%).
+STEAL_PROBE_S = 30
+STEAL_IDLE_PCT = 0.5
 
 
 def _load() -> tuple[float, float]:
     l1, l5 = open("/proc/loadavg").read().split()[:2]
     return float(l1), float(l5)
+
+
+def _steal_probe(window_s: float = STEAL_PROBE_S) -> float:
+    """%% of CPU time stolen by the hypervisor over a short window
+    (/proc/stat field 8 — the same integral bench.py annotates its
+    suite windows with)."""
+
+    def snap() -> tuple[int, int]:
+        vals = [int(x) for x in open("/proc/stat").readline().split()[1:]]
+        return vals[7], sum(vals)
+
+    s0, t0 = snap()
+    time.sleep(window_s)
+    s1, t1 = snap()
+    dt = t1 - t0
+    return round(100.0 * (s1 - s0) / dt, 2) if dt > 0 else 0.0
 
 
 def wait_for_idle() -> bool:
@@ -61,11 +88,19 @@ def wait_for_idle() -> bool:
     while time.time() - t0 < IDLE_MAX_WAIT_S:
         l1, l5 = _load()
         if l1 <= IDLE_LOAD1 and l5 <= IDLE_LOAD5:
-            # settle briefly, then re-read right before greenlighting
-            time.sleep(5)
+            # loadavg is idle — now certify the window against
+            # hypervisor steal, which loadavg cannot see (r18): the
+            # probe doubles as the settle period, and a fresh loadavg
+            # read right after closes the launch race (ADVICE r16)
+            steal = _steal_probe()
             l1, l5 = _load()
+            if steal > STEAL_IDLE_PCT:
+                print(f"idle loadavg but steal {steal}% over "
+                      f"{STEAL_PROBE_S}s probe — re-waiting", flush=True)
+                continue
             if l1 <= IDLE_LOAD1 and l5 <= IDLE_LOAD5:
-                print(f"host idle (load {l1}/{l5})", flush=True)
+                print(f"host idle (load {l1}/{l5}, steal {steal}%)",
+                      flush=True)
                 return True
             print(f"idle race: load rose to {l1}/{l5} before launch — "
                   f"re-waiting", flush=True)
