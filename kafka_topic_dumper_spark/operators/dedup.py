@@ -378,8 +378,21 @@ def editdist_gram_counts(
     d: DataFrame, max_dist: int = EDITDIST_MAX, q: int = EDITDIST_Q
 ) -> DataFrame:
     """(doc_id, len, gh, c, band): per-doc q-gram MULTISET counts under
-    the portable 60-bit gram hash, plus the length band used by the
-    adjacent-band join trick. ``d`` must carry (doc_id, text, len).
+    xxhash64, plus the length band used by the adjacent-band join
+    trick. ``d`` must carry (doc_id, text, len).
+
+    Hash choice (r18 optimization): the gram hash never reaches any
+    editdist row's OUTPUT — it only generates candidates, and every
+    candidate is verified by the exact banded levenshtein; the oracles
+    for all three editdist rows are the NAIVE length-pruned all-pairs
+    DP, hash-free. A hash collision merges two gram groups, which only
+    INFLATES the shared count (min(Σa,Σb) ≥ Σ min(a,b)), so the lemma
+    filter keeps a superset and the verified output is unchanged —
+    collisions can add false candidates, never drop true pairs. That
+    frees this hash from the md5-portability contract the
+    oracle-mirrored hashes (setsim/minhash/ngram) must keep; xxhash64
+    is JVM-native and measured ~4 s cheaper on the realvocab row at
+    sf0.1 (md5 is one digest per gram occurrence — corpus-sized).
 
     Length-band bucketing on top of any gram join: with band width
     W = D+1, any pair within the length prune differs by at most one
@@ -389,8 +402,6 @@ def editdist_gram_counts(
     Σ_g df(g)² to same-or-adjacent-length-band pairs only (~6× here;
     the factor grows with length spread). Lossless: callers still
     apply the exact abs(len_a - len_b) prune."""
-    from kafka_topic_dumper_spark.functions.portable_hash import h60_spark_sql
-
     grams = d.select(
         "doc_id",
         "len",
@@ -405,7 +416,7 @@ def editdist_gram_counts(
     )
     band_w = max_dist + 1
     return (
-        grams.groupBy("doc_id", "len", F.expr(h60_spark_sql("g")).alias("gh"))
+        grams.groupBy("doc_id", "len", F.xxhash64("g").alias("gh"))
         .agg(F.count("*").alias("c"))
         .withColumn("band", F.expr(f"len div {band_w}"))
     )
@@ -439,7 +450,16 @@ def editdist_join_pairs(
         "doc_id", "text", F.length("text").cast("bigint").alias("len")
     )
     gcnt = editdist_gram_counts(d, max_dist, q)
-    a = gcnt.select(
+    # Exploding-join parallelism (r18, guide §2.2/§2.5): AQE coalesces
+    # the gram-count exchange by its PRE-join byte size (~2M rows → 16
+    # partitions at sf0.1), but the (gh, band) join multiplies rows
+    # ~60× (117M joined rows here), so the probe side must be
+    # partitioned by CORES, not bytes — half the machine sat idle
+    # otherwise. Cores-derived (defaultParallelism), not a constant, so
+    # a cluster deployment scales it automatically; measured 14.0 →
+    # 10.4 s on the candidate stage at sf0.1 local[32].
+    n_part = d.sparkSession.sparkContext.defaultParallelism * 2
+    a = gcnt.repartition(n_part, "gh", "band").select(
         F.col("doc_id").alias("doc_a"),
         F.col("len").alias("len_a"),
         "gh",
@@ -480,7 +500,12 @@ def editdist_join_pairs(
         .filter(F.abs(F.col("len_a") - F.col("len_b")) <= max_dist)
         .select("doc_a", "doc_b")
     )
-    cands = lemma.union(sp).distinct()
+    # Spread the DP verify across cores (r18): the candidate set is
+    # byte-tiny (~23k pairs) so AQE coalesces it to ~1 partition, but
+    # each pair pays an O(len·D) levenshtein — CPU-heavy rows behind a
+    # byte-cheap relation, the same bytes-vs-work mismatch as the
+    # exploding join above. Cores-derived round-robin repartition.
+    cands = lemma.union(sp).distinct().repartition(n_part)
 
     ta = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
     tb = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
@@ -634,7 +659,12 @@ def editdist_pairs_from_prefix_index(
     Short-doc completeness (both sides ≤ q−1+q·D chars, where the
     lemma bound is vacuous): exact within-subset enumeration, unioned
     in before verification — identical to the gram-count join."""
-    a = index.select(
+    # Same cores-derived probe-side repartition as the gram-count join
+    # (r18): the prefix⋈prefix join multiplies rows well past the
+    # index's byte size, so AQE's byte-based coalescing undershoots
+    # the parallelism the join body needs.
+    n_part = docs.sparkSession.sparkContext.defaultParallelism * 2
+    a = index.repartition(n_part, "gh", "occ", "band").select(
         F.col("doc_id").alias("doc_a"),
         F.col("len").alias("len_a"),
         "gh",
@@ -673,7 +703,8 @@ def editdist_pairs_from_prefix_index(
         .filter(F.abs(F.col("len_a") - F.col("len_b")) <= max_dist)
         .select("doc_a", "doc_b")
     )
-    cands = cand.union(sp).distinct()
+    # DP-verify spread, as in editdist_join_pairs (r18).
+    cands = cand.union(sp).distinct().repartition(n_part)
 
     ta = d.select(F.col("doc_id").alias("doc_a"), F.col("text").alias("text_a"))
     tb = d.select(F.col("doc_id").alias("doc_b"), F.col("text").alias("text_b"))
