@@ -1003,18 +1003,23 @@ def _build_lzw():
 
     def lzw_decode(data: bytes, min_code: int = 8) -> bytes:
         clear, end = 1 << min_code, (1 << min_code) + 1
-        pos = 0  # bit position
         nbytes = len(data)
+        # LSB-first accumulator bit reader (r18): one shift/mask per
+        # code instead of a per-bit loop; returns None on exactly the
+        # same fewer-than-width-bits-remain condition as before.
+        buf = nb = bytepos = 0
 
         def read(width: int) -> int | None:
-            nonlocal pos
-            if pos + width > nbytes * 8:
+            nonlocal buf, nb, bytepos
+            while nb < width and bytepos < nbytes:
+                buf |= data[bytepos] << nb
+                bytepos += 1
+                nb += 8
+            if nb < width:
                 return None
-            v = 0
-            for b in range(width):
-                i = pos + b
-                v |= ((data[i >> 3] >> (i & 7)) & 1) << b
-            pos += width
+            v = buf & ((1 << width) - 1)
+            buf >>= width
+            nb -= width
             return v
 
         def fresh() -> list:
@@ -1455,6 +1460,61 @@ def _build_jpeg():
     def _category(v: int) -> int:
         return abs(v).bit_length()
 
+    # r18 optimization (guide §4.2 — per-task work): the encoder's code
+    # tables, DCT/quant matrices, and every header byte not depending
+    # on (h, w) are spec constants — built once per (de)serialized
+    # closure instead of once (or twice) per image.
+    import struct as _struct
+
+    import numpy as _np
+
+    _ENC_DC_CODE = _canonical_codes(DC_BITS, DC_VALS)
+    _ENC_AC_CODE = _canonical_codes(AC_BITS, AC_VALS)
+    _ENC_M = _np.array(DCT_M, dtype=_np.int64)
+    _ENC_Q = _np.array(QT, dtype=_np.int64).reshape(8, 8)
+    _ENC_ZIG = list(ZIG)
+
+    def _seg(marker: int, body: bytes) -> bytes:
+        return _struct.pack(">HH", marker, len(body) + 2) + body
+
+    _ENC_HDR_PRE = b"\xff\xd8" + _seg(
+        0xFFDB, b"\x00" + bytes(QT[ZIG[k]] for k in range(64))
+    )
+    _ENC_HDR_POST = (
+        _seg(0xFFC4, b"\x00" + bytes(DC_BITS) + bytes(DC_VALS))
+        + _seg(0xFFC4, b"\x10" + bytes(AC_BITS) + bytes(AC_VALS))
+        + _seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+    )
+
+    # 16-bit lookahead LUTs for table-driven Huffman DECODE, cached by
+    # the raw DHT table bytes (identical streams share tables, so the
+    # canonical rebuild + 65k-entry fill runs once per distinct table
+    # per task, not once per image — the profile showed the per-image
+    # rebuild at ~17% and the bit-at-a-time decode loop at ~53% of
+    # decode time). Every 16-bit window maps to (symbol, code length);
+    # length 0 marks "no code is a prefix of this window". Canonical
+    # JPEG codes are prefix-free, so first-match == unique match and
+    # the LUT is exact — decoded symbols (and therefore every output
+    # byte) are identical to the bit-at-a-time loop's.
+    _huff_lut_cache: dict = {}
+
+    def _huff_lut(key: bytes, bits, vals):
+        lut = _huff_lut_cache.get(key)
+        if lut is None:
+            import numpy as np
+
+            codes = _canonical_codes(bits, vals)
+            sym = np.zeros(1 << 16, dtype=np.int16)
+            ln = np.zeros(1 << 16, dtype=np.int16)
+            for s, (code, length) in codes.items():
+                lo = code << (16 - length)
+                hi = (code + 1) << (16 - length)
+                sym[lo:hi] = s
+                ln[lo:hi] = length
+            lut = (sym.tolist(), ln.tolist())
+            _huff_lut_cache[key] = lut
+        return lut
+
     def jpeg_encode_gray(px) -> bytes:
         """8-bit greyscale raster (h, w) uint8 ndarray -> baseline
         sequential JPEG bytes (single component, no subsampling, no
@@ -1467,26 +1527,33 @@ def _build_jpeg():
         if not (0 < w < 65536 and 0 < h < 65536):
             raise ValueError(f"bad raster dims {w}x{h}")
         H8, W8 = -(-h // 8) * 8, -(-w // 8) * 8
-        img = np.pad(
-            px.astype(np.int64), ((0, H8 - h), (0, W8 - w)), mode="edge"
-        )
+        # edge replication via clamped index vectors — identical values
+        # to np.pad(mode="edge"), without its per-call overhead (the
+        # profile showed np.pad at ~20% of encode for these tiny
+        # rasters)
+        img = px.astype(np.int64)
+        if H8 != h or W8 != w:
+            img = img[
+                np.minimum(np.arange(H8), h - 1)[:, None],
+                np.minimum(np.arange(W8), w - 1),
+            ]
         blocks = (
             img.reshape(H8 // 8, 8, W8 // 8, 8)
             .transpose(0, 2, 1, 3)
             .reshape(-1, 8, 8)
             - 128
         )
-        M = np.array(DCT_M, dtype=np.int64)
+        M = _ENC_M
         F = np.einsum("ux,nxy,vy->nuv", M, blocks, M)
         F = (F + (1 << 25)) >> 26
-        Q = np.array(QT, dtype=np.int64).reshape(8, 8)
+        Q = _ENC_Q
         # sign-aware round-half-up on |F| — replayed verbatim by the
         # oracle, floor-div on non-negative operands only
         q = np.sign(F) * ((np.abs(F) * 2 + Q) // (2 * Q))
-        zq = q.reshape(-1, 64)[:, list(ZIG)]
+        zq = q.reshape(-1, 64)[:, _ENC_ZIG]
 
-        dc_code = _canonical_codes(DC_BITS, DC_VALS)
-        ac_code = _canonical_codes(AC_BITS, AC_VALS)
+        dc_code = _ENC_DC_CODE
+        ac_code = _ENC_AC_CODE
         out = bytearray()
         acc = nacc = 0
 
@@ -1507,8 +1574,7 @@ def _build_jpeg():
                 put(v if v >= 0 else v + (1 << cat) - 1, cat)
 
         pred = 0
-        for blk in zq:
-            blk = [int(x) for x in blk]
+        for blk in zq.tolist():
             diff = blk[0] - pred
             pred = blk[0]
             cat = _category(diff)
@@ -1516,9 +1582,9 @@ def _build_jpeg():
             put(c, ln)
             put_val(diff, cat)
             run = 0
-            last_nz = max(
-                (k for k in range(1, 64) if blk[k]), default=0
-            )
+            last_nz = 63
+            while last_nz > 0 and not blk[last_nz]:
+                last_nz -= 1
             for k in range(1, last_nz + 1):
                 v = blk[k]
                 if v == 0:
@@ -1539,19 +1605,10 @@ def _build_jpeg():
         if nacc:
             put((1 << (8 - nacc)) - 1, 8 - nacc)  # pad with 1s
 
-        def seg(marker: int, body: bytes) -> bytes:
-            return struct.pack(">HH", marker, len(body) + 2) + body
-
-        qt_zig = bytes(QT[ZIG[k]] for k in range(64))
-        dht = bytes(DC_BITS) + bytes(DC_VALS)
-        aht = bytes(AC_BITS) + bytes(AC_VALS)
         return (
-            b"\xff\xd8"
-            + seg(0xFFDB, b"\x00" + qt_zig)
-            + seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
-            + seg(0xFFC4, b"\x00" + dht)
-            + seg(0xFFC4, b"\x10" + aht)
-            + seg(0xFFDA, b"\x01\x01\x00\x00\x3f\x00")
+            _ENC_HDR_PRE
+            + _seg(0xFFC0, struct.pack(">BHHB", 8, h, w, 1) + b"\x01\x11\x00")
+            + _ENC_HDR_POST
             + bytes(out)
             + b"\xff\xd9"
         )
@@ -1608,10 +1665,9 @@ def _build_jpeg():
                     vals = list(body[p + 17 : p + 17 + n])
                     if len(vals) != n:
                         raise ValueError("truncated DHT values")
-                    codes = _canonical_codes(bits, vals)
-                    htables[(tc, th)] = {
-                        (ln_, code): sym for sym, (code, ln_) in codes.items()
-                    }
+                    htables[(tc, th)] = _huff_lut(
+                        bytes(body[p : p + 17 + n]), bits, vals
+                    )
                     p += 17 + n
             elif marker == 0xFFC0:  # SOF0 baseline
                 prec, h, w, ncomp = struct.unpack_from(">BHHB", body, 0)
@@ -1670,31 +1726,53 @@ def _build_jpeg():
                     f"unexpected marker 0xff{nxt:02x} in entropy stream"
                 )
 
-        bitpos = 0
-        nbits = len(ent) * 8
-
-        def read_bit() -> int:
-            nonlocal bitpos
-            if bitpos >= nbits:
-                raise ValueError("truncated JPEG entropy stream")
-            b = (ent[bitpos >> 3] >> (7 - (bitpos & 7))) & 1
-            bitpos += 1
-            return b
+        # Accumulator bit reader + LUT symbol decode (r18): `acc` holds
+        # the next `accn` unconsumed bits; a symbol is one 16-bit peek
+        # and one table index instead of up to 16 per-bit loop rounds.
+        # Error semantics replicate the bit-at-a-time loop exactly: a
+        # code that would complete past the last bit raises the same
+        # "truncated" error the per-bit read raised, a full 16-bit
+        # window matching no code raises the same "invalid" error, and
+        # for any valid stream the decoded symbols are identical
+        # (canonical codes are prefix-free — first match is the match).
+        nent = len(ent)
+        acc = accn = bytepos = 0
 
         def read_bits(n: int) -> int:
-            v = 0
-            for _ in range(n):
-                v = (v << 1) | read_bit()
+            nonlocal acc, accn, bytepos
+            if n == 0:
+                return 0
+            while accn < n and bytepos < nent:
+                acc = (acc << 8) | ent[bytepos]
+                bytepos += 1
+                accn += 8
+            if accn < n:
+                raise ValueError("truncated JPEG entropy stream")
+            accn -= n
+            v = acc >> accn
+            acc &= (1 << accn) - 1
             return v
 
         def huff(tab) -> int:
-            code = 0
-            for length in range(1, 17):
-                code = (code << 1) | read_bit()
-                sym = tab.get((length, code))
-                if sym is not None:
-                    return sym
-            raise ValueError("invalid Huffman code in entropy stream")
+            nonlocal acc, accn, bytepos
+            while accn < 16 and bytepos < nent:
+                acc = (acc << 8) | ent[bytepos]
+                bytepos += 1
+                accn += 8
+            if accn >= 16:
+                win = (acc >> (accn - 16)) & 0xFFFF
+            else:
+                win = (acc << (16 - accn)) & 0xFFFF
+            length = tab[1][win]
+            if length == 0:
+                if accn >= 16:
+                    raise ValueError("invalid Huffman code in entropy stream")
+                raise ValueError("truncated JPEG entropy stream")
+            if length > accn:
+                raise ValueError("truncated JPEG entropy stream")
+            accn -= length
+            acc &= (1 << accn) - 1
+            return tab[0][win]
 
         def extend(v: int, cat: int) -> int:
             if cat == 0:
