@@ -592,7 +592,16 @@ def mutual_knn_clusters(
     )
     rev = g.select(F.col("w").alias("u"), F.col("u").alias("w"))
     mutual = g.intersect(rev).filter(F.col("u") < F.col("w"))
-    comp = connected_components(mutual, "u", "w")
+    # r18: this caller picks the CONTRACTION engine explicitly — the
+    # mutual-kNN graph is the documented deep/chain-shaped case (degree
+    # ≤ k, path-dominated; propagation needs 10 sweeps here where
+    # large-star/small-star finishes in 5 rounds — measured 4.6 s →
+    # 3.3 s warm at sf0.1, and the round count is O(log diameter) at
+    # any scale). The two engines are contract-equal (identical
+    # min-id labeling, cross-tested in tests/), so the output is
+    # unchanged; the shallow star-shaped dedup callers keep the
+    # propagation default, where the jump-free sweeps win.
+    comp = connected_components(mutual, "u", "w", method="contraction")
     base = emb.select("vec_id")
     return (
         base.join(comp, base["vec_id"] == comp["node"], "left")
@@ -1129,21 +1138,35 @@ def rp_score_chain(qpfx: str, npfx: str, rp_dim: int = RP_DIM) -> str:
 
 def rp_project(emb: DataFrame, id_alias: str, col_prefix: str = "p") -> DataFrame:
     """Johnson-Lindenstrauss sketch: project the 64-dim embedding onto
-    RP_DIM Rademacher (±1) directions. Each component is the same
-    left-associated ± chain trick as :func:`lsh_bucket_expr` — a
-    straight-line codegen expression over the RAW float elements (cast
-    per element, exact), bit-identical to the DuckDB mirror built from
-    the same plane rows. One projection map stage over the corpus; no
-    shuffle, no Python."""
+    RP_DIM Rademacher (±1) directions, as a LEFT-ASSOCIATED fold —
+    ``aggregate(sequence(0,63), 0.0, (acc,i) -> acc + sign_i·emb[i])``.
+
+    r18 shape change, value-identical: the old form spelled each
+    component as a 64-term straight-line ± chain (16 of them, twice —
+    corpus and query side), which made this operator's logical plan
+    ~64× larger than it needs to be and put the row's cost in CATALYST
+    (analysis + codegen of ~2k-node expression trees per run), not in
+    execution — the corpus here is sketch-cheap by design. The fold
+    form starts at 0.0 and adds one signed element per step:
+    ``0.0 + t0 == t0`` exactly and ``±1.0·x`` is exact, so the IEEE
+    op sequence per component is IDENTICAL to the chain's
+    (left-associated additions over the same exact products) and every
+    score is bit-equal — verified elementwise and through the
+    unchanged DuckDB chain-SQL oracle. Spark higher-order functions
+    are CodegenFallback (interpreted per row), the documented trade of
+    :func:`dot` — right here because the projection is plan-bound, not
+    row-bound; at corpus scale rows grow but the plan stays small
+    either way. One projection map stage; no shuffle, no Python."""
     cols = [F.col("vec_id").alias(id_alias)]
     for j, plane in enumerate(_rp_planes()):
-        chain = _chain(
-            [
-                ("+" if s > 0 else "-") + f" CAST(embedding[{d}] AS DOUBLE)"
-                for d, s in enumerate(plane)
-            ]
+        signs = ", ".join("1.0D" if s > 0 else "-1.0D" for s in plane)
+        cols.append(
+            F.expr(
+                "aggregate(sequence(0, 63), CAST(0 AS DOUBLE), "
+                f"(acc, i) -> acc + element_at(array({signs}), i + 1)"
+                " * CAST(embedding[i] AS DOUBLE))"
+            ).alias(f"{col_prefix}{j}")
         )
-        cols.append(F.expr(chain).alias(f"{col_prefix}{j}"))
     return emb.select(*cols)
 
 
