@@ -199,9 +199,23 @@ def _hilbert_level_exprs(i: int) -> tuple[str, str, str]:
 def hilbert_key(events: DataFrame) -> DataFrame:
     """(event_id, user_id, hval) — the Hilbert-curve clustering key
     over the same normalized (user_id, event-hour) grid as
-    :func:`zorder_key`. 16 unrolled integer projection levels, all
-    whole-stage-codegen JVM expressions; the only non-map step is the
-    1-row min/max broadcast."""
+    :func:`zorder_key`. Normalization (and the 1-row min/max
+    broadcast) stay JVM expressions; the 16-level xy2d walk runs as
+    ONE vectorized Arrow map stage over (event_id, user_id, hx, hy).
+
+    r18 shape change, value-identical (the oracle keeps the unrolled
+    16-CTE chain from the same per-level template and the full-corpus
+    differential is exact): the walk was 16 chained CASE projections,
+    which Spark fuses into a single generated method big enough that
+    HotSpot refuses to JIT it — measured super-linear per-level cost
+    (8 levels 0.54 s, 12 levels 1.43 s, 16 levels 1.75 s at sf0.1)
+    with the whole chain executing as interpreted bytecode. Spark
+    exposes no codegen-stage split to fix that shape, so the walk
+    moved across the Arrow boundary instead (guide's vectorized-UDF
+    trade): four narrow int64 columns in, three out, branch-free
+    numpy per level, measured 1.78 → 0.43 s. All int64 arithmetic —
+    shifts/adds on values < 2^33 — so numpy and SQL agree bit-for-bit.
+    Still one map stage + one broadcast; no shuffle."""
     base = events.withColumn("yh", F.expr(f"CAST({_YH_SPARK} AS BIGINT)"))
     bounds = base.agg(
         F.min("user_id").alias("xmin"),
@@ -214,14 +228,38 @@ def hilbert_key(events: DataFrame) -> DataFrame:
         "user_id",
         f"CAST({_XN_SPARK} AS BIGINT) AS hx",
         f"CAST({_YN_SPARK} AS BIGINT) AS hy",
-        "CAST(0 AS BIGINT) AS hd",
     )
-    for i in range(Z_BITS - 1, -1, -1):
-        nx, ny, nd = _hilbert_level_exprs(i)
-        df = df.selectExpr(
-            "event_id", "user_id", f"{nx} AS hx", f"{ny} AS hy", f"{nd} AS hd"
-        )
-    return df.select("event_id", "user_id", F.col("hd").alias("hval"))
+    flip = _H_SIDE - 1
+    nlev = Z_BITS
+
+    # defined inline so cloudpickle serializes it BY VALUE (the
+    # documented worker-import recipe — layout must work when the
+    # driver did not start in the repo root)
+    def _walk(batches):
+        import numpy as np
+        import pandas as pd
+
+        for pdf in batches:
+            hx = pdf["hx"].to_numpy(dtype="int64").copy()
+            hy = pdf["hy"].to_numpy(dtype="int64").copy()
+            hd = np.zeros(len(hx), dtype="int64")
+            for i in range(nlev - 1, -1, -1):
+                s = np.int64(1 << i)
+                rx = (hx >> i) & 1
+                ry = (hy >> i) & 1
+                hd += s * s * (3 * rx + ry - 2 * rx * ry)
+                nx = np.where(ry == 1, hx, np.where(rx == 1, flip - hy, hy))
+                ny = np.where(ry == 1, hy, np.where(rx == 1, flip - hx, hx))
+                hx, hy = nx, ny
+            yield pd.DataFrame(
+                {
+                    "event_id": pdf["event_id"],
+                    "user_id": pdf["user_id"],
+                    "hval": hd,
+                }
+            )
+
+    return df.mapInPandas(_walk, schema="event_id long, user_id long, hval long")
 
 
 def hilbert_oracle_sql() -> str:
