@@ -921,7 +921,15 @@ def minhash_lsh_candidates(
     bucket — a self-join keyed by (band, band_key), never all-pairs.
     NOTE the output is still quadratic IN EACH BUCKET; for the
     cluster-assignment consumer that only needs connectivity, use
-    :func:`minhash_cluster_dedup`'s star-edge form instead."""
+    :func:`minhash_cluster_dedup`'s star-edge form instead.
+
+    NO persist on the banded index, deliberately (r18 A/B): every
+    registered consumer materializes the candidate set exactly once
+    (verify_pairs_exact_jaccard persists ``pairs``; the graph rows
+    persist their edge relations), and within that one materialization
+    ReuseExchange already serves both self-join sides from a single
+    signature-chain execution — a persist here measured a ~3% LOSS on
+    the full dedup_minhash_lsh row (2.18 → 2.25 s probe protocol)."""
     banded = minhash_band_keys(sig, bands, rows_per_band)
     a = banded.alias("a")
     b = banded.alias("b")
@@ -1000,7 +1008,15 @@ def minhash_star_edges(docs: DataFrame, k: int = 32, bands: int = 8) -> DataFram
     groupBy-min + equi-join back rather than a min-over-window: the
     partial min combines map-side, and a degenerate hot bucket (e.g.
     empty-text docs all hashing together) hits AQE's skew-join
-    splitting instead of a single window-sort task."""
+    splitting instead of a single window-sort task.
+
+    NO persist on the banded index here, deliberately (r18 A/B):
+    the bucket-min aggregate and the join-back both shuffle by
+    (band, band_key) over the identical subtree, so ReuseExchange
+    already materializes the signature chain once — adding a persist
+    measured 1.79 → 2.08 s (pure materialization overhead). Contrast
+    :func:`minhash_lsh_candidates`, where the self-join's reuse does
+    NOT fire and the persist wins."""
     banded = minhash_band_keys(minhash_signatures(docs, k), bands, k // bands)
     mins = banded.groupBy("band", "band_key").agg(F.min("doc_id").alias("src"))
     return (
@@ -1080,6 +1096,7 @@ def banded_hamming_pairs(
     nbits: int,
     n_bands: int = 4,
     max_hamming: int = 4,
+    persist_index: bool = True,
 ) -> DataFrame:
     """Near-dup pairs for ANY integer fingerprint column by banded
     hamming join: slice the fingerprint into ``n_bands`` equal bit
@@ -1087,7 +1104,19 @@ def banded_hamming_pairs(
     n_bands ⇒ some band equal), verify with bit_count(xor). The
     generic core under simhash text dedup and perceptual-hash
     multimodal dedup — at scale the banded index is the precomputed
-    artifact, partitioned by (band, band_key)."""
+    artifact, partitioned by (band, band_key).
+
+    The banded relation feeds BOTH sides of the self-join and Catalyst
+    does not reuse the aliased subtrees here, so without a persist the
+    whole fingerprint pipeline upstream (e.g. the two chained Arrow
+    stages of synth→phash-DCT, or simhash's double groupBy) executes
+    twice — the same double-derivation knn_graph's banded index
+    already pins against (r18: phash_dct_neardup 1.99 → 1.17 s).
+    ``persist_index=False`` opts out for callers whose fingerprint is
+    a trivial projection (the md5 phash stub measured +20% WITH the
+    persist — materialization costs more than recomputing one md5)."""
+    from kafka_topic_dumper_spark.functions.caching import tracked_persist
+
     band_bits = nbits // n_bands
     mask = (1 << band_bits) - 1
     banded = fps.select(
@@ -1112,6 +1141,8 @@ def banded_hamming_pairs(
         F.col("bk.band").alias("band"),
         F.col("bk.band_key").alias("band_key"),
     )
+    if persist_index:
+        banded = tracked_persist(banded)
     a = banded.alias("a")
     b = banded.alias("b")
     return (

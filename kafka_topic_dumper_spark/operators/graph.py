@@ -656,7 +656,14 @@ def cotrading_projection(
     dense graphs: this corpus's every supplier has ~500 customers).
     Plan: one join + (supp, cust) count, a WindowGroupLimit-shaped
     per-supplier top-k, one self-join on supplier over the capped
-    lists, one pair count."""
+    lists, one pair count. ``kept`` feeds both self-join sides and
+    Catalyst does not reuse the aliased subtree, so it is persisted —
+    the join/countDistinct/window pipeline materializes once instead
+    of twice (r18; the before-plan shows the full chain duplicated).
+    ``kept`` is ≤ |suppliers|·top_k rows — supplier-linear, the
+    bounded projection artifact you would store at scale."""
+    from kafka_topic_dumper_spark.functions.caching import tracked_persist
+
     strength = (
         lineitem.join(orders, lineitem.l_orderkey == orders.o_orderkey)
         .groupBy(
@@ -666,7 +673,7 @@ def cotrading_projection(
         .agg(F.countDistinct("o_orderkey").alias("w"))
     )
     win = Window.partitionBy("supp").orderBy(F.col("w").desc(), "cust")
-    kept = (
+    kept = tracked_persist(
         strength.withColumn("rk", F.row_number().over(win))
         .filter(F.col("rk") <= top_k)
         .select("supp", "cust")
