@@ -1461,12 +1461,25 @@ def ann_recall_eval(
     WindowGroupLimit), so everything this operator joins is
     metadata-sized (|queries|·k rows); the corpus-scale work is
     exactly the two index paths being evaluated."""
+    from kafka_topic_dumper_spark.functions.caching import tracked_persist
+
     qids = QUERY_IDS if query_ids is None else query_ids
-    truth = cosine_topk_bruteforce(emb, qids, k).select(
-        "query_id", "neighbor_id", F.col("rank").alias("t_rank")
+    # r18: ``truth`` is referenced three times below (hits join, the
+    # true-NN reciprocal-rank join, the query-id base) and ``approx``
+    # twice — each reference re-executed its ENTIRE corpus-scale
+    # retrieval leg (the brute-force scan ran 3×, the LSH pipeline
+    # 2×). Both legs end in per-query top-k, |queries|·k rows —
+    # metadata-plane at any corpus size — so persisting them is free
+    # and the corpus work runs exactly once per leg.
+    truth = tracked_persist(
+        cosine_topk_bruteforce(emb, qids, k).select(
+            "query_id", "neighbor_id", F.col("rank").alias("t_rank")
+        )
     )
-    approx = cosine_topk_lsh(emb, qids, k).select(
-        "query_id", "neighbor_id", F.col("rank").alias("a_rank")
+    approx = tracked_persist(
+        cosine_topk_lsh(emb, qids, k).select(
+            "query_id", "neighbor_id", F.col("rank").alias("a_rank")
+        )
     )
     hits = (
         truth.join(approx, ["query_id", "neighbor_id"])

@@ -447,11 +447,18 @@ def hll_shingle_cardinality(docs: DataFrame) -> DataFrame:
     n ≈ 4000 distinct per source vs m = 64 the raw branch is the
     exercised regime (zero_registers output pins V = 0). rho uses the
     portable bitlen trick length(strip-leading-zeros(bin(w)))."""
-    proj = hll_projection(docs)
-    regs = hll_registers(proj)
-    exact = proj.groupBy("source").agg(
-        F.countDistinct("x").alias("n_exact")
-    )
+    # r18: the projection feeds BOTH the register MAX and the exact
+    # count, and both are duplicate-insensitive — so distinct once
+    # (bucket/rho are functions of x, so distinct rows == distinct
+    # (source, x) pairs), persist the distinct-shingle-sized result,
+    # and run both aggregations over it. One explode+hash pass instead
+    # of two; the exact leg's countDistinct collapses to a plain
+    # count(*) over already-distinct rows — identical n_exact.
+    from kafka_topic_dumper_spark.functions.caching import tracked_persist
+
+    d = tracked_persist(hll_projection(docs).distinct())
+    regs = hll_registers(d)
+    exact = d.groupBy("source").agg(F.count("*").alias("n_exact"))
     return hll_estimate_from_registers(regs, exact)
 
 
