@@ -446,10 +446,26 @@ def editdist_join_pairs(
     arithmetic is integer counts over the portable 60-bit gram hash —
     the oracle is the NAIVE length-pruned all-pairs scan, so the driver
     differential proves the lemma pruning lossless on this corpus."""
-    d = docs.select(
-        "doc_id", "text", F.length("text").cast("bigint").alias("len")
+    from kafka_topic_dumper_spark.functions.caching import tracked_persist
+
+    # Shared-derivation persists (r18, guide §2.4/§5): ``d`` feeds FOUR
+    # subtrees (gcnt build, short-doc enumeration, both verify text
+    # joins) and ``gcnt`` feeds BOTH candidate-join sides — Catalyst
+    # reuses neither (the sides' downstream shapes differ, so no
+    # ReusedExchange fires), so without the persists the base
+    # projection ran ~6× per query. For the realvocab row the base
+    # includes the per-token md5-derived resurface transform, which is
+    # the single most expensive projection in the family. At 100 TB
+    # these are the relations a deployment materializes anyway: ``d``
+    # is the derived corpus (checkpoint once), ``gcnt`` is ED-Join's
+    # gram-count index (the stored-index row literally writes its
+    # sibling). Both are scoped by the caller's operator_caches().
+    d = tracked_persist(
+        docs.select(
+            "doc_id", "text", F.length("text").cast("bigint").alias("len")
+        )
     )
-    gcnt = editdist_gram_counts(d, max_dist, q)
+    gcnt = tracked_persist(editdist_gram_counts(d, max_dist, q))
     # Exploding-join parallelism (r18, guide §2.2/§2.5): AQE coalesces
     # the gram-count exchange by its PRE-join byte size (~2M rows → 16
     # partitions at sf0.1), but the (gh, band) join multiplies rows
@@ -687,8 +703,16 @@ def editdist_pairs_from_prefix_index(
         .select("doc_a", "doc_b")
     )
 
-    d = docs.select(
-        "doc_id", "text", F.length("text").cast("bigint").alias("len")
+    from kafka_topic_dumper_spark.functions.caching import tracked_persist
+
+    # Same shared-derivation persist as editdist_join_pairs (r18,
+    # guide §2.4/§5): ``d`` feeds the short-doc enumeration and both
+    # verify text joins — three per-query evaluations of the realvocab
+    # resurface transform without it.
+    d = tracked_persist(
+        docs.select(
+            "doc_id", "text", F.length("text").cast("bigint").alias("len")
+        )
     )
     short_cut = (q - 1) + q * max_dist
     s = d.filter(F.col("len") <= short_cut)

@@ -314,8 +314,20 @@ def lsh_banded(
     (:func:`lsh_signatures_udf` — see its docstring for why the pure
     expression form can't compile); the explode into one row per table
     is a JVM ``posexplode``, so everything except the signature
-    arithmetic stays in whole-stage codegen."""
-    sig = lsh_signatures_udf(dim, nbits, n_tables)
+    arithmetic stays in whole-stage codegen.
+
+    The kernel is marked non-deterministic (r18, guide §4.4): it is in
+    fact a pure function, but Catalyst infers ``size(_bs) > 0 AND
+    isnotnull(_bs)`` from the non-outer posexplode and pushes that
+    filter BELOW the projection, duplicating the UDF — every banded
+    build paid the ~2048 numpy plane ops per vector TWICE (two
+    ArrowEvalPython nodes over the same ``_buckets`` call in every
+    consumer's before-plan). Marking it non-deterministic forbids the
+    duplication; no caller needs a filter pushed past the signature
+    computation (the index builds scan the full relation, the probe
+    path filters BEFORE calling, and the self-join consumers persist
+    the result)."""
+    sig = lsh_signatures_udf(dim, nbits, n_tables).asNondeterministic()
     return base.select(
         F.col(id_col), sig(F.col(vec_col)).alias("_bs")
     ).select(id_col, F.posexplode("_bs").alias("tbl", "bucket"))
