@@ -51,7 +51,16 @@ _SHINGLES = (
 
 
 def shingled(docs: DataFrame) -> DataFrame:
-    """documents → exploded (doc_id, shingle), distinct per doc."""
+    """documents → exploded (doc_id, shingle), distinct per doc.
+
+    Deliberately NOT input-spread here (r18 A/B): the inverted-index
+    consumers whose WARM path re-runs this explode each query
+    (ngram_jaccard/containment, setsim) spread their own input at the
+    call site and measured −12..−30%; the minhash/verify consumers
+    cache the shingle pass inside their first run, so a spread here
+    only inflated their tiny downstream relations to 32 partitions —
+    measured dedup_minhash_lsh 1.05 → 1.41 s, dedup_quality_survivor
+    3.32 → 4.06 s before the revert."""
     return (
         docs.select("doc_id", F.expr(_TOKENS).alias("tokens"))
         .select("doc_id", F.explode(F.expr(_SHINGLES)).alias("shingle"))
@@ -203,7 +212,13 @@ def _ngram_overlap(docs: DataFrame, max_df: int):
     :func:`ngram_jaccard_pairs` for the full plan-shape rationale."""
     from kafka_topic_dumper_spark.functions.portable_hash import h60_spark_sql
 
-    sh_all = shingled(docs).select(
+    # Input spread (r18, guide §2.5): this explode+md5 pass re-runs on
+    # every query (nothing here is persisted — the window/collect_list
+    # ride ONE sh_h exchange), and the bench-scale scan is a single
+    # split, so it ran single-core. Measured on the consumers:
+    # ngram_jaccard 1.8-2.2 → 1.3-1.6 s, containment similar. No-op on
+    # wide deployment scans.
+    sh_all = shingled(_spread_corpus(docs)).select(
         "doc_id", F.expr(h60_spark_sql("shingle")).alias("sh_h")
     )
     w = Window.partitionBy("sh_h")
@@ -374,6 +389,19 @@ EDITDIST_MAX = 30
 EDITDIST_Q = 3
 
 
+# Scale-adaptive parallelism guard for CPU-heavy per-doc map work
+# (r18, guide §2.5 — bytes-vs-work mismatch at the SCAN): the sf-scale
+# documents parquet arrives as a SINGLE input split, so everything
+# below the first Exchange — the resurface transform, the per-char
+# q-gram explode, xxhash64, the partial aggregation — ran on one core
+# of local[32] (measured: the gram-count stage alone 5.9 s
+# single-split vs 1.1 s spread, sf0.1). No-op on wide scans — see
+# functions/parallelism.py.
+from kafka_topic_dumper_spark.functions.parallelism import (  # noqa: E402
+    spread_input as _spread_corpus,
+)
+
+
 def editdist_gram_counts(
     d: DataFrame, max_dist: int = EDITDIST_MAX, q: int = EDITDIST_Q
 ) -> DataFrame:
@@ -461,8 +489,10 @@ def editdist_join_pairs(
     # gram-count index (the stored-index row literally writes its
     # sibling). Both are scoped by the caller's operator_caches().
     d = tracked_persist(
-        docs.select(
-            "doc_id", "text", F.length("text").cast("bigint").alias("len")
+        _spread_corpus(
+            docs.select(
+                "doc_id", "text", F.length("text").cast("bigint").alias("len")
+            )
         )
     )
     gcnt = tracked_persist(editdist_gram_counts(d, max_dist, q))
@@ -566,7 +596,13 @@ def resurface_vocabulary(docs: DataFrame, mod: int = REALVOCAB_MOD) -> DataFrame
     ``list_transform`` lambda index is 1-based; Spark's ``transform``
     is 0-based — the oracle subtracts 1)."""
     h = h32_spark_sql("concat(t, ':', CAST(i AS STRING))")
-    return docs.select(
+    # Spread BELOW the projection (r18, guide §2.5): the raw documents
+    # scan is one input split at bench scale, so the per-token
+    # md5-derived transform — the family's most expensive projection —
+    # ran on one core. Exchanging the RAW rows first parallelizes the
+    # transform itself; at deployment scale the scan is already wide
+    # and _spread_corpus no-ops.
+    return _spread_corpus(docs).select(
         "doc_id",
         F.expr(
             "concat_ws(' ', transform(split(text, ' '), "
@@ -633,8 +669,10 @@ def editdist_prefix_index(
     via row_number under one doc_id exchange. Index size ≤ 91 rows per
     doc regardless of document length — at 100 TB the materialized
     index is ~doc-count-sized, not corpus-sized."""
-    d = docs.select(
-        "doc_id", "text", F.length("text").cast("bigint").alias("len")
+    d = _spread_corpus(
+        docs.select(
+            "doc_id", "text", F.length("text").cast("bigint").alias("len")
+        )
     )
     gcnt = editdist_gram_counts(d, max_dist, q)
     toks = (
@@ -710,8 +748,10 @@ def editdist_pairs_from_prefix_index(
     # verify text joins — three per-query evaluations of the realvocab
     # resurface transform without it.
     d = tracked_persist(
-        docs.select(
-            "doc_id", "text", F.length("text").cast("bigint").alias("len")
+        _spread_corpus(
+            docs.select(
+                "doc_id", "text", F.length("text").cast("bigint").alias("len")
+            )
         )
     )
     short_cut = (q - 1) + q * max_dist
@@ -786,7 +826,10 @@ def setsim_prefix_join_pairs(
     machinery); this extends SURVEY §2.10's dedup family."""
     from kafka_topic_dumper_spark.functions.portable_hash import h60_spark_sql
 
-    sh = shingled(docs).select(
+    # Input spread (r18, guide §2.5): same rationale as _ngram_overlap
+    # — the explode+md5 pass re-runs per query over a single-split
+    # bench-scale scan; measured 1.72 → 1.51 s on the full row.
+    sh = shingled(_spread_corpus(docs)).select(
         "doc_id", F.expr(h60_spark_sql("shingle")).alias("sh_h")
     )
     sh_df = sh.withColumn("df", F.count("*").over(Window.partitionBy("sh_h")))

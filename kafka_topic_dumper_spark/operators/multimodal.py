@@ -63,6 +63,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from kafka_topic_dumper_spark.functions.parallelism import spread_input
 from kafka_topic_dumper_spark.sources.tables import load_table
 
 
@@ -81,9 +82,17 @@ def _ensure_arrow_batch(df: DataFrame, rows: int = 100000) -> None:
 def binary_payloads(docs: DataFrame) -> DataFrame:
     """documents → (doc_id, payload binary). Stands in for an
     image/audio payload column; real datasets read this directly from
-    parquet `binary` columns."""
-    return docs.select(
-        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
+    parquet `binary` columns.
+
+    Spread to core count when the scan is narrower than the machine
+    (r18, guide §2.5): the bench-scale parquet is ONE split, so every
+    downstream mapInPandas codec ran as a SINGLE task on local[32]
+    (measured: decode_mjpeg 3.3 → 1.0 s, decode_gif 2.5 → 0.9 s at
+    sf0.1 from spreading; the synth_* entry points apply the same
+    guard). No-op on wide deployment scans — see
+    functions/parallelism.py."""
+    return spread_input(
+        docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
     )
 
 
@@ -465,7 +474,7 @@ def synth_raw_images(docs: DataFrame) -> DataFrame:
                 payloads.append(struct.pack("<iii", w, h, c) + px.tobytes())
             yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(
+    return spread_input(docs.select("doc_id")).mapInPandas(
         run, schema="doc_id long, payload binary"
     )
 
@@ -610,7 +619,7 @@ def synth_png_images(docs: DataFrame) -> DataFrame:
                 )
             yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(
+    return spread_input(docs.select("doc_id")).mapInPandas(
         run, schema="doc_id long, payload binary"
     )
 
@@ -810,7 +819,7 @@ def synth_wav_audio(docs: DataFrame) -> DataFrame:
                 payloads.append(payload)
             yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(
+    return spread_input(docs.select("doc_id")).mapInPandas(
         run, schema="doc_id long, payload binary"
     )
 
@@ -1157,7 +1166,7 @@ def synth_gif_images(docs: DataFrame) -> DataFrame:
                 )
             yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(
+    return spread_input(docs.select("doc_id")).mapInPandas(
         run, schema="doc_id long, payload binary"
     )
 
@@ -1309,7 +1318,7 @@ def synth_avi_video(docs: DataFrame) -> DataFrame:
                 payloads.append(b"RIFF" + struct.pack("<I", len(body)) + body)
             yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(
+    return spread_input(docs.select("doc_id")).mapInPandas(
         run, schema="doc_id long, payload binary"
     )
 
@@ -1886,7 +1895,7 @@ def synth_jpeg_images(docs: DataFrame) -> DataFrame:
                 payloads.append(jpeg_encode_gray(px))
             yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(
+    return spread_input(docs.select("doc_id")).mapInPandas(
         run, schema="doc_id long, payload binary"
     )
 
@@ -2023,7 +2032,7 @@ def synth_mjpeg_video(docs: DataFrame) -> DataFrame:
                 payloads.append(b"RIFF" + struct.pack("<I", len(body)) + body)
             yield _pd.DataFrame({"doc_id": pdf["doc_id"], "payload": payloads})
 
-    return docs.select("doc_id").mapInPandas(
+    return spread_input(docs.select("doc_id")).mapInPandas(
         run, schema="doc_id long, payload binary"
     )
 

@@ -597,10 +597,23 @@ def mutual_knn_clusters(
     metadata-sized shuffle); components run the iterative min-label
     propagation of operators/graph.py (lineage-checkpointed). Nothing
     after the kNN stage touches vector payloads."""
+    from kafka_topic_dumper_spark.functions.caching import tracked_persist
     from kafka_topic_dumper_spark.operators.graph import connected_components
 
-    g = knn_graph(emb, k, nbits, n_tables).select(
-        F.col("vec_id").alias("u"), F.col("neighbor_id").alias("w")
+    # Persist the kNN edge list before the mutuality intersect (r18,
+    # guide §2.4/§5): ``g`` feeds BOTH intersect sides (itself and its
+    # reversal) and Catalyst does not reuse the aliased subtree — so
+    # without the persist the entire candidate-join + cosine + top-k
+    # window chain executed TWICE per query (knn_graph persists only
+    # its internals, not its result). ≤ k·n rows — metadata-plane at
+    # any corpus size, exactly the edge list a 100 TB deployment would
+    # materialize before graph clustering. Measured 6.05 → 4.70 s warm
+    # at sf0.1 (interleaved A/B); outputs proved identical at
+    # sf0.01 + sf0.1 before landing.
+    g = tracked_persist(
+        knn_graph(emb, k, nbits, n_tables).select(
+            F.col("vec_id").alias("u"), F.col("neighbor_id").alias("w")
+        )
     )
     rev = g.select(F.col("w").alias("u"), F.col("u").alias("w"))
     mutual = g.intersect(rev).filter(F.col("u") < F.col("w"))
