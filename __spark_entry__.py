@@ -27,69 +27,18 @@ def entry(spark: SparkSession) -> DataFrame:
 
 
 # Verification-priority order. Each round's driver checks the FIRST ~50
-# declared queries, so this list is rotated per round. Round-18
-# rotation (the plan recorded in PARITY.md and the r17 verdict item
-# 1): the 49-row r14-stamped cohort — now the oldest stamps on the
-# board — leads, then the head of the r15 cohort
-# (graph_pagerank_dangling) fills the 50-row window. The freshly
-# r17-stamped 50 (the 49-row r13 cohort + streaming_hopping_rollup)
-# move to the back. After r18 no stamp is older than r15 — the steady
-# three-round rotation for a 199-row registry.
+# declared queries, so this list is rotated per round. Round-19
+# rotation (the plan recorded in PARITY.md round-18 paragraph): after
+# the r18 driver stamped the first 50 (the 49-row r14 cohort +
+# graph_pagerank_dangling), the stalest remaining rows are the REST of
+# the r15-stamped cohort (49 rows, starting at text_vocab_growth) —
+# promoted to the front; the head of the r16 cohort (approx_aggregates)
+# fills the 50-row window. The freshly r18-stamped 50 move to the
+# back. After r19 no stamp is older than r16 — the steady three-round
+# rotation for a 199-row registry.
 # Ordering only — coverage is always the full set.
 _VERIFY_PRIORITY = [
-    # --- (a) r14-stamped cohort (49) — oldest stamps, leads r18 ---
-    "sample_weighted_priority",
-    "graph_kcore",
-    "asof_join_tolerance",
-    "stats_rolling_anomaly",
-    "layout_hilbert_events",
-    "embedding_pca_project",
-    "streaming_rolling_anomaly",
-    "similarity_recall_eval",
-    "multimodal_phash_dct",
-    "multimodal_phash_dct_neardup",
-    "stats_cusum_changepoints",
-    "text_kneser_ney_quality",
-    "asof_join_nearest",
-    "text_source_entropy",
-    "text_source_snapshot_jsd",
-    "stats_benford_profile",
-    "multimodal_wav_spectral",
-    "stats_mad_by_type",
-    "graph_cotrading_projection",
-    "multimodal_decode_jpeg",
-    "streaming_interval_join",
-    "similarity_topk_rp",
-    "text_unicode_normalize",
-    "graph_pagerank_supplier_network",
-    "dedup_ngram_containment",
-    "dedup_setsim_prefix_join",
-    "curation_pareto_frontier",
-    "text_cms_heavy_hitters",
-    "dedup_bloom_admission",
-    "dedup_editdist_join",
-    "text_hll_shingle_cardinality",
-    "streaming_cms_heavy_hitters",
-    "stats_equidepth_histogram",
-    "stats_groupwise_ols",
-    "graph_triangle_counts",
-    "streaming_hll_cardinality",
-    "graph_clustering_coefficient",
-    "stats_event_transitions",
-    "graph_label_propagation",
-    "streaming_bloom_admission",
-    "source_orc_roundtrip",
-    "source_jsonl_roundtrip",
-    "source_csv_roundtrip",
-    "stats_hourly_autocorrelation",
-    "text_tfidf_keywords",
-    "stats_gini_by_segment",
-    "stats_hourly_ohlc",
-    "graph_pagerank_weighted",
-    "stats_ewma_smoothing",
-    # --- (b) head of the r15 cohort — fills the 50-row r18 window ---
-    "graph_pagerank_dangling",
-    # --- (c) rest of the r15-stamped cohort (49) ---
+    # --- (a) rest of the r15-stamped cohort (49) — oldest stamps, leads r19 ---
     "text_vocab_growth",
     "graph_hits_scores",
     "stats_interarrival_quartiles",
@@ -139,8 +88,9 @@ _VERIFY_PRIORITY = [
     "join_range_interval",
     "join_full_outer_reconcile",
     "dedup_editdist_join_realvocab",
-    # --- (d) r16-stamped cohort (50) ---
+    # --- (b) head of the r16 cohort — fills the 50-row r19 window ---
     "approx_aggregates",
+    # --- (c) rest of the r16-stamped cohort (49) ---
     "pipeline_quality_dedup_pack",
     "a4_offset_clamp",
     "dedup_quality_survivor",
@@ -190,7 +140,7 @@ _VERIFY_PRIORITY = [
     "q2_cheapest_supplier",
     "q7_nation_volume_shipping",
     "dedup_editdist_prefix_stored",
-    # --- (e) r17-stamped cohort (50) — freshest stamps, go last ---
+    # --- (d) r17-stamped cohort (50) ---
     "q8_nation_market_share",
     "q9_product_profit",
     "q11_important_stock_value",
@@ -241,6 +191,57 @@ _VERIFY_PRIORITY = [
     "p1_project_key_value",
     "multimodal_decode_mjpeg",
     "streaming_hopping_rollup",
+    # --- (e) r18-stamped cohort (50) — freshest stamps, go last ---
+    "sample_weighted_priority",
+    "graph_kcore",
+    "asof_join_tolerance",
+    "stats_rolling_anomaly",
+    "layout_hilbert_events",
+    "embedding_pca_project",
+    "streaming_rolling_anomaly",
+    "similarity_recall_eval",
+    "multimodal_phash_dct",
+    "multimodal_phash_dct_neardup",
+    "stats_cusum_changepoints",
+    "text_kneser_ney_quality",
+    "asof_join_nearest",
+    "text_source_entropy",
+    "text_source_snapshot_jsd",
+    "stats_benford_profile",
+    "multimodal_wav_spectral",
+    "stats_mad_by_type",
+    "graph_cotrading_projection",
+    "multimodal_decode_jpeg",
+    "streaming_interval_join",
+    "similarity_topk_rp",
+    "text_unicode_normalize",
+    "graph_pagerank_supplier_network",
+    "dedup_ngram_containment",
+    "dedup_setsim_prefix_join",
+    "curation_pareto_frontier",
+    "text_cms_heavy_hitters",
+    "dedup_bloom_admission",
+    "dedup_editdist_join",
+    "text_hll_shingle_cardinality",
+    "streaming_cms_heavy_hitters",
+    "stats_equidepth_histogram",
+    "stats_groupwise_ols",
+    "graph_triangle_counts",
+    "streaming_hll_cardinality",
+    "graph_clustering_coefficient",
+    "stats_event_transitions",
+    "graph_label_propagation",
+    "streaming_bloom_admission",
+    "source_orc_roundtrip",
+    "source_jsonl_roundtrip",
+    "source_csv_roundtrip",
+    "stats_hourly_autocorrelation",
+    "text_tfidf_keywords",
+    "stats_gini_by_segment",
+    "stats_hourly_ohlc",
+    "graph_pagerank_weighted",
+    "stats_ewma_smoothing",
+    "graph_pagerank_dangling",
 ]
 
 

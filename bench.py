@@ -34,6 +34,32 @@ SF_DIR = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
 # builder's session measured 14.6 s for the same query set).
 N_RUNS = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "3"))
 
+# Per-row, per-repetition wall times (name -> [run1..runN] in run
+# order), recorded by every timing loop below and emitted in
+# BENCH_DETAIL.json as "query_runs" plus the derived "queries_cold"
+# first-run column (r18 verdict items 2-3: the reported min-of-N is
+# the warm steady state once a query's tracked persists are hot from
+# run 1, so persist-based wins need the cold column priced next to
+# the warm min, and a flat 8-vs-32-core ratio needs the per-run
+# breakdown to show WHY — runs 2..N are cache-backed and largely
+# core-count-insensitive). Reporting only: the timed path and the
+# reported min-of-N are unchanged.
+RUN_TIMES: dict[str, list[float]] = {}
+
+
+def _record_run(name: str, dt: float) -> float:
+    """Append one repetition's wall time to RUN_TIMES; returns dt."""
+    RUN_TIMES.setdefault(name, []).append(round(dt, 3))
+    return dt
+
+
+def _cold_column(run_times: dict[str, list[float]]) -> dict[str, float]:
+    """First-run (cold) seconds per row. For rows whose protocol warms
+    state OUTSIDE the timed loop (the stored-index probes), run 1 is
+    the warm steady state by design — documented at the timing site."""
+    return {n: runs[0] for n, runs in run_times.items() if runs}
+
+
 # The frozen round-1 headline set — comparable across every round.
 HEADLINE = [
     "q1_pricing_summary",
@@ -369,7 +395,7 @@ def main() -> int:
                 for _ in range(N_RUNS):
                     t0 = time.perf_counter()
                     _force(fn(spark, SF_DIR))
-                    dt = time.perf_counter() - t0
+                    dt = _record_run(name, time.perf_counter() - t0)
                     best = dt if best is None else min(best, dt)
             timings[name] = round(best, 3)
         return timings
@@ -399,7 +425,7 @@ def main() -> int:
                     minhash_signatures(docs, 32, portable=False), 8, 4
                 )
                 _force(verify_pairs_exact_jaccard(docs, cand))
-                dt = time.perf_counter() - t0
+                dt = _record_run("dedup_minhash_lsh_prod", time.perf_counter() - t0)
                 best = dt if best is None else min(best, dt)
         return round(best, 3)
 
@@ -427,7 +453,9 @@ def main() -> int:
             for _ in range(N_RUNS):
                 t0 = time.perf_counter()
                 _force(fn(spark, SF_DIR))
-                dt = time.perf_counter() - t0
+                dt = _record_run(
+                    "dedup_editdist_join_realvocab", time.perf_counter() - t0
+                )
                 best = dt if best is None else min(best, dt)
         return round(best, 3)
 
@@ -468,7 +496,13 @@ def main() -> int:
             for _ in range(N_RUNS):
                 t0 = time.perf_counter()
                 _force(fn(spark, SF_DIR))
-                dt = time.perf_counter() - t0
+                # NOTE: run 1 here follows the untimed index-warming
+                # call above, so this row's "cold" column is the warm
+                # steady-state probe by design (the _build row below
+                # prices the cold build).
+                dt = _record_run(
+                    "dedup_editdist_prefix_stored", time.perf_counter() - t0
+                )
                 best = dt if best is None else min(best, dt)
         out["dedup_editdist_prefix_stored"] = round(best, 3)
 
@@ -481,7 +515,10 @@ def main() -> int:
                 write_editdist_prefix_index(
                     editdist_prefix_index(docs), os.path.join(d, "idx")
                 )
-                dt = time.perf_counter() - t0
+                dt = _record_run(
+                    "dedup_editdist_prefix_stored_build",
+                    time.perf_counter() - t0,
+                )
             finally:
                 shutil.rmtree(d, ignore_errors=True)
             best = dt if best is None else min(best, dt)
@@ -551,7 +588,7 @@ def main() -> int:
                 try:
                     t0 = time.perf_counter()
                     build(os.path.join(d, "idx"))
-                    dt = time.perf_counter() - t0
+                    dt = _record_run(name, time.perf_counter() - t0)
                 finally:
                     shutil.rmtree(d, ignore_errors=True)
                 best = dt if best is None else min(best, dt)
@@ -578,7 +615,9 @@ def main() -> int:
             .option("compression", "gzip")
             .parquet(os.path.join(tmp, "dump"))
         )
-        timings["dump_pipeline"] = round(time.perf_counter() - t0, 3)
+        timings["dump_pipeline"] = round(
+            _record_run("dump_pipeline", time.perf_counter() - t0), 3
+        )
     finally:
         shutil.rmtree(tmp, ignore_errors=True)
 
@@ -646,12 +685,27 @@ def main() -> int:
         "n_runs": N_RUNS,
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
         "detail": "BENCH_DETAIL.json",
+        # Scaling legibility (r18 verdict item 2, suspect_cpus_ignored):
+        # the EFFECTIVE parallelism this run executed with, printed in
+        # the one-line JSON so a scaling probe can see the env var was
+        # honored without spelunking stage widths in the log tail.
+        "master": spark.sparkContext.master,
+        "parallelism": spark.sparkContext.defaultParallelism,
+        "shuffle_partitions": int(
+            spark.conf.get("spark.sql.shuffle.partitions")
+        ),
     }
     for tag, t in suites.items():
         summary[f"value_{tag}"] = round(sum(t.values()), 3)
     detail = dict(summary)
     detail.update({f"queries_{tag}": t for tag, t in suites.items()})
     detail["suite_checkpoints"] = suite_checkpoints
+    # Per-run and cold columns (r18 verdict items 2-3): every benched
+    # row's [run1..runN] in run order, plus the derived first-run
+    # column — prices persist-based wins honestly (cold vs warm min)
+    # and explains flat low-core ratios (runs 2..N are cache-backed).
+    detail["query_runs"] = RUN_TIMES
+    detail["queries_cold"] = _cold_column(RUN_TIMES)
     # Steal accounting (r17, detail-only to respect the stdout size
     # cap): per-window steal%% lives in each checkpoint entry;
     # steal_pct_tail covers dump_pipeline after the last checkpoint
@@ -682,6 +736,7 @@ def main() -> int:
             for k in (
                 "metric", "value", "unit", "control_q1_pre",
                 "control_q1_post", "n_runs", "sf", "detail",
+                "master", "parallelism", "shuffle_partitions",
             )
         }
         line = json.dumps(summary)

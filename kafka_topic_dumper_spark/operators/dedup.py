@@ -32,6 +32,9 @@ from kafka_topic_dumper_spark.functions.portable_hash import (
     minhash_params,
 )
 from kafka_topic_dumper_spark.functions import trained_oracles
+from kafka_topic_dumper_spark.functions.parallelism import (
+    spread_input as _spread_corpus,
+)
 from kafka_topic_dumper_spark.sources.tables import load_table
 
 # --- shared shingle/token helpers (JVM-side lambda expressions) -----------
@@ -389,17 +392,14 @@ EDITDIST_MAX = 30
 EDITDIST_Q = 3
 
 
-# Scale-adaptive parallelism guard for CPU-heavy per-doc map work
-# (r18, guide §2.5 — bytes-vs-work mismatch at the SCAN): the sf-scale
-# documents parquet arrives as a SINGLE input split, so everything
-# below the first Exchange — the resurface transform, the per-char
-# q-gram explode, xxhash64, the partial aggregation — ran on one core
-# of local[32] (measured: the gram-count stage alone 5.9 s
-# single-split vs 1.1 s spread, sf0.1). No-op on wide scans — see
-# functions/parallelism.py.
-from kafka_topic_dumper_spark.functions.parallelism import (  # noqa: E402
-    spread_input as _spread_corpus,
-)
+# _spread_corpus (imported at top): scale-adaptive parallelism guard
+# for the CPU-heavy per-doc map work in this family (r18, guide §2.5 —
+# bytes-vs-work mismatch at the SCAN): the sf-scale documents parquet
+# arrives as a SINGLE input split, so everything below the first
+# Exchange — the resurface transform, the per-char q-gram explode,
+# xxhash64, the partial aggregation — ran on one core of local[32]
+# (measured: the gram-count stage alone 5.9 s single-split vs 1.1 s
+# spread, sf0.1). No-op on wide scans — see functions/parallelism.py.
 
 
 def editdist_gram_counts(
@@ -601,8 +601,12 @@ def resurface_vocabulary(docs: DataFrame, mod: int = REALVOCAB_MOD) -> DataFrame
     # md5-derived transform — the family's most expensive projection —
     # ran on one core. Exchanging the RAW rows first parallelizes the
     # transform itself; at deployment scale the scan is already wide
-    # and _spread_corpus no-ops.
-    return _spread_corpus(docs).select(
+    # and _spread_corpus no-ops. The (doc_id, text) select sits below
+    # the spread so the round-robin exchange explicitly carries only
+    # those two columns (r18 advice: relying on Catalyst to push the
+    # pruning under the exchange leaves the shuffle payload
+    # optimizer-dependent).
+    return _spread_corpus(docs.select("doc_id", "text")).select(
         "doc_id",
         F.expr(
             "concat_ws(' ', transform(split(text, ' '), "

@@ -79,21 +79,28 @@ def _ensure_arrow_batch(df: DataFrame, rows: int = 100000) -> None:
     correctness, depends on it."""
 
 
-def binary_payloads(docs: DataFrame) -> DataFrame:
+def binary_payloads(docs: DataFrame, spread: bool = False) -> DataFrame:
     """documents → (doc_id, payload binary). Stands in for an
     image/audio payload column; real datasets read this directly from
     parquet `binary` columns.
 
-    Spread to core count when the scan is narrower than the machine
-    (r18, guide §2.5): the bench-scale parquet is ONE split, so every
-    downstream mapInPandas codec ran as a SINGLE task on local[32]
-    (measured: decode_mjpeg 3.3 → 1.0 s, decode_gif 2.5 → 0.9 s at
-    sf0.1 from spreading; the synth_* entry points apply the same
-    guard). No-op on wide deployment scans — see
-    functions/parallelism.py."""
-    return spread_input(
-        docs.select("doc_id", F.encode(F.col("text"), "UTF-8").alias("payload"))
+    ``spread=False`` by default (r19, fixing the r18 regression —
+    VERDICT item 1): every registered consumer of this helper is a
+    CHEAP stub path (decode_stub / frame_sample / resize_stub /
+    feature_stub, and phash_neardup's one-md5 fingerprint) whose
+    pandas work is a few vectorized ops per batch — a 32-way
+    round-robin shuffle costs more than it frees (driver r18 bench:
+    decode_stub 0.246 → 0.439 s from the unconditional spread; same
+    class of mistake as the §12 phash persist, same opt-out fix).
+    The EXPENSIVE from-scratch codecs (jpeg/gif/mjpeg/png/wav) do not
+    ride this helper — their synth_* entry points spread their own
+    input (r18 §16: mjpeg −70%) — so nothing opts in today; the knob
+    stays for a real decoder dropped into the stub slot. See
+    functions/parallelism.py for the scale-adaptive guard."""
+    payloads = docs.select(
+        "doc_id", F.encode(F.col("text"), "UTF-8").alias("payload")
     )
+    return spread_input(payloads) if spread else payloads
 
 
 def binary_meta(docs: DataFrame) -> DataFrame:

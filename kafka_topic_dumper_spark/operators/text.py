@@ -18,6 +18,7 @@ from kafka_topic_dumper_spark.functions.portable_hash import (
     h60_duckdb_sql,
     h60_spark_sql,
 )
+from kafka_topic_dumper_spark.functions.parallelism import spread_input
 from kafka_topic_dumper_spark.sources.tables import load_table
 
 # Marker stopwords per language. Tiny on purpose: the operator
@@ -116,11 +117,32 @@ def _count_in(tokens: Column, words: list[str]) -> Column:
 def lang_id(docs: DataFrame) -> DataFrame:
     """Heuristic language ID: CJK-character presence short-circuits to
     zh; otherwise argmax of per-language marker-stopword counts with a
-    fixed preference order on ties (en > es > de > fr > und)."""
-    toks = docs.withColumn("toks", _tokens())
-    scores = {
-        lang: _count_in(F.col("toks"), words) for lang, words in STOPWORDS.items()
-    }
+    fixed preference order on ties (en > es > de > fr > und).
+
+    Shape (r19, guide §2.5 + §1.2 step 2): this row is a pure
+    scan→Project plan, so ALL of its cost is the projection —
+    which (a) ran as ONE task on the single-split bench-scale scan
+    (spread_input fixes that; no-op on wide deployment scans), and
+    (b) is CodegenFallback (the array ``filter`` lambdas), so Spark's
+    codegen-level subexpression elimination never runs and the CASE's
+    repeated score references re-evaluated the stopword filters up to
+    13× per row. The scores are hoisted into their OWN projection —
+    CollapseProject declines to inline non-cheap expressions referenced
+    more than once, so each filter now runs exactly once per row.
+    Value-identical: same expressions, same tie order."""
+    toks = spread_input(docs.select("doc_id", "lang", "text")).withColumn(
+        "toks", _tokens()
+    )
+    scored = toks.select(
+        "doc_id",
+        "lang",
+        "text",
+        *[
+            _count_in(F.col("toks"), words).alias(f"_s_{lang}")
+            for lang, words in STOPWORDS.items()
+        ],
+    )
+    scores = {lang: F.col(f"_s_{lang}") for lang in STOPWORDS}
     s_zh = F.length(F.regexp_replace(F.col("text"), f"[^{_CJK[1:-1]}]", "")).cast(
         "integer"
     )
@@ -136,7 +158,7 @@ def lang_id(docs: DataFrame) -> DataFrame:
         .when(scores["fr"] > 0, "fr")
         .otherwise("und")
     )
-    return toks.select(
+    return scored.select(
         "doc_id", pred.alias("pred_lang"), F.col("lang").alias("labeled_lang")
     )
 
@@ -147,20 +169,34 @@ def quality_score(docs: DataFrame, extra_cols: tuple = ()) -> DataFrame:
     single projection pass, no shuffle. ``extra_cols`` carries
     pass-through columns (e.g. ``source`` for the per-source
     calibration) so consumers don't pay a doc_id join to get them
-    back."""
-    toks = _tokens()
-    n_tokens = F.size(toks).cast("bigint")
-    n_chars = F.length("text").cast("bigint")
-    punct = (
-        n_chars - F.length(F.regexp_replace(F.col("text"), r"[.,;:!?]", ""))
-    ).cast("bigint")
-    sw = _count_in(toks, STOPWORDS["en"]).cast("bigint")
-    punct_ratio = punct / n_chars
-    sw_ratio = sw / n_tokens
+    back.
+
+    r19 (same pattern as :func:`lang_id`/:func:`token_stats`): the
+    counting primitives are hoisted into their own projection — the
+    flat form evaluated ``split(lower(text))`` six times, the stopword
+    ``filter`` and the punctuation ``regexp_replace`` twice each, per
+    row, because the HOF lambdas make this Project CodegenFallback
+    (no codegen subexpression elimination) and CollapseProject cannot
+    inline-dedup them. Value-identical: the ratio/score expressions
+    consume the hoisted columns unchanged."""
+    base = docs.withColumn("_toks", _tokens()).select(
+        "doc_id",
+        *extra_cols,
+        F.size("_toks").cast("bigint").alias("n_tokens"),
+        F.length("text").cast("bigint").alias("n_chars"),
+        (
+            F.length("text").cast("bigint")
+            - F.length(F.regexp_replace(F.col("text"), r"[.,;:!?]", ""))
+        ).cast("bigint").alias("_punct"),
+        _count_in(F.col("_toks"), STOPWORDS["en"]).cast("bigint").alias("_sw"),
+    )
+    n_tokens = F.col("n_tokens")
+    punct_ratio = F.col("_punct") / F.col("n_chars")
+    sw_ratio = F.col("_sw") / n_tokens
     score = F.least(F.lit(1.0), n_tokens / F.lit(100.0)) * (1 - punct_ratio) * (
         F.lit(0.5) + F.lit(0.5) * sw_ratio
     )
-    return docs.select(
+    return base.select(
         "doc_id",
         *extra_cols,
         n_tokens.alias("n_tokens"),
@@ -615,8 +651,20 @@ def vocab_growth(docs: DataFrame, buckets: int = 32) -> DataFrame:
 def token_stats(docs: DataFrame) -> DataFrame:
     """Token counting: whitespace tokens, BPE-ish regex pieces
     (letter-runs | digits | single punctuation), distinct tokens, and
-    mean token length."""
-    toks = _tokens()
+    mean token length.
+
+    Shape (r19, guide §2.5 + §1.2 step 2): scan→Project row, same two
+    fixes as :func:`lang_id` — spread the single-split bench-scale
+    scan, and hoist the tokenization into its own projection (the
+    single Project evaluated ``split(lower(text))`` FOUR times per row
+    and the whole-stage-codegen subexpression elimination that would
+    normally dedup it never runs here, the aggregate/transform lambdas
+    are CodegenFallback). Value-identical: same expressions over the
+    same tokens value."""
+    base = spread_input(docs.select("doc_id", "text")).withColumn(
+        "toks", _tokens()
+    )
+    toks = F.col("toks")
     pieces = F.regexp_extract_all(
         F.col("text"), F.lit(r"[a-zA-Z]+|[0-9]|[^a-zA-Z0-9\s]"), F.lit(0)
     )
@@ -625,7 +673,7 @@ def token_stats(docs: DataFrame) -> DataFrame:
         F.lit(0).cast("bigint"),
         lambda acc, x: acc + x,
     )
-    return docs.select(
+    return base.select(
         "doc_id",
         F.size(toks).cast("bigint").alias("n_ws_tokens"),
         F.size(pieces).cast("bigint").alias("n_bpe_pieces"),

@@ -126,3 +126,26 @@ def test_compare_tool_runs_clean_on_accepted_reading():
     pins = _load_pins()["pins"]
     trips = [n for n, s in timings.items() if s / pins[n]["pin"] > 1.5]
     assert not trips, trips
+
+
+def test_bench_run_recording_helpers():
+    """r19 (r18 verdict items 2-3): bench.py records every timed
+    repetition per row (query_runs) and derives a cold first-run
+    column next to the reported warm min-of-N. Pure-helper test —
+    the recording path is the same _record_run call every timing
+    loop routes through."""
+    spec = importlib.util.spec_from_file_location(
+        "bench_for_runs_test", os.path.join(REPO, "bench.py")
+    )
+    mod = importlib.util.module_from_spec(spec)
+    spec.loader.exec_module(mod)
+
+    mod.RUN_TIMES.clear()
+    assert mod._record_run("rowa", 1.2345678) == 1.2345678
+    mod._record_run("rowa", 0.5)
+    mod._record_run("rowb", 2.0)
+    # run order preserved, rounded to ms like every reported number
+    assert mod.RUN_TIMES == {"rowa": [1.235, 0.5], "rowb": [2.0]}
+    # cold column = first run per row, never the min
+    assert mod._cold_column(mod.RUN_TIMES) == {"rowa": 1.235, "rowb": 2.0}
+    mod.RUN_TIMES.clear()

@@ -729,3 +729,29 @@ def test_mad_robustness_vs_stddev(spark):
     assert (r.n, r.median_c, r.mad_c) == (7, med, mad)
     assert r.mad_c < 100            # the spike didn't move MAD past 1 unit
     assert statistics.pstdev(vc) > 100 * r.mad_c  # ...while stddev exploded
+
+
+def test_spread_input_widens_narrow_memoizes_and_noops_wide(spark):
+    """r19 (r18 advice): spread_input widens a narrow input to
+    defaultParallelism, no-ops on an already-wide one, and memoizes
+    the width probe per (session, plan) so repeated plan construction
+    does not re-trigger physical planning on the driver."""
+    from kafka_topic_dumper_spark.functions import parallelism as p
+
+    n = spark.sparkContext.defaultParallelism
+    narrow = spark.range(0, 1000, 1, 1)
+    wide = spark.range(0, 1000, 1, n + 2)
+
+    p._PROBE_MEMO.clear()
+    out = p.spread_input(narrow)
+    assert out.rdd.getNumPartitions() == n
+    # same values survive the round-robin exchange
+    assert sorted(r.id for r in out.collect()) == list(range(1000))
+    # wide input passes through UNCHANGED (same object, no repartition)
+    assert p.spread_input(wide) is wide
+
+    # memo: a semantically-equal second construction hits the cache
+    assert len(p._PROBE_MEMO) == 2
+    again = spark.range(0, 1000, 1, 1)
+    p.spread_input(again)
+    assert len(p._PROBE_MEMO) == 2  # no new probe entry

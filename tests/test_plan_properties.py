@@ -424,3 +424,27 @@ def test_editdist_prefix_stored_banded_dp_equi_candidates(spark):
     assert count_in(plan, "CartesianProduct") == 0
     assert count_in(plan, "BroadcastNestedLoopJoin") <= 1
     assert "BatchEvalPython" not in plan and "ArrowEvalPython" not in plan
+
+
+@pytest.mark.parametrize(
+    "query",
+    [
+        "multimodal_decode_stub",
+        "multimodal_frame_sample",
+        "multimodal_resize_stub",
+        "multimodal_feature_stub",
+    ],
+)
+def test_stub_payload_rows_never_pay_a_spread_shuffle(spark, query):
+    # r19 (r18 verdict item 1): the cheap stub decoders ride
+    # binary_payloads, whose r18 unconditional spread_input made
+    # decode_stub pay a 32-way round-robin shuffle it cannot amortize
+    # (driver bench 0.246 -> 0.439 s). The stub paths are one
+    # vectorized pandas expression per batch - their plan must stay
+    # scan -> project -> MapInPandas with NO exchange of any kind.
+    # The expensive codecs spread via their own synth_* entry points
+    # (r18 section 16), which this pin deliberately does not touch.
+    plan = plan_of(spark, query)
+    assert count_in(plan, "RoundRobinPartitioning") == 0
+    assert count_in(plan, "Exchange") == 0
+    assert "MapInPandas" in plan
